@@ -1,0 +1,466 @@
+// hnsw_builder.cpp — from-scratch HNSW graph builder + CPU search oracle.
+//
+// Host-side native component of valkey_search_tpu. Provides the same
+// *capabilities* as the reference's modified hnswlib
+// (third_party/hnswlib/hnswalg.h: addPoint :1260, searchKnn :1611,
+// markDelete :1156, resizeIndex :757) but is an independent implementation
+// of the Malkov & Yashunin HNSW algorithm designed to feed a TPU:
+//   - node-indexed flat arrays (level-0 links as one [cap, 2M] int32 block)
+//     exportable straight into device buffers for batched beam search,
+//   - capacity growth by block without relocation of per-node link vectors
+//     (same motivation as the reference's ChunkedArray, hnswlib.h:259-302),
+//   - deterministic level RNG seeded per index.
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -o libhnsw.so hnsw_builder.cpp
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <utility>
+#include <vector>
+
+namespace {
+
+using std::int32_t;
+using std::size_t;
+using std::uint64_t;
+
+// ---------------------------------------------------------------------------
+// distance kernels (fp32; autovectorized by -O3 -march=native)
+// ---------------------------------------------------------------------------
+
+static inline float l2_sq(const float* a, const float* b, int d) {
+  float acc = 0.f;
+  for (int i = 0; i < d; ++i) {
+    const float t = a[i] - b[i];
+    acc += t * t;
+  }
+  return acc;
+}
+
+static inline float ip_dist(const float* a, const float* b, int d) {
+  float acc = 0.f;
+  for (int i = 0; i < d; ++i) acc += a[i] * b[i];
+  return 1.f - acc;
+}
+
+struct PairLess {  // min-heap on dist via greater<>
+  bool operator()(const std::pair<float, int32_t>& a,
+                  const std::pair<float, int32_t>& b) const {
+    return a.first > b.first;
+  }
+};
+struct PairGreater {  // max-heap on dist
+  bool operator()(const std::pair<float, int32_t>& a,
+                  const std::pair<float, int32_t>& b) const {
+    return a.first < b.first;
+  }
+};
+
+using MinHeap =
+    std::priority_queue<std::pair<float, int32_t>,
+                        std::vector<std::pair<float, int32_t>>, PairLess>;
+using MaxHeap =
+    std::priority_queue<std::pair<float, int32_t>,
+                        std::vector<std::pair<float, int32_t>>, PairGreater>;
+
+// ---------------------------------------------------------------------------
+// index
+// ---------------------------------------------------------------------------
+
+struct HnswIndex {
+  int dim = 0;
+  int metric = 0;  // 0 = l2 (squared), 1 = ip (1 - dot; cosine after normalize)
+  int M = 16;
+  int M0 = 32;  // level-0 max degree = 2*M (hnswlib maxM0_)
+  int ef_construction = 200;
+  size_t cap = 0;
+  int32_t count = 0;
+  int32_t entry = -1;
+  int max_level = -1;
+  uint64_t hops = 0;                // instrumentation (hnswalg.h metric_hops)
+  uint64_t dist_comps = 0;          // metric_distance_computations
+
+  std::vector<float> vectors;       // [cap * dim]
+  std::vector<int32_t> links0;      // [cap * M0], -1 padded
+  std::vector<int32_t> nlinks0;     // [cap]
+  std::vector<int32_t> levels;      // [cap]
+  std::vector<uint8_t> deleted;     // [cap]
+  // upper-level links, per node: flat [levels[n] * M], -1 padded
+  std::vector<std::vector<int32_t>> upper;
+
+  std::mt19937_64 rng;
+  double mult = 0.0;  // 1/ln(M) — hnswlib mult_
+
+  const float* vec(int32_t n) const { return vectors.data() + (size_t)n * dim; }
+
+  float dist(const float* a, const float* b) const {
+    return metric == 0 ? l2_sq(a, b, dim) : ip_dist(a, b, dim);
+  }
+
+  void ensure_cap(size_t need, size_t block) {
+    if (need <= cap) return;
+    size_t new_cap = ((need + block - 1) / block) * block;
+    vectors.resize(new_cap * dim, 0.f);
+    links0.resize(new_cap * M0, -1);
+    nlinks0.resize(new_cap, 0);
+    levels.resize(new_cap, 0);
+    deleted.resize(new_cap, 0);
+    upper.resize(new_cap);
+    cap = new_cap;
+  }
+
+  int random_level() {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    double r = -std::log(std::max(u(rng), 1e-300)) * mult;
+    return (int)r;
+  }
+
+  int32_t* links_at(int32_t n, int level) {
+    if (level == 0) return links0.data() + (size_t)n * M0;
+    return upper[n].data() + (size_t)(level - 1) * M;
+  }
+  const int32_t* links_at(int32_t n, int level) const {
+    if (level == 0) return links0.data() + (size_t)n * M0;
+    return upper[n].data() + (size_t)(level - 1) * M;
+  }
+  int degree_cap(int level) const { return level == 0 ? M0 : M; }
+
+  int degree(int32_t n, int level) const {
+    if (level == 0) return nlinks0[n];
+    const int32_t* l = links_at(n, level);
+    int c = 0;
+    while (c < M && l[c] >= 0) ++c;
+    return c;
+  }
+
+  void set_links(int32_t n, int level, const std::vector<int32_t>& ids) {
+    int32_t* l = links_at(n, level);
+    const int capd = degree_cap(level);
+    int c = (int)std::min<size_t>(ids.size(), capd);
+    for (int i = 0; i < c; ++i) l[i] = ids[i];
+    for (int i = c; i < capd; ++i) l[i] = -1;
+    if (level == 0) nlinks0[n] = c;
+  }
+
+  // Greedy descent at one level: move to the best-improving neighbor until
+  // local minimum (reference hnswalg.h searchKnn upper-layer loop).
+  int32_t greedy_descend(const float* q, int32_t start, int level,
+                         float* out_d) {
+    int32_t cur = start;
+    float cur_d = dist(q, vec(cur));
+    ++dist_comps;
+    bool changed = true;
+    while (changed) {
+      changed = false;
+      const int32_t* l = links_at(cur, level);
+      const int deg = degree(cur, level);
+      for (int i = 0; i < deg; ++i) {
+        const int32_t nb = l[i];
+        const float d = dist(q, vec(nb));
+        ++dist_comps;
+        if (d < cur_d) {
+          cur_d = d;
+          cur = nb;
+          changed = true;
+        }
+      }
+      ++hops;
+    }
+    *out_d = cur_d;
+    return cur;
+  }
+
+  // ef-bounded best-first search at one level (reference searchBaseLayer /
+  // searchBaseLayerST). Returns a max-heap of up to ef (dist, node).
+  // skip_deleted: exclude tombstoned nodes from results (still traversed).
+  MaxHeap search_layer(const float* q, int32_t entry_node, int level, int ef,
+                       bool skip_deleted) {
+    MaxHeap top;       // results, bounded ef
+    MinHeap cands;     // expansion frontier
+    std::vector<uint8_t> visited(cap, 0);
+
+    const float d0 = dist(q, vec(entry_node));
+    ++dist_comps;
+    visited[entry_node] = 1;
+    float lower_bound;
+    if (!skip_deleted || !deleted[entry_node]) {
+      top.emplace(d0, entry_node);
+      lower_bound = d0;
+    } else {
+      lower_bound = std::numeric_limits<float>::max();
+    }
+    cands.emplace(d0, entry_node);
+
+    while (!cands.empty()) {
+      auto [cd, cn] = cands.top();
+      if (cd > lower_bound && top.size() >= (size_t)ef) break;
+      cands.pop();
+      ++hops;
+      const int32_t* l = links_at(cn, level);
+      const int deg = degree(cn, level);
+      for (int i = 0; i < deg; ++i) {
+        const int32_t nb = l[i];
+        if (visited[nb]) continue;
+        visited[nb] = 1;
+        const float d = dist(q, vec(nb));
+        ++dist_comps;
+        if (top.size() < (size_t)ef || d < lower_bound) {
+          cands.emplace(d, nb);
+          if (!skip_deleted || !deleted[nb]) {
+            top.emplace(d, nb);
+            if (top.size() > (size_t)ef) top.pop();
+            if (!top.empty()) lower_bound = top.top().first;
+          }
+        }
+      }
+    }
+    return top;
+  }
+
+  // Neighbor selection heuristic (reference hnswalg.h
+  // getNeighborsByHeuristic2): scan candidates closest-first; keep one iff it
+  // is closer to q than to every already-kept neighbor.
+  void select_neighbors(std::vector<std::pair<float, int32_t>>& cands, int m,
+                        std::vector<int32_t>* out) {
+    std::sort(cands.begin(), cands.end());
+    out->clear();
+    for (const auto& [dq, n] : cands) {
+      if ((int)out->size() >= m) break;
+      bool keep = true;
+      for (int32_t sel : *out) {
+        const float dns = dist(vec(n), vec(sel));
+        ++dist_comps;
+        if (dns < dq) {
+          keep = false;
+          break;
+        }
+      }
+      if (keep) out->push_back(n);
+    }
+  }
+
+  void connect(int32_t node, int level, const std::vector<int32_t>& nbrs) {
+    set_links(node, level, nbrs);
+    const int capd = degree_cap(level);
+    std::vector<std::pair<float, int32_t>> merged;
+    std::vector<int32_t> pruned;
+    for (int32_t nb : nbrs) {
+      int32_t* l = links_at(nb, level);
+      int deg = degree(nb, level);
+      if (deg < capd) {
+        l[deg] = node;
+        if (level == 0) nlinks0[nb] = deg + 1;
+        continue;
+      }
+      // overflow: re-select nb's neighbor list including the new node
+      merged.clear();
+      const float dn = dist(vec(nb), vec(node));
+      ++dist_comps;
+      merged.emplace_back(dn, node);
+      for (int i = 0; i < deg; ++i) {
+        merged.emplace_back(dist(vec(nb), vec(l[i])), l[i]);
+        ++dist_comps;
+      }
+      select_neighbors(merged, capd, &pruned);
+      set_links(nb, level, pruned);
+    }
+  }
+
+  int32_t add(const float* v) {
+    ensure_cap((size_t)count + 1, 10240);
+    const int32_t node = count++;
+    std::memcpy(vectors.data() + (size_t)node * dim, v,
+                sizeof(float) * dim);
+    const int level = random_level();
+    levels[node] = level;
+    if (level > 0) upper[node].assign((size_t)level * M, -1);
+
+    if (entry < 0) {
+      entry = node;
+      max_level = level;
+      return node;
+    }
+
+    int32_t cur = entry;
+    if (level < max_level) {
+      float cd;
+      for (int lc = max_level; lc > level; --lc)
+        cur = greedy_descend(v, cur, lc, &cd);
+    }
+    for (int lc = std::min(level, max_level); lc >= 0; --lc) {
+      MaxHeap top = search_layer(v, cur, lc, ef_construction,
+                                 /*skip_deleted=*/false);
+      std::vector<std::pair<float, int32_t>> cands;
+      while (!top.empty()) {
+        cands.push_back(top.top());
+        top.pop();
+      }
+      std::vector<int32_t> sel;
+      select_neighbors(cands, M, &sel);
+      connect(node, lc, sel);
+      if (!sel.empty()) cur = sel[0];
+    }
+    if (level > max_level) {
+      max_level = level;
+      entry = node;
+    }
+    return node;
+  }
+
+  int search(const float* q, int k, int ef, int32_t* out_ids,
+             float* out_dists) {
+    if (entry < 0) return 0;
+    int32_t cur = entry;
+    float cd;
+    for (int lc = max_level; lc > 0; --lc)
+      cur = greedy_descend(q, cur, lc, &cd);
+    MaxHeap top = search_layer(q, cur, 0, std::max(ef, k),
+                               /*skip_deleted=*/true);
+    while (top.size() > (size_t)k) top.pop();
+    const int n = (int)top.size();
+    for (int i = n - 1; i >= 0; --i) {
+      out_dists[i] = top.top().first;
+      out_ids[i] = top.top().second;
+      top.pop();
+    }
+    return n;
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* hnsw_create(int dim, int metric, int M, int ef_construction,
+                  uint64_t seed) {
+  auto* h = new HnswIndex();
+  h->dim = dim;
+  h->metric = metric;
+  h->M = M;
+  h->M0 = 2 * M;
+  h->ef_construction = ef_construction;
+  h->mult = 1.0 / std::log((double)M);
+  h->rng.seed(seed);
+  return h;
+}
+
+void hnsw_free(void* p) { delete (HnswIndex*)p; }
+
+int32_t hnsw_add(void* p, const float* vec) {
+  return ((HnswIndex*)p)->add(vec);
+}
+
+void hnsw_add_batch(void* p, const float* vecs, int32_t n, int32_t* out_nodes) {
+  auto* h = (HnswIndex*)p;
+  for (int32_t i = 0; i < n; ++i)
+    out_nodes[i] = h->add(vecs + (size_t)i * h->dim);
+}
+
+void hnsw_mark_deleted(void* p, int32_t node, int flag) {
+  auto* h = (HnswIndex*)p;
+  if (node >= 0 && node < h->count) h->deleted[node] = (uint8_t)(flag != 0);
+}
+
+int hnsw_search(void* p, const float* q, int k, int ef, int32_t* out_ids,
+                float* out_dists) {
+  return ((HnswIndex*)p)->search(q, k, ef, out_ids, out_dists);
+}
+
+int32_t hnsw_count(void* p) { return ((HnswIndex*)p)->count; }
+int32_t hnsw_entry(void* p) { return ((HnswIndex*)p)->entry; }
+int hnsw_max_level(void* p) { return ((HnswIndex*)p)->max_level; }
+uint64_t hnsw_dist_comps(void* p) { return ((HnswIndex*)p)->dist_comps; }
+uint64_t hnsw_hops(void* p) { return ((HnswIndex*)p)->hops; }
+
+// Graph export for device upload: level-0 links [count, 2M] (-1 padded),
+// per-node levels [count], deleted flags [count].
+void hnsw_export_links0(void* p, int32_t* out) {
+  auto* h = (HnswIndex*)p;
+  std::memcpy(out, h->links0.data(),
+              sizeof(int32_t) * (size_t)h->count * h->M0);
+}
+void hnsw_export_levels(void* p, int32_t* out) {
+  auto* h = (HnswIndex*)p;
+  std::memcpy(out, h->levels.data(), sizeof(int32_t) * h->count);
+}
+void hnsw_export_deleted(void* p, uint8_t* out) {
+  auto* h = (HnswIndex*)p;
+  std::memcpy(out, h->deleted.data(), sizeof(uint8_t) * h->count);
+}
+// Upper-level links for level l (1-based): caller provides
+// out_links [n_at_level, M]; out_nodes receives the node ids. Returns count.
+int32_t hnsw_export_upper(void* p, int level, int32_t* out_nodes,
+                          int32_t* out_links) {
+  auto* h = (HnswIndex*)p;
+  int32_t c = 0;
+  for (int32_t n = 0; n < h->count; ++n) {
+    if (h->levels[n] >= level) {
+      out_nodes[c] = n;
+      std::memcpy(out_links + (size_t)c * h->M, h->links_at(n, level),
+                  sizeof(int32_t) * h->M);
+      ++c;
+    }
+  }
+  return c;
+}
+int32_t hnsw_count_at_level(void* p, int level) {
+  auto* h = (HnswIndex*)p;
+  int32_t c = 0;
+  for (int32_t n = 0; n < h->count; ++n)
+    if (h->levels[n] >= level) ++c;
+  return c;
+}
+
+// Checkpoint import: rebuild builder state from exported arrays (the
+// equivalent of the reference's hnswlib LoadIndex, hnswalg.h:885, including
+// basic structural validation — loadCheck :104).
+// Returns 0 on success, negative error code on validation failure.
+int hnsw_import(void* p, int32_t count, const float* vectors,
+                const int32_t* links0, const int32_t* levels,
+                const uint8_t* deleted, const int32_t* upper_flat,
+                const int64_t* upper_offsets, int32_t entry, int max_level) {
+  auto* h = (HnswIndex*)p;
+  if (count < 0) return -1;
+  if (count > 0 && (entry < 0 || entry >= count)) return -2;
+  h->ensure_cap((size_t)count, 10240);
+  h->count = count;
+  h->entry = entry;
+  h->max_level = max_level;
+  std::memcpy(h->vectors.data(), vectors, sizeof(float) * (size_t)count * h->dim);
+  std::memcpy(h->links0.data(), links0,
+              sizeof(int32_t) * (size_t)count * h->M0);
+  std::memcpy(h->levels.data(), levels, sizeof(int32_t) * count);
+  std::memcpy(h->deleted.data(), deleted, sizeof(uint8_t) * count);
+  for (int32_t n = 0; n < count; ++n) {
+    int c = 0;
+    const int32_t* l = h->links0.data() + (size_t)n * h->M0;
+    while (c < h->M0 && l[c] >= 0) {
+      if (l[c] >= count) return -3;  // dangling link → corrupt
+      ++c;
+    }
+    h->nlinks0[n] = c;
+    const int lev = h->levels[n];
+    if (lev > 0) {
+      const int64_t off = upper_offsets[n];
+      h->upper[n].assign(upper_flat + off, upper_flat + off + (size_t)lev * h->M);
+      for (int32_t u : h->upper[n])
+        if (u >= count) return -3;
+    } else {
+      h->upper[n].clear();
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,128 @@
+"""Flat index: exact recall, growth, delete, cosine, filters, blocked scan."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from valkey_search_tpu.indexes.base import RecordResult
+from valkey_search_tpu.indexes.flat import FlatVectorIndex
+from valkey_search_tpu.ops import topk as topk_ops
+
+
+def brute_force(q, corpus, k, metric="l2"):
+    if metric == "l2":
+        d = ((q[:, None, :] - corpus[None, :, :]) ** 2).sum(-1)
+    else:
+        d = 1.0 - q @ corpus.T
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+def test_add_search_exact(rng):
+    idx = FlatVectorIndex(dim=32)
+    corpus = rng.standard_normal((300, 32)).astype(np.float32)
+    for i, v in enumerate(corpus):
+        assert idx.add_record(f"doc:{i}", v) is RecordResult.ADDED
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    d, ids = idx.search_batch(q, k=10)
+    want_d, want_i = brute_force(q, corpus, 10)
+    np.testing.assert_array_equal(ids, want_i)
+    np.testing.assert_allclose(d, want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_binary_blob_roundtrip(rng):
+    idx = FlatVectorIndex(dim=4)
+    v = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    assert idx.add_record("a", v.tobytes()) is RecordResult.ADDED
+    res = idx.search(v, k=1)
+    assert res[0][0] == "a"
+    assert res[0][1] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_invalid_vector_rejected():
+    idx = FlatVectorIndex(dim=4)
+    assert idx.add_record("bad", b"\x00" * 9) is RecordResult.INVALID_DATA
+    assert (
+        idx.add_record("nan", np.array([np.nan, 0, 0, 0], np.float32))
+        is RecordResult.INVALID_DATA
+    )
+    assert idx.count() == 0
+
+
+def test_remove_and_modify(rng):
+    idx = FlatVectorIndex(dim=8)
+    a = rng.standard_normal(8).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    idx.add_record("a", a)
+    idx.add_record("b", b)
+    assert idx.remove_record("a") is RecordResult.REMOVED
+    assert idx.remove_record("a") is RecordResult.SKIPPED
+    res = idx.search(a, k=2)
+    assert [k for k, _ in res] == ["b"]
+    # modify b to equal a
+    assert idx.modify_record("b", a) is RecordResult.MODIFIED
+    res = idx.search(a, k=1)
+    assert res[0][0] == "b" and res[0][1] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_cosine_normalization(rng):
+    idx = FlatVectorIndex(dim=16, metric="cosine")
+    v = rng.standard_normal(16).astype(np.float32)
+    idx.add_record("v", v * 5.0)  # scaled copy → cosine distance 0
+    idx.add_record("w", rng.standard_normal(16).astype(np.float32))
+    res = idx.search(v, k=1)
+    assert res[0][0] == "v"
+    assert res[0][1] == pytest.approx(0.0, abs=1e-5)
+    doc = idx.doc_of("v")
+    assert idx.store.magnitudes[doc] == pytest.approx(
+        np.linalg.norm(v * 5.0), rel=1e-5
+    )
+
+
+def test_capacity_growth_and_id_reuse(rng):
+    idx = FlatVectorIndex(dim=4, block_size=2048)
+    for i in range(3000):  # crosses the 2048 growth boundary
+        idx.add_record(f"k{i}", rng.standard_normal(4).astype(np.float32))
+    assert idx.count() == 3000
+    assert idx.store.capacity >= 3000
+    idx.remove_record("k0")
+    idx.add_record("fresh", rng.standard_normal(4).astype(np.float32))
+    # freed id recycled → capacity unchanged
+    assert idx.interner.capacity == 3000
+
+
+def test_filter_mask(rng):
+    idx = FlatVectorIndex(dim=8)
+    corpus = rng.standard_normal((50, 8)).astype(np.float32)
+    for i, v in enumerate(corpus):
+        idx.add_record(f"d{i}", v)
+    cap = idx.store.capacity
+    allowed = np.zeros(cap, bool)
+    allowed[[3, 7, 9]] = True
+    q = corpus[3:4]
+    d, ids = idx.search_batch(q, k=5, filter_mask=jnp.asarray(allowed))
+    returned = [i for i in ids[0] if i >= 0]
+    assert set(returned) <= {3, 7, 9}
+    assert ids[0][0] == 3
+
+
+def test_blocked_scan_matches_single_shot(rng):
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    corpus = rng.standard_normal((4096, 16)).astype(np.float32)
+    d1, i1 = topk_ops.flat_topk(
+        jnp.asarray(q), jnp.asarray(corpus), k=7, block_rows=1024
+    )
+    d2, i2 = topk_ops.flat_topk(
+        jnp.asarray(q), jnp.asarray(corpus), k=7, block_rows=8192
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_k_larger_than_corpus(rng):
+    idx = FlatVectorIndex(dim=4)
+    idx.add_record("only", np.ones(4, np.float32))
+    d, ids = idx.search_batch(np.zeros((1, 4), np.float32), k=5)
+    assert ids[0][0] == idx.doc_of("only")
+    assert (ids[0][1:] == -1).all()
+    assert np.isinf(d[0][1:]).all()

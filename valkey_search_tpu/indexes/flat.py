@@ -1,0 +1,71 @@
+"""Flat (brute-force, exact) vector index.
+
+Reference: src/indexes/vector_flat.{h,cc} over hnswlib BruteforceSearch
+(third_party/hnswlib/bruteforce.h) with block-sized growth. TPU design: the
+corpus lives in HBM as a padded [cap, d] fp32 array; a search is one
+streaming blocked-matmul pass with fused top-k (ops/topk.py), amortized
+over a whole batch of queries — so at ~1M×128d scale exact search runs at
+MXU/HBM speed-of-light and can outrun a CPU HNSW (see PAPERS.md TPU-KNN).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from valkey_search_tpu.indexes.vector_base import VectorIndexBase
+from valkey_search_tpu.ops import topk as topk_ops
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS
+
+
+class FlatVectorIndex(VectorIndexBase):
+    kind = "FLAT"
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        filter_mask: Optional[jnp.ndarray] = None,
+        precision: Optional[str] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact k-NN for a query batch [B, d] → (dists [B, k], doc ids [B, k]).
+
+        ``filter_mask``: optional device bool array [cap] (or [B, cap]) of
+        allowed docs — the fused pre-filter path (reference
+        src/query/search.cc:456 scores only qualified keys; flat indexes
+        always pre-filter, planner.cc:26-28).
+        """
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        if queries.shape[1] != self.dim:
+            raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
+        if self.metric == "cosine":
+            mags = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(mags, 1e-30)
+        snap = self.store.device_snapshot()
+        prec = precision or config.get("search.distance-precision")
+        d, i = topk_ops.flat_topk(
+            jnp.asarray(queries),
+            snap["vectors"],
+            k=k,
+            metric=self.metric,
+            corpus_sq=snap["norms_sq"],
+            invalid=snap["invalid"],
+            filter_mask=filter_mask,
+            block_rows=int(config.get("search.flat-block-size")),
+            precision=prec,
+        )
+        STATS.incr("flat_searches", queries.shape[0])
+        return np.asarray(d), np.asarray(i)
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int,
+        filter_mask: Optional[jnp.ndarray] = None,
+    ) -> List[Tuple[str, float]]:
+        """Single-query convenience wrapper → [(key, distance)] ascending."""
+        d, i = self.search_batch(np.atleast_2d(query), k, filter_mask=filter_mask)
+        return self.neighbors_to_keys(d[0], i[0])

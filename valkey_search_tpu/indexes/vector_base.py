@@ -1,0 +1,254 @@
+"""Shared vector-index logic: value parsing, normalization, host store, device sync.
+
+Models reference src/indexes/vector_base.{h,cc}: binary fp32 blob parsing,
+cosine normalization with magnitude tracking (NormalizeEmbedding,
+vector_base.h:46), key↔id mapping (here delegated to the schema-shared
+KeyInterner), prefiltered exact scoring (AddPrefilteredKey, :170 — here a
+masked device scan), and reply construction (CreateReply, :177).
+
+TPU design: the host keeps the authoritative copy in pinned numpy arrays;
+the device holds a mirror refreshed either by scatter-update (few dirty
+rows, donated in-place) or full re-upload (bulk change). Queries always run
+against the device mirror; the host arrays are the checkpoint source.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from valkey_search_tpu.indexes.base import IndexBase, RecordResult
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS
+from valkey_search_tpu.utils.interning import KeyInterner
+
+VectorLike = Union[bytes, bytearray, memoryview, np.ndarray, Sequence[float]]
+
+
+def parse_vector(value: VectorLike, dim: int) -> np.ndarray:
+    """Decode a vector attribute value into fp32 [dim].
+
+    The reference stores vectors as raw little-endian fp32 blobs in hash
+    fields (vector_base.cc record parsing); numpy arrays/sequences are also
+    accepted for the Python API.
+    """
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(value, dtype="<f4")
+    else:
+        arr = np.asarray(value, dtype=np.float32)
+    arr = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1)
+    if arr.shape[0] != dim:
+        raise ValueError(f"vector has {arr.shape[0]} dims, index expects {dim}")
+    if not np.all(np.isfinite(arr)):
+        raise ValueError("vector contains non-finite values")
+    return arr
+
+
+def _round_capacity(needed: int, block: int) -> int:
+    """Round capacity up: small corpora to 2048-multiples, large to block-multiples
+    (flat_topk requires cap % block_rows == 0 once cap > block_rows)."""
+    if needed <= block:
+        return max(2048, -(-needed // 2048) * 2048)
+    return -(-needed // block) * block
+
+
+@jax.jit
+def _scatter_rows(dst, idx, rows):
+    return dst.at[idx].set(rows)
+
+
+class HostVectorStore:
+    """Host-authoritative vector arrays + lazily-synced device mirror."""
+
+    def __init__(self, dim: int, metric: str, block: int):
+        self.dim = dim
+        self.metric = metric
+        self.block = block
+        cap = _round_capacity(1, block)
+        self.vectors = np.zeros((cap, dim), np.float32)
+        self.norms_sq = np.zeros((cap,), np.float32)
+        self.magnitudes = np.zeros((cap,), np.float32)  # cosine denormalization
+        self.present = np.zeros((cap,), bool)
+        self._dirty: set = set()
+        self._device: Optional[dict] = None
+        self._lock = threading.RLock()
+        self.epoch = 0  # bumped on every publish; consistency fingerprint
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    def ensure_capacity(self, needed: int) -> None:
+        with self._lock:
+            if needed <= self.capacity:
+                return
+            new_cap = _round_capacity(needed, self.block)
+            grow = new_cap - self.capacity
+            self.vectors = np.concatenate(
+                [self.vectors, np.zeros((grow, self.dim), np.float32)]
+            )
+            self.norms_sq = np.concatenate([self.norms_sq, np.zeros(grow, np.float32)])
+            self.magnitudes = np.concatenate(
+                [self.magnitudes, np.zeros(grow, np.float32)]
+            )
+            self.present = np.concatenate([self.present, np.zeros(grow, bool)])
+            self._device = None  # shape changed → full re-upload
+
+    def set_row(self, doc: int, vec: np.ndarray) -> None:
+        """Store a vector (already normalized for cosine) at row ``doc``."""
+        with self._lock:
+            self.ensure_capacity(doc + 1)
+            if self.metric == "cosine":
+                mag = float(np.sqrt(np.dot(vec, vec)))
+                self.magnitudes[doc] = mag
+                if mag > 0:
+                    vec = vec / mag
+            self.vectors[doc] = vec
+            self.norms_sq[doc] = float(np.dot(vec, vec))
+            self.present[doc] = True
+            self._dirty.add(doc)
+
+    def clear_row(self, doc: int) -> None:
+        with self._lock:
+            if doc < self.capacity:
+                self.present[doc] = False
+                self.vectors[doc] = 0
+                self.norms_sq[doc] = 0
+                self.magnitudes[doc] = 0
+                self._dirty.add(doc)
+
+    def device_snapshot(self) -> dict:
+        """Publish the current state to the device; returns the mirror dict.
+
+        The epoch-snapshot analog of the reference's time-sliced MRMW mutex
+        read phase (vmsdk/src/time_sliced_mrmw_mutex.h:42-136): queries run
+        on an immutable device snapshot; host mutations accumulate in
+        ``_dirty`` and publish as either a scatter or a full upload.
+        """
+        with self._lock:
+            if self._device is None:
+                self._device = {
+                    "vectors": jnp.asarray(self.vectors),
+                    "norms_sq": jnp.asarray(self.norms_sq),
+                    "invalid": jnp.asarray(~self.present),
+                }
+                self._dirty.clear()
+                self.epoch += 1
+                STATS.incr("vector_store_full_uploads")
+                return self._device
+            if self._dirty:
+                if len(self._dirty) > max(1024, self.capacity // 5):
+                    self._device = None
+                    return self.device_snapshot()
+                idx = np.fromiter(self._dirty, np.int32, len(self._dirty))
+                dev = self._device
+                self._device = {
+                    "vectors": _scatter_rows(
+                        dev["vectors"], idx, jnp.asarray(self.vectors[idx])
+                    ),
+                    "norms_sq": _scatter_rows(
+                        dev["norms_sq"], idx, jnp.asarray(self.norms_sq[idx])
+                    ),
+                    "invalid": _scatter_rows(
+                        dev["invalid"], idx, jnp.asarray(~self.present[idx])
+                    ),
+                }
+                self._dirty.clear()
+                self.epoch += 1
+                STATS.incr("vector_store_scatter_uploads")
+            return self._device
+
+
+class VectorIndexBase(IndexBase):
+    """Common add/remove/modify plumbing for flat and HNSW vector indexes."""
+
+    mutation_weight = 10.0  # vectors dominate ingest cost (index_base.h weight)
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "l2",
+        interner: Optional[KeyInterner] = None,
+        block_size: Optional[int] = None,
+    ):
+        if metric not in ("l2", "ip", "cosine"):
+            raise ValueError(f"bad metric {metric!r}")
+        self.dim = dim
+        self.metric = metric
+        # With a schema-shared interner the *schema* owns doc-id lifetime
+        # (a doc id is released when the document leaves every attribute
+        # index); a standalone index owns it itself.
+        self._owns_interner = interner is None
+        self.interner = interner if interner is not None else KeyInterner()
+        block = block_size or config.get("search.flat-block-size")
+        self.store = HostVectorStore(dim, metric, block)
+        self._tracked: Dict[str, int] = {}
+        self._lock = threading.RLock()
+
+    # -- IndexBase ----------------------------------------------------------
+    def add_record(self, key: str, value: VectorLike) -> RecordResult:
+        try:
+            vec = parse_vector(value, self.dim)
+        except ValueError:
+            STATS.incr("vector_invalid_records")
+            return RecordResult.INVALID_DATA
+        with self._lock:
+            existed = key in self._tracked
+            doc = self.interner.intern(key)
+            self._tracked[key] = doc
+            self.store.set_row(doc, vec)
+            self._on_row_written(doc, vec, existed)
+            STATS.incr("vector_records_modified" if existed else "vector_records_added")
+            return RecordResult.MODIFIED if existed else RecordResult.ADDED
+
+    def modify_record(self, key: str, value: VectorLike) -> RecordResult:
+        return self.add_record(key, value)
+
+    def remove_record(self, key: str) -> RecordResult:
+        with self._lock:
+            doc = self._tracked.pop(key, None)
+            if doc is None:
+                return RecordResult.SKIPPED
+            self.store.clear_row(doc)
+            self._on_row_removed(doc)
+            if self._owns_interner:
+                self.interner.release(key)
+            STATS.incr("vector_records_removed")
+            return RecordResult.REMOVED
+
+    def tracked_keys(self):
+        with self._lock:
+            return set(self._tracked)
+
+    def count(self) -> int:
+        with self._lock:
+            return len(self._tracked)
+
+    def doc_of(self, key: str) -> Optional[int]:
+        with self._lock:
+            return self._tracked.get(key)
+
+    # -- reply construction (reference vector_base.h:177 CreateReply) -------
+    def neighbors_to_keys(
+        self, dists: np.ndarray, ids: np.ndarray
+    ) -> List[Tuple[str, float]]:
+        """One query's (dists [k], ids [k]) → [(key, distance)], dropping pads."""
+        out: List[Tuple[str, float]] = []
+        for d, i in zip(np.asarray(dists), np.asarray(ids)):
+            if i < 0 or not np.isfinite(d):
+                continue
+            key = self.interner.key_of(int(i))
+            if key is not None:
+                out.append((key, float(d)))
+        return out
+
+    # -- subclass hooks ------------------------------------------------------
+    def _on_row_written(self, doc: int, vec: np.ndarray, existed: bool) -> None:
+        pass
+
+    def _on_row_removed(self, doc: int) -> None:
+        pass

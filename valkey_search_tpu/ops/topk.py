@@ -1,0 +1,147 @@
+"""Streaming exact k-NN: blocked corpus scan with a running top-k.
+
+TPU-native replacement for the reference's brute-force index
+(third_party/hnswlib/bruteforce.h:213 — a per-query linear SIMD scan).
+Here a batch of queries is scored against corpus blocks with one MXU matmul
+per block, and per-block top-k results are merged into a running top-k via
+``lax.top_k`` — so HBM traffic is one streaming pass over the corpus per
+*batch* (amortized across B queries) and the [B, N] score matrix is never
+materialized.
+
+Distances are "smaller is better" throughout (hnswlib convention); invalid
+rows (unallocated capacity, deleted, filtered-out) score +inf.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from valkey_search_tpu.ops import distance as dist_ops
+
+INF = jnp.float32(jnp.inf)
+INVALID_ID = jnp.int32(-1)
+
+
+def merge_topk(
+    dists_a: jnp.ndarray,
+    ids_a: jnp.ndarray,
+    dists_b: jnp.ndarray,
+    ids_b: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two top-k sets [B, ka] + [B, kb] → best k, ascending by distance.
+
+    Also the cross-shard merge primitive: the reference merges per-shard
+    results in a k-bounded max-heap on the coordinator
+    (src/query/fanout.cc:69-222 SearchPartitionResultsTracker); here shards'
+    top-k rows are concatenated (post all-gather) and re-selected.
+    """
+    d = jnp.concatenate([dists_a, dists_b], axis=-1)
+    i = jnp.concatenate([ids_a, ids_b], axis=-1)
+    neg_top, pos = jax.lax.top_k(-d, k)
+    return -neg_top, jnp.take_along_axis(i, pos, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "block_rows", "precision")
+)
+def flat_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    metric: str = "l2",
+    corpus_sq: Optional[jnp.ndarray] = None,
+    invalid: Optional[jnp.ndarray] = None,
+    filter_mask: Optional[jnp.ndarray] = None,
+    block_rows: int = 131072,
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN of ``queries`` [B, d] over ``corpus`` [cap, d].
+
+    Args:
+      invalid: optional bool [cap]; True rows are never returned (unallocated
+        slots and tombstoned deletes — reference hnswalg.h markDelete :1156).
+      filter_mask: optional bool [cap] (or [B, cap]) of rows *allowed* by a
+        hybrid pre-filter predicate (reference src/query/search.cc:456
+        CalcBestMatchingPrefilteredKeys scores only qualified keys; here the
+        mask is fused into the scan epilogue instead).
+      block_rows: corpus rows scored per scan step; cap must be divisible by
+        it unless cap <= block_rows (the flat index pads capacity).
+
+    Returns (dists [B, k], ids [B, k]) ascending; empty slots are (+inf, -1).
+    """
+    cap = corpus.shape[0]
+    b = queries.shape[0]
+    queries = queries.astype(jnp.float32)
+
+    if metric == "l2" and corpus_sq is None:
+        corpus_sq = dist_ops.squared_norms(corpus)
+
+    def score_block(c_vecs, c_sq, c_invalid, c_filter, row0):
+        s = dist_ops.pairwise_scores(
+            queries, c_vecs, metric=metric, corpus_sq=c_sq, precision=precision
+        )
+        if c_invalid is not None:
+            s = jnp.where(c_invalid[None, :], INF, s)
+        if c_filter is not None:
+            fm = c_filter if c_filter.ndim == 2 else c_filter[None, :]
+            s = jnp.where(fm, s, INF)
+        neg_top, pos = jax.lax.top_k(-s, min(k, c_vecs.shape[0]))
+        ids = (pos + row0).astype(jnp.int32)
+        d = -neg_top
+        ids = jnp.where(jnp.isinf(d), INVALID_ID, ids)
+        if d.shape[-1] < k:  # tiny corpus: pad out to k
+            pad = k - d.shape[-1]
+            d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=INF)
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return d, ids
+
+    if cap <= block_rows:
+        return score_block(corpus, corpus_sq, invalid, filter_mask, 0)
+
+    if cap % block_rows != 0:
+        raise ValueError(f"capacity {cap} not divisible by block_rows {block_rows}")
+    n_blocks = cap // block_rows
+
+    corpus_b = corpus.reshape(n_blocks, block_rows, corpus.shape[1])
+    sq_b = corpus_sq.reshape(n_blocks, block_rows) if corpus_sq is not None else None
+    inv_b = invalid.reshape(n_blocks, block_rows) if invalid is not None else None
+    if filter_mask is not None:
+        if filter_mask.ndim == 2:
+            filt_b = filter_mask.reshape(b, n_blocks, block_rows).swapaxes(0, 1)
+        else:
+            filt_b = filter_mask.reshape(n_blocks, block_rows)
+    else:
+        filt_b = None
+
+    def step(carry, xs):
+        run_d, run_i, row0 = carry
+        c_vecs = xs[0]
+        c_sq = xs[1] if sq_b is not None else None
+        off = 2 if sq_b is not None else 1
+        c_inv = xs[off] if inv_b is not None else None
+        off += 1 if inv_b is not None else 0
+        c_filt = xs[off] if filt_b is not None else None
+        bd, bi = score_block(c_vecs, c_sq, c_inv, c_filt, row0)
+        md, mi = merge_topk(run_d, run_i, bd, bi, k)
+        return (md, mi, row0 + block_rows), None
+
+    xs = [corpus_b]
+    if sq_b is not None:
+        xs.append(sq_b)
+    if inv_b is not None:
+        xs.append(inv_b)
+    if filt_b is not None:
+        xs.append(filt_b)
+
+    init = (
+        jnp.full((b, k), INF, jnp.float32),
+        jnp.full((b, k), INVALID_ID, jnp.int32),
+        jnp.int32(0),
+    )
+    (d, i, _), _ = jax.lax.scan(step, init, tuple(xs))
+    return d, i

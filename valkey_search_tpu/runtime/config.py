@@ -1,0 +1,188 @@
+"""Self-registering typed config registry.
+
+Models the reference's vmsdk config system (vmsdk/src/module_config.h:33-120,
+245+): typed Number/Boolean/Enum/String entries with min/max validation,
+modify callbacks, Immutable/Hidden/Dev flags, and a global registry driving
+``CONFIG GET/SET search.*``. Dev-only entries are gated behind
+``search.debug-mode`` (reference module_config.h:222-227).
+
+The notable engine tunables mirror docs/topics/search-configurables.md and
+src/valkey_search_options.cc.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import threading
+from typing import Any, Callable, Dict, List, Optional
+
+
+class ConfigError(ValueError):
+    pass
+
+
+class Flag(enum.IntFlag):
+    NONE = 0
+    IMMUTABLE = 1
+    HIDDEN = 2
+    DEV = 4  # only visible/settable when search.debug-mode is on
+
+
+@dataclasses.dataclass
+class Entry:
+    name: str
+    value: Any
+    default: Any
+    kind: str  # "number" | "boolean" | "enum" | "string"
+    min: Optional[float] = None
+    max: Optional[float] = None
+    choices: Optional[List[str]] = None
+    flags: Flag = Flag.NONE
+    validate: Optional[Callable[[Any], Optional[str]]] = None
+    on_modify: Optional[Callable[[Any], None]] = None
+
+    def coerce(self, raw: Any) -> Any:
+        if self.kind == "number":
+            v = int(raw) if float(raw) == int(float(raw)) else float(raw)
+            if self.min is not None and v < self.min:
+                raise ConfigError(f"{self.name}: {v} < min {self.min}")
+            if self.max is not None and v > self.max:
+                raise ConfigError(f"{self.name}: {v} > max {self.max}")
+            return v
+        if self.kind == "boolean":
+            if isinstance(raw, bool):
+                return raw
+            s = str(raw).lower()
+            if s in ("yes", "true", "1", "on"):
+                return True
+            if s in ("no", "false", "0", "off"):
+                return False
+            raise ConfigError(f"{self.name}: bad boolean {raw!r}")
+        if self.kind == "enum":
+            s = str(raw).lower()
+            if s not in (self.choices or []):
+                raise ConfigError(f"{self.name}: {raw!r} not in {self.choices}")
+            return s
+        return str(raw)
+
+
+class Registry:
+    """Global config registry; thread-safe GET/SET with validation."""
+
+    def __init__(self):
+        self._entries: Dict[str, Entry] = {}
+        self._lock = threading.RLock()
+
+    def register(self, entry: Entry) -> Entry:
+        with self._lock:
+            if entry.name in self._entries:
+                return self._entries[entry.name]
+            self._entries[entry.name] = entry
+            return entry
+
+    def get(self, name: str) -> Any:
+        with self._lock:
+            e = self._entries.get(name)
+            if e is None:
+                raise ConfigError(f"unknown config {name!r}")
+            return e.value
+
+    def set(self, name: str, raw: Any, loading: bool = False) -> None:
+        with self._lock:
+            e = self._entries.get(name)
+            if e is None:
+                raise ConfigError(f"unknown config {name!r}")
+            if (e.flags & Flag.IMMUTABLE) and not loading:
+                raise ConfigError(f"config {name!r} is immutable")
+            if (e.flags & Flag.DEV) and not self._debug_mode() and not loading:
+                raise ConfigError(f"config {name!r} requires search.debug-mode")
+            v = e.coerce(raw)
+            if e.validate is not None:
+                err = e.validate(v)
+                if err:
+                    raise ConfigError(f"{name}: {err}")
+            e.value = v
+            if e.on_modify is not None:
+                e.on_modify(v)
+
+    def _debug_mode(self) -> bool:
+        e = self._entries.get("search.debug-mode")
+        return bool(e.value) if e is not None else False
+
+    def snapshot(self, include_hidden: bool = False) -> Dict[str, Any]:
+        with self._lock:
+            dbg = self._debug_mode()
+            out = {}
+            for name, e in sorted(self._entries.items()):
+                if (e.flags & Flag.HIDDEN) and not include_hidden:
+                    continue
+                if (e.flags & Flag.DEV) and not dbg:
+                    continue
+                out[name] = e.value
+            return out
+
+    def reset_all(self) -> None:
+        with self._lock:
+            for e in self._entries.values():
+                e.value = e.default
+
+
+REGISTRY = Registry()
+
+
+def _num(name, default, lo=None, hi=None, flags=Flag.NONE, on_modify=None):
+    return REGISTRY.register(
+        Entry(name, default, default, "number", min=lo, max=hi, flags=flags,
+              on_modify=on_modify)
+    )
+
+
+def _bool(name, default, flags=Flag.NONE):
+    return REGISTRY.register(Entry(name, default, default, "boolean", flags=flags))
+
+
+def _enum(name, default, choices, flags=Flag.NONE):
+    return REGISTRY.register(
+        Entry(name, default, default, "enum", choices=choices, flags=flags)
+    )
+
+
+# --- engine tunables (names track the reference's search.* configs,
+#     docs/topics/search-configurables.md) ----------------------------------
+_bool("search.debug-mode", False)
+_num("search.reader-threads", 1, 1, 1024)          # host query dispatch pool
+_num("search.writer-threads", 1, 1, 1024)          # host ingest pool
+_num("search.hnsw-block-size", 10240, 128, 10_000_000)  # capacity growth quantum
+_num("search.flat-block-size", 131072, 1024, 10_000_000)
+_num("search.prefiltering-threshold-ratio", 0.45, 0.0, 1.0)  # planner.cc:40-43
+_num("search.search-result-buffer-multiplier", 5, 1, 100)    # search.cc:744
+_num("search.max-non-vector-search-results-fetched", 10000, 1, 10_000_000)
+_num("search.default-ef-runtime", 10, 1, 4096)     # ft.create.md:86-89
+_num("search.max-ef-runtime", 4096, 1, 100_000)
+_num("search.timeout-ms", 50_000, 1, 10_000_000)
+_bool("search.prefer-partial-results", False)      # fanout partial policy
+_num("search.query-batch-window-us", 200, 0, 100_000)  # host batching window
+_num("search.query-max-batch", 256, 1, 4096)
+_enum("search.distance-precision", "highest", ["highest", "high", "default"])
+_num("search.mutation-compaction-threshold", 4096, 1, 10_000_000)
+_num("search.backfill-batch-size", 10240, 1, 10_000_000)
+_num("search.max-indexes", 256, 1, 10_000)
+_num("search.max-attributes", 64, 1, 1024)
+_num("search.max-tag-field-len", 1024, 1, 1_000_000)
+_num("search.max-prefixes", 16, 1, 1024)
+_bool("search.use-coordinator", True)              # mesh fanout on/off
+_num("search.fanout-shards", 1, 1, 4096, flags=Flag.IMMUTABLE)
+_bool("search.skip-rdb-load", False)               # README.md:60-77 recovery path
+_num("search.max-query-depth", 1000, 1, 100_000)   # filter_parser depth limit
+_num("search.max-query-terms", 16, 1, 10_000)
+_num("search.max-text-query-terms", 16, 1, 10_000)
+_bool("search.enable-partial-results", False)
+
+
+def get(name: str) -> Any:
+    return REGISTRY.get(name)
+
+
+def set_config(name: str, value: Any) -> None:
+    REGISTRY.set(name, value)

@@ -1,0 +1,76 @@
+"""Key interning: document keys ↔ dense int32 doc ids.
+
+TPU-native rethink of the reference's StringInternStore
+(src/utils/string_interning.h:40-100) + per-vector-index key↔internal-id
+maps (src/indexes/vector_base.h:263-276). On TPU every per-attribute index
+must address documents by position in device arrays, so the id space is
+*shared per index schema*: one dense doc-id space that vector rows, tag
+postings, numeric columns and predicate bitmasks all align to. Freed ids
+are recycled through a free list so capacity stays dense under churn
+(reference hnswlib allow_replace_deleted semantics, hnswalg.h:1260-1300).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Iterator, List, Optional
+
+
+class KeyInterner:
+    """Dense doc-id allocator shared by all attribute indexes of a schema."""
+
+    def __init__(self):
+        self._key_to_id: Dict[str, int] = {}
+        self._id_to_key: List[Optional[str]] = []
+        self._free: List[int] = []
+        self._lock = threading.RLock()
+
+    def intern(self, key: str) -> int:
+        """Return the doc id for key, allocating one if new."""
+        with self._lock:
+            doc = self._key_to_id.get(key)
+            if doc is not None:
+                return doc
+            if self._free:
+                doc = self._free.pop()
+                self._id_to_key[doc] = key
+            else:
+                doc = len(self._id_to_key)
+                self._id_to_key.append(key)
+            self._key_to_id[key] = doc
+            return doc
+
+    def lookup(self, key: str) -> Optional[int]:
+        with self._lock:
+            return self._key_to_id.get(key)
+
+    def key_of(self, doc: int) -> Optional[str]:
+        with self._lock:
+            if 0 <= doc < len(self._id_to_key):
+                return self._id_to_key[doc]
+            return None
+
+    def release(self, key: str) -> Optional[int]:
+        """Free a key's id (document fully removed). Returns the freed id."""
+        with self._lock:
+            doc = self._key_to_id.pop(key, None)
+            if doc is None:
+                return None
+            self._id_to_key[doc] = None
+            self._free.append(doc)
+            return doc
+
+    @property
+    def capacity(self) -> int:
+        """High-water mark of allocated ids (device arrays size to this)."""
+        with self._lock:
+            return len(self._id_to_key)
+
+    @property
+    def count(self) -> int:
+        with self._lock:
+            return len(self._key_to_id)
+
+    def items(self) -> Iterator[tuple]:
+        with self._lock:
+            return iter(list(self._key_to_id.items()))
