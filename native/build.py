@@ -1,0 +1,55 @@
+"""Build the native library (g++ → libvstpu_native.so), cached by source hash."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import sys
+
+NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
+BUILD_DIR = os.path.join(NATIVE_DIR, "build")
+SOURCES = ["hnsw_builder.cpp"]
+LIB_NAME = "libvstpu_native.so"
+
+CXX_FLAGS = [
+    "-O3",
+    "-march=native",
+    "-std=c++17",
+    "-shared",
+    "-fPIC",
+    "-Wall",
+    "-fno-exceptions",
+]
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for src in SOURCES:
+        with open(os.path.join(NATIVE_DIR, src), "rb") as f:
+            h.update(f.read())
+    h.update(" ".join(CXX_FLAGS).encode())
+    return h.hexdigest()[:16]
+
+
+def lib_path() -> str:
+    """Return the path to the built shared library, building if stale."""
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    tag = _source_hash()
+    lib = os.path.join(BUILD_DIR, LIB_NAME)
+    stamp = os.path.join(BUILD_DIR, "source.hash")
+    if os.path.exists(lib) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == tag:
+                return lib
+    srcs = [os.path.join(NATIVE_DIR, s) for s in SOURCES]
+    cmd = ["g++", *CXX_FLAGS, "-o", lib, *srcs]
+    subprocess.run(cmd, check=True)
+    with open(stamp, "w") as f:
+        f.write(tag)
+    return lib
+
+
+if __name__ == "__main__":
+    print(lib_path())
+    sys.exit(0)

@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from valkey_search_tpu.runtime import jaxinit  # noqa: E402
+
+jaxinit.init()
+
 
 @pytest.fixture()
 def rng():

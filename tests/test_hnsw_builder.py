@@ -1,0 +1,98 @@
+"""Native HNSW builder: recall vs brute force, deletes, export/import."""
+
+import numpy as np
+import pytest
+
+from valkey_search_tpu.native_lib import HnswBuilder
+
+
+def brute_ids(q, corpus, k):
+    d = ((corpus - q) ** 2).sum(-1)
+    return np.argsort(d)[:k]
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    corpus = rng.standard_normal((2000, 24)).astype(np.float32)
+    b = HnswBuilder(dim=24, m=16, ef_construction=100, seed=42)
+    nodes = b.add_batch(corpus)
+    return b, corpus, nodes
+
+
+def test_nodes_sequential(built):
+    b, corpus, nodes = built
+    np.testing.assert_array_equal(nodes, np.arange(2000, dtype=np.int32))
+    assert b.count == 2000
+
+
+def test_recall_vs_brute_force(built):
+    b, corpus, _ = built
+    rng = np.random.default_rng(1)
+    queries = rng.standard_normal((50, 24)).astype(np.float32)
+    hits = total = 0
+    for q in queries:
+        want = set(brute_ids(q, corpus, 10).tolist())
+        _, got = b.search(q, k=10, ef=100)
+        hits += len(want & set(got.tolist()))
+        total += 10
+    recall = hits / total
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_exact_self_lookup(built):
+    b, corpus, _ = built
+    d, ids = b.search(corpus[123], k=1, ef=50)
+    assert ids[0] == 123
+    assert d[0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_deleted_not_returned(built):
+    b, corpus, _ = built
+    b.mark_deleted(123)
+    _, ids = b.search(corpus[123], k=5, ef=50)
+    assert 123 not in ids.tolist()
+    b.mark_deleted(123, False)
+    _, ids = b.search(corpus[123], k=1, ef=50)
+    assert ids[0] == 123
+
+
+def test_export_import_roundtrip(built):
+    b, corpus, _ = built
+    g = b.export_graph()
+    assert g["count"] == 2000
+    assert g["links0"].shape == (2000, 32)
+    # level sizes follow ~geometric(1/ln M): level>=1 ≈ N/M
+    n1 = (g["levels"] >= 1).sum()
+    assert 2000 / 16 * 0.4 < n1 < 2000 / 16 * 2.5
+
+    b2 = HnswBuilder(dim=24, m=16, ef_construction=100)
+    b2.import_graph(corpus, g)
+    rng = np.random.default_rng(3)
+    for q in rng.standard_normal((10, 24)).astype(np.float32):
+        d1, i1 = b.search(q, k=10, ef=80)
+        d2, i2 = b2.search(q, k=10, ef=80)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_import_rejects_corrupt_links(built):
+    b, corpus, _ = built
+    g = b.export_graph()
+    g = {**g, "links0": g["links0"].copy()}
+    g["links0"][0, 0] = 999999  # dangling link beyond count
+    b3 = HnswBuilder(dim=24, m=16)
+    with pytest.raises(ValueError):
+        b3.import_graph(corpus, g)
+
+
+def test_ip_metric():
+    rng = np.random.default_rng(5)
+    corpus = rng.standard_normal((500, 16)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    b = HnswBuilder(dim=16, metric="cosine", m=8, ef_construction=60)
+    b.add_batch(corpus)
+    q = corpus[7]
+    d, ids = b.search(q, k=1, ef=40)
+    assert ids[0] == 7
+    assert d[0] == pytest.approx(0.0, abs=1e-5)

@@ -1,0 +1,278 @@
+"""HNSW vector index: native host construction + batched device search.
+
+Reference: src/indexes/vector_hnsw.{h,cc} over modified hnswlib. TPU split:
+- construction (addPoint's greedy descent + ef_construction beam + neighbor
+  pruning, hnswalg.h:1260) runs in the native builder (native_lib.HnswBuilder)
+  — host-side, like the reference;
+- search (searchKnn, hnswalg.h:1611) runs as a batched device kernel
+  (ops/hnsw_search.py) over a published device snapshot of the graph;
+- updates tombstone the old node and insert a fresh one (the node↔doc
+  indirection mirrors hnswlib's internal-id↔label maps,
+  vector_base.h:263-276); tombstones are traversed but never returned
+  (markDelete semantics, hnswalg.h:1156);
+- capacity grows geometrically so device-program recompiles are O(log N)
+  (the reference grows by hnsw-block-size under resize_mutex_,
+  vector_hnsw.h:76 — block growth is free on CPU but each capacity change
+  here recompiles the XLA program).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from valkey_search_tpu.indexes.base import RecordResult
+from valkey_search_tpu.indexes.vector_base import (
+    VectorIndexBase,
+    parse_vector,
+)
+from valkey_search_tpu.native_lib import HnswBuilder
+from valkey_search_tpu.ops import hnsw_search as hs_ops
+from valkey_search_tpu.ops import topk as topk_ops
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS
+from valkey_search_tpu.utils.interning import KeyInterner
+
+
+def _pad_pow2_batch(queries: np.ndarray) -> Tuple[np.ndarray, int]:
+    b = queries.shape[0]
+    bp = 1
+    while bp < b:
+        bp *= 2
+    if bp != b:
+        queries = np.concatenate(
+            [queries, np.zeros((bp - b, queries.shape[1]), queries.dtype)]
+        )
+    return queries, b
+
+
+class HnswVectorIndex(VectorIndexBase):
+    kind = "HNSW"
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "l2",
+        m: int = 16,
+        ef_construction: int = 200,
+        ef_runtime: Optional[int] = None,
+        interner: Optional[KeyInterner] = None,
+        seed: int = 0x5EED,
+    ):
+        super().__init__(
+            dim,
+            metric,
+            interner,
+            block_size=int(config.get("search.hnsw-block-size")),
+            growth="pow2",
+        )
+        self.m = m
+        self.ef_construction = ef_construction
+        self.ef_runtime = ef_runtime or int(config.get("search.default-ef-runtime"))
+        self.builder = HnswBuilder(
+            dim, metric=metric, m=m, ef_construction=ef_construction, seed=seed
+        )
+        # node-space bookkeeping (store rows are NODES for this index)
+        self._doc_node: dict = {}  # doc id → live node
+        self._node_doc = np.full(self.store.capacity, -1, np.int32)
+        self._deleted = np.zeros(self.store.capacity, bool)
+        self._graph_dirty = True
+        self._device_graph: Optional[hs_ops.HnswDeviceGraph] = None
+        self._graph_lock = threading.Lock()
+
+    # -- record mutation (overrides doc==row base behavior) ------------------
+    def add_record(self, key: str, value) -> RecordResult:
+        try:
+            vec = parse_vector(value, self.dim)
+        except ValueError:
+            STATS.incr("vector_invalid_records")
+            return RecordResult.INVALID_DATA
+        with self._lock:
+            doc = self.interner.intern(key)
+            existed = key in self._tracked
+            if existed:
+                old = self._doc_node.pop(doc, None)
+                if old is not None:
+                    self.builder.mark_deleted(old)
+                    self._deleted[old] = True
+            ins = vec
+            if self.metric == "cosine":
+                mag = float(np.linalg.norm(vec))
+                if mag > 0:
+                    ins = vec / mag
+            node = self.builder.add(ins)
+            self.store.ensure_capacity(node + 1)
+            self._ensure_node_arrays()
+            self.store.set_row(node, vec)  # normalizes + records magnitude
+            self._node_doc[node] = doc
+            self._deleted[node] = False
+            self._doc_node[doc] = node
+            self._tracked[key] = doc
+            self._graph_dirty = True
+            STATS.incr(
+                "vector_records_modified" if existed else "vector_records_added"
+            )
+            return RecordResult.MODIFIED if existed else RecordResult.ADDED
+
+    def remove_record(self, key: str) -> RecordResult:
+        with self._lock:
+            doc = self._tracked.pop(key, None)
+            if doc is None:
+                return RecordResult.SKIPPED
+            node = self._doc_node.pop(doc, None)
+            if node is not None:
+                self.builder.mark_deleted(node)
+                self._deleted[node] = True
+            if self._owns_interner:
+                self.interner.release(key)
+            self._graph_dirty = True
+            STATS.incr("vector_records_removed")
+            return RecordResult.REMOVED
+
+    def _ensure_node_arrays(self):
+        cap = self.store.capacity
+        if self._node_doc.shape[0] < cap:
+            grow = cap - self._node_doc.shape[0]
+            self._node_doc = np.concatenate(
+                [self._node_doc, np.full(grow, -1, np.int32)]
+            )
+            self._deleted = np.concatenate([self._deleted, np.zeros(grow, bool)])
+
+    @property
+    def node_count(self) -> int:
+        return self.builder.count
+
+    # -- snapshot publish ----------------------------------------------------
+    def device_graph(self) -> hs_ops.HnswDeviceGraph:
+        """Publish (or reuse) the device snapshot of the graph.
+
+        The epoch-snapshot analog of the reference's read time-slice: queries
+        run against an immutable published graph; host mutations set
+        ``_graph_dirty`` and the next publish re-exports. (Incremental export
+        is a planned optimization; publish cost is O(N) today.)
+        """
+        with self._graph_lock:
+            if self._device_graph is not None and not self._graph_dirty:
+                return self._device_graph
+            with self._lock:
+                g = self.builder.export_graph()
+                cap = self.store.capacity
+                n = g["count"]
+                links0 = np.full((cap, 2 * self.m), -1, np.int32)
+                links0[:n] = g["links0"]
+                deleted = np.ones(cap, bool)
+                deleted[:n] = g["deleted"]
+                self._ensure_node_arrays()
+                snap = self.store.device_snapshot()
+                self._device_graph = hs_ops.build_device_graph(
+                    vectors=snap["vectors"],
+                    links0=links0,
+                    deleted=deleted,
+                    uppers=g["uppers"],
+                    entry=g["entry"] if g["entry"] >= 0 else 0,
+                    node_doc=self._node_doc,
+                    m=self.m,
+                )
+                self._graph_dirty = False
+                STATS.incr("hnsw_graph_publishes")
+            return self._device_graph
+
+    # -- search --------------------------------------------------------------
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: Optional[int] = None,
+        filter_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """ANN search [B, d] → (dists [B, k], doc ids [B, k]).
+
+        filter_mask: optional device bool array in doc-id space — the
+        inline-filter path (reference InlineVectorFilter, search.cc:102-133).
+        """
+        if self.builder.count == 0:
+            b = np.atleast_2d(queries).shape[0]
+            return (
+                np.full((b, k), np.inf, np.float32),
+                np.full((b, k), -1, np.int32),
+            )
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        if self.metric == "cosine":
+            mags = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(mags, 1e-30)
+        queries, b = _pad_pow2_batch(queries)
+        ef = min(
+            max(ef or self.ef_runtime, k),
+            int(config.get("search.max-ef-runtime")),
+        )
+        graph = self.device_graph()
+        filtered = filter_mask is not None
+        if not filtered:
+            # dummy mask keeps the jit signature stable across calls
+            filter_mask = jnp.zeros((1,), bool)
+        d, ids = hs_ops.hnsw_search_batch(
+            graph,
+            jnp.asarray(queries),
+            k=k,
+            ef=ef,
+            metric=self.metric,
+            filter_mask=filter_mask,
+            filtered=filtered,
+            precision=config.get("search.distance-precision"),
+        )
+        d = np.asarray(d)[:b]
+        nodes = np.asarray(ids)[:b]
+        docs = np.where(nodes >= 0, self._node_doc[np.maximum(nodes, 0)], -1)
+        STATS.incr("hnsw_searches", b)
+        return d, docs.astype(np.int32)
+
+    def exact_search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        filter_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact scored scan over this index's vectors (pre-filter path).
+
+        Reference: CalcBestMatchingPrefilteredKeys (search.cc:456) computes
+        exact distances over the qualified key set; here the doc-space filter
+        mask is converted to node space on device and fused into a blocked
+        flat scan.
+        """
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        if self.metric == "cosine":
+            mags = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(mags, 1e-30)
+        graph = self.device_graph()
+        snap = self.store.device_snapshot()
+        node_doc = graph.node_doc
+        invalid = graph.deleted | (node_doc < 0)
+        node_filter = None
+        if filter_mask is not None:
+            node_filter = jnp.take(filter_mask, jnp.maximum(node_doc, 0)) & (
+                node_doc >= 0
+            )
+        d, ids = topk_ops.flat_topk(
+            jnp.asarray(queries),
+            snap["vectors"],
+            k=k,
+            metric=self.metric,
+            corpus_sq=snap["norms_sq"],
+            invalid=invalid,
+            filter_mask=node_filter,
+            block_rows=max(self.store.capacity, 131072),
+            precision=config.get("search.distance-precision"),
+        )
+        d = np.asarray(d)
+        nodes = np.asarray(ids)
+        docs = np.where(nodes >= 0, self._node_doc[np.maximum(nodes, 0)], -1)
+        return d, docs.astype(np.int32)
+
+    def search(
+        self, query: np.ndarray, k: int, ef: Optional[int] = None
+    ) -> List[Tuple[str, float]]:
+        d, docs = self.search_batch(np.atleast_2d(query), k, ef=ef)
+        return self.neighbors_to_keys(d[0], docs[0])

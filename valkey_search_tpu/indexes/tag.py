@@ -1,0 +1,186 @@
+"""Tag index: normalized tag values → doc-id postings, device bitmask predicates.
+
+Reference: src/indexes/tag.{h,cc} — a rax radix tree mapping each normalized
+tag to a size-adaptive bag of interned key pointers (tag.h:33-43), with
+configurable separator and case sensitivity, searched by
+``Tag::Search``/``ParseSearchTags`` (tag.h:142-148).
+
+TPU design: the authoritative structure is a host hash map tag → doc-id set
+(sorted key list for prefix walks); the query path materializes a *device
+bool bitmask over doc ids* for each queried tag disjunction — cached per
+tag value and invalidated on mutation — so the predicate can be fused
+straight into the vector distance kernels (the planner's inline-filter
+path) or intersected on-device for the pre-filter path.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Iterable, List, Optional, Set
+
+import jax.numpy as jnp
+import numpy as np
+
+from valkey_search_tpu.indexes.base import EntriesFetcher, IndexBase, RecordResult
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.utils.interning import KeyInterner
+
+
+def parse_tags(raw: str, separator: str, case_sensitive: bool) -> List[str]:
+    """Split a tag field value; mirrors reference tag parsing: split on the
+    separator, trim surrounding whitespace, casefold unless case-sensitive,
+    drop empties."""
+    out = []
+    for part in raw.split(separator):
+        t = part.strip()
+        if not t:
+            continue
+        if len(t) > int(config.get("search.max-tag-field-len")):
+            continue
+        out.append(t if case_sensitive else t.casefold())
+    return out
+
+
+class TagIndex(IndexBase):
+    kind = "TAG"
+    mutation_weight = 1.0
+
+    def __init__(
+        self,
+        interner: Optional[KeyInterner] = None,
+        separator: str = ",",
+        case_sensitive: bool = False,
+    ):
+        if len(separator) != 1:
+            raise ValueError("tag separator must be a single character")
+        self.separator = separator
+        self.case_sensitive = case_sensitive
+        self._owns_interner = interner is None
+        self.interner = interner if interner is not None else KeyInterner()
+        self._postings: Dict[str, Set[int]] = {}
+        self._doc_tags: Dict[int, Set[str]] = {}
+        self._tracked: Dict[str, int] = {}
+        self._untracked: Set[str] = set()  # keys seen with empty/invalid tags
+        self._lock = threading.RLock()
+        self._mask_cache: Dict[str, jnp.ndarray] = {}
+        self._mask_cache_cap = 0
+        self.epoch = 0
+
+    # -- mutation ------------------------------------------------------------
+    def add_record(self, key: str, value: str) -> RecordResult:
+        tags = parse_tags(str(value), self.separator, self.case_sensitive)
+        with self._lock:
+            existed = key in self._tracked
+            if not tags:
+                # untracked-keys extras: key exists but has no indexable tags
+                # (reference negate/untracked handling, tag.h Search negate)
+                if existed:
+                    self._remove_locked(key)
+                self._untracked.add(key)
+                return RecordResult.SKIPPED
+            doc = self.interner.intern(key)
+            if existed:
+                self._clear_doc(doc)
+            self._untracked.discard(key)
+            self._tracked[key] = doc
+            self._doc_tags[doc] = set(tags)
+            for t in tags:
+                self._postings.setdefault(t, set()).add(doc)
+                self._mask_cache.pop(t, None)
+            self.epoch += 1
+            return RecordResult.MODIFIED if existed else RecordResult.ADDED
+
+    def modify_record(self, key: str, value: str) -> RecordResult:
+        return self.add_record(key, value)
+
+    def remove_record(self, key: str) -> RecordResult:
+        with self._lock:
+            self._untracked.discard(key)
+            if key not in self._tracked:
+                return RecordResult.SKIPPED
+            self._remove_locked(key)
+            return RecordResult.REMOVED
+
+    def _remove_locked(self, key: str) -> None:
+        doc = self._tracked.pop(key)
+        self._clear_doc(doc)
+        if self._owns_interner:
+            self.interner.release(key)
+        self.epoch += 1
+
+    def _clear_doc(self, doc: int) -> None:
+        for t in self._doc_tags.pop(doc, ()):
+            s = self._postings.get(t)
+            if s is not None:
+                s.discard(doc)
+                if not s:
+                    del self._postings[t]
+                self._mask_cache.pop(t, None)
+
+    # -- query side ----------------------------------------------------------
+    def normalize_query_tag(self, tag: str) -> str:
+        t = tag.strip()
+        return t if self.case_sensitive else t.casefold()
+
+    def posting(self, tag: str) -> Set[int]:
+        with self._lock:
+            return set(self._postings.get(self.normalize_query_tag(tag), ()))
+
+    def search(self, tags: Iterable[str]) -> EntriesFetcher:
+        """OR over tag values (reference Tag::Search {a|b} semantics)."""
+        with self._lock:
+            acc: Set[int] = set()
+            for t in tags:
+                acc |= self._postings.get(self.normalize_query_tag(t), set())
+            return EntriesFetcher(acc, size=len(acc))
+
+    def estimate(self, tags: Iterable[str]) -> int:
+        """Upper-bound qualified count for the planner (rax posting sizes)."""
+        with self._lock:
+            return sum(
+                len(self._postings.get(self.normalize_query_tag(t), ()))
+                for t in tags
+            )
+
+    def device_mask(self, tags: Iterable[str], cap: int) -> jnp.ndarray:
+        """Device bool [cap]: True where the doc carries any queried tag."""
+        with self._lock:
+            if self._mask_cache_cap != cap:
+                self._mask_cache.clear()
+                self._mask_cache_cap = cap
+            acc = None
+            for t in tags:
+                tn = self.normalize_query_tag(t)
+                m = self._mask_cache.get(tn)
+                if m is None:
+                    host = np.zeros(cap, bool)
+                    ids = [d for d in self._postings.get(tn, ()) if d < cap]
+                    if ids:
+                        host[np.fromiter(ids, np.int64, len(ids))] = True
+                    m = jnp.asarray(host)
+                    self._mask_cache[tn] = m
+                acc = m if acc is None else (acc | m)
+            if acc is None:
+                acc = jnp.zeros(cap, bool)
+            return acc
+
+    # -- IndexBase -----------------------------------------------------------
+    def tracked_keys(self) -> Set[str]:
+        with self._lock:
+            return set(self._tracked)
+
+    def untracked_keys(self) -> Set[str]:
+        with self._lock:
+            return set(self._untracked)
+
+    def count(self) -> int:
+        with self._lock:
+            return len(self._tracked)
+
+    def unique_tags(self) -> int:
+        with self._lock:
+            return len(self._postings)
+
+    def all_docs(self) -> Set[int]:
+        with self._lock:
+            return set(self._tracked.values())

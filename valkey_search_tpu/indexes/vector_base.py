@@ -48,9 +48,22 @@ def parse_vector(value: VectorLike, dim: int) -> np.ndarray:
     return arr
 
 
-def _round_capacity(needed: int, block: int) -> int:
-    """Round capacity up: small corpora to 2048-multiples, large to block-multiples
-    (flat_topk requires cap % block_rows == 0 once cap > block_rows)."""
+def _round_capacity(needed: int, block: int, growth: str = "block") -> int:
+    """Round capacity up.
+
+    growth="block": small corpora to 2048-multiples, large to block-multiples
+    (flat_topk requires cap % block_rows == 0 once cap > block_rows — the
+    reference grows hnsw/flat capacity by a fixed block too, ResizeIfFull,
+    vector_hnsw.h:76).
+    growth="pow2": geometric doubling — used for HNSW device graphs where
+    every capacity change recompiles the search program, so growth events
+    must be O(log N).
+    """
+    if growth == "pow2":
+        cap = 2048
+        while cap < needed:
+            cap *= 2
+        return cap
     if needed <= block:
         return max(2048, -(-needed // 2048) * 2048)
     return -(-needed // block) * block
@@ -64,11 +77,12 @@ def _scatter_rows(dst, idx, rows):
 class HostVectorStore:
     """Host-authoritative vector arrays + lazily-synced device mirror."""
 
-    def __init__(self, dim: int, metric: str, block: int):
+    def __init__(self, dim: int, metric: str, block: int, growth: str = "block"):
         self.dim = dim
         self.metric = metric
         self.block = block
-        cap = _round_capacity(1, block)
+        self.growth = growth
+        cap = _round_capacity(1, block, growth)
         self.vectors = np.zeros((cap, dim), np.float32)
         self.norms_sq = np.zeros((cap,), np.float32)
         self.magnitudes = np.zeros((cap,), np.float32)  # cosine denormalization
@@ -86,7 +100,7 @@ class HostVectorStore:
         with self._lock:
             if needed <= self.capacity:
                 return
-            new_cap = _round_capacity(needed, self.block)
+            new_cap = _round_capacity(needed, self.block, self.growth)
             grow = new_cap - self.capacity
             self.vectors = np.concatenate(
                 [self.vectors, np.zeros((grow, self.dim), np.float32)]
@@ -174,6 +188,7 @@ class VectorIndexBase(IndexBase):
         metric: str = "l2",
         interner: Optional[KeyInterner] = None,
         block_size: Optional[int] = None,
+        growth: str = "block",
     ):
         if metric not in ("l2", "ip", "cosine"):
             raise ValueError(f"bad metric {metric!r}")
@@ -185,7 +200,7 @@ class VectorIndexBase(IndexBase):
         self._owns_interner = interner is None
         self.interner = interner if interner is not None else KeyInterner()
         block = block_size or config.get("search.flat-block-size")
-        self.store = HostVectorStore(dim, metric, block)
+        self.store = HostVectorStore(dim, metric, block, growth)
         self._tracked: Dict[str, int] = {}
         self._lock = threading.RLock()
 

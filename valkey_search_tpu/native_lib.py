@@ -1,0 +1,226 @@
+"""ctypes binding to the native C++ layer (native/hnsw_builder.cpp).
+
+The reference's graph engine is C++ (third_party/hnswlib); ours keeps graph
+*construction* native on the host (HnswBuilder) while *search* runs as
+batched device kernels (ops/hnsw_search.py). The builder doubles as the CPU
+oracle used for recall-parity tests and as the "reference-equivalent
+single-host CPU" baseline in bench.py.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import sys
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO_ROOT, "native"))
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def load() -> ct.CDLL:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        from build import lib_path  # native/build.py
+
+        lib = ct.CDLL(lib_path())
+        lib.hnsw_create.restype = ct.c_void_p
+        lib.hnsw_create.argtypes = [
+            ct.c_int, ct.c_int, ct.c_int, ct.c_int, ct.c_uint64,
+        ]
+        lib.hnsw_free.argtypes = [ct.c_void_p]
+        lib.hnsw_add.restype = ct.c_int32
+        lib.hnsw_add.argtypes = [ct.c_void_p, ct.POINTER(ct.c_float)]
+        lib.hnsw_add_batch.argtypes = [
+            ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int32,
+            ct.POINTER(ct.c_int32),
+        ]
+        lib.hnsw_mark_deleted.argtypes = [ct.c_void_p, ct.c_int32, ct.c_int]
+        lib.hnsw_search.restype = ct.c_int
+        lib.hnsw_search.argtypes = [
+            ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int, ct.c_int,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_float),
+        ]
+        for name in ("hnsw_count", "hnsw_entry"):
+            getattr(lib, name).restype = ct.c_int32
+            getattr(lib, name).argtypes = [ct.c_void_p]
+        lib.hnsw_max_level.restype = ct.c_int
+        lib.hnsw_max_level.argtypes = [ct.c_void_p]
+        for name in ("hnsw_dist_comps", "hnsw_hops"):
+            getattr(lib, name).restype = ct.c_uint64
+            getattr(lib, name).argtypes = [ct.c_void_p]
+        lib.hnsw_export_links0.argtypes = [ct.c_void_p, ct.POINTER(ct.c_int32)]
+        lib.hnsw_export_levels.argtypes = [ct.c_void_p, ct.POINTER(ct.c_int32)]
+        lib.hnsw_export_deleted.argtypes = [ct.c_void_p, ct.POINTER(ct.c_uint8)]
+        lib.hnsw_export_upper.restype = ct.c_int32
+        lib.hnsw_export_upper.argtypes = [
+            ct.c_void_p, ct.c_int, ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+        ]
+        lib.hnsw_count_at_level.restype = ct.c_int32
+        lib.hnsw_count_at_level.argtypes = [ct.c_void_p, ct.c_int]
+        lib.hnsw_import.restype = ct.c_int
+        lib.hnsw_import.argtypes = [
+            ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_float),
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64), ct.c_int32, ct.c_int,
+        ]
+        _lib = lib
+        return lib
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ct.POINTER(ct.c_float))
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(ct.POINTER(ct.c_int32))
+
+
+class HnswBuilder:
+    """Native HNSW graph builder + CPU search oracle.
+
+    Semantics track the reference's modified hnswlib (hnswalg.h): geometric
+    level assignment with mult=1/ln(M), ef_construction beam per layer,
+    keep-pruned-out neighbor heuristic, bidirectional connect with overflow
+    re-selection, tombstone deletes traversed-but-not-returned.
+    """
+
+    METRICS = {"l2": 0, "ip": 1, "cosine": 1}
+
+    def __init__(self, dim: int, metric: str = "l2", m: int = 16,
+                 ef_construction: int = 200, seed: int = 0x5EED):
+        self._lib = load()
+        self.dim = dim
+        self.metric = metric
+        self.m = m
+        self.ef_construction = ef_construction
+        self._h = self._lib.hnsw_create(
+            dim, self.METRICS[metric], m, ef_construction, seed
+        )
+        self._lock = threading.Lock()
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.hnsw_free(h)
+            self._h = None
+
+    # -- construction -------------------------------------------------------
+    def add(self, vec: np.ndarray) -> int:
+        vec = np.ascontiguousarray(vec, np.float32)
+        with self._lock:
+            return int(self._lib.hnsw_add(self._h, _fptr(vec)))
+
+    def add_batch(self, vecs: np.ndarray) -> np.ndarray:
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        out = np.empty(vecs.shape[0], np.int32)
+        with self._lock:
+            self._lib.hnsw_add_batch(
+                self._h, _fptr(vecs), vecs.shape[0], _iptr(out)
+            )
+        return out
+
+    def mark_deleted(self, node: int, flag: bool = True) -> None:
+        with self._lock:
+            self._lib.hnsw_mark_deleted(self._h, node, int(flag))
+
+    # -- CPU oracle search ---------------------------------------------------
+    def search(self, q: np.ndarray, k: int, ef: int) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(q, np.float32)
+        ids = np.full(k, -1, np.int32)
+        dists = np.full(k, np.inf, np.float32)
+        with self._lock:
+            n = self._lib.hnsw_search(
+                self._h, _fptr(q), k, ef, _iptr(ids), _fptr(dists)
+            )
+        return dists[:n], ids[:n]
+
+    # -- introspection -------------------------------------------------------
+    @property
+    def count(self) -> int:
+        return int(self._lib.hnsw_count(self._h))
+
+    @property
+    def entry(self) -> int:
+        return int(self._lib.hnsw_entry(self._h))
+
+    @property
+    def max_level(self) -> int:
+        return int(self._lib.hnsw_max_level(self._h))
+
+    @property
+    def dist_comps(self) -> int:
+        return int(self._lib.hnsw_dist_comps(self._h))
+
+    # -- graph export for device upload / checkpoint -------------------------
+    def export_graph(self) -> dict:
+        n = self.count
+        m0 = 2 * self.m
+        links0 = np.empty((n, m0), np.int32)
+        levels = np.empty(n, np.int32)
+        deleted = np.empty(n, np.uint8)
+        if n:
+            self._lib.hnsw_export_links0(self._h, _iptr(links0))
+            self._lib.hnsw_export_levels(self._h, _iptr(levels))
+            self._lib.hnsw_export_deleted(
+                self._h, deleted.ctypes.data_as(ct.POINTER(ct.c_uint8))
+            )
+        uppers = []
+        level = 1
+        while n and level <= self.max_level:
+            cnt = int(self._lib.hnsw_count_at_level(self._h, level))
+            nodes = np.empty(max(cnt, 1), np.int32)
+            links = np.empty((max(cnt, 1), self.m), np.int32)
+            got = int(self._lib.hnsw_export_upper(
+                self._h, level, _iptr(nodes), _iptr(links)
+            ))
+            uppers.append({"nodes": nodes[:got], "links": links[:got]})
+            level += 1
+        return {
+            "links0": links0,
+            "levels": levels,
+            "deleted": deleted.astype(bool),
+            "uppers": uppers,
+            "entry": self.entry,
+            "max_level": self.max_level,
+            "count": n,
+        }
+
+    def import_graph(self, vectors: np.ndarray, graph: dict) -> None:
+        """Restore builder state from export_graph() output + vectors."""
+        n = int(graph["count"])
+        levels = np.ascontiguousarray(graph["levels"], np.int32)
+        links0 = np.ascontiguousarray(graph["links0"], np.int32)
+        deleted = np.ascontiguousarray(
+            np.asarray(graph["deleted"]).astype(np.uint8)
+        )
+        vectors = np.ascontiguousarray(vectors[:n], np.float32)
+        # rebuild per-node flat upper arrays from per-level exports
+        offsets = np.zeros(max(n, 1), np.int64)
+        sizes = levels.astype(np.int64) * self.m
+        if n:
+            offsets[1:] = np.cumsum(sizes)[:-1]
+        upper_flat = np.full(int(sizes.sum()) or 1, -1, np.int32)
+        for li, lv in enumerate(graph["uppers"], start=1):
+            for node, row in zip(lv["nodes"], lv["links"]):
+                off = int(offsets[node]) + (li - 1) * self.m
+                upper_flat[off : off + self.m] = row
+        rc = self._lib.hnsw_import(
+            self._h, n, _fptr(vectors), _iptr(links0), _iptr(levels),
+            deleted.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            _iptr(upper_flat),
+            offsets.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            int(graph["entry"]), int(graph["max_level"]),
+        )
+        if rc != 0:
+            raise ValueError(f"hnsw_import failed: corrupt graph (code {rc})")

@@ -1,0 +1,269 @@
+"""Batched HNSW search as a device program.
+
+TPU-native replacement for the reference's searchKnn hot loop
+(third_party/hnswlib/hnswalg.h:1611-1685): instead of one pointer-chasing
+walk per query with a SIMD distance call per hop, a whole *batch* of queries
+walks the graph in lockstep —
+
+- upper layers: batched greedy descent (one `lax.while_loop` per layer; each
+  step gathers every query's neighbor rows and scores them with one MXU
+  einsum),
+- layer 0: batched best-first beam search. Per iteration each query expands
+  its best unexpanded beam entry, gathers its M0 neighbors' vectors, scores
+  them in one einsum, and merges them into a sorted ef-beam by argsort.
+
+Algorithmic equivalence with hnswlib (unfiltered case): the ef-bounded
+result heap and the candidate frontier coincide — any candidate with
+distance below the current lower bound is by definition among the ef best
+seen, so "expand the best unexpanded entry of the sorted ef-beam" visits
+nodes in exactly hnswlib's order and terminates exactly when hnswlib's
+`candidate_dist > lowerBound` break fires. Instead of a visited bitset
+(hnswlib VisitedList), re-gathered nodes are deduplicated against the beam;
+evicted nodes can never re-enter (their distance exceeds a lower bound that
+only decreases), so termination is preserved and the whole state stays in
+registers/VMEM rather than doing scatter updates to an HBM bitmap.
+
+With a filter (reference inline-filter functor, src/query/search.cc:102-133)
+or tombstoned deletes (hnswalg.h markDelete :1156), traversal admission and
+result admission separate: a parallel result list keeps the best ef
+*allowed* nodes while the beam traverses everything, mirroring
+searchBaseLayerST's two heaps. The candidate frontier is ef-bounded (the
+reference's is unbounded) — a standard batched-HNSW approximation; recall
+differences show up only under extreme filters and are covered by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from valkey_search_tpu.ops import distance as dist_ops
+
+INF = jnp.float32(jnp.inf)
+
+
+class HnswDeviceGraph(NamedTuple):
+    """Device-resident HNSW graph (struct-of-arrays).
+
+    vectors:   [cap, d]  fp32 node vectors
+    links0:    [cap, M0] int32 level-0 adjacency, -1 padded
+    deleted:   [cap]     bool tombstones
+    entry:     []        int32 global entry node
+    upper_id2row: tuple of [cap] int32 per level (1-based), -1 if absent
+    upper_links:  tuple of [n_l_pad, M] int32 per level
+    node_doc:  [cap] int32 node → schema doc id (predicate masks live in
+               doc-id space; -1 for unallocated). Mirrors the reference's
+               internal-id → label indirection (hnswalg.h label lookup).
+    """
+
+    vectors: jnp.ndarray
+    links0: jnp.ndarray
+    deleted: jnp.ndarray
+    entry: jnp.ndarray
+    upper_id2row: Tuple[jnp.ndarray, ...]
+    upper_links: Tuple[jnp.ndarray, ...]
+    node_doc: jnp.ndarray
+
+
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] with negative indices mapped to row 0 (callers mask)."""
+    return jnp.take(table, jnp.maximum(idx, 0), axis=0)
+
+
+def _descend_level(queries, vectors, id2row, links, cur, cur_d, metric, precision):
+    """Greedy move-to-best-neighbor until no query improves (one layer)."""
+
+    def cond(state):
+        _, _, improved = state
+        return jnp.any(improved)
+
+    def body(state):
+        cur, cur_d, _ = state
+        rows = _gather_rows(id2row, cur)  # [B]
+        nbrs = _gather_rows(links, rows)  # [B, M]
+        valid = (nbrs >= 0) & (rows >= 0)[:, None]
+        nvecs = _gather_rows(vectors, nbrs)  # [B, M, d]
+        nd = dist_ops.batched_candidate_scores(queries, nvecs, metric, precision)
+        nd = jnp.where(valid, nd, INF)
+        best_pos = jnp.argmin(nd, axis=1)
+        best_d = jnp.take_along_axis(nd, best_pos[:, None], 1)[:, 0]
+        best_i = jnp.take_along_axis(nbrs, best_pos[:, None], 1)[:, 0]
+        improved = best_d < cur_d
+        new_cur = jnp.where(improved, best_i, cur)
+        new_d = jnp.where(improved, best_d, cur_d)
+        return new_cur, new_d, improved
+
+    cur, cur_d, _ = jax.lax.while_loop(
+        cond, body, (cur, cur_d, jnp.ones(cur.shape, bool))
+    )
+    return cur, cur_d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric", "precision", "filtered", "max_iters"),
+)
+def hnsw_search_batch(
+    graph: HnswDeviceGraph,
+    queries: jnp.ndarray,
+    k: int,
+    ef: int,
+    metric: str = "l2",
+    filter_mask: Optional[jnp.ndarray] = None,
+    filtered: bool = False,
+    precision: str = "highest",
+    max_iters: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ANN search → (dists [B, k], node ids [B, k]) ascending.
+
+    filter_mask: bool [n_docs_cap] in *doc-id* space (True = allowed); only
+    consulted when ``filtered=True``. Deleted nodes are always excluded from
+    results but traversed, matching hnswlib.
+    """
+    ef = max(ef, k)
+    queries = queries.astype(jnp.float32)
+    b = queries.shape[0]
+    if max_iters is None:
+        max_iters = 16 * ef + 64
+
+    # --- upper-layer descent ------------------------------------------------
+    cur = jnp.full((b,), graph.entry, jnp.int32)
+    evec = _gather_rows(graph.vectors, cur)
+    cur_d = dist_ops.batched_candidate_scores(
+        queries, evec[:, None, :], metric, precision
+    )[:, 0]
+    for id2row, links in zip(
+        reversed(graph.upper_id2row), reversed(graph.upper_links)
+    ):
+        cur, cur_d = _descend_level(
+            queries, graph.vectors, id2row, links, cur, cur_d, metric, precision
+        )
+
+    # --- layer-0 beam search ------------------------------------------------
+    # "excluded from results" mask per node: deleted ∪ filtered-out.
+    def node_excluded(nodes):  # [B, C] int32 → bool
+        ex = _gather_rows(graph.deleted, nodes)
+        if filtered:
+            docs = _gather_rows(graph.node_doc, nodes)
+            allowed = _gather_rows(filter_mask, docs) & (docs >= 0)
+            ex = ex | ~allowed
+        return ex | (nodes < 0)
+
+    beam_d = jnp.full((b, ef), INF).at[:, 0].set(cur_d)
+    beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur)
+    beam_e = jnp.zeros((b, ef), bool)
+
+    res_d = jnp.where(node_excluded(beam_i), INF, beam_d)
+    res_i = jnp.where(node_excluded(beam_i), -1, beam_i)
+    order0 = jnp.argsort(res_d, axis=1)
+    res_d = jnp.take_along_axis(res_d, order0, 1)
+    res_i = jnp.take_along_axis(res_i, order0, 1)
+
+    def lower_bound(res_d):
+        # hnswlib lowerBound: worst of result heap once it holds ef entries,
+        # +inf before that (filtered case can leave it underfull).
+        return jnp.where(jnp.isfinite(res_d[:, ef - 1]), res_d[:, ef - 1], INF)
+
+    def cond(state):
+        _, _, _, _, _, it, done = state
+        return (it < max_iters) & ~jnp.all(done)
+
+    def body(state):
+        beam_d, beam_i, beam_e, res_d, res_i, it, done = state
+
+        cand_d = jnp.where(beam_e | (beam_i < 0), INF, beam_d)
+        sel_pos = jnp.argmin(cand_d, axis=1)  # [B]
+        sel_d = jnp.take_along_axis(cand_d, sel_pos[:, None], 1)[:, 0]
+        lb = lower_bound(res_d)
+        active = jnp.isfinite(sel_d) & (sel_d <= lb) & ~done
+        new_done = done | ~active
+
+        sel_id = jnp.take_along_axis(beam_i, sel_pos[:, None], 1)[:, 0]
+        beam_e = beam_e.at[jnp.arange(b), sel_pos].set(
+            beam_e[jnp.arange(b), sel_pos] | active
+        )
+
+        nbrs = _gather_rows(graph.links0, sel_id)  # [B, M0]
+        nbrs = jnp.where(active[:, None], nbrs, -1)
+        nvecs = _gather_rows(graph.vectors, nbrs)
+        nd = dist_ops.batched_candidate_scores(queries, nvecs, metric, precision)
+        nd = jnp.where(nbrs >= 0, nd, INF)
+
+        # dedup against current beam (replaces the visited bitset)
+        dup = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)
+        nd_beam = jnp.where(dup, INF, nd)
+
+        all_d = jnp.concatenate([beam_d, nd_beam], axis=1)
+        all_i = jnp.concatenate([beam_i, nbrs], axis=1)
+        all_e = jnp.concatenate([beam_e, jnp.zeros_like(nd_beam, bool)], axis=1)
+        order = jnp.argsort(all_d, axis=1)
+        beam_d = jnp.take_along_axis(all_d, order, 1)[:, :ef]
+        beam_i = jnp.take_along_axis(all_i, order, 1)[:, :ef]
+        beam_e = jnp.take_along_axis(all_e, order, 1)[:, :ef]
+
+        # result list: admit allowed nodes only, dedup against res
+        nd_res = jnp.where(node_excluded(nbrs), INF, nd)
+        dup_r = jnp.any(nbrs[:, :, None] == res_i[:, None, :], axis=2)
+        nd_res = jnp.where(dup_r, INF, nd_res)
+        r_all_d = jnp.concatenate([res_d, nd_res], axis=1)
+        r_all_i = jnp.concatenate(
+            [res_i, jnp.where(jnp.isinf(nd_res), -1, nbrs)], axis=1
+        )
+        r_order = jnp.argsort(r_all_d, axis=1)
+        res_d = jnp.take_along_axis(r_all_d, r_order, 1)[:, :ef]
+        res_i = jnp.take_along_axis(r_all_i, r_order, 1)[:, :ef]
+
+        return beam_d, beam_i, beam_e, res_d, res_i, it + 1, new_done
+
+    state = (beam_d, beam_i, beam_e, res_d, res_i, jnp.int32(0), jnp.zeros(b, bool))
+    _, _, _, res_d, res_i, _, _ = jax.lax.while_loop(cond, body, state)
+
+    out_d = res_d[:, :k]
+    out_i = jnp.where(jnp.isfinite(out_d), res_i[:, :k], -1)
+    return out_d, out_i
+
+
+def build_device_graph(
+    vectors,
+    links0,
+    deleted,
+    uppers: Sequence[dict],
+    entry: int,
+    node_doc,
+    m: int,
+) -> HnswDeviceGraph:
+    """Assemble an HnswDeviceGraph from host (numpy) arrays.
+
+    ``uppers`` is the per-level export from native HnswBuilder.export_graph:
+    [{"nodes": [n_l], "links": [n_l, M]}, ...] for levels 1..max_level.
+    Per-level tables are padded to power-of-two row counts to limit
+    recompilation as the graph grows.
+    """
+    import numpy as np
+
+    cap = vectors.shape[0]
+    id2rows, link_tables = [], []
+    for lv in uppers:
+        nodes = np.asarray(lv["nodes"], np.int32)
+        links = np.asarray(lv["links"], np.int32)
+        n_pad = max(8, 1 << int(np.ceil(np.log2(max(len(nodes), 1)))))
+        id2row = np.full(cap, -1, np.int32)
+        if len(nodes):
+            id2row[nodes] = np.arange(len(nodes), dtype=np.int32)
+        links_pad = np.full((n_pad, m), -1, np.int32)
+        if len(nodes):
+            links_pad[: len(nodes)] = links
+        id2rows.append(jnp.asarray(id2row))
+        link_tables.append(jnp.asarray(links_pad))
+    return HnswDeviceGraph(
+        vectors=jnp.asarray(vectors, jnp.float32),
+        links0=jnp.asarray(links0, jnp.int32),
+        deleted=jnp.asarray(deleted, bool),
+        entry=jnp.asarray(entry, jnp.int32),
+        upper_id2row=tuple(id2rows),
+        upper_links=tuple(link_tables),
+        node_doc=jnp.asarray(node_doc, jnp.int32),
+    )
