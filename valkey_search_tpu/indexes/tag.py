@@ -64,6 +64,7 @@ class TagIndex(IndexBase):
         self._lock = threading.RLock()
         self._mask_cache: Dict[str, jnp.ndarray] = {}
         self._mask_cache_cap = 0
+        self._sorted_cache: Optional[List[str]] = None
         self.epoch = 0
 
     # -- mutation ------------------------------------------------------------
@@ -85,7 +86,10 @@ class TagIndex(IndexBase):
             self._tracked[key] = doc
             self._doc_tags[doc] = set(tags)
             for t in tags:
-                self._postings.setdefault(t, set()).add(doc)
+                if t not in self._postings:
+                    self._postings[t] = set()
+                    self._sorted_cache = None
+                self._postings[t].add(doc)
                 self._mask_cache.pop(t, None)
             self.epoch += 1
             return RecordResult.MODIFIED if existed else RecordResult.ADDED
@@ -115,6 +119,7 @@ class TagIndex(IndexBase):
                 s.discard(doc)
                 if not s:
                     del self._postings[t]
+                    self._sorted_cache = None
                 self._mask_cache.pop(t, None)
 
     # -- query side ----------------------------------------------------------
@@ -122,24 +127,49 @@ class TagIndex(IndexBase):
         t = tag.strip()
         return t if self.case_sensitive else t.casefold()
 
+    def _match_tags(self, pattern: str) -> List[str]:
+        """Resolve one query tag pattern to stored tag values.
+
+        A trailing ``*`` performs prefix matching over the sorted tag space
+        (the reference walks the rax subtree, radix_tree.h WordIterator);
+        otherwise exact. Caller holds the lock."""
+        p = self.normalize_query_tag(pattern)
+        if p.endswith("*") and len(p) > 1:
+            prefix = p[:-1]
+            tags = self._sorted_tags()
+            import bisect
+
+            lo = bisect.bisect_left(tags, prefix)
+            hi = bisect.bisect_left(tags, prefix + "￿")
+            return tags[lo:hi]
+        return [p] if p in self._postings else []
+
+    def _sorted_tags(self) -> List[str]:
+        if self._sorted_cache is None:
+            self._sorted_cache = sorted(self._postings)
+        return self._sorted_cache
+
     def posting(self, tag: str) -> Set[int]:
         with self._lock:
             return set(self._postings.get(self.normalize_query_tag(tag), ()))
 
     def search(self, tags: Iterable[str]) -> EntriesFetcher:
-        """OR over tag values (reference Tag::Search {a|b} semantics)."""
+        """OR over tag patterns (reference Tag::Search {a|b*} semantics)."""
         with self._lock:
             acc: Set[int] = set()
-            for t in tags:
-                acc |= self._postings.get(self.normalize_query_tag(t), set())
+            for pat in tags:
+                for t in self._match_tags(pat):
+                    acc |= self._postings.get(t, set())
             return EntriesFetcher(acc, size=len(acc))
 
     def estimate(self, tags: Iterable[str]) -> int:
-        """Upper-bound qualified count for the planner (rax posting sizes)."""
+        """Upper-bound qualified count for the planner (rax posting sizes /
+        prefix subtree counts, reference radix_tree.h:14-56)."""
         with self._lock:
             return sum(
-                len(self._postings.get(self.normalize_query_tag(t), ()))
-                for t in tags
+                len(self._postings.get(t, ()))
+                for pat in tags
+                for t in self._match_tags(pat)
             )
 
     def device_mask(self, tags: Iterable[str], cap: int) -> jnp.ndarray:
@@ -149,20 +179,36 @@ class TagIndex(IndexBase):
                 self._mask_cache.clear()
                 self._mask_cache_cap = cap
             acc = None
-            for t in tags:
-                tn = self.normalize_query_tag(t)
-                m = self._mask_cache.get(tn)
-                if m is None:
-                    host = np.zeros(cap, bool)
-                    ids = [d for d in self._postings.get(tn, ()) if d < cap]
-                    if ids:
-                        host[np.fromiter(ids, np.int64, len(ids))] = True
-                    m = jnp.asarray(host)
-                    self._mask_cache[tn] = m
-                acc = m if acc is None else (acc | m)
+            for pat in tags:
+                for tn in self._match_tags(pat):
+                    m = self._mask_cache.get(tn)
+                    if m is None:
+                        host = np.zeros(cap, bool)
+                        ids = [d for d in self._postings.get(tn, ()) if d < cap]
+                        if ids:
+                            host[np.fromiter(ids, np.int64, len(ids))] = True
+                        m = jnp.asarray(host)
+                        self._mask_cache[tn] = m
+                    acc = m if acc is None else (acc | m)
             if acc is None:
                 acc = jnp.zeros(cap, bool)
             return acc
+
+    def doc_matches(self, doc: int, patterns: Iterable[str]) -> bool:
+        """Host-side re-verification of one doc (content resolution drops
+        keys whose current value no longer matches, response_generator.cc)."""
+        with self._lock:
+            tags = self._doc_tags.get(doc)
+            if not tags:
+                return False
+            for pat in patterns:
+                p = self.normalize_query_tag(pat)
+                if p.endswith("*") and len(p) > 1:
+                    if any(t.startswith(p[:-1]) for t in tags):
+                        return True
+                elif p in tags:
+                    return True
+            return False
 
     # -- IndexBase -----------------------------------------------------------
     def tracked_keys(self) -> Set[str]:

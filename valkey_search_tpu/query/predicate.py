@@ -1,0 +1,307 @@
+"""Predicate tree: typed filter nodes with device-bitmask evaluation.
+
+Reference: src/query/predicate.h:41-377 — Tag / Numeric / Text(Term, Prefix,
+Suffix, Fuzzy) / And / Or / Negate nodes evaluated by double-dispatch.
+
+TPU design: a predicate evaluates three ways —
+1. ``estimate(ctx)``: host-side qualified-count upper bound for the planner
+   (reference EvaluateFilterAsPrimary, search.cc:300, sizes leaves through
+   index fetchers);
+2. ``device_mask(ctx)``: a device bool [cap] bitmask over the doc-id space;
+   And/Or/Negate are elementwise &,|,~ that XLA fuses into one kernel —
+   this is both the pre-filter materialization and the operand fused into
+   the inline-filter distance kernels;
+3. ``matches(ctx, doc)``: host-side single-doc check used during content
+   resolution to drop keys whose value changed mid-flight
+   (response_generator.cc re-verification).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+
+
+class EvalContext:
+    """Binds a predicate to a schema + doc-id-space capacity."""
+
+    def __init__(self, schema, cap: Optional[int] = None):
+        self.schema = schema
+        self.cap = cap if cap is not None else schema.doc_capacity()
+        self._valid_mask = None
+
+    def attribute(self, alias: str):
+        return self.schema.attribute(alias)
+
+    def valid_mask(self) -> jnp.ndarray:
+        if self._valid_mask is None:
+            self._valid_mask = self.schema.docs_valid_mask(self.cap)
+        return self._valid_mask
+
+
+class Predicate:
+    kind = "base"
+
+    def estimate(self, ctx: EvalContext) -> int:
+        raise NotImplementedError
+
+    def device_mask(self, ctx: EvalContext) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def matches(self, ctx: EvalContext, doc: int) -> bool:
+        raise NotImplementedError
+
+    def to_dict(self) -> Dict:
+        raise NotImplementedError
+
+    # -- wire format (fanout serialization; reference coordinator.proto:92-147
+    #    serializes the full predicate tree into SearchIndexPartition) -------
+    @staticmethod
+    def from_dict(d: Dict) -> "Predicate":
+        k = d["kind"]
+        if k == "tag":
+            return TagPredicate(d["field"], d["values"])
+        if k == "numeric":
+            return NumericPredicate(
+                d["field"], d["lo"], d["hi"], d["lo_open"], d["hi_open"]
+            )
+        if k == "text":
+            return TextPredicate(
+                d["term"], d.get("field"), d.get("match", "term"),
+                d.get("distance", 0), tuple(d.get("phrase", ())),
+            )
+        if k == "and":
+            return And([Predicate.from_dict(c) for c in d["children"]])
+        if k == "or":
+            return Or([Predicate.from_dict(c) for c in d["children"]])
+        if k == "negate":
+            return Negate(Predicate.from_dict(d["child"]))
+        if k == "all":
+            return MatchAll()
+        raise ValueError(f"unknown predicate kind {k!r}")
+
+
+@dataclasses.dataclass
+class TagPredicate(Predicate):
+    """@field:{a|b|pre*} — OR over tag patterns (predicate.h TagPredicate)."""
+
+    field: str
+    values: List[str]
+    kind = "tag"
+
+    def _index(self, ctx):
+        attr = ctx.attribute(self.field)
+        if attr.kind != "TAG":
+            raise ValueError(f"@{self.field} is not a TAG attribute")
+        return attr.index
+
+    def estimate(self, ctx):
+        return self._index(ctx).estimate(self.values)
+
+    def device_mask(self, ctx):
+        return self._index(ctx).device_mask(self.values, ctx.cap)
+
+    def matches(self, ctx, doc):
+        return self._index(ctx).doc_matches(doc, self.values)
+
+    def fetch_ids(self, ctx):
+        return self._index(ctx).search(self.values)
+
+    def to_dict(self):
+        return {"kind": "tag", "field": self.field, "values": list(self.values)}
+
+
+@dataclasses.dataclass
+class NumericPredicate(Predicate):
+    """@field:[lo hi] with per-bound openness (predicate.h NumericPredicate)."""
+
+    field: str
+    lo: float
+    hi: float
+    lo_open: bool = False
+    hi_open: bool = False
+    kind = "numeric"
+
+    def _index(self, ctx):
+        attr = ctx.attribute(self.field)
+        if attr.kind != "NUMERIC":
+            raise ValueError(f"@{self.field} is not a NUMERIC attribute")
+        return attr.index
+
+    def estimate(self, ctx):
+        return self._index(ctx).range_count(
+            self.lo, self.hi, self.lo_open, self.hi_open
+        )
+
+    def device_mask(self, ctx):
+        return self._index(ctx).device_mask(
+            self.lo, self.hi, ctx.cap, self.lo_open, self.hi_open
+        )
+
+    def matches(self, ctx, doc):
+        idx = self._index(ctx)
+        key = ctx.schema.interner.key_of(doc)
+        if key is None:
+            return False
+        v = idx.value_of(key)
+        if v is None:
+            return False
+        lo_ok = v > self.lo if self.lo_open else v >= self.lo
+        hi_ok = v < self.hi if self.hi_open else v <= self.hi
+        return lo_ok and hi_ok
+
+    def fetch_ids(self, ctx):
+        return self._index(ctx).range_fetch(
+            self.lo, self.hi, self.lo_open, self.hi_open
+        )
+
+    def to_dict(self):
+        return {
+            "kind": "numeric", "field": self.field, "lo": self.lo,
+            "hi": self.hi, "lo_open": self.lo_open, "hi_open": self.hi_open,
+        }
+
+
+@dataclasses.dataclass
+class TextPredicate(Predicate):
+    """Text matchers: term / prefix / suffix / fuzzy / phrase.
+
+    ``field=None`` searches every TEXT attribute (reference predicate.h text
+    nodes + field-mask semantics). Resolution delegates to the schema-level
+    text engine (indexes/text); until a TEXT attribute exists queries using
+    these raise at evaluation, matching the reference's parse-time
+    validation.
+    """
+
+    term: str
+    field: Optional[str] = None
+    match: str = "term"  # term|prefix|suffix|fuzzy|phrase
+    distance: int = 0    # fuzzy edit distance
+    phrase: Sequence[str] = ()
+    kind = "text"
+
+    def _engine(self, ctx):
+        eng = getattr(ctx.schema, "text_engine", None)
+        if eng is None:
+            raise ValueError("index has no TEXT attributes")
+        return eng
+
+    def estimate(self, ctx):
+        return self._engine(ctx).estimate(self)
+
+    def device_mask(self, ctx):
+        return self._engine(ctx).device_mask(self, ctx.cap)
+
+    def matches(self, ctx, doc):
+        return self._engine(ctx).doc_matches(self, doc)
+
+    def fetch_ids(self, ctx):
+        return self._engine(ctx).fetch_ids(self)
+
+    def to_dict(self):
+        return {
+            "kind": "text", "term": self.term, "field": self.field,
+            "match": self.match, "distance": self.distance,
+            "phrase": list(self.phrase),
+        }
+
+
+@dataclasses.dataclass
+class And(Predicate):
+    children: List[Predicate]
+    kind = "and"
+
+    def estimate(self, ctx):
+        return min(c.estimate(ctx) for c in self.children)
+
+    def device_mask(self, ctx):
+        m = self.children[0].device_mask(ctx)
+        for c in self.children[1:]:
+            m = m & c.device_mask(ctx)
+        return m
+
+    def matches(self, ctx, doc):
+        return all(c.matches(ctx, doc) for c in self.children)
+
+    def to_dict(self):
+        return {"kind": "and", "children": [c.to_dict() for c in self.children]}
+
+
+@dataclasses.dataclass
+class Or(Predicate):
+    children: List[Predicate]
+    kind = "or"
+
+    def estimate(self, ctx):
+        return sum(c.estimate(ctx) for c in self.children)
+
+    def device_mask(self, ctx):
+        m = self.children[0].device_mask(ctx)
+        for c in self.children[1:]:
+            m = m | c.device_mask(ctx)
+        return m
+
+    def matches(self, ctx, doc):
+        return any(c.matches(ctx, doc) for c in self.children)
+
+    def to_dict(self):
+        return {"kind": "or", "children": [c.to_dict() for c in self.children]}
+
+
+@dataclasses.dataclass
+class Negate(Predicate):
+    """-pred: all *indexed* docs not matching, including docs lacking the
+    field (reference negate-via-untracked-keys; a zero bit in the child mask
+    already covers field-absent docs)."""
+
+    child: Predicate
+    kind = "negate"
+
+    def estimate(self, ctx):
+        return max(0, ctx.schema.num_docs() - self.child.estimate(ctx))
+
+    def device_mask(self, ctx):
+        return ctx.valid_mask() & ~self.child.device_mask(ctx)
+
+    def matches(self, ctx, doc):
+        return not self.child.matches(ctx, doc)
+
+    def to_dict(self):
+        return {"kind": "negate", "child": self.child.to_dict()}
+
+
+@dataclasses.dataclass
+class MatchAll(Predicate):
+    """'*' — the universal set (reference UniversalSetFetcher)."""
+
+    kind = "all"
+
+    def estimate(self, ctx):
+        return ctx.schema.num_docs()
+
+    def device_mask(self, ctx):
+        return ctx.valid_mask()
+
+    def matches(self, ctx, doc):
+        return ctx.schema.interner.key_of(doc) is not None
+
+    def to_dict(self):
+        return {"kind": "all"}
+
+
+def query_operations(pred: Predicate) -> Dict[str, int]:
+    """Count node kinds (reference QueryOperations bitmask from the parser)."""
+    out: Dict[str, int] = {}
+
+    def walk(p: Predicate):
+        out[p.kind] = out.get(p.kind, 0) + 1
+        for c in getattr(p, "children", []):
+            walk(c)
+        child = getattr(p, "child", None)
+        if child is not None:
+            walk(child)
+
+    walk(pred)
+    return out

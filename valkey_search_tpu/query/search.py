@@ -1,0 +1,150 @@
+"""Search executor: parsed query → device kernels → neighbors.
+
+Reference: src/query/search.{h,cc} — ``Search`` (search.cc:844) runs under
+the reader lock, choosing DoSearchVector (:692 — inline filter functor vs
+exact-over-prefiltered-set) or DoSearchNonVector (:607 — fetcher scan with
+dedup), then trims via the LIMIT buffer multiplier (:744).
+
+TPU mapping: the reader lock becomes the published device snapshot; the
+inline filter functor becomes a doc-space bitmask fused into the beam
+kernel; the prefiltered exact path becomes a masked blocked-matmul scan;
+the non-vector fetcher scan becomes one device mask reduced to ids on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from valkey_search_tpu.indexes.flat import FlatVectorIndex
+from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+from valkey_search_tpu.query import parser as qparser
+from valkey_search_tpu.query import planner
+from valkey_search_tpu.query import predicate as P
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS, timed
+
+
+class QueryError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class SearchParameters:
+    """Parsed FT.SEARCH request (reference query::SearchParameters,
+    search.h:193-320)."""
+
+    index_name: str
+    query: str
+    params: Dict[str, object] = dataclasses.field(default_factory=dict)
+    limit_offset: int = 0
+    limit_num: int = 10
+    no_content: bool = False
+    return_fields: Optional[List[Tuple[str, str]]] = None  # (field, as_name)
+    timeout_ms: Optional[int] = None
+    sortby: Optional[str] = None
+    sortby_desc: bool = False
+    withsortkeys: bool = False
+    ef_runtime: Optional[int] = None
+    local_only: bool = False
+
+
+@dataclasses.dataclass
+class Neighbor:
+    key: str
+    distance: Optional[float] = None  # None for non-vector queries
+    doc: int = -1
+
+
+@dataclasses.dataclass
+class SearchResponse:
+    total: int
+    neighbors: List[Neighbor]
+    score_field: Optional[str] = None  # e.g. "__vec_score"
+    partial: bool = False
+    predicate: Optional[P.Predicate] = None
+    knn: Optional[qparser.KnnClause] = None
+
+
+def execute_search(schema, sp: SearchParameters) -> SearchResponse:
+    """Run one search against a schema's published snapshots."""
+    t0 = time.perf_counter()
+    pred, knn = qparser.parse_query(sp.query, sp.params)
+    ctx = P.EvalContext(schema)
+    if knn is not None:
+        resp = _search_vector(schema, ctx, pred, knn, sp)
+    else:
+        resp = _search_non_vector(schema, ctx, pred, sp)
+    resp.predicate = pred
+    resp.knn = knn
+    STATS.sampler("query_execution", 1).observe_usec(
+        (time.perf_counter() - t0) * 1e6
+    )
+    return resp
+
+
+def _search_vector(schema, ctx, pred, knn, sp) -> SearchResponse:
+    attr = schema.attribute(knn.field)
+    index = attr.index
+    if not isinstance(index, (HnswVectorIndex, FlatVectorIndex)):
+        raise QueryError(f"@{knn.field} is not a VECTOR attribute")
+    qvec = np.frombuffer(knn.vector, dtype="<f4")
+    if qvec.shape[0] != index.dim:
+        raise QueryError(
+            f"query vector has {qvec.shape[0]} dims, @{knn.field} expects "
+            f"{index.dim}"
+        )
+    ef = sp.ef_runtime or knn.ef_runtime
+    score_field = knn.score_as or f"__{knn.field}_score"
+    match_all = isinstance(pred, P.MatchAll)
+
+    if match_all:
+        if isinstance(index, HnswVectorIndex):
+            d, docs = index.search_batch(qvec[None], knn.k, ef=ef)
+        else:
+            d, docs = index.search_batch(qvec[None], knn.k)
+        STATS.incr("vector_searches_unfiltered")
+    else:
+        qualified = pred.estimate(ctx)
+        mask = pred.device_mask(ctx)
+        if planner.use_prefiltering(qualified, index):
+            # exact scoring over the qualified set (search.cc:456)
+            if isinstance(index, HnswVectorIndex):
+                d, docs = index.exact_search_batch(qvec[None], knn.k, mask)
+            else:
+                d, docs = index.search_batch(qvec[None], knn.k, filter_mask=mask)
+            STATS.incr("vector_searches_prefiltered")
+        else:
+            d, docs = index.search_batch(qvec[None], knn.k, ef=ef, filter_mask=mask)
+            STATS.incr("vector_searches_inline_filtered")
+
+    neighbors = []
+    for dist, doc in zip(d[0], docs[0]):
+        if doc < 0 or not np.isfinite(dist):
+            continue
+        key = schema.interner.key_of(int(doc))
+        if key is not None:
+            neighbors.append(Neighbor(key=key, distance=float(dist), doc=int(doc)))
+    return SearchResponse(
+        total=len(neighbors), neighbors=neighbors, score_field=score_field
+    )
+
+
+def _search_non_vector(schema, ctx, pred, sp) -> SearchResponse:
+    """Fetcher-scan path (search.cc:607): device mask → host ids, capped by
+    search.max-non-vector-search-results-fetched."""
+    cap_results = int(config.get("search.max-non-vector-search-results-fetched"))
+    mask = np.asarray(pred.device_mask(ctx))
+    docs = np.nonzero(mask)[0]
+    total = int(docs.shape[0])
+    docs = docs[:cap_results]
+    neighbors = []
+    for doc in docs:
+        key = schema.interner.key_of(int(doc))
+        if key is not None:
+            neighbors.append(Neighbor(key=key, doc=int(doc)))
+    STATS.incr("non_vector_searches")
+    return SearchResponse(total=total, neighbors=neighbors)

@@ -1,0 +1,127 @@
+"""Ingestion pipeline: mutation queue + writer pool.
+
+Reference: the keyspace-notification → mutation-queue → writer-thread-pool
+path (src/index_schema.cc): TrackMutatedRecord (:1986) upserts into a
+per-key queue *combining* consecutive mutations of the same key (only the
+latest value matters), ScheduleMutation (:855) hands batches to the writer
+pool (valkey_search.cc:1165-1168), ProcessSingleMutationAsync (:999)
+applies under the write time-slice, and completion re-dispatches parked
+queries.
+
+TPU design: the same per-key combine queue feeds a small host writer pool;
+"apply" routes to the host-side index structures (native HNSW builder,
+postings, columns), and device snapshots publish lazily on the next query
+(epoch double-buffering instead of the time-sliced MRMW mutex). Because a
+query always runs on a published snapshot plus host-side content
+re-verification (server.ft_search.resolve_content), the reference's
+sequence-number contention check degenerates to ``drain()`` for strict
+read-your-writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from collections import OrderedDict
+from typing import Dict, Optional, Tuple
+
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS
+
+
+@dataclasses.dataclass
+class Mutation:
+    schema: object
+    key: str
+    fields: Optional[Dict[str, object]]  # None → delete
+    seq: int = 0
+
+
+class IngestionEngine:
+    """Per-key combining mutation queue drained by writer threads."""
+
+    def __init__(self, num_workers: Optional[int] = None):
+        self._queue: "OrderedDict[Tuple[int, str], Mutation]" = OrderedDict()
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._inflight = 0
+        self._seq = 0
+        self._stop = False
+        n = num_workers or int(config.get("search.writer-threads"))
+        self._workers = [
+            threading.Thread(target=self._run, name=f"vstpu-writer-{i}",
+                             daemon=True)
+            for i in range(n)
+        ]
+        for w in self._workers:
+            w.start()
+
+    # -- producer side -------------------------------------------------------
+    def enqueue_upsert(self, schema, key: str, fields: Dict[str, object]) -> None:
+        self._enqueue(Mutation(schema, key, dict(fields)))
+
+    def enqueue_delete(self, schema, key: str) -> None:
+        self._enqueue(Mutation(schema, key, None))
+
+    def _enqueue(self, m: Mutation) -> None:
+        with self._cv:
+            self._seq += 1
+            m.seq = self._seq
+            qk = (id(m.schema), m.key)
+            if qk in self._queue:
+                # combine: replace the pending mutation for this key
+                # (reference TrackMutatedRecord combine, index_schema.cc:1986)
+                self._queue[qk] = m
+                STATS.incr("mutations_combined")
+            else:
+                self._queue[qk] = m
+            STATS.incr("mutations_enqueued")
+            self._cv.notify()
+
+    # -- worker side ---------------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._queue:
+                    return
+                _, m = self._queue.popitem(last=False)
+                self._inflight += 1
+            try:
+                if m.fields is None:
+                    m.schema.delete(m.key)
+                else:
+                    m.schema.upsert(m.key, m.fields)
+                STATS.incr("mutations_applied")
+            except Exception:
+                STATS.incr("mutation_failures")
+            finally:
+                with self._cv:
+                    self._inflight -= 1
+                    self._cv.notify_all()
+
+    # -- synchronization -----------------------------------------------------
+    def pending(self) -> int:
+        with self._lock:
+            return len(self._queue) + self._inflight
+
+    def pending_for_key(self, schema, key: str) -> bool:
+        """In-flight-mutation check for a result key (the reference parks
+        contended queries on the mutation's completion,
+        PerformKeyContentionCheck, index_schema.cc:1917)."""
+        with self._lock:
+            return (id(schema), key) in self._queue
+
+    def drain(self, timeout: Optional[float] = None) -> bool:
+        with self._cv:
+            return self._cv.wait_for(
+                lambda: not self._queue and self._inflight == 0, timeout
+            )
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        for w in self._workers:
+            w.join(timeout=5)

@@ -1,0 +1,96 @@
+"""SchemaManager: per-db index registry + backfill driver.
+
+Reference: src/schema_manager.{h,cc} — singleton owning name→IndexSchema
+per db (schema_manager.h:43-124), create/drop (locally or through the
+cluster MetadataManager), and the cron-driven backfill
+(PerformBackfill, schema_manager.cc:621).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS
+from valkey_search_tpu.schema.index_schema import IndexSchema
+
+
+class SchemaError(ValueError):
+    pass
+
+
+class SchemaManager:
+    def __init__(self):
+        self._schemas: Dict[Tuple[int, str], IndexSchema] = {}
+        self._lock = threading.RLock()
+
+    def create(self, schema: IndexSchema) -> IndexSchema:
+        with self._lock:
+            key = (schema.db, schema.name)
+            if key in self._schemas:
+                raise SchemaError(f"Index {schema.name} already exists")
+            if len(self._schemas) >= int(config.get("search.max-indexes")):
+                raise SchemaError("too many indexes")
+            self._schemas[key] = schema
+            STATS.incr("indexes_created")
+            return schema
+
+    def get(self, name: str, db: int = 0) -> IndexSchema:
+        with self._lock:
+            s = self._schemas.get((db, name))
+            if s is None:
+                raise SchemaError(f"Index with name '{name}' not found")
+            return s
+
+    def drop(self, name: str, db: int = 0) -> None:
+        with self._lock:
+            if (db, name) not in self._schemas:
+                raise SchemaError(f"Index with name '{name}' not found")
+            del self._schemas[(db, name)]
+            STATS.incr("indexes_dropped")
+
+    def list_names(self, db: int = 0) -> List[str]:
+        with self._lock:
+            return sorted(n for (d, n) in self._schemas if d == db)
+
+    def all_schemas(self) -> List[IndexSchema]:
+        with self._lock:
+            return list(self._schemas.values())
+
+    def subscribed(self, key: str, db: int = 0) -> Iterable[IndexSchema]:
+        """Schemas whose prefix set matches the key (reference
+        KeyspaceEventManager patricia dispatch, keyspace_event_manager.h:52)."""
+        with self._lock:
+            return [
+                s
+                for (d, _), s in self._schemas.items()
+                if d == db and s.matches_key(key)
+            ]
+
+    def backfill(
+        self,
+        schema: IndexSchema,
+        keyspace: Dict[str, Dict[str, object]],
+        batch_size: Optional[int] = None,
+    ) -> int:
+        """Scan existing keys into a fresh index (reference
+        IndexSchema::PerformBackfill, index_schema.cc:1044 — cursor batches
+        through the db on server cron, low priority)."""
+        batch_size = batch_size or int(config.get("search.backfill-batch-size"))
+        schema.backfill_in_progress = True
+        n = 0
+        try:
+            for key, fields in list(keyspace.items()):
+                if not schema.matches_key(key):
+                    continue
+                schema.upsert(key, fields)
+                n += 1
+                schema.backfill_scanned = n
+        finally:
+            schema.backfill_in_progress = False
+        STATS.incr("backfilled_records", n)
+        return n
+
+
+MANAGER = SchemaManager()

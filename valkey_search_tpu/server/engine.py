@@ -1,0 +1,222 @@
+"""Engine: keyspace + schemas + FT.* command dispatch.
+
+The reference runs inside a Valkey server (module ABI, layer L0/L7 —
+src/module_loader.cc registers FT.CREATE/FT.DROPINDEX/FT.SEARCH/
+FT.AGGREGATE/FT.INFO/FT._LIST/FT._DEBUG/FT.INTERNAL_UPDATE); here the
+engine owns its own keyspace (HSET/DEL equivalents) and exposes the same
+command surface as Python methods plus an ``execute(argv)`` dispatcher
+that accepts redis-style argument vectors.
+
+Document mutations flow through the ingestion pipeline (schema.ingestion
+MutationQueue) exactly like the reference's keyspace-notification →
+mutation-queue → writer-pool path (index_schema.cc:560-1050); ``sync=True``
+forces synchronous indexing for tests/simple usage.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Union
+
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS
+from valkey_search_tpu.schema.index_schema import IndexSchema
+from valkey_search_tpu.schema.schema_manager import SchemaError, SchemaManager
+from valkey_search_tpu.server import ft_create as ft_create_mod
+from valkey_search_tpu.server import ft_search as ft_search_mod
+
+Value = Union[str, bytes, int, float]
+
+
+class CommandError(ValueError):
+    pass
+
+
+class Engine:
+    def __init__(self, sync_ingest: bool = True):
+        self.manager = SchemaManager()
+        self.keyspace: Dict[str, Dict[str, Value]] = {}
+        self._lock = threading.RLock()
+        self._sync_ingest = sync_ingest
+        self._ingestion = None  # created lazily (schema.ingestion)
+
+    # ------------------------------------------------------------------ data
+    def hset(self, key: str, mapping: Dict[str, Value]) -> int:
+        """HSET equivalent; triggers keyspace notification → index update
+        (reference OnKeyspaceNotification, index_schema.cc:560)."""
+        with self._lock:
+            doc = self.keyspace.setdefault(key, {})
+            added = sum(1 for f in mapping if f not in doc)
+            doc.update(mapping)
+            snapshot = dict(doc)
+        self._notify(key, snapshot)
+        return added
+
+    def hdel(self, key: str, *fields: str) -> int:
+        with self._lock:
+            doc = self.keyspace.get(key)
+            if doc is None:
+                return 0
+            removed = 0
+            for f in fields:
+                if f in doc:
+                    del doc[f]
+                    removed += 1
+            if doc:
+                snapshot: Optional[Dict[str, Value]] = dict(doc)
+            else:
+                del self.keyspace[key]
+                snapshot = None
+        if snapshot is None:
+            self._notify_delete(key)
+        else:
+            self._notify(key, snapshot)
+        return removed
+
+    def delete(self, key: str) -> int:
+        with self._lock:
+            existed = self.keyspace.pop(key, None) is not None
+        if existed:
+            self._notify_delete(key)
+        return int(existed)
+
+    def hgetall(self, key: str) -> Dict[str, Value]:
+        with self._lock:
+            return dict(self.keyspace.get(key, {}))
+
+    def flushall(self) -> None:
+        with self._lock:
+            keys = list(self.keyspace)
+        for k in keys:
+            self.delete(k)
+
+    def _notify(self, key: str, fields: Dict[str, Value]) -> None:
+        for schema in self.manager.subscribed(key):
+            if self._sync_ingest:
+                schema.upsert(key, fields)
+            else:
+                self._queue().enqueue_upsert(schema, key, fields)
+
+    def _notify_delete(self, key: str) -> None:
+        for schema in self.manager.subscribed(key):
+            if self._sync_ingest:
+                schema.delete(key)
+            else:
+                self._queue().enqueue_delete(schema, key)
+
+    def _queue(self):
+        if self._ingestion is None:
+            from valkey_search_tpu.schema.ingestion import IngestionEngine
+
+            self._ingestion = IngestionEngine()
+        return self._ingestion
+
+    def drain(self) -> None:
+        """Wait for async ingestion to settle (tests/shutdown)."""
+        if self._ingestion is not None:
+            self._ingestion.drain()
+
+    # ------------------------------------------------------------- commands
+    def ft_create(self, *args: Value) -> str:
+        schema, skip_scan = ft_create_mod.parse_ft_create(
+            [_s(a) for a in args]
+        )
+        self.manager.create(schema)
+        if not skip_scan:
+            with self._lock:
+                snapshot = {k: dict(v) for k, v in self.keyspace.items()}
+            self.manager.backfill(schema, snapshot)
+        return "OK"
+
+    def ft_dropindex(self, name: str) -> str:
+        self.manager.drop(_s(name))
+        return "OK"
+
+    def ft_list(self) -> List[str]:
+        return self.manager.list_names()
+
+    def ft_search(self, *args: Value) -> list:
+        sp = ft_search_mod.parse_ft_search_args(list(args))
+        schema = self.manager.get(sp.index_name)
+        return ft_search_mod.run_ft_search(self, schema, sp)
+
+    def ft_aggregate(self, *args: Value) -> list:
+        from valkey_search_tpu.server import ft_aggregate as agg
+
+        return agg.run_ft_aggregate(self, list(args))
+
+    def ft_info(self, name: str) -> list:
+        schema = self.manager.get(_s(name))
+        st = schema.stats()
+        attrs = []
+        for alias, a in st["attributes"].items():
+            attrs.append(
+                ["identifier", a["identifier"], "attribute", alias,
+                 "type", a["type"]]
+            )
+        return [
+            "index_name", st["name"],
+            "index_options", [],
+            "index_definition",
+            ["key_type", st["on"], "prefixes", st["prefixes"]],
+            "attributes", attrs,
+            "num_docs", st["num_docs"],
+            "num_records", sum(a["tracked"] for a in st["attributes"].values()),
+            "hash_indexing_failures",
+            STATS.get("documents_dropped_invalid"),
+            "backfill_in_progress", int(st["backfill_in_progress"]),
+            "mutation_queue_size", self._queue_size(),
+            "state", "ready",
+        ]
+
+    def _queue_size(self) -> int:
+        return self._ingestion.pending() if self._ingestion is not None else 0
+
+    def ft_debug(self, *args: Value) -> object:
+        from valkey_search_tpu.server import ft_debug as dbg
+
+        return dbg.run_ft_debug(self, [_s(a) for a in args])
+
+    def config_set(self, name: str, value: Value) -> str:
+        config.set_config(_s(name), value)
+        return "OK"
+
+    def config_get(self, name: str):
+        return config.get(_s(name))
+
+    # redis-style generic dispatch -----------------------------------------
+    def execute(self, *argv: Value):
+        if not argv:
+            raise CommandError("empty command")
+        cmd = _s(argv[0]).upper()
+        rest = list(argv[1:])
+        table = {
+            "FT.CREATE": lambda: self.ft_create(*rest),
+            "FT.DROPINDEX": lambda: self.ft_dropindex(*rest),
+            "FT.SEARCH": lambda: self.ft_search(*rest),
+            "FT.AGGREGATE": lambda: self.ft_aggregate(*rest),
+            "FT.INFO": lambda: self.ft_info(*rest),
+            "FT._LIST": lambda: self.ft_list(),
+            "FT._DEBUG": lambda: self.ft_debug(*rest),
+        }
+        if cmd == "HSET":
+            if len(rest) < 3 or len(rest) % 2 == 0:
+                raise CommandError("wrong number of arguments for HSET")
+            mapping = {
+                _s(rest[i]): rest[i + 1] for i in range(1, len(rest), 2)
+            }
+            return self.hset(_s(rest[0]), mapping)
+        if cmd == "DEL":
+            return sum(self.delete(_s(k)) for k in rest)
+        if cmd == "HGETALL":
+            return self.hgetall(_s(rest[0]))
+        fn = table.get(cmd)
+        if fn is None:
+            raise CommandError(f"unknown command {cmd!r}")
+        return fn()
+
+
+def _s(v: Value) -> str:
+    if isinstance(v, bytes):
+        return v.decode()
+    return str(v)

@@ -1,0 +1,242 @@
+"""FT.SEARCH argument parsing, execution, and reply construction.
+
+Reference: src/commands/ft_search_parser.cc (option parsing),
+src/commands/ft_search.cc (SendReply :307 — SORTBY stable sort :189-250,
+WITHSORTKEYS, RETURN/NOCONTENT shaping), and content resolution
+(src/query/content_resolution.cc, response_generator.cc — fetch document
+contents on reply, re-verify the predicate, drop stale keys).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+from valkey_search_tpu.query import predicate as P
+from valkey_search_tpu.query.search import (
+    Neighbor,
+    SearchParameters,
+    SearchResponse,
+    execute_search,
+)
+
+Value = Union[str, bytes, int, float]
+
+
+class FTSearchError(ValueError):
+    pass
+
+
+def _s(v: Value) -> str:
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
+def parse_ft_search_args(args: List[Value]) -> SearchParameters:
+    if len(args) < 2:
+        raise FTSearchError("FT.SEARCH requires index and query")
+    sp = SearchParameters(index_name=_s(args[0]), query=_s(args[1]))
+    i = 2
+    while i < len(args):
+        tok = _s(args[i]).upper()
+        if tok == "NOCONTENT":
+            sp.no_content = True
+            i += 1
+        elif tok == "LIMIT":
+            if i + 2 >= len(args):
+                raise FTSearchError("LIMIT needs offset and num")
+            try:
+                sp.limit_offset = int(_s(args[i + 1]))
+                sp.limit_num = int(_s(args[i + 2]))
+            except ValueError:
+                raise FTSearchError("bad LIMIT values")
+            if sp.limit_offset < 0 or sp.limit_num < 0:
+                raise FTSearchError("LIMIT values must be non-negative")
+            i += 3
+        elif tok == "PARAMS":
+            if i + 1 >= len(args):
+                raise FTSearchError("PARAMS needs a count")
+            try:
+                n = int(_s(args[i + 1]))
+            except ValueError:
+                raise FTSearchError("bad PARAMS count")
+            if n % 2:
+                raise FTSearchError("PARAMS count must be even")
+            vals = args[i + 2 : i + 2 + n]
+            if len(vals) != n:
+                raise FTSearchError("PARAMS count mismatch")
+            for j in range(0, n, 2):
+                sp.params[_s(vals[j])] = vals[j + 1]
+            i += 2 + n
+        elif tok == "RETURN":
+            if i + 1 >= len(args):
+                raise FTSearchError("RETURN needs a count")
+            try:
+                n = int(_s(args[i + 1]))
+            except ValueError:
+                raise FTSearchError("bad RETURN count")
+            i += 2
+            fields: List[Tuple[str, str]] = []
+            taken = 0
+            while taken < n:
+                if i >= len(args):
+                    raise FTSearchError("RETURN count mismatch")
+                f = _s(args[i])
+                as_name = f
+                i += 1
+                if i + 1 < len(args) and _s(args[i]).upper() == "AS":
+                    as_name = _s(args[i + 1])
+                    i += 2
+                fields.append((f, as_name))
+                taken += 1
+            sp.return_fields = fields
+            if n == 0:
+                sp.no_content = True  # RETURN 0 == NOCONTENT (ft.search.md)
+        elif tok == "TIMEOUT":
+            if i + 1 >= len(args):
+                raise FTSearchError("TIMEOUT needs a value")
+            try:
+                sp.timeout_ms = int(_s(args[i + 1]))
+            except ValueError:
+                raise FTSearchError("bad TIMEOUT")
+            i += 2
+        elif tok == "SORTBY":
+            if i + 1 >= len(args):
+                raise FTSearchError("SORTBY needs a field")
+            sp.sortby = _s(args[i + 1])
+            i += 2
+            if i < len(args) and _s(args[i]).upper() in ("ASC", "DESC"):
+                sp.sortby_desc = _s(args[i]).upper() == "DESC"
+                i += 1
+        elif tok == "WITHSORTKEYS":
+            sp.withsortkeys = True
+            i += 1
+        elif tok == "DIALECT":
+            if i + 1 >= len(args):
+                raise FTSearchError("DIALECT needs a value")
+            if _s(args[i + 1]) != "2":
+                raise FTSearchError("only DIALECT 2 is supported")
+            i += 2
+        elif tok in ("ALLSHARDS", "SOMESHARDS", "CONSISTENT", "INCONSISTENT",
+                     "VERBATIM", "INORDER"):
+            # cluster-consistency + text options; INORDER/VERBATIM feed the
+            # text engine; SOMESHARDS maps to partial-results policy.
+            if tok == "SOMESHARDS":
+                sp.params["__partial_results"] = True
+            if tok == "VERBATIM":
+                sp.params["__verbatim"] = True
+            if tok == "INORDER":
+                sp.params["__inorder"] = True
+            i += 1
+        elif tok == "SLOP":
+            if i + 1 >= len(args):
+                raise FTSearchError("SLOP needs a value")
+            sp.params["__slop"] = int(_s(args[i + 1]))
+            i += 2
+        elif tok == "LOCALONLY":
+            sp.local_only = True
+            i += 1
+        else:
+            raise FTSearchError(f"unknown FT.SEARCH option {tok!r}")
+    return sp
+
+
+def _sort_key(value) -> Tuple:
+    """Mixed-type stable sort key: numbers before strings (reference
+    ApplySorting, ft_search.cc:189-250)."""
+    try:
+        return (0, float(value))
+    except (TypeError, ValueError):
+        return (1, _s(value))
+
+
+def resolve_content(
+    engine, schema, resp: SearchResponse
+) -> List[Tuple[Neighbor, Optional[Dict[str, Value]]]]:
+    """Fetch current document contents and re-verify the predicate, dropping
+    keys whose value changed since the snapshot search ran
+    (reference ProcessNeighborsForReply / PerformKeyContentionCheck,
+    index_schema.cc:1917)."""
+    ctx = P.EvalContext(schema)
+    out = []
+    for nb in resp.neighbors:
+        fields = engine.hgetall(nb.key) if engine is not None else None
+        if fields is not None and not fields:
+            continue  # key deleted since snapshot
+        if (
+            resp.predicate is not None
+            and not isinstance(resp.predicate, P.MatchAll)
+            and nb.doc >= 0
+        ):
+            try:
+                if not resp.predicate.matches(ctx, nb.doc):
+                    continue
+            except ValueError:
+                pass
+        out.append((nb, fields))
+    return out
+
+
+def run_ft_search(engine, schema, sp: SearchParameters) -> list:
+    """Execute and shape the reply: [count, key, [field, value, ...], ...]."""
+    resp = execute_search(schema, sp)
+    rows = resolve_content(engine, schema, resp)
+
+    # SORTBY (applied before LIMIT; stable; ft.search.md)
+    if sp.sortby is not None:
+        score_name = resp.score_field
+
+        def keyfn(row):
+            nb, fields = row
+            if score_name is not None and sp.sortby == score_name:
+                return (0, nb.distance if nb.distance is not None else 0.0)
+            v = (fields or {}).get(sp.sortby)
+            if v is None:
+                return (2, "")
+            return _sort_key(v)
+
+        rows.sort(key=keyfn, reverse=sp.sortby_desc)
+    elif resp.knn is not None:
+        rows.sort(key=lambda r: (r[0].distance if r[0].distance is not None else 0.0))
+
+    total = resp.total if resp.knn is None else len(rows)
+    window = rows[sp.limit_offset : sp.limit_offset + sp.limit_num]
+
+    reply: list = [total]
+    for nb, fields in window:
+        reply.append(nb.key)
+        if sp.no_content:
+            if sp.withsortkeys and sp.sortby is not None:
+                reply.append(_sortkey_value(nb, fields, sp, resp))
+            continue
+        pairs: list = []
+        if sp.return_fields is not None:
+            for f, as_name in sp.return_fields:
+                if resp.score_field is not None and f == resp.score_field:
+                    pairs += [as_name, _fmt_num(nb.distance)]
+                    continue
+                v = (fields or {}).get(f)
+                if v is not None:
+                    pairs += [as_name, v]
+        else:
+            for f, v in sorted((fields or {}).items()):
+                pairs += [f, v]
+        if resp.score_field is not None and (
+            sp.return_fields is None
+            or not any(f == resp.score_field for f, _ in sp.return_fields)
+        ):
+            pairs += [resp.score_field, _fmt_num(nb.distance)]
+        if sp.withsortkeys and sp.sortby is not None:
+            reply.append(_sortkey_value(nb, fields, sp, resp))
+        reply.append(pairs)
+    return reply
+
+
+def _sortkey_value(nb, fields, sp, resp):
+    if resp.score_field is not None and sp.sortby == resp.score_field:
+        return _fmt_num(nb.distance)
+    return (fields or {}).get(sp.sortby)
+
+
+def _fmt_num(v: Optional[float]) -> str:
+    if v is None:
+        return ""
+    return repr(float(v))
