@@ -463,4 +463,35 @@ int hnsw_import(void* p, int32_t count, const float* vectors,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// CPU brute-force exact k-NN (the reference's BruteforceSearch equivalent,
+// third_party/hnswlib/bruteforce.h) — used as the single-host CPU baseline
+// in bench.py and for small-set rescoring.
+// ---------------------------------------------------------------------------
+
+void bf_topk(const float* corpus, int32_t n, int dim, const float* q, int k,
+             int metric, int32_t* out_ids, float* out_dists) {
+  MaxHeap heap;
+  for (int32_t i = 0; i < n; ++i) {
+    const float* v = corpus + (size_t)i * dim;
+    const float d = metric == 0 ? l2_sq(q, v, dim) : ip_dist(q, v, dim);
+    if ((int)heap.size() < k) {
+      heap.emplace(d, i);
+    } else if (d < heap.top().first) {
+      heap.pop();
+      heap.emplace(d, i);
+    }
+  }
+  const int m = (int)heap.size();
+  for (int i = m - 1; i >= 0; --i) {
+    out_dists[i] = heap.top().first;
+    out_ids[i] = heap.top().second;
+    heap.pop();
+  }
+  for (int i = m; i < k; ++i) {
+    out_ids[i] = -1;
+    out_dists[i] = std::numeric_limits<float>::infinity();
+  }
+}
+
 }  // extern "C"

@@ -132,6 +132,37 @@ class HnswVectorIndex(VectorIndexBase):
             STATS.incr("vector_records_removed")
             return RecordResult.REMOVED
 
+    def bulk_load(self, keys, vectors: np.ndarray) -> int:
+        """Batch construction: one native add_batch call (GIL released) +
+        vectorized store writes. Returns count inserted."""
+        vectors = np.ascontiguousarray(vectors, np.float32)
+        with self._lock:
+            ins = vectors
+            if self.metric == "cosine":
+                mags = np.linalg.norm(vectors, axis=1, keepdims=True)
+                ins = vectors / np.maximum(mags, 1e-30)
+            nodes = self.builder.add_batch(ins)
+            self.store.ensure_capacity(int(nodes.max()) + 1)
+            self._ensure_node_arrays()
+            st = self.store
+            st.vectors[nodes] = ins
+            st.norms_sq[nodes] = (ins * ins).sum(1)
+            if self.metric == "cosine":
+                st.magnitudes[nodes] = np.linalg.norm(vectors, axis=1)
+            st.present[nodes] = True
+            st._device = None
+            docs = np.fromiter(
+                (self.interner.intern(k) for k in keys), np.int64, len(keys)
+            )
+            self._node_doc[nodes] = docs
+            self._deleted[nodes] = False
+            for k, d, n in zip(keys, docs, nodes):
+                self._tracked[k] = int(d)
+                self._doc_node[int(d)] = int(n)
+            self._graph_dirty = True
+            STATS.incr("vector_records_added", len(keys))
+            return len(keys)
+
     def _ensure_node_arrays(self):
         cap = self.store.capacity
         if self._node_doc.shape[0] < cap:

@@ -247,6 +247,34 @@ class VectorIndexBase(IndexBase):
         with self._lock:
             return self._tracked.get(key)
 
+    def bulk_load(self, keys: Sequence[str], vectors: np.ndarray) -> int:
+        """Vectorized batch ingest (backfill fast path; the reference's
+        backfill feeds records one at a time through the writer pool,
+        index_schema.cc:1044 — here the whole batch lands with numpy writes
+        and one device publish)."""
+        vectors = np.ascontiguousarray(vectors, np.float32)
+        if vectors.shape[1] != self.dim:
+            raise ValueError("bulk_load dim mismatch")
+        with self._lock:
+            docs = np.fromiter(
+                (self.interner.intern(k) for k in keys), np.int64, len(keys)
+            )
+            self.store.ensure_capacity(int(docs.max()) + 1)
+            st = self.store
+            vecs = vectors
+            if self.metric == "cosine":
+                mags = np.linalg.norm(vectors, axis=1)
+                st.magnitudes[docs] = mags
+                vecs = vectors / np.maximum(mags, 1e-30)[:, None]
+            st.vectors[docs] = vecs
+            st.norms_sq[docs] = (vecs * vecs).sum(1)
+            st.present[docs] = True
+            st._device = None  # full re-upload on next publish
+            for k, d in zip(keys, docs):
+                self._tracked[k] = int(d)
+            STATS.incr("vector_records_added", len(keys))
+            return len(keys)
+
     # -- reply construction (reference vector_base.h:177 CreateReply) -------
     def neighbors_to_keys(
         self, dists: np.ndarray, ids: np.ndarray

@@ -74,8 +74,30 @@ def load() -> ct.CDLL:
             ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
             ct.POINTER(ct.c_int64), ct.c_int32, ct.c_int,
         ]
+        lib.bf_topk.argtypes = [
+            ct.POINTER(ct.c_float), ct.c_int32, ct.c_int,
+            ct.POINTER(ct.c_float), ct.c_int, ct.c_int,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_float),
+        ]
         _lib = lib
         return lib
+
+
+def cpu_brute_force_topk(
+    corpus: np.ndarray, query: np.ndarray, k: int, metric: str = "l2"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-query exact CPU scan (reference bruteforce.h equivalent);
+    the single-host CPU baseline for bench.py."""
+    lib = load()
+    corpus = np.ascontiguousarray(corpus, np.float32)
+    query = np.ascontiguousarray(query, np.float32)
+    ids = np.full(k, -1, np.int32)
+    dists = np.full(k, np.inf, np.float32)
+    lib.bf_topk(
+        _fptr(corpus), corpus.shape[0], corpus.shape[1], _fptr(query),
+        k, 0 if metric == "l2" else 1, _iptr(ids), _fptr(dists),
+    )
+    return dists, ids
 
 
 def _fptr(a: np.ndarray):

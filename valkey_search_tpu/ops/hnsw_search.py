@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from valkey_search_tpu.ops import distance as dist_ops
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # python scalar — see ops/topk.py note on jnp constants
 
 
 class HnswDeviceGraph(NamedTuple):

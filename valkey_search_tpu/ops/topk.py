@@ -22,8 +22,12 @@ import jax.numpy as jnp
 
 from valkey_search_tpu.ops import distance as dist_ops
 
-INF = jnp.float32(jnp.inf)
-INVALID_ID = jnp.int32(-1)
+# Plain Python scalars, NOT jnp arrays: a module-level jnp constant is
+# committed to the import-time default device and poisons lowering for any
+# other backend (embedding a TPU-resident constant into a CPU program forces
+# a cross-client transfer during MLIR lowering).
+INF = float("inf")
+INVALID_ID = -1
 
 
 def merge_topk(

@@ -1,0 +1,273 @@
+"""Sharded search programs: shard_map over a device mesh + ICI top-k merge.
+
+Reference mapping (SURVEY §2.4/§2.5 P5): a cluster shard = one mesh-axis
+partition of the corpus; ``SearchIndexPartition`` (the per-shard gRPC RPC,
+src/coordinator/coordinator.proto:21-31) = the per-device local top-k over
+its shard; the coordinator's k-bounded merge heap
+(src/query/fanout.cc:69-222 SearchPartitionResultsTracker) = an
+``all_gather`` of per-shard top-k rows over ICI followed by a k-selection —
+O(S·k) bytes on the interconnect per query batch instead of S RPCs.
+
+Consistency: the reference rejects RPCs whose index fingerprint/version
+disagrees (FAILED_PRECONDITION, server.h:60-65); here each shard carries a
+version scalar and the program returns the (min, max) over shards — the
+host treats min≠max as the same precondition failure and retries against a
+fresh snapshot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as Spec
+
+from valkey_search_tpu.ops import distance as dist_ops
+from valkey_search_tpu.ops import hnsw_search as hs_ops
+from valkey_search_tpu.ops import topk as topk_ops
+
+SHARD_AXIS = "shard"
+REPLICA_AXIS = "replica"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (SHARD_AXIS,))
+
+
+def make_mesh_2d(n_shards: int, n_replicas: int, devices=None) -> Mesh:
+    """(shard × replica) mesh: corpus partitioned over `shard`, query batch
+    partitioned over `replica` — replica read-scaling (reference P7,
+    cluster_map.h FanoutTargetMode replica routing) as a mesh axis."""
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    need = n_shards * n_replicas
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:need]).reshape(n_shards, n_replicas),
+        (SHARD_AXIS, REPLICA_AXIS),
+    )
+
+
+def _merge_gathered(all_d, all_i, k):
+    """[S, B, k] per-shard results → [B, k] global best (fanout merge heap)."""
+    s, b, kk = all_d.shape
+    flat_d = jnp.swapaxes(all_d, 0, 1).reshape(b, s * kk)
+    flat_i = jnp.swapaxes(all_i, 0, 1).reshape(b, s * kk)
+    neg_top, pos = jax.lax.top_k(-flat_d, k)
+    return -neg_top, jnp.take_along_axis(flat_i, pos, axis=-1)
+
+
+def sharded_flat_topk(
+    mesh: Mesh,
+    corpus: jnp.ndarray,          # [S * rows_per_shard, d], sharded on axis 0
+    queries: jnp.ndarray,         # [B, d] replicated
+    k: int,
+    metric: str = "l2",
+    invalid: Optional[jnp.ndarray] = None,   # [S * rows] sharded
+    filter_mask: Optional[jnp.ndarray] = None,
+    shard_versions: Optional[jnp.ndarray] = None,  # [S] int32, sharded
+    block_rows: int = 131072,
+    precision: str = "highest",
+):
+    """Exact k-NN over a mesh-sharded corpus.
+
+    Returns (dists [B,k], global ids [B,k], version_minmax [2]). Each device
+    scans only its local shard (1/S of HBM traffic), local ids are offset to
+    global ids, and one all_gather of [B,k] rows merges over ICI.
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+    rows = corpus.shape[0] // n_shards
+
+    def local(corpus_l, queries_l, invalid_l, filter_l, version_l):
+        shard_id = jax.lax.axis_index(SHARD_AXIS)
+        d, i = topk_ops.flat_topk(
+            queries_l,
+            corpus_l,
+            k=k,
+            metric=metric,
+            invalid=invalid_l if invalid is not None else None,
+            filter_mask=filter_l if filter_mask is not None else None,
+            block_rows=min(block_rows, rows),
+            precision=precision,
+        )
+        gids = jnp.where(i >= 0, i + shard_id * rows, -1)
+        all_d = jax.lax.all_gather(d, SHARD_AXIS)      # [S, B, k] over ICI
+        all_i = jax.lax.all_gather(gids, SHARD_AXIS)
+        md, mi = _merge_gathered(all_d, all_i, k)
+        vmin = jax.lax.pmin(version_l[0], SHARD_AXIS)
+        vmax = jax.lax.pmax(version_l[0], SHARD_AXIS)
+        return md, mi, jnp.stack([vmin, vmax])
+
+    if shard_versions is None:
+        shard_versions = jnp.zeros(n_shards, jnp.int32)
+    if invalid is None:
+        invalid_arg = jnp.zeros(corpus.shape[0], bool)
+    else:
+        invalid_arg = invalid
+    if filter_mask is None:
+        filter_arg = jnp.zeros(corpus.shape[0], bool)
+    else:
+        filter_arg = filter_mask
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            Spec(SHARD_AXIS, None),  # corpus
+            Spec(),                  # queries replicated
+            Spec(SHARD_AXIS),        # invalid
+            Spec(SHARD_AXIS),        # filter
+            Spec(SHARD_AXIS),        # versions
+        ),
+        out_specs=(Spec(), Spec(), Spec()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(corpus, queries, invalid_arg, filter_arg, shard_versions)
+
+
+def sharded_hnsw_search(
+    mesh: Mesh,
+    graphs: hs_ops.HnswDeviceGraph,   # every leaf stacked on axis 0 = [S, ...]
+    queries: jnp.ndarray,             # [B, d] replicated
+    k: int,
+    ef: int,
+    metric: str = "l2",
+    filter_masks: Optional[jnp.ndarray] = None,  # [S, doc_cap] or None
+    shard_versions: Optional[jnp.ndarray] = None,
+    precision: str = "highest",
+):
+    """ANN over per-shard HNSW graphs: each device beam-searches its own
+    subgraph, then per-shard top-k rows all_gather + merge over ICI.
+
+    ``graphs`` holds S independent subgraphs with identical capacities,
+    stacked on a leading shard axis; result ids are returned as
+    (shard, node) pairs encoded as shard * node_cap + node.
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+    node_cap = graphs.vectors.shape[1]
+
+    filtered = filter_masks is not None
+    if filter_masks is None:
+        filter_masks = jnp.zeros((n_shards, 1), bool)
+    if shard_versions is None:
+        shard_versions = jnp.zeros(n_shards, jnp.int32)
+
+    def local(g_leaves, queries_l, fmask_l, version_l):
+        shard_id = jax.lax.axis_index(SHARD_AXIS)
+        graph = jax.tree_util.tree_unflatten(
+            treedef, [leaf[0] for leaf in g_leaves]
+        )
+        d, nodes = hs_ops.hnsw_search_batch(
+            graph,
+            queries_l,
+            k=k,
+            ef=ef,
+            metric=metric,
+            filter_mask=fmask_l[0],
+            filtered=filtered,
+            precision=precision,
+        )
+        gids = jnp.where(nodes >= 0, nodes + shard_id * node_cap, -1)
+        all_d = jax.lax.all_gather(d, SHARD_AXIS)
+        all_i = jax.lax.all_gather(gids, SHARD_AXIS)
+        md, mi = _merge_gathered(all_d, all_i, k)
+        vmin = jax.lax.pmin(version_l[0], SHARD_AXIS)
+        vmax = jax.lax.pmax(version_l[0], SHARD_AXIS)
+        return md, mi, jnp.stack([vmin, vmax])
+
+    leaves, treedef = jax.tree_util.tree_flatten(graphs)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            tuple(Spec(SHARD_AXIS) for _ in leaves),
+            Spec(),
+            Spec(SHARD_AXIS),
+            Spec(SHARD_AXIS),
+        ),
+        out_specs=(Spec(), Spec(), Spec()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(tuple(leaves), queries, filter_masks, shard_versions)
+
+
+def replicated_sharded_flat_topk(
+    mesh: Mesh,
+    corpus: jnp.ndarray,        # [S * rows, d] sharded over SHARD_AXIS
+    queries: jnp.ndarray,       # [R * b, d] sharded over REPLICA_AXIS
+    k: int,
+    metric: str = "l2",
+    precision: str = "highest",
+):
+    """2D-mesh search: corpus split over `shard`, query batch split over
+    `replica`. Each (shard, replica) device scans its corpus shard for its
+    query sub-batch; the top-k merge all_gathers only across the shard axis,
+    so replica groups serve disjoint query traffic in parallel (replica read
+    scaling, reference P7)."""
+    n_shards = mesh.shape[SHARD_AXIS]
+    rows = corpus.shape[0] // n_shards
+
+    def local(corpus_l, queries_l):
+        shard_id = jax.lax.axis_index(SHARD_AXIS)
+        d, i = topk_ops.flat_topk(
+            queries_l, corpus_l, k=k, metric=metric,
+            block_rows=rows, precision=precision,
+        )
+        gids = jnp.where(i >= 0, i + shard_id * rows, -1)
+        all_d = jax.lax.all_gather(d, SHARD_AXIS)
+        all_i = jax.lax.all_gather(gids, SHARD_AXIS)
+        return _merge_gathered(all_d, all_i, k)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(Spec(SHARD_AXIS, None), Spec(REPLICA_AXIS, None)),
+        out_specs=(Spec(REPLICA_AXIS, None), Spec(REPLICA_AXIS, None)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(corpus, queries)
+
+
+def sharded_batch_update(
+    mesh: Mesh,
+    corpus: jnp.ndarray,       # [S * rows, d] sharded
+    row_ids: jnp.ndarray,      # [U] global row ids (replicated)
+    new_vecs: jnp.ndarray,     # [U, d] replicated
+):
+    """Sharded scatter-update of corpus rows (the distributed ingest step:
+    each device applies only the updates that land in its shard — the
+    reference's per-shard writer pools, P2, applied mesh-wide)."""
+    n_shards = mesh.shape[SHARD_AXIS]
+    rows = corpus.shape[0] // n_shards
+
+    def local(corpus_l, row_ids_l, new_vecs_l):
+        shard_id = jax.lax.axis_index(SHARD_AXIS)
+        local_ids = row_ids_l - shard_id * rows
+        mine = (local_ids >= 0) & (local_ids < rows)
+        safe = jnp.where(mine, local_ids, rows)  # row `rows` = discard pad
+        padded = jnp.concatenate(
+            [corpus_l, jnp.zeros((1, corpus_l.shape[1]), corpus_l.dtype)]
+        )
+        padded = padded.at[safe].set(
+            jnp.where(mine[:, None], new_vecs_l, padded[safe])
+        )
+        return padded[:rows]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(Spec(SHARD_AXIS, None), Spec(), Spec()),
+        out_specs=Spec(SHARD_AXIS, None),
+        check_rep=False,
+    )
+    return jax.jit(fn)(corpus, row_ids, new_vecs)

@@ -1,0 +1,489 @@
+"""Aggregation expression engine: compile + evaluate APPLY/FILTER expressions.
+
+Reference: src/expr/ (1,690 LoC) — ``Expression::Compile`` (expr.h:66) builds
+an AST over dynamically-typed ``Value``s (nil / numeric double / string,
+value.h:25) with C-like precedence, @field refs, $param refs, and the
+function library documented in docs/topics/search-expressions.md
+(numeric, string, timestamp, exists).
+"""
+
+from __future__ import annotations
+
+import calendar
+import math
+import time as _time
+from typing import Callable, Dict, List, Optional, Union
+
+Value = Union[None, float, str]  # Nil / Numeric / String
+
+
+class ExprError(ValueError):
+    pass
+
+
+def to_number(v: Value) -> Optional[float]:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    if isinstance(v, int):
+        return float(v)
+    s = str(v).strip()
+    low = s.lower()
+    if low in ("inf", "+inf", "infinity", "+infinity"):
+        return math.inf
+    if low in ("-inf", "-infinity"):
+        return -math.inf
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def to_string(v: Value) -> Optional[str]:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15 and not math.isinf(v):
+            return str(int(v))
+        return repr(v)
+    return str(v)
+
+
+def truthy(v: Value) -> bool:
+    """Logical ops: 0 iff convertible to numeric 0, else 1 (spec)."""
+    n = to_number(v)
+    return not (n is not None and n == 0.0)
+
+
+class Node:
+    def eval(self, record: Dict[str, Value], params: Dict[str, Value]) -> Value:
+        raise NotImplementedError
+
+
+class Const(Node):
+    def __init__(self, v: Value):
+        self.v = v
+
+    def eval(self, record, params):
+        return self.v
+
+
+class FieldRef(Node):
+    def __init__(self, name: str):
+        self.name = name
+
+    def eval(self, record, params):
+        return record.get(self.name)
+
+
+class ParamRef(Node):
+    def __init__(self, name: str):
+        self.name = name
+
+    def eval(self, record, params):
+        v = params.get(self.name)
+        if isinstance(v, (bytes, bytearray)):
+            return v.decode(errors="replace")
+        return v if v is None or isinstance(v, (float, str)) else str(v)
+
+
+class Unary(Node):
+    def __init__(self, op: str, child: Node):
+        self.op = op
+        self.child = child
+
+    def eval(self, record, params):
+        v = self.child.eval(record, params)
+        if self.op == "!":
+            return 0.0 if truthy(v) else 1.0
+        if self.op == "-":
+            n = to_number(v)
+            return None if n is None else -n
+        raise ExprError(f"bad unary {self.op}")
+
+
+class Binary(Node):
+    def __init__(self, op: str, left: Node, right: Node):
+        self.op = op
+        self.left = left
+        self.right = right
+
+    def eval(self, record, params):
+        op = self.op
+        if op == "&&":
+            lv = self.left.eval(record, params)
+            if not truthy(lv):
+                return 0.0
+            return 1.0 if truthy(self.right.eval(record, params)) else 0.0
+        if op == "||":
+            lv = self.left.eval(record, params)
+            if truthy(lv):
+                return 1.0
+            return 1.0 if truthy(self.right.eval(record, params)) else 0.0
+        lv = self.left.eval(record, params)
+        rv = self.right.eval(record, params)
+        if op in ("+", "-", "*", "/", "%", "^"):
+            ln, rn = to_number(lv), to_number(rv)
+            if ln is None or rn is None:
+                return None
+            try:
+                if op == "+":
+                    return ln + rn
+                if op == "-":
+                    return ln - rn
+                if op == "*":
+                    return ln * rn
+                if op == "/":
+                    return ln / rn if rn != 0 else None
+                if op == "%":
+                    return math.fmod(ln, rn) if rn != 0 else None
+                if op == "^":
+                    return float(ln**rn)
+            except (OverflowError, ValueError):
+                return None
+        # relational: conversion rules from search-expressions.md
+        cmp = _compare(lv, rv)
+        if cmp is None:
+            return 0.0 if op == "!=" else 0.0 if op != "==" else 0.0
+        res = {
+            "<": cmp < 0, "<=": cmp <= 0, "==": cmp == 0,
+            "!=": cmp != 0, ">": cmp > 0, ">=": cmp >= 0,
+        }[op]
+        return 1.0 if res else 0.0
+
+
+def _compare(a: Value, b: Value) -> Optional[int]:
+    if a is None and b is None:
+        return 0
+    if a is None or b is None:
+        return None  # unordered
+    an, bn = to_number(a), to_number(b)
+    if isinstance(a, float) and isinstance(b, float):
+        pass
+    elif isinstance(a, str) and isinstance(b, str):
+        an = bn = None  # prefer string compare
+        a_s, b_s = a, b
+        return (a_s > b_s) - (a_s < b_s)
+    if (isinstance(a, float) or isinstance(b, float)) and an is not None and bn is not None:
+        return (an > bn) - (an < bn)
+    a_s, b_s = to_string(a), to_string(b)
+    return (a_s > b_s) - (a_s < b_s)
+
+
+class Call(Node):
+    def __init__(self, name: str, args: List[Node]):
+        self.name = name
+        self.args = args
+        fn = _FUNCTIONS.get(name)
+        if fn is None:
+            raise ExprError(f"unknown function {name!r}")
+        lo, hi, self.fn = fn
+        if not lo <= len(args) <= hi:
+            raise ExprError(f"{name}() takes {lo}..{hi} args, got {len(args)}")
+
+    def eval(self, record, params):
+        return self.fn([a.eval(record, params) for a in self.args])
+
+
+def _num1(f: Callable[[float], float]):
+    def g(args):
+        n = to_number(args[0])
+        if n is None:
+            return None
+        try:
+            return float(f(n))
+        except (ValueError, OverflowError):
+            return None
+
+    return g
+
+
+def _tm(field: str):
+    def g(args):
+        n = to_number(args[0])
+        if n is None:
+            return None
+        try:
+            t = _time.gmtime(n)
+        except (OverflowError, OSError, ValueError):
+            return None
+        v = getattr(t, field)
+        if field == "tm_mon":
+            v -= 1  # spec months are 0-11 (C gmtime convention)
+        elif field == "tm_wday":
+            v = (v + 1) % 7  # python Monday=0 → C Sunday=0
+        return float(v)
+
+    return g
+
+
+def _fn_timefmt(args):
+    n = to_number(args[0])
+    if n is None:
+        return None
+    fmt = to_string(args[1]) if len(args) > 1 else "%FT%TZ"
+    try:
+        return _time.strftime(fmt, _time.gmtime(n))
+    except (OverflowError, OSError, ValueError):
+        return None
+
+
+def _fn_parsetime(args):
+    s = to_string(args[0])
+    fmt = to_string(args[1]) if len(args) > 1 else "%FT%TZ"
+    if s is None or fmt is None:
+        return None
+    try:
+        return float(calendar.timegm(_time.strptime(s, fmt)))
+    except ValueError:
+        return None
+
+
+def _fn_substr(args):
+    s = to_string(args[0])
+    off = to_number(args[1])
+    length = to_number(args[2])
+    if s is None or off is None or length is None:
+        return None
+    off = int(off)
+    length = int(length)
+    if off < 0 or off > len(s):
+        return None
+    return s[off:] if length < 0 else s[off : off + length]
+
+
+_FUNCTIONS: Dict[str, tuple] = {
+    "log": (1, 1, _num1(math.log)),
+    "log2": (1, 1, _num1(math.log2)),
+    "exp": (1, 1, _num1(math.exp)),
+    "abs": (1, 1, _num1(abs)),
+    "ceil": (1, 1, _num1(math.ceil)),
+    "floor": (1, 1, _num1(math.floor)),
+    "sqrt": (1, 1, _num1(math.sqrt)),
+    "upper": (1, 1, lambda a: None if to_string(a[0]) is None else to_string(a[0]).upper()),
+    "lower": (1, 1, lambda a: None if to_string(a[0]) is None else to_string(a[0]).lower()),
+    "startswith": (2, 2, lambda a: _strfn2(a, lambda x, y: 1.0 if x.startswith(y) else 0.0)),
+    "contains": (2, 2, lambda a: _strfn2(a, lambda x, y: float(x.count(y)) if y else float(len(x) + 1))),
+    "strlen": (1, 1, lambda a: None if to_string(a[0]) is None else float(len(to_string(a[0])))),
+    "substr": (3, 3, _fn_substr),
+    "concat": (1, 50, lambda a: None if any(to_string(x) is None for x in a) else "".join(to_string(x) for x in a)),
+    "dayofweek": (1, 1, _tm("tm_wday")),
+    "dayofmonth": (1, 1, _tm("tm_mday")),
+    "dayofyear": (1, 1, lambda a: None if to_number(a[0]) is None else float(_time.gmtime(to_number(a[0])).tm_yday - 1)),
+    "monthofyear": (1, 1, _tm("tm_mon")),
+    "year": (1, 1, _tm("tm_year")),
+    "minute": (1, 1, _tm("tm_min")),
+    "hour": (1, 1, _tm("tm_hour")),
+    "day": (1, 1, _tm("tm_mday")),
+    "month": (1, 1, _tm("tm_mon")),
+    "timefmt": (1, 2, _fn_timefmt),
+    "parsetime": (1, 2, _fn_parsetime),
+    "exists": (1, 1, lambda a: 0.0 if a[0] is None else 1.0),
+}
+
+
+def _strfn2(args, f):
+    x, y = to_string(args[0]), to_string(args[1])
+    if x is None or y is None:
+        return None
+    return f(x, y)
+
+
+# ---------------------------------------------------------------------------
+# parser (C-like precedence: || < && < relational < additive < multiplicative
+# < unary < primary — search-expressions.md BNF)
+# ---------------------------------------------------------------------------
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.tok: Optional[str] = None
+        self.val: Value = None
+        self.advance()
+
+    def advance(self):
+        t = self.text
+        n = len(t)
+        while self.pos < n and t[self.pos] in " \t\r\n":
+            self.pos += 1
+        if self.pos >= n:
+            self.tok = None
+            return
+        c = t[self.pos]
+        two = t[self.pos : self.pos + 2]
+        if two in ("&&", "||", "<=", ">=", "==", "!="):
+            self.tok = two
+            self.pos += 2
+            return
+        if c in "+-*/%^!<>(),":
+            self.tok = c
+            self.pos += 1
+            return
+        if c in "'\"":
+            quote = c
+            self.pos += 1
+            out = []
+            while self.pos < n and t[self.pos] != quote:
+                if t[self.pos] == "\\" and self.pos + 1 < n:
+                    self.pos += 1
+                out.append(t[self.pos])
+                self.pos += 1
+            if self.pos >= n:
+                raise ExprError("unterminated string constant")
+            self.pos += 1
+            self.tok = "str"
+            self.val = "".join(out)
+            return
+        if c.isdigit() or (c == "." and self.pos + 1 < n and t[self.pos + 1].isdigit()):
+            start = self.pos
+            while self.pos < n and (t[self.pos].isdigit() or t[self.pos] in ".eE"):
+                if t[self.pos] in "eE" and self.pos + 1 < n and t[self.pos + 1] in "+-":
+                    self.pos += 1
+                self.pos += 1
+            self.tok = "num"
+            self.val = float(t[start : self.pos])
+            return
+        if c in "@$":
+            self.pos += 1
+            start = self.pos
+            while self.pos < n and (t[self.pos].isalnum() or t[self.pos] in "_."):
+                self.pos += 1
+            if start == self.pos:
+                raise ExprError(f"expected identifier after {c!r}")
+            self.tok = "field" if c == "@" else "param"
+            self.val = t[start : self.pos]
+            return
+        if c.isalpha() or c == "_":
+            start = self.pos
+            while self.pos < n and (t[self.pos].isalnum() or t[self.pos] == "_"):
+                self.pos += 1
+            word = t[start : self.pos]
+            low = word.lower()
+            if low in ("inf", "infinity"):
+                self.tok = "num"
+                self.val = math.inf
+                return
+            self.tok = "ident"
+            self.val = word
+            return
+        raise ExprError(f"bad character {c!r} in expression")
+
+
+def compile_expr(text: str) -> Node:
+    lx = _Lexer(text)
+    node = _parse_or(lx)
+    if lx.tok is not None:
+        raise ExprError(f"trailing tokens in expression: {text!r}")
+    return node
+
+
+def _parse_or(lx):
+    node = _parse_and(lx)
+    while lx.tok == "||":
+        lx.advance()
+        node = Binary("||", node, _parse_and(lx))
+    return node
+
+
+def _parse_and(lx):
+    node = _parse_rel(lx)
+    while lx.tok == "&&":
+        lx.advance()
+        node = Binary("&&", node, _parse_rel(lx))
+    return node
+
+
+def _parse_rel(lx):
+    node = _parse_add(lx)
+    while lx.tok in ("<", "<=", "==", "!=", ">", ">="):
+        op = lx.tok
+        lx.advance()
+        node = Binary(op, node, _parse_add(lx))
+    return node
+
+
+def _parse_add(lx):
+    node = _parse_mul(lx)
+    while lx.tok in ("+", "-"):
+        op = lx.tok
+        lx.advance()
+        node = Binary(op, node, _parse_mul(lx))
+    return node
+
+
+def _parse_mul(lx):
+    node = _parse_unary(lx)
+    while lx.tok in ("*", "/", "%", "^"):
+        op = lx.tok
+        lx.advance()
+        node = Binary(op, node, _parse_unary(lx))
+    return node
+
+
+def _parse_unary(lx):
+    if lx.tok in ("!", "-", "+"):
+        op = lx.tok
+        lx.advance()
+        child = _parse_unary(lx)
+        if op == "+":
+            return child
+        return Unary(op, child)
+    return _parse_primary(lx)
+
+
+def _parse_primary(lx):
+    tok = lx.tok
+    if tok == "num":
+        node = Const(float(lx.val))
+        lx.advance()
+        return node
+    if tok == "str":
+        node = Const(str(lx.val))
+        lx.advance()
+        return node
+    if tok == "field":
+        node = FieldRef(str(lx.val))
+        lx.advance()
+        return node
+    if tok == "param":
+        node = ParamRef(str(lx.val))
+        lx.advance()
+        return node
+    if tok == "(":
+        lx.advance()
+        node = _parse_or(lx)
+        if lx.tok != ")":
+            raise ExprError("expected ')'")
+        lx.advance()
+        return node
+    if tok == "ident":
+        name = str(lx.val).lower()
+        lx.advance()
+        if lx.tok != "(":
+            raise ExprError(f"unexpected identifier {name!r}")
+        lx.advance()
+        args: List[Node] = []
+        if lx.tok != ")":
+            args.append(_parse_or(lx))
+            while lx.tok == ",":
+                lx.advance()
+                args.append(_parse_or(lx))
+        if lx.tok != ")":
+            raise ExprError("expected ')' after function args")
+        lx.advance()
+        return Call(name, args)
+    raise ExprError(f"unexpected token {tok!r}")
+
+
+class Expression:
+    """Compiled expression (reference Expression::Compile, expr.h:66)."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.root = compile_expr(text)
+
+    def eval(self, record: Dict[str, Value], params: Optional[Dict] = None) -> Value:
+        return self.root.eval(record, params or {})

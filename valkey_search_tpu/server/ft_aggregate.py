@@ -1,0 +1,449 @@
+"""FT.AGGREGATE: staged record pipeline over search results.
+
+Reference: src/commands/ft_aggregate*.{h,cc} (~1,530 LoC) — query → LOAD
+records → sequential stages APPLY / FILTER / LIMIT / SORTBY(+MAX) /
+GROUPBY+reducers (Stage, ft_aggregate_parser.h:147; reducer table
+ft_aggregate_exec.cc:406-413: AVG COUNT COUNT_DISTINCT MIN MAX STDDEV SUM).
+STDDEV is the n-1 sample deviation, 0 for n≤1 (ft_aggregate_exec.cc:311).
+Reducers default their output name to "NAME(arg,...)"
+(ft_aggregate_exec.cc:392-399).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple, Union
+
+from valkey_search_tpu.query import expr as E
+from valkey_search_tpu.query.search import SearchParameters, execute_search
+from valkey_search_tpu.server import ft_search as fts
+
+Value = Union[str, bytes, int, float]
+Record = Dict[str, E.Value]
+
+
+class FTAggregateError(ValueError):
+    pass
+
+
+def _s(v: Value) -> str:
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
+# --------------------------------------------------------------------------
+# reducers
+# --------------------------------------------------------------------------
+
+
+class _Reducer:
+    def __init__(self, name: str, args: List[E.Expression], alias: str):
+        self.name = name
+        self.args = args
+        self.alias = alias
+
+    def make(self):
+        return _REDUCER_IMPL[self.name]()
+
+
+class _Count:
+    def __init__(self):
+        self.n = 0
+
+    def add(self, vals):
+        self.n += 1
+
+    def result(self):
+        return float(self.n)
+
+
+class _Sum:
+    def __init__(self):
+        self.s = 0.0
+
+    def add(self, vals):
+        v = E.to_number(vals[0])
+        if v is not None:
+            self.s += v
+
+    def result(self):
+        return self.s
+
+
+class _Min:
+    def __init__(self):
+        self.v = None
+
+    def add(self, vals):
+        v = E.to_number(vals[0])
+        if v is not None and (self.v is None or v < self.v):
+            self.v = v
+
+    def result(self):
+        return self.v
+
+
+class _Max:
+    def __init__(self):
+        self.v = None
+
+    def add(self, vals):
+        v = E.to_number(vals[0])
+        if v is not None and (self.v is None or v > self.v):
+            self.v = v
+
+    def result(self):
+        return self.v
+
+
+class _Avg:
+    def __init__(self):
+        self.s = 0.0
+        self.n = 0
+
+    def add(self, vals):
+        v = E.to_number(vals[0])
+        if v is not None:
+            self.s += v
+            self.n += 1
+
+    def result(self):
+        return self.s / self.n if self.n else 0.0
+
+
+class _Stddev:
+    def __init__(self):
+        self.s = 0.0
+        self.sq = 0.0
+        self.n = 0
+
+    def add(self, vals):
+        v = E.to_number(vals[0])
+        if v is not None:
+            self.s += v
+            self.sq += v * v
+            self.n += 1
+
+    def result(self):
+        if self.n <= 1:
+            return 0.0
+        var = (self.sq - (self.s * self.s) / self.n) / (self.n - 1)
+        return math.sqrt(max(var, 0.0))
+
+
+class _CountDistinct:
+    def __init__(self):
+        self.seen = set()
+
+    def add(self, vals):
+        if vals[0] is not None:
+            self.seen.add(vals[0])
+
+    def result(self):
+        return float(len(self.seen))
+
+
+_REDUCER_IMPL = {
+    "COUNT": _Count,
+    "SUM": _Sum,
+    "MIN": _Min,
+    "MAX": _Max,
+    "AVG": _Avg,
+    "STDDEV": _Stddev,
+    "COUNT_DISTINCT": _CountDistinct,
+}
+_REDUCER_NARGS = {
+    "COUNT": (0, 0), "SUM": (1, 1), "MIN": (1, 1), "MAX": (1, 1),
+    "AVG": (1, 1), "STDDEV": (1, 1), "COUNT_DISTINCT": (1, 1),
+}
+
+
+# --------------------------------------------------------------------------
+# stages
+# --------------------------------------------------------------------------
+
+
+class _Stage:
+    def run(self, records: List[Record], params) -> List[Record]:
+        raise NotImplementedError
+
+
+class _Apply(_Stage):
+    def __init__(self, expr: E.Expression, field: str):
+        self.expr = expr
+        self.field = field
+
+    def run(self, records, params):
+        for r in records:
+            r[self.field] = self.expr.eval(r, params)
+        return records
+
+
+class _Filter(_Stage):
+    def __init__(self, expr: E.Expression):
+        self.expr = expr
+
+    def run(self, records, params):
+        return [r for r in records if E.truthy(self.expr.eval(r, params))]
+
+
+class _Limit(_Stage):
+    def __init__(self, offset: int, num: int):
+        self.offset = offset
+        self.num = num
+
+    def run(self, records, params):
+        return records[self.offset : self.offset + self.num]
+
+
+class _SortBy(_Stage):
+    def __init__(self, keys: List[Tuple[E.Expression, bool]], max_n: Optional[int]):
+        self.keys = keys
+        self.max_n = max_n
+
+    def run(self, records, params):
+        def sort_key(r):
+            out = []
+            for expr, desc in self.keys:
+                v = expr.eval(r, params)
+                n = E.to_number(v)
+                if n is not None:
+                    k = (0, n, "")
+                elif v is None:
+                    k = (2, 0.0, "")
+                else:
+                    k = (1, 0.0, str(v))
+                out.append((k, desc))
+            return out
+
+        # stable multi-key sort honoring per-key direction: sort by keys in
+        # reverse significance order
+        for idx in range(len(self.keys) - 1, -1, -1):
+            expr, desc = self.keys[idx]
+
+            def one_key(r, e=expr):
+                v = e.eval(r, params)
+                n = E.to_number(v)
+                if n is not None:
+                    return (0, n, "")
+                if v is None:
+                    return (2, 0.0, "")
+                return (1, 0.0, str(v))
+
+            records.sort(key=one_key, reverse=desc)
+        if self.max_n is not None:
+            records = records[: self.max_n]
+        return records
+
+
+class _GroupBy(_Stage):
+    def __init__(self, fields: List[str], reducers: List[_Reducer]):
+        self.fields = fields
+        self.reducers = reducers
+
+    def run(self, records, params):
+        buckets: Dict[tuple, list] = {}
+        order: List[tuple] = []
+        for r in records:
+            key = tuple(E.to_string(r.get(f)) for f in self.fields)
+            if key not in buckets:
+                buckets[key] = [red.make() for red in self.reducers]
+                order.append(key)
+            insts = buckets[key]
+            for red, inst in zip(self.reducers, insts):
+                vals = [a.eval(r, params) for a in red.args]
+                inst.add(vals)
+        out = []
+        for key in order:
+            rec: Record = {}
+            for f, v in zip(self.fields, key):
+                if v is not None:
+                    rec[f] = v
+            for red, inst in zip(self.reducers, buckets[key]):
+                rec[red.alias] = inst.result()
+            out.append(rec)
+        return out
+
+
+# --------------------------------------------------------------------------
+# command
+# --------------------------------------------------------------------------
+
+
+def run_ft_aggregate(engine, args: List[Value]) -> list:
+    if len(args) < 2:
+        raise FTAggregateError("FT.AGGREGATE requires index and query")
+    index_name = _s(args[0])
+    query = _s(args[1])
+    params: Dict[str, object] = {}
+    load_fields: Optional[List[str]] = None  # None → LOAD nothing extra
+    load_all = False
+    stages: List[_Stage] = []
+    timeout_ms = None
+
+    i = 2
+    while i < len(args):
+        tok = _s(args[i]).upper()
+        if tok == "DIALECT":
+            if _s(args[i + 1]) != "2":
+                raise FTAggregateError("only DIALECT 2 is supported")
+            i += 2
+        elif tok in ("VERBATIM", "INORDER"):
+            params[f"__{tok.lower()}"] = True
+            i += 1
+        elif tok == "SLOP":
+            params["__slop"] = int(_s(args[i + 1]))
+            i += 2
+        elif tok == "TIMEOUT":
+            timeout_ms = int(_s(args[i + 1]))
+            i += 2
+        elif tok == "PARAMS":
+            n = int(_s(args[i + 1]))
+            if n % 2:
+                raise FTAggregateError("PARAMS count must be even")
+            vals = args[i + 2 : i + 2 + n]
+            if len(vals) != n:
+                raise FTAggregateError("PARAMS count mismatch")
+            for j in range(0, n, 2):
+                params[_s(vals[j])] = vals[j + 1]
+            i += 2 + n
+        elif tok == "LOAD":
+            spec = _s(args[i + 1])
+            if spec == "*":
+                load_all = True
+                i += 2
+            else:
+                n = int(spec)
+                load_fields = [_s(a) for a in args[i + 2 : i + 2 + n]]
+                if len(load_fields) != n:
+                    raise FTAggregateError("LOAD count mismatch")
+                i += 2 + n
+        elif tok == "APPLY":
+            expr = _compile(_s(args[i + 1]))
+            if i + 2 >= len(args) or _s(args[i + 2]).upper() != "AS":
+                raise FTAggregateError("APPLY requires AS <field>")
+            stages.append(_Apply(expr, _s(args[i + 3])))
+            i += 4
+        elif tok == "FILTER":
+            stages.append(_Filter(_compile(_s(args[i + 1]))))
+            i += 2
+        elif tok == "LIMIT":
+            stages.append(_Limit(int(_s(args[i + 1])), int(_s(args[i + 2]))))
+            i += 3
+        elif tok == "SORTBY":
+            n = int(_s(args[i + 1]))
+            i += 2
+            keys: List[Tuple[E.Expression, bool]] = []
+            consumed = 0
+            while consumed < n:
+                expr = _compile(_s(args[i]))
+                i += 1
+                consumed += 1
+                desc = False
+                if i < len(args) and _s(args[i]).upper() in ("ASC", "DESC"):
+                    desc = _s(args[i]).upper() == "DESC"
+                    i += 1
+                    consumed += 1
+                keys.append((expr, desc))
+            max_n = None
+            if i < len(args) and _s(args[i]).upper() == "MAX":
+                max_n = int(_s(args[i + 1]))
+                i += 2
+            stages.append(_SortBy(keys, max_n))
+        elif tok == "GROUPBY":
+            n = int(_s(args[i + 1]))
+            fields = []
+            for a in args[i + 2 : i + 2 + n]:
+                f = _s(a)
+                if not f.startswith("@"):
+                    raise FTAggregateError("GROUPBY fields must start with '@'")
+                fields.append(f[1:])
+            i += 2 + n
+            reducers: List[_Reducer] = []
+            while i < len(args) and _s(args[i]).upper() == "REDUCE":
+                name = _s(args[i + 1]).upper()
+                if name not in _REDUCER_IMPL:
+                    raise FTAggregateError(f"unknown reducer {name}")
+                cnt = int(_s(args[i + 2]))
+                lo, hi = _REDUCER_NARGS[name]
+                if not lo <= cnt <= hi:
+                    raise FTAggregateError(
+                        f"incorrect number of arguments ({cnt}) to reducer {name}"
+                    )
+                arg_texts = [_s(a) for a in args[i + 3 : i + 3 + cnt]]
+                exprs = [_compile(t) for t in arg_texts]
+                i += 3 + cnt
+                if i < len(args) and _s(args[i]).upper() == "AS":
+                    alias = _s(args[i + 1])
+                    i += 2
+                else:
+                    alias = f"{name}({','.join(arg_texts)})"
+                reducers.append(_Reducer(name, exprs, alias))
+            stages.append(_GroupBy(fields, reducers))
+        else:
+            raise FTAggregateError(f"unknown FT.AGGREGATE token {tok!r}")
+
+    # ---- step 1: query ----------------------------------------------------
+    schema = engine.manager.get(index_name)
+    sp = SearchParameters(
+        index_name=index_name, query=query, params=params,
+        timeout_ms=timeout_ms, no_content=False,
+        limit_offset=0, limit_num=10**9,
+    )
+    resp = execute_search(schema, sp)
+    rows = fts.resolve_content(engine, schema, resp)
+    if resp.knn is not None:
+        rows.sort(key=lambda r: r[0].distance or 0.0)
+
+    # ---- step 2: LOAD records ---------------------------------------------
+    records: List[Record] = []
+    eparams = {k: v for k, v in params.items() if not k.startswith("__")}
+    for nb, fields in rows:
+        rec: Record = {}
+        fields = fields or {}
+        if load_all:
+            for f, v in fields.items():
+                rec[f] = _coerce(v)
+        elif load_fields:
+            for f in load_fields:
+                if f == "@__key" or f == "__key":
+                    rec["__key"] = nb.key
+                elif f.lstrip("@") in fields:
+                    rec[f.lstrip("@")] = _coerce(fields[f.lstrip("@")])
+                elif resp.score_field and f.lstrip("@") == resp.score_field:
+                    rec[resp.score_field] = nb.distance
+        if resp.score_field is not None and nb.distance is not None:
+            rec.setdefault(resp.score_field, nb.distance)
+        records.append(rec)
+
+    # ---- step 3: stages ---------------------------------------------------
+    for st in stages:
+        records = st.run(records, eparams)
+
+    # ---- reply ------------------------------------------------------------
+    reply: list = [len(records)]
+    for rec in records:
+        row: list = []
+        for f, v in rec.items():
+            if v is None:
+                continue
+            row += [f, E.to_string(v)]
+        reply.append(row)
+    return reply
+
+
+def _coerce(v: Value) -> E.Value:
+    if isinstance(v, bytes):
+        try:
+            return v.decode()
+        except UnicodeDecodeError:
+            return v.decode(errors="replace")
+    if isinstance(v, (int, float)):
+        return float(v)
+    return str(v)
+
+
+def _compile(text: str) -> E.Expression:
+    try:
+        return E.Expression(text)
+    except E.ExprError as e:
+        raise FTAggregateError(str(e))
