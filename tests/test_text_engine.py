@@ -1,0 +1,240 @@
+"""Text engine tests: postings, matchers, field masks, and e2e FT.SEARCH.
+
+Mirrors reference testing/text_test.cc + posting_test.cc +
+integration text-search coverage (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from valkey_search_tpu.query.predicate import TextPredicate
+from valkey_search_tpu.schema.index_schema import IndexSchema
+from valkey_search_tpu.server.engine import Engine
+from valkey_search_tpu.text.posting import Postings
+
+
+# -- postings -----------------------------------------------------------------
+
+def test_postings_field_masks():
+    p = Postings()
+    p.add(1, 0, 0b01)
+    p.add(1, 0, 0b10)   # same position seen by second field -> mask union
+    p.add(1, 3, 0b01)
+    p.add(2, 5, 0b10)
+    assert p.key_count() == 2
+    assert p.position_count() == 3
+    assert sorted(p.docs()) == [1, 2]
+    assert sorted(p.docs(0b01)) == [1]
+    assert sorted(p.docs(0b10)) == [1, 2]
+    assert p.positions(1, 0b01) == [0, 3]
+    assert p.positions(1, 0b10) == [0]
+    p.remove_field(1, 0b01)
+    assert p.positions(1, 0b10) == [0]
+    assert not p.contains(1, 0b01)
+    p.remove_doc(2)
+    assert p.key_count() == 1
+
+
+# -- schema-level engine --------------------------------------------------------
+
+@pytest.fixture()
+def schema():
+    s = IndexSchema("t", prefixes=("d:",))
+    s.add_text_attribute("title")
+    s.add_text_attribute("body")
+    s.upsert("d:1", {"title": "The quick brown fox", "body": "jumps over lazy dogs"})
+    s.upsert("d:2", {"title": "Quick brown foxes run", "body": "running quickly away"})
+    s.upsert("d:3", {"title": "slow red turtle", "body": "the turtle naps"})
+    return s
+
+
+def _docs(schema, pred):
+    eng = schema.text_engine
+    return {schema.interner.key_of(d) for d in eng.fetch_ids(pred)}
+
+
+def test_term_exact(schema):
+    assert _docs(schema, TextPredicate("brown")) == {"d:1", "d:2"}
+    assert _docs(schema, TextPredicate("turtle")) == {"d:3"}
+    assert _docs(schema, TextPredicate("missing")) == set()
+
+
+def test_term_stemming_bidirectional(schema):
+    # query 'run' matches docs with 'run' or 'running' (stem tree)
+    assert _docs(schema, TextPredicate("run")) == {"d:2"}
+    # query inflected form matches the base form too
+    assert _docs(schema, TextPredicate("runs")) == {"d:2"}
+    assert _docs(schema, TextPredicate("foxes")) == {"d:1", "d:2"}
+    assert _docs(schema, TextPredicate("fox")) == {"d:1", "d:2"}
+
+
+def test_term_field_scoped(schema):
+    assert _docs(schema, TextPredicate("quick", field="title")) == {"d:1", "d:2"}
+    # 'quickly' stems to quick — body field of d:2
+    assert _docs(schema, TextPredicate("quick", field="body")) == {"d:2"}
+    assert _docs(schema, TextPredicate("turtle", field="title")) == {"d:3"}
+
+
+def test_stop_word_term_matches_nothing(schema):
+    assert _docs(schema, TextPredicate("the")) == set()
+
+
+def test_prefix(schema):
+    assert _docs(schema, TextPredicate("qui", match="prefix")) == {"d:1", "d:2"}
+    assert _docs(schema, TextPredicate("turt", match="prefix")) == {"d:3"}
+    assert _docs(schema, TextPredicate("zzz", match="prefix")) == set()
+
+
+def test_suffix_and_infix(schema):
+    assert _docs(schema, TextPredicate("own", match="suffix")) == {"d:1", "d:2"}
+    assert _docs(schema, TextPredicate("urtl", match="infix")) == {"d:3"}
+
+
+def test_fuzzy(schema):
+    assert _docs(schema, TextPredicate("quack", match="fuzzy", distance=1)) == \
+        {"d:1", "d:2"}
+    assert _docs(schema, TextPredicate("qxack", match="fuzzy", distance=1)) == set()
+    assert _docs(schema, TextPredicate("qxack", match="fuzzy", distance=2)) == \
+        {"d:1", "d:2"}
+
+
+def test_phrase_exact_order(schema):
+    p = TextPredicate("", match="phrase", phrase=("quick", "brown"))
+    assert _docs(schema, p) == {"d:1", "d:2"}
+    # wrong order: no match with inorder (default)
+    p2 = TextPredicate("", match="phrase", phrase=("brown", "quick"))
+    assert _docs(schema, p2) == set()
+    # non-adjacent words need slop
+    p3 = TextPredicate("", match="phrase", phrase=("quick", "fox"))
+    assert _docs(schema, p3) == set()
+    p4 = TextPredicate("", match="phrase", phrase=("quick", "fox"), slop=1)
+    assert _docs(schema, p4) == {"d:1", "d:2"}  # quick _ fox / quick _ foxes
+
+
+def test_phrase_unordered_slop(schema):
+    p = TextPredicate("", match="phrase", phrase=("brown", "quick"),
+                      slop=0, inorder=False)
+    assert _docs(schema, p) == {"d:1", "d:2"}
+
+
+def test_phrase_stop_words_dropped(schema):
+    # "the quick" — 'the' was never indexed; phrase reduces to 'quick'
+    p = TextPredicate("", match="phrase", phrase=("the", "quick"))
+    assert _docs(schema, p) == {"d:1", "d:2"}
+
+
+def test_phrase_cross_field_isolation(schema):
+    # words in different fields must not form a phrase
+    p = TextPredicate("", match="phrase", phrase=("fox", "jumps"))
+    assert _docs(schema, p) == set()
+    p_title = TextPredicate("", match="phrase", phrase=("brown", "fox"),
+                            field="title")
+    assert _docs(schema, p_title) == {"d:1", "d:2"}
+
+
+def test_update_and_delete_cleanup(schema):
+    schema.upsert("d:3", {"title": "green turtle", "body": "swims"})
+    assert _docs(schema, TextPredicate("slow")) == set()
+    assert _docs(schema, TextPredicate("green")) == {"d:3"}
+    schema.delete("d:3")
+    assert _docs(schema, TextPredicate("turtle")) == set()
+    st = schema.text_engine.stats()
+    assert st["docs_with_text"] == 2
+
+
+def test_estimate_orders(schema):
+    eng = schema.text_engine
+    assert eng.estimate(TextPredicate("quick")) >= 2
+    assert eng.estimate(TextPredicate("missing")) == 0
+
+
+def test_no_stem_field():
+    s = IndexSchema("t2")
+    s.add_text_attribute("exact", no_stem=True)
+    s.upsert("k1", {"exact": "running shoes"})
+    # exact word matches
+    assert _docs(s, TextPredicate("running", field="exact")) == {"k1"}
+    # no stem expansion for a NOSTEM field
+    assert _docs(s, TextPredicate("run", field="exact")) == set()
+
+
+def test_nosuffixtrie_field_still_matches_suffix():
+    s = IndexSchema("t3")
+    s.add_text_attribute("a", with_suffix_trie=False)
+    s.upsert("k1", {"a": "wonderful"})
+    assert _docs(s, TextPredicate("ful", match="suffix", field="a")) == {"k1"}
+
+
+def test_max_text_fields_limit():
+    from valkey_search_tpu.text.text_index import MAX_TEXT_FIELDS
+
+    s = IndexSchema("t4")
+    for i in range(MAX_TEXT_FIELDS):
+        s.add_text_attribute(f"f{i}")
+    with pytest.raises(ValueError):
+        s.add_text_attribute("overflow")
+
+
+# -- e2e through the command surface --------------------------------------------
+
+@pytest.fixture()
+def text_eng():
+    e = Engine()
+    e.execute(
+        "FT.CREATE", "docs", "ON", "HASH", "PREFIX", "1", "b:",
+        "SCHEMA", "title", "TEXT", "body", "TEXT", "year", "NUMERIC",
+    )
+    e.hset("b:1", {"title": "Snow Crash", "body": "a sword fighting hacker", "year": "1992"})
+    e.hset("b:2", {"title": "Crash Override", "body": "hackers hacking code", "year": "1995"})
+    e.hset("b:3", {"title": "Quiet Winter", "body": "snow falls on cedars", "year": "1994"})
+    return e
+
+
+def _keys(reply):
+    # NOCONTENT reply: [count, key1, key2, ...]
+    return set(reply[1:])
+
+
+def test_ft_search_text_term(text_eng):
+    r = text_eng.execute("FT.SEARCH", "docs", "crash", "NOCONTENT")
+    assert r[0] == 2 and _keys(r) == {"b:1", "b:2"}
+
+
+def test_ft_search_text_field_scoped(text_eng):
+    r = text_eng.execute("FT.SEARCH", "docs", "@title:snow", "NOCONTENT")
+    assert _keys(r) == {"b:1"}
+    r2 = text_eng.execute("FT.SEARCH", "docs", "@body:snow", "NOCONTENT")
+    assert _keys(r2) == {"b:3"}
+
+
+def test_ft_search_text_stemmed(text_eng):
+    # hackers ~ hacker (both stem to 'hacker'); hacking ~ hack
+    r = text_eng.execute("FT.SEARCH", "docs", "hackers", "NOCONTENT")
+    assert _keys(r) == {"b:1", "b:2"}
+    r2 = text_eng.execute("FT.SEARCH", "docs", "hack", "NOCONTENT")
+    assert _keys(r2) == {"b:2"}
+
+
+def test_ft_search_phrase(text_eng):
+    r = text_eng.execute("FT.SEARCH", "docs", '"sword fighting"', "NOCONTENT")
+    assert _keys(r) == {"b:1"}
+    r2 = text_eng.execute("FT.SEARCH", "docs", '"fighting sword"', "NOCONTENT")
+    assert r2[0] == 0
+
+
+def test_ft_search_prefix_and_fuzzy(text_eng):
+    r = text_eng.execute("FT.SEARCH", "docs", "hack*", "NOCONTENT")
+    assert _keys(r) == {"b:1", "b:2"}
+    r2 = text_eng.execute("FT.SEARCH", "docs", "%crish%", "NOCONTENT")
+    assert _keys(r2) == {"b:1", "b:2"}
+
+
+def test_ft_search_text_and_numeric(text_eng):
+    r = text_eng.execute(
+        "FT.SEARCH", "docs", "crash @year:[1993 2000]", "NOCONTENT"
+    )
+    assert _keys(r) == {"b:2"}
+
+
+def test_ft_search_negate_text(text_eng):
+    r = text_eng.execute("FT.SEARCH", "docs", "-crash", "NOCONTENT")
+    assert _keys(r) == {"b:3"}

@@ -71,6 +71,7 @@ class Predicate:
             return TextPredicate(
                 d["term"], d.get("field"), d.get("match", "term"),
                 d.get("distance", 0), tuple(d.get("phrase", ())),
+                d.get("slop", 0), d.get("inorder", True),
             )
         if k == "and":
             return And([Predicate.from_dict(c) for c in d["children"]])
@@ -177,9 +178,11 @@ class TextPredicate(Predicate):
 
     term: str
     field: Optional[str] = None
-    match: str = "term"  # term|prefix|suffix|fuzzy|phrase
+    match: str = "term"  # term|prefix|suffix|infix|fuzzy|phrase
     distance: int = 0    # fuzzy edit distance
     phrase: Sequence[str] = ()
+    slop: int = 0        # phrase: extra gap allowance (reference proximity.h)
+    inorder: bool = True  # phrase: require document order
     kind = "text"
 
     def _engine(self, ctx):
@@ -204,7 +207,8 @@ class TextPredicate(Predicate):
         return {
             "kind": "text", "term": self.term, "field": self.field,
             "match": self.match, "distance": self.distance,
-            "phrase": list(self.phrase),
+            "phrase": list(self.phrase), "slop": self.slop,
+            "inorder": self.inorder,
         }
 
 

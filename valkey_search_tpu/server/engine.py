@@ -116,6 +116,26 @@ class Engine:
         if self._ingestion is not None:
             self._ingestion.drain()
 
+    # --------------------------------------------------------- persistence
+    def save(self, path: str):
+        """Checkpoint keyspace + schemas + vector graphs (reference RDB
+        save, SURVEY.md §3.5)."""
+        from valkey_search_tpu.persistence import save_engine
+
+        self.drain()
+        return save_engine(self, path)
+
+    @classmethod
+    def load(cls, path: str, skip_vector_payload: bool = False) -> "Engine":
+        """Restore a checkpoint into a fresh engine. With
+        skip_vector_payload=True the vector graphs are rebuilt from the
+        keyspace (reference skip-rdb-load config)."""
+        from valkey_search_tpu.persistence import load_engine
+
+        return load_engine(
+            path, engine=cls(), skip_vector_payload=skip_vector_payload
+        )
+
     # ------------------------------------------------------------- commands
     def ft_create(self, *args: Value) -> str:
         schema, skip_scan = ft_create_mod.parse_ft_create(

@@ -1,0 +1,542 @@
+"""Schema-level full-text engine + per-field TEXT index facade.
+
+Reference: src/indexes/text/text_index.{h,cc} — TextIndexSchema owns a
+prefix rax (+ optional suffix rax) mapping word -> Postings, a stem tree
+mapping stem -> parent words, and per-key staged updates committed
+atomically (StageAttributeData/CommitKeyData, text_index.h:95-100);
+src/indexes/text.{h,cc} is the per-field facade carrying weight /
+no-stem / suffix-trie flags. Query-side streaming iterators
+(term/proximity/fuzzy, src/indexes/text/{term,proximity,fuzzy}*) resolve
+matchers to key sets with positional SLOP/INORDER checks.
+
+TPU integration: every matcher ultimately resolves to a doc-id set /
+device bitmask which fuses into the Pallas distance kernels like tag and
+numeric predicates; the dictionary structures stay host-side (see
+package docstring)."""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from valkey_search_tpu.indexes.base import EntriesFetcher, IndexBase, RecordResult
+from valkey_search_tpu.text.lexer import (
+    DEFAULT_MIN_STEM_SIZE,
+    DEFAULT_PUNCTUATION,
+    DEFAULT_STOP_WORDS,
+    Lexer,
+)
+from valkey_search_tpu.text.posting import MAX_TEXT_FIELDS, Postings
+from valkey_search_tpu.text.radix import RadixTree
+
+ALL_FIELDS_MASK = (1 << MAX_TEXT_FIELDS) - 1
+# Cap on dictionary words expanded per wildcard matcher, mirroring the
+# reference's bounded iterator walks (radix_tree.h WordIterator users cap
+# expansion; see also search.cc max-results guards).
+MAX_WORD_EXPANSIONS = 4096
+
+
+@dataclasses.dataclass
+class TextOptions:
+    """Per-schema text parameters (reference PerIndexTextParams,
+    ft_create_parser.h:56-63; index_schema.proto punctuation/stop_words/
+    with_offsets/min_stem_size fields)."""
+
+    punctuation: str = DEFAULT_PUNCTUATION
+    stop_words: Sequence[str] = DEFAULT_STOP_WORDS
+    min_stem_size: int = DEFAULT_MIN_STEM_SIZE
+    with_offsets: bool = True
+
+
+@dataclasses.dataclass
+class FieldInfo:
+    alias: str
+    bit_index: int
+    weight: float = 1.0
+    no_stem: bool = False
+    with_suffix_trie: bool = True
+
+    @property
+    def bit(self) -> int:
+        return 1 << self.bit_index
+
+
+class TextEngine:
+    """One per IndexSchema; owns the dictionary shared by all TEXT fields."""
+
+    def __init__(self, schema, options=None):
+        self.schema = schema
+        if isinstance(options, dict):
+            # ft_create parser hands the raw option dict (None → default).
+            sw = options.get("stop_words")
+            options = TextOptions(
+                punctuation=options.get("punctuation") or DEFAULT_PUNCTUATION,
+                stop_words=tuple(sw) if sw is not None else DEFAULT_STOP_WORDS,
+                min_stem_size=options.get("min_stem_size", DEFAULT_MIN_STEM_SIZE),
+                with_offsets=options.get("with_offsets", True),
+            )
+        self.options = options or TextOptions()
+        self.lexer = Lexer(
+            punctuation=self.options.punctuation,
+            stop_words=self.options.stop_words,
+            min_stem_size=self.options.min_stem_size,
+        )
+        self.fields: Dict[str, FieldInfo] = {}
+        self.dictionary = RadixTree()          # word -> Postings
+        self.suffix = RadixTree()              # reversed word -> set(words)
+        self.stems = RadixTree()               # stem -> {word: refcount}
+        self._doc_tokens: Dict[int, Dict[str, List[str]]] = {}  # doc -> alias -> tokens
+        self._lock = threading.RLock()
+
+    # -- field registry --------------------------------------------------------
+    def register_field(
+        self,
+        alias: str,
+        weight: float = 1.0,
+        no_stem: bool = False,
+        with_suffix_trie: bool = True,
+    ) -> FieldInfo:
+        with self._lock:
+            if alias in self.fields:
+                return self.fields[alias]
+            if len(self.fields) >= MAX_TEXT_FIELDS:
+                raise ValueError(f"more than {MAX_TEXT_FIELDS} TEXT fields")
+            fi = FieldInfo(
+                alias=alias,
+                bit_index=len(self.fields),
+                weight=weight,
+                no_stem=no_stem,
+                with_suffix_trie=with_suffix_trie,
+            )
+            self.fields[alias] = fi
+            return fi
+
+    def _any_suffix_trie(self) -> bool:
+        return any(f.with_suffix_trie for f in self.fields.values())
+
+    def field_mask(self, alias: Optional[str]) -> int:
+        if alias is None:
+            mask = 0
+            for f in self.fields.values():
+                mask |= f.bit
+            return mask or ALL_FIELDS_MASK
+        fi = self.fields.get(alias)
+        if fi is None:
+            raise ValueError(f"@{alias} is not a TEXT attribute")
+        return fi.bit
+
+    # -- write path -------------------------------------------------------------
+    def update_field(self, key: str, alias: str, text: str) -> RecordResult:
+        """Re-index one field of one document (staged + committed under the
+        engine lock — the atomic-commit equivalent of CommitKeyData)."""
+        fi = self.fields[alias]
+        doc = self.schema.interner.intern(key)
+        stem_map: Dict[str, Set[str]] = {}
+        tokens = self.lexer.tokenize(
+            text, stemming_enabled=not fi.no_stem, stem_map=stem_map
+        )
+        with self._lock:
+            existed = alias in self._doc_tokens.get(doc, {})
+            self._remove_field_locked(doc, alias)
+            self._doc_tokens.setdefault(doc, {})[alias] = tokens
+            for pos, word in enumerate(tokens):
+                self._index_word(word, doc, pos, fi)
+            for st, words in stem_map.items():
+                for w in words:
+                    self._stem_link(st, w, +1)
+        return RecordResult.MODIFIED if existed else RecordResult.ADDED
+
+    def remove_field(self, key: str, alias: str) -> RecordResult:
+        doc = self.schema.interner.lookup(key)
+        if doc is None:
+            return RecordResult.SKIPPED
+        with self._lock:
+            if alias not in self._doc_tokens.get(doc, {}):
+                return RecordResult.SKIPPED
+            self._remove_field_locked(doc, alias)
+            if not self._doc_tokens.get(doc):
+                self._doc_tokens.pop(doc, None)
+            return RecordResult.REMOVED
+
+    def _index_word(self, word: str, doc: int, pos: int, fi: FieldInfo) -> None:
+        postings = self.dictionary.get(word)
+        if postings is None:
+            postings = Postings()
+            self.dictionary.insert(word, postings)
+            if self._any_suffix_trie():
+                rev = word[::-1]
+                bag = self.suffix.get(rev)
+                if bag is None:
+                    self.suffix.insert(rev, {word})
+                else:
+                    bag.add(word)
+        postings.add(doc, pos, fi.bit)
+
+    def _remove_field_locked(self, doc: int, alias: str) -> None:
+        fi = self.fields[alias]
+        old = self._doc_tokens.get(doc, {}).pop(alias, None)
+        if not old:
+            return
+        for word in set(old):
+            postings = self.dictionary.get(word)
+            if postings is None:
+                continue
+            postings.remove_field(doc, fi.bit)
+            if postings.is_empty():
+                self._drop_word(word)
+        if not fi.no_stem:
+            for word in set(old):
+                st = self.lexer.stem(word)
+                if st != word:
+                    self._stem_link(st, word, -1)
+
+    def _drop_word(self, word: str) -> None:
+        self.dictionary.remove(word)
+        rev = word[::-1]
+        bag = self.suffix.get(rev)
+        if bag is not None:
+            bag.discard(word)
+            if not bag:
+                self.suffix.remove(rev)
+
+    def _stem_link(self, st: str, word: str, delta: int) -> None:
+        bag = self.stems.get(st)
+        if bag is None:
+            if delta <= 0:
+                return
+            bag = {}
+            self.stems.insert(st, bag)
+        n = bag.get(word, 0) + delta
+        if n > 0:
+            bag[word] = n
+        else:
+            bag.pop(word, None)
+            if not bag:
+                self.stems.remove(st)
+
+    # -- matcher resolution ------------------------------------------------------
+    def expand_words(self, pred) -> List[str]:
+        """Dictionary words one matcher touches (reference term.h /
+        fuzzy.h / radix WordIterator walks)."""
+        match = pred.match
+        if match == "term":
+            return self._expand_term(pred.term, pred.field)
+        if match == "prefix":
+            words = []
+            for w in self.dictionary.keys(self.lexer.normalize(pred.term)):
+                words.append(w)
+                if len(words) >= MAX_WORD_EXPANSIONS:
+                    break
+            return words
+        if match == "suffix":
+            suf = self.lexer.normalize(pred.term)
+            words = []
+            if self._any_suffix_trie():
+                for _, bag in self.suffix.items(suf[::-1]):
+                    for w in bag:
+                        if w.endswith(suf):
+                            words.append(w)
+                            if len(words) >= MAX_WORD_EXPANSIONS:
+                                return words
+                return words
+            # no suffix trie anywhere: brute dictionary scan (the reference
+            # requires WITHSUFFIXTRIE for tree-accelerated walks; semantics
+            # stay available either way)
+            for w in self.dictionary.keys():
+                if w.endswith(suf):
+                    words.append(w)
+                    if len(words) >= MAX_WORD_EXPANSIONS:
+                        break
+            return words
+        if match == "infix":
+            sub = self.lexer.normalize(pred.term)
+            words = []
+            for w in self.dictionary.keys():
+                if sub in w:
+                    words.append(w)
+                    if len(words) >= MAX_WORD_EXPANSIONS:
+                        break
+            return words
+        if match == "fuzzy":
+            target = self.lexer.normalize(pred.term)
+            dist = max(1, int(pred.distance))
+            return [w for w, _, _ in self.dictionary.fuzzy(target, dist)]
+        if match == "phrase":
+            raise ValueError("phrase expands per word")
+        raise ValueError(f"unknown text match kind {pred.match!r}")
+
+    def _expand_term(self, term: str, field: Optional[str]) -> List[str]:
+        no_stem = bool(field) and self.fields[field].no_stem
+        word, st = self.lexer.query_term(term, stemming_enabled=not no_stem)
+        if self.lexer.is_stop_word(word):
+            return []
+        words = {word} if word in self.dictionary else set()
+        if not no_stem:
+            # run ~ running ~ runs: the query stem's parent words, plus the
+            # stem itself if indexed (reference stem tree, text_index.h).
+            bag = self.stems.get(st)
+            if bag:
+                words.update(bag.keys())
+            if st in self.dictionary:
+                words.add(st)
+            # query word may itself be a parent of the stem of indexed words
+            if st != word and word in self.dictionary:
+                words.add(word)
+        return sorted(words)
+
+    def _phrase_word_groups(self, pred) -> List[List[str]]:
+        """Per phrase slot, acceptable dictionary words."""
+        groups: List[List[str]] = []
+        for raw in pred.phrase:
+            w = self.lexer.normalize(raw)
+            if self.lexer.is_stop_word(w):
+                continue  # stop words vanish from phrase (lexer drops them)
+            groups.append(
+                self._expand_term(w, pred.field)
+            )
+        return groups
+
+    # -- query API (predicate.TextPredicate contract) -----------------------------
+    def fetch_ids(self, pred) -> EntriesFetcher:
+        return EntriesFetcher(sorted(self._doc_set(pred)))
+
+    def estimate(self, pred) -> int:
+        mask = self.field_mask(pred.field)
+        if pred.match == "phrase":
+            groups = self._phrase_word_groups(pred)
+            if not groups:
+                return 0
+            return min(
+                sum(self._postings_count(w) for w in g) for g in groups
+            )
+        if pred.match == "prefix":
+            # O(len) planner sizing via subtree counts — word count as a
+            # proxy for doc count (reference prefix-count planning).
+            nwords = self.dictionary.prefix_count(self.lexer.normalize(pred.term))
+            if nwords == 0:
+                return 0
+        total = 0
+        for w in self.expand_words(pred):
+            total += self._postings_count(w, mask)
+        return total
+
+    def _postings_count(self, word: str, mask: int = ALL_FIELDS_MASK) -> int:
+        p = self.dictionary.get(word)
+        return p.key_count() if p is not None else 0
+
+    def _doc_set(self, pred) -> Set[int]:
+        mask = self.field_mask(pred.field)
+        if pred.match == "phrase":
+            return self._phrase_docs(pred, mask)
+        docs: Set[int] = set()
+        for w in self.expand_words(pred):
+            p = self.dictionary.get(w)
+            if p is not None:
+                docs.update(p.docs(mask))
+        return docs
+
+    def _phrase_docs(self, pred, mask: int) -> Set[int]:
+        groups = self._phrase_word_groups(pred)
+        if not groups:
+            return set()
+        # Candidate docs: intersection over slots of the union-of-variants.
+        cand: Optional[Set[int]] = None
+        for g in groups:
+            docs: Set[int] = set()
+            for w in g:
+                p = self.dictionary.get(w)
+                if p is not None:
+                    docs.update(p.docs(mask))
+            cand = docs if cand is None else (cand & docs)
+            if not cand:
+                return set()
+        assert cand is not None
+        slop = int(getattr(pred, "slop", 0))
+        inorder = bool(getattr(pred, "inorder", True))
+        if len(groups) == 1:
+            return cand
+        out: Set[int] = set()
+        for doc in cand:
+            if self._phrase_positions_ok(groups, doc, mask, slop, inorder):
+                out.add(doc)
+        return out
+
+    def _phrase_positions_ok(
+        self, groups: List[List[str]], doc: int, mask: int, slop: int, inorder: bool
+    ) -> bool:
+        """Positional SLOP/INORDER check (reference proximity.{h,cc}).
+
+        A phrase must land inside a single field: position spaces are
+        per-field, so the check runs per field bit of ``mask``."""
+        bits = [1 << i for i in range(MAX_TEXT_FIELDS) if mask & (1 << i)]
+        return any(
+            self._phrase_positions_ok_one_field(groups, doc, bit, slop, inorder)
+            for bit in bits
+        )
+
+    def _phrase_positions_ok_one_field(
+        self, groups: List[List[str]], doc: int, mask: int, slop: int, inorder: bool
+    ) -> bool:
+        pos_lists: List[List[int]] = []
+        for g in groups:
+            merged: Set[int] = set()
+            for w in g:
+                p = self.dictionary.get(w)
+                if p is not None:
+                    merged.update(p.positions(doc, mask))
+            if not merged:
+                return False
+            pos_lists.append(sorted(merged))
+        n = len(pos_lists)
+        if inorder:
+            # Greedy min-next per start: exact for ordered existence.
+            for p0 in pos_lists[0]:
+                t = p0
+                ok = True
+                for i in range(1, n):
+                    nxt = _min_greater(pos_lists[i], t)
+                    if nxt is None:
+                        ok = False
+                        break
+                    t = nxt
+                if ok and (t - p0) - (n - 1) <= slop:
+                    return True
+            return False
+        # Unordered: sliding window of width n+slop containing one distinct
+        # position per slot (greedy bipartite check over small windows).
+        events = sorted(
+            {p for lst in pos_lists for p in lst}
+        )
+        width = n + slop
+        for start in events:
+            window = [
+                [p for p in lst if start <= p < start + width]
+                for lst in pos_lists
+            ]
+            if all(window) and _distinct_assignment(window):
+                return True
+        return False
+
+    def doc_matches(self, pred, doc: int) -> bool:
+        mask = self.field_mask(pred.field)
+        if pred.match == "phrase":
+            groups = self._phrase_word_groups(pred)
+            if not groups:
+                return False
+            for g in groups:
+                if not any(
+                    (p := self.dictionary.get(w)) is not None
+                    and p.contains(doc, mask)
+                    for w in g
+                ):
+                    return False
+            if len(groups) == 1:
+                return True
+            return self._phrase_positions_ok(
+                groups, doc, mask,
+                int(getattr(pred, "slop", 0)),
+                bool(getattr(pred, "inorder", True)),
+            )
+        for w in self.expand_words(pred):
+            p = self.dictionary.get(w)
+            if p is not None and p.contains(doc, mask):
+                return True
+        return False
+
+    def device_mask(self, pred, cap: int):
+        import jax.numpy as jnp
+
+        host = np.zeros(cap, bool)
+        for doc in self._doc_set(pred):
+            if doc < cap:
+                host[doc] = True
+        return jnp.asarray(host)
+
+    # -- stats -------------------------------------------------------------------
+    def stats(self) -> Dict[str, int]:
+        with self._lock:
+            return {
+                "distinct_words": len(self.dictionary),
+                "suffix_entries": len(self.suffix),
+                "stem_entries": len(self.stems),
+                "docs_with_text": len(self._doc_tokens),
+            }
+
+
+def _min_greater(sorted_list: List[int], t: int) -> Optional[int]:
+    import bisect
+
+    i = bisect.bisect_right(sorted_list, t)
+    return sorted_list[i] if i < len(sorted_list) else None
+
+
+def _distinct_assignment(window: List[List[int]]) -> bool:
+    """Can each slot pick a distinct position from its window list?
+    Greedy on slots sorted by fewest options (windows are tiny)."""
+    order = sorted(range(len(window)), key=lambda i: len(window[i]))
+    used: Set[int] = set()
+
+    def rec(k: int) -> bool:
+        if k == len(order):
+            return True
+        for p in window[order[k]]:
+            if p not in used:
+                used.add(p)
+                if rec(k + 1):
+                    return True
+                used.discard(p)
+        return False
+
+    return rec(0)
+
+
+class TextFieldIndex(IndexBase):
+    """Per-field TEXT facade (reference src/indexes/text.{h,cc}): carries
+    weight / no-stem / suffix-trie flags, delegates to the schema
+    TextEngine."""
+
+    kind = "TEXT"
+    mutation_weight = 2.0
+
+    def __init__(
+        self,
+        engine: TextEngine,
+        alias: str,
+        no_stem: bool = False,
+        with_suffix_trie: bool = True,
+        weight: float = 1.0,
+    ):
+        self.engine = engine
+        self.alias = alias
+        self.info = engine.register_field(
+            alias, weight=weight, no_stem=no_stem, with_suffix_trie=with_suffix_trie
+        )
+        self._tracked: Set[str] = set()
+
+    def add_record(self, key: str, value) -> RecordResult:
+        if value is None:
+            return self.remove_record(key)
+        try:
+            text = value.decode() if isinstance(value, bytes) else str(value)
+        except Exception:
+            return RecordResult.INVALID_DATA
+        r = self.engine.update_field(key, self.alias, text)
+        self._tracked.add(key)
+        return r
+
+    def modify_record(self, key: str, value) -> RecordResult:
+        return self.add_record(key, value)
+
+    def remove_record(self, key: str) -> RecordResult:
+        r = self.engine.remove_field(key, self.alias)
+        self._tracked.discard(key)
+        return r
+
+    def tracked_keys(self) -> Set[str]:
+        return set(self._tracked)
+
+    def count(self) -> int:
+        return len(self._tracked)

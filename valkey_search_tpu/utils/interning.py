@@ -60,6 +60,26 @@ class KeyInterner:
             self._free.append(doc)
             return doc
 
+    def restore(self, mapping: Dict[str, int], capacity: Optional[int] = None) -> None:
+        """Reset to an exact key→id assignment (checkpoint load: the saved
+        id space must be reproduced verbatim so vector rows, graph nodes and
+        predicate masks still line up — reference SaveTrackedKeys key→id
+        maps, vector_base.h:263-276)."""
+        with self._lock:
+            cap = capacity if capacity is not None else (
+                max(mapping.values()) + 1 if mapping else 0
+            )
+            if mapping and max(mapping.values()) >= cap:
+                raise ValueError("interner capacity smaller than max doc id")
+            self._key_to_id = dict(mapping)
+            self._id_to_key = [None] * cap
+            for key, doc in mapping.items():
+                if self._id_to_key[doc] is not None:
+                    raise ValueError(f"duplicate doc id {doc}")
+                self._id_to_key[doc] = key
+            self._free = [i for i in range(cap - 1, -1, -1)
+                          if self._id_to_key[i] is None]
+
     @property
     def capacity(self) -> int:
         """High-water mark of allocated ids (device arrays size to this)."""
