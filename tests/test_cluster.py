@@ -1,0 +1,238 @@
+"""Cluster layer tests: metadata gossip/reconcile, slot routing, fanout.
+
+Mirrors reference integration cluster coverage (test_ft_create_consistency,
+test_ft_metadata_cluster_validation, test_fanout_base, test_info_cluster —
+SURVEY.md §4.2) with in-process nodes instead of real processes."""
+
+import numpy as np
+import pytest
+
+from valkey_search_tpu.cluster import (
+    ClusterBus,
+    ClusterEngine,
+    MetadataManager,
+    fingerprint64,
+)
+from valkey_search_tpu.cluster.node import ConsistencyError, key_slot
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.debug import CONTROLLED, reset_all
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    reset_all()
+    yield
+    reset_all()
+    config.REGISTRY.reset_all()
+
+
+# -- metadata manager ---------------------------------------------------------
+
+def test_fingerprint_is_stable_and_keyed():
+    assert fingerprint64(b"abc") == fingerprint64(b"abc")
+    assert fingerprint64(b"abc") != fingerprint64(b"abd")
+
+
+def test_create_entry_gossips_to_all_nodes():
+    bus = ClusterBus()
+    applied = {i: [] for i in range(3)}
+    mms = [
+        MetadataManager(f"n{i}", bus,
+                        on_apply=lambda name, p, i=i: applied[i].append((name, p)))
+        for i in range(3)
+    ]
+    e = mms[0].create_entry("idx", {"dim": 4})
+    for i, mm in enumerate(mms):
+        got = mm.get("idx")
+        assert got is not None
+        assert (got.version, got.fingerprint) == (e.version, e.fingerprint)
+        assert applied[i][-1] == ("idx", {"dim": 4})
+    assert mms[0].top_fingerprint() == mms[1].top_fingerprint() \
+        == mms[2].top_fingerprint()
+
+
+def test_reconcile_last_writer_wins():
+    bus = ClusterBus()
+    a = MetadataManager("a", bus)
+    b = MetadataManager("b", bus)
+    a.create_entry("idx", {"v": 1})
+    # b re-creates at higher version → b's definition wins everywhere
+    b.create_entry("idx", {"v": 2})
+    assert a.get("idx").payload == {"v": 2}
+    assert a.get("idx").version == 2
+
+
+def test_version_tie_breaks_on_fingerprint():
+    bus1, bus2 = ClusterBus(), ClusterBus()  # isolated at first
+    a = MetadataManager("a", bus1)
+    b = MetadataManager("b", bus2)
+    a.create_entry("idx", {"v": "A"})
+    b.create_entry("idx", {"v": "B"})  # same version 1, different payload
+    # join: simulate partition heal by reconciling both ways
+    ea, eb = a.get("idx"), b.get("idx")
+    a.reconcile({"idx": eb})
+    b.reconcile({"idx": ea})
+    assert a.get("idx").payload == b.get("idx").payload
+    assert a.get("idx").fingerprint == b.get("idx").fingerprint
+
+
+def test_drop_entry_tombstone_propagates():
+    bus = ClusterBus()
+    a = MetadataManager("a", bus)
+    b = MetadataManager("b", bus)
+    a.create_entry("idx", {"v": 1})
+    a.drop_entry("idx")
+    assert b.get("idx") is None
+    assert "idx" in b.entries()  # tombstone retained with bumped version
+    assert b.entries()["idx"].version == 2
+
+
+def test_internal_update_replication_and_corruption():
+    bus = ClusterBus()
+    a = MetadataManager("a", bus)
+    import json
+
+    raw = json.dumps({"name": "idx", "version": 3, "payload": {"x": 1}}).encode()
+    assert a.internal_update(raw)
+    assert a.get("idx").version == 3
+    with pytest.raises(Exception):
+        a.internal_update(b"not json")
+    assert a.internal_update(b"not json", skip_corrupted=True) is False
+
+
+# -- slot routing ----------------------------------------------------------------
+
+def test_key_slot_hash_tags():
+    assert key_slot("{user1}.a") == key_slot("{user1}.b")
+    assert key_slot("foo{}{bar}") == key_slot("foo{}{bar}")  # empty tag → whole key
+    # CRC16 reference value (redis docs): "123456789" → 0x31C3
+    from valkey_search_tpu.cluster.node import crc16
+
+    assert crc16(b"123456789") == 0x31C3
+
+
+def test_cluster_routes_keys_to_owners():
+    c = ClusterEngine(n_nodes=3)
+    keys = [f"doc:{i}" for i in range(200)]
+    for k in keys:
+        c.hset(k, {"f": "1"})
+    per_node = [len(n.engine.keyspace) for n in c.nodes]
+    assert sum(per_node) == 200
+    assert all(p > 0 for p in per_node)  # spread across shards
+    for k in keys:
+        assert c.hgetall(k) == {"f": "1"}
+
+
+# -- cluster index lifecycle --------------------------------------------------------
+
+@pytest.fixture()
+def cluster(rng):
+    c = ClusterEngine(n_nodes=3)
+    vecs = rng.standard_normal((90, 8)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        c.hset(f"doc:{i}", {
+            "emb": v.tobytes(), "color": ["red", "blue"][i % 2],
+            "n": str(i),
+        })
+    c.execute(
+        "FT.CREATE", "idx", "ON", "HASH", "PREFIX", "1", "doc:",
+        "SCHEMA",
+        "emb", "VECTOR", "HNSW", "8",
+        "TYPE", "FLOAT32", "DIM", "8", "DISTANCE_METRIC", "L2", "M", "8",
+        "color", "TAG", "n", "NUMERIC",
+    )
+    return c, vecs
+
+
+def test_ft_create_backfills_every_shard(cluster):
+    c, vecs = cluster
+    for node in c.nodes:
+        schema = node.engine.manager.get("idx")
+        assert schema.num_docs() == len(node.engine.keyspace)
+    info = c.ft_info("idx", "CLUSTER")
+    d = dict(zip(info[::2], info[1::2]))
+    assert d["num_docs"] == 90
+
+
+def test_fanout_knn_matches_ground_truth(cluster):
+    c, vecs = cluster
+    q = vecs[17]
+    r = c.execute("FT.SEARCH", "idx", "*=>[KNN 5 @emb $q]",
+                  "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    d2 = ((vecs - q) ** 2).sum(1)
+    truth = [f"doc:{i}" for i in np.argsort(d2, kind="stable")[:5]]
+    assert r[0] == 5
+    assert r[1] == "doc:17"
+    assert set(r[1:]) == set(truth)
+
+
+def test_fanout_hybrid_filter(cluster):
+    c, vecs = cluster
+    q = vecs[4]
+    r = c.execute("FT.SEARCH", "idx", "(@color:{red})=>[KNN 4 @emb $q]",
+                  "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    assert r[0] == 4
+    for k in r[1:]:
+        assert int(k.split(":")[1]) % 2 == 0  # red = even docs
+
+
+def test_fanout_nonvector_with_limit(cluster):
+    c, vecs = cluster
+    r = c.execute("FT.SEARCH", "idx", "@n:[10 29]", "NOCONTENT",
+                  "LIMIT", "0", "100")
+    assert r[0] == 20
+    assert {k for k in r[1:]} == {f"doc:{i}" for i in range(10, 30)}
+    r2 = c.execute("FT.SEARCH", "idx", "@n:[10 29]", "NOCONTENT",
+                   "LIMIT", "5", "5")
+    assert r2[0] == 20 and len(r2[1:]) == 5
+
+
+def test_mutations_visible_through_fanout(cluster):
+    c, vecs = cluster
+    nv = np.full(8, 0.5, np.float32)
+    c.hset("doc:500", {"emb": nv.tobytes(), "color": "gold", "n": "500"})
+    r = c.execute("FT.SEARCH", "idx", "@color:{gold}", "NOCONTENT")
+    assert r == [1, "doc:500"]
+    c.delete("doc:500")
+    assert c.execute("FT.SEARCH", "idx", "@color:{gold}", "NOCONTENT")[0] == 0
+
+
+def test_dropindex_converges(cluster):
+    from valkey_search_tpu.schema.schema_manager import SchemaError
+
+    c, vecs = cluster
+    assert c.ft_dropindex("idx") == "OK"
+    for node in c.nodes:
+        with pytest.raises(SchemaError):
+            node.engine.manager.get("idx")
+
+
+def test_forced_fingerprint_mismatch_fails_then_partial(cluster):
+    c, vecs = cluster
+    CONTROLLED.set("force_invalid_index_fingerprint", "true")
+    q = vecs[0]
+    with pytest.raises(ConsistencyError):
+        c.execute("FT.SEARCH", "idx", "*=>[KNN 3 @emb $q]",
+                  "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    # partial-results policy returns what succeeded (here: nothing, but no raise)
+    config.set_config("search.prefer-partial-results", True)
+    r = c.execute("FT.SEARCH", "idx", "*=>[KNN 3 @emb $q]",
+                  "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    assert r[0] == 0
+
+
+def test_late_joining_node_converges():
+    c = ClusterEngine(n_nodes=2)
+    c.hset("doc:1", {"t": "x"})
+    c.execute("FT.CREATE", "idx", "ON", "HASH", "PREFIX", "1", "doc:",
+              "SCHEMA", "t", "TAG")
+    # simulate a node that missed the broadcast: wipe its index + metadata
+    from valkey_search_tpu.cluster.node import ClusterNode
+
+    late = ClusterNode("late", c.bus)
+    late.slots = (0, 0)
+    assert late.metadata.get("idx") is None
+    # any gossip round pulls it in
+    c.nodes[0].metadata.broadcast()
+    assert late.metadata.get("idx") is not None
+    assert late.engine.manager.get("idx") is not None

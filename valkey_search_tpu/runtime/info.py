@@ -1,0 +1,195 @@
+"""Declarative INFO field registry.
+
+Reference: vmsdk/src/info.{h,cc} (info.h:58-141) — a builder-pattern
+registry of INFO fields with Application/Developer visibility, SIBytes
+human formatting, CrashSafe fields (emitted during crash dumps with no
+locks/allocations), VisibleIf predicates and Computed callbacks; ~90
+fields are registered across the engine (valkey_search.cc:93-1006) and
+documented in docs/topics/search-observables.md. Developer fields only
+appear when `search.debug-mode` is on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import threading
+from typing import Callable, Dict, List, Optional
+
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.metrics import STATS
+
+
+class Visibility(enum.Enum):
+    APP = "app"
+    DEV = "dev"
+
+
+def format_si_bytes(n: float) -> str:
+    """Human bytes (reference SIBytes formatting)."""
+    n = float(n)
+    for unit in ("B", "KiB", "MiB", "GiB", "TiB"):
+        if abs(n) < 1024.0 or unit == "TiB":
+            return f"{n:.2f}{unit}" if unit != "B" else f"{int(n)}B"
+        n /= 1024.0
+    return f"{n:.2f}TiB"
+
+
+@dataclasses.dataclass
+class InfoField:
+    name: str
+    compute: Callable[[], object]
+    visibility: Visibility = Visibility.APP
+    si_bytes: bool = False
+    crash_safe: bool = False
+    visible_if: Optional[Callable[[], bool]] = None
+
+    def render(self) -> object:
+        v = self.compute()
+        if self.si_bytes:
+            return format_si_bytes(v)
+        return v
+
+
+class InfoRegistry:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._fields: Dict[str, InfoField] = {}
+
+    def register(self, field: InfoField) -> InfoField:
+        with self._lock:
+            if field.name in self._fields:
+                raise ValueError(f"duplicate info field {field.name!r}")
+            self._fields[field.name] = field
+            return field
+
+    def field(
+        self,
+        name: str,
+        compute: Callable[[], object],
+        dev: bool = False,
+        si_bytes: bool = False,
+        crash_safe: bool = False,
+        visible_if: Optional[Callable[[], bool]] = None,
+    ) -> InfoField:
+        return self.register(InfoField(
+            name=name, compute=compute,
+            visibility=Visibility.DEV if dev else Visibility.APP,
+            si_bytes=si_bytes, crash_safe=crash_safe, visible_if=visible_if,
+        ))
+
+    def counter(self, name: str, stat: str, dev: bool = False) -> InfoField:
+        return self.field(name, lambda: STATS.get(stat), dev=dev)
+
+    def names(self) -> List[str]:
+        with self._lock:
+            return sorted(self._fields)
+
+    def collect(self, include_dev: Optional[bool] = None,
+                crash_safe_only: bool = False) -> Dict[str, object]:
+        """Render all visible fields. include_dev=None → follow
+        search.debug-mode (the reference's dev gating)."""
+        if include_dev is None:
+            include_dev = bool(config.get("search.debug-mode"))
+        out: Dict[str, object] = {}
+        with self._lock:
+            fields = list(self._fields.values())
+        for f in fields:
+            if crash_safe_only and not f.crash_safe:
+                continue
+            if f.visibility is Visibility.DEV and not include_dev:
+                continue
+            if f.visible_if is not None and not f.visible_if():
+                continue
+            try:
+                out[f.name] = f.render()
+            except Exception:
+                out[f.name] = "<error>"
+        return out
+
+
+REGISTRY = InfoRegistry()
+
+
+def _sampler_fields(prefix: str, sampler_name: str) -> None:
+    def pct(p):
+        def _get():
+            s = STATS.sampler(sampler_name)
+            v = s.percentile(p)
+            return round(v, 1) if v is not None else 0
+        return _get
+
+    REGISTRY.field(f"{prefix}_latency_usec_p50", pct(50))
+    REGISTRY.field(f"{prefix}_latency_usec_p99", pct(99))
+    REGISTRY.field(f"{prefix}_latency_usec_p999", pct(99.9), dev=True)
+
+
+def _register_builtin_fields() -> None:
+    R = REGISTRY
+    # query path (reference search_* INFO strings, valkey_search.cc:866-890)
+    R.counter("search_queries_total", "queries_total")
+    R.counter("search_vector_queries", "vector_queries")
+    R.counter("search_nonvector_queries", "nonvector_queries")
+    R.counter("search_hybrid_queries_prefilter", "hybrid_prefilter")
+    R.counter("search_hybrid_queries_inline", "hybrid_inline")
+    R.counter("search_query_errors", "query_errors")
+    R.counter("search_query_timeouts", "query_timeouts")
+    R.counter("search_partial_results", "partial_results", dev=True)
+    _sampler_fields("search_vector", "vector_search_usec")
+    _sampler_fields("search_nonvector", "nonvector_search_usec")
+    # ingestion
+    R.counter("search_mutations_enqueued", "mutations_enqueued")
+    R.counter("search_mutations_applied", "mutations_applied")
+    R.counter("search_mutations_combined", "mutations_combined")
+    R.counter("search_mutation_failures", "mutation_failures")
+    R.counter("search_backfilled_records", "backfilled_records")
+    R.counter("search_documents_dropped_invalid", "documents_dropped_invalid")
+    # vectors
+    R.counter("search_vector_records_added", "vector_records_added")
+    R.counter("search_vector_records_modified", "vector_records_modified")
+    R.counter("search_vector_records_removed", "vector_records_removed")
+    R.counter("search_vector_invalid_records", "vector_invalid_records")
+    R.counter("search_hnsw_graph_rebuilds", "hnsw_graph_rebuilds", dev=True)
+    R.counter("search_device_publishes", "device_publishes", dev=True)
+    # persistence
+    R.counter("search_rdb_saves", "rdb_saves")
+    R.counter("search_rdb_loads", "rdb_loads")
+    # cluster / fanout
+    R.counter("search_fanout_queries", "fanout_queries")
+    R.counter("search_fanout_retries", "fanout_retries", dev=True)
+    R.counter("search_fanout_inconsistent_snapshots", "fanout_inconsistent")
+    R.counter("search_metadata_broadcasts", "metadata_broadcasts", dev=True)
+    R.counter("search_metadata_reconciles", "metadata_reconciles", dev=True)
+
+
+_register_builtin_fields()
+
+
+def register_engine_fields(engine, registry: InfoRegistry) -> None:
+    """Engine-instance fields (schemas, keyspace, interners, memory-ish) —
+    registered on a per-engine registry so multiple engines in one
+    process (cluster simulations, tests) don't alias each other."""
+    R = registry
+
+    R.field("search_number_of_indexes",
+            lambda: len(engine.manager.all_schemas()), crash_safe=True)
+    R.field("search_total_indexed_documents",
+            lambda: sum(s.num_docs() for s in engine.manager.all_schemas()))
+    R.field("search_keyspace_keys", lambda: len(engine.keyspace))
+    R.field("search_mutation_queue_size", lambda: engine._queue_size())
+    R.field(
+        "search_used_vector_bytes",
+        lambda: sum(
+            a.index.store.vectors.nbytes
+            for s in engine.manager.all_schemas()
+            for a in s.vector_attributes()
+        ),
+        si_bytes=True,
+    )
+    R.field(
+        "search_backfills_in_progress",
+        lambda: sum(
+            1 for s in engine.manager.all_schemas() if s.backfill_in_progress
+        ),
+        crash_safe=True,
+    )

@@ -88,6 +88,11 @@ class IngestionEngine:
                     return
                 _, m = self._queue.popitem(last=False)
                 self._inflight += 1
+            # BACKGROUND_PAUSEPOINT equivalent (reference search.cc:435,657:
+            # writer-path marks integration tests freeze on)
+            from valkey_search_tpu.runtime.debug import PAUSEPOINTS
+
+            PAUSEPOINTS.test("ingest.before_apply")
             try:
                 if m.fields is None:
                     m.schema.delete(m.key)

@@ -81,9 +81,13 @@ class SchemaManager:
         schema.backfill_in_progress = True
         n = 0
         try:
+            from valkey_search_tpu.runtime.debug import PAUSEPOINTS
+
             for key, fields in list(keyspace.items()):
                 if not schema.matches_key(key):
                     continue
+                if n % batch_size == 0:
+                    PAUSEPOINTS.test("backfill.batch")
                 schema.upsert(key, fields)
                 n += 1
                 schema.backfill_scanned = n

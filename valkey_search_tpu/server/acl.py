@@ -1,0 +1,104 @@
+"""ACL: per-user key-prefix enforcement on FT.* commands.
+
+Reference: src/acl.{h,cc} — AclPrefixCheck (acl.h:36-43) requires the
+calling user's key ACL patterns to cover EVERY prefix of the index being
+queried/created (stricter than Redisearch, COMPATIBILITY.md): a query
+may only run if the user could read every key the index can possibly
+contain. A glob pattern covers an index prefix iff it is `head*` with
+the index prefix extending `head` (so all keys under the prefix match).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Dict, List, Sequence, Tuple
+
+
+class AclError(PermissionError):
+    pass
+
+
+@dataclasses.dataclass
+class AclUser:
+    name: str
+    enabled: bool = True
+    key_patterns: Tuple[str, ...] = ()
+    allowed_categories: Tuple[str, ...] = ("search",)
+
+    def covers_prefix(self, prefix: str) -> bool:
+        for pat in self.key_patterns:
+            if pat == "*":
+                return True
+            if pat.endswith("*") and "*" not in pat[:-1]:
+                head = pat[:-1]
+                if prefix.startswith(head):
+                    return True
+        return False
+
+    def may_touch_key(self, key: str) -> bool:
+        import fnmatch
+
+        return any(fnmatch.fnmatchcase(key, p) for p in self.key_patterns)
+
+
+class AclManager:
+    """User registry + the prefix check commands call."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._users: Dict[str, AclUser] = {
+            "default": AclUser("default", key_patterns=("*",))
+        }
+
+    def setuser(self, name: str, *rules: str) -> AclUser:
+        with self._lock:
+            user = self._users.get(name) or AclUser(name, key_patterns=())
+            patterns = list(user.key_patterns)
+            for rule in rules:
+                if rule == "on":
+                    user.enabled = True
+                elif rule == "off":
+                    user.enabled = False
+                elif rule == "allkeys":
+                    patterns = ["*"]
+                elif rule == "resetkeys":
+                    patterns = []
+                elif rule.startswith("~"):
+                    patterns.append(rule[1:])
+                elif rule.startswith("%RW~") or rule.startswith("%R~"):
+                    patterns.append(rule.split("~", 1)[1])
+                else:
+                    raise AclError(f"unsupported ACL rule {rule!r}")
+            user.key_patterns = tuple(patterns)
+            self._users[name] = user
+            return user
+
+    def getuser(self, name: str) -> AclUser:
+        with self._lock:
+            u = self._users.get(name)
+            if u is None:
+                raise AclError(f"unknown user {name!r}")
+            return u
+
+    def deluser(self, name: str) -> None:
+        if name == "default":
+            raise AclError("cannot delete the default user")
+        with self._lock:
+            self._users.pop(name, None)
+
+    def check_index_access(self, username: str, prefixes: Sequence[str]) -> None:
+        """Raises unless the user's key patterns cover every index prefix
+        (reference AclPrefixCheck: called from all FT.* commands,
+        commands.cc:166)."""
+        user = self.getuser(username)
+        if not user.enabled:
+            raise AclError(f"user {username!r} is disabled")
+        missing: List[str] = [
+            p for p in prefixes if not user.covers_prefix(p)
+        ]
+        if missing:
+            raise AclError(
+                f"user {username!r} lacks key ACL coverage for index "
+                f"prefixes {missing!r}"
+            )

@@ -39,6 +39,7 @@ class Engine:
         self._lock = threading.RLock()
         self._sync_ingest = sync_ingest
         self._ingestion = None  # created lazily (schema.ingestion)
+        self._acl = None        # created lazily (server.acl)
 
     # ------------------------------------------------------------------ data
     def hset(self, key: str, mapping: Dict[str, Value]) -> int:
@@ -136,11 +137,28 @@ class Engine:
             path, engine=cls(), skip_vector_payload=skip_vector_payload
         )
 
+    # ------------------------------------------------------------------ acl
+    @property
+    def acl(self):
+        if getattr(self, "_acl", None) is None:
+            from valkey_search_tpu.server.acl import AclManager
+
+            self._acl = AclManager()
+        return self._acl
+
+    def _acl_check(self, user: str, prefixes) -> None:
+        """Reference AclPrefixCheck (acl.h:36-43), called from every FT.*
+        command (commands.cc:166)."""
+        if user == "default" and getattr(self, "_acl", None) is None:
+            return  # no custom users registered; default has allkeys
+        self.acl.check_index_access(user, prefixes)
+
     # ------------------------------------------------------------- commands
-    def ft_create(self, *args: Value) -> str:
+    def ft_create(self, *args: Value, user: str = "default") -> str:
         schema, skip_scan = ft_create_mod.parse_ft_create(
             [_s(a) for a in args]
         )
+        self._acl_check(user, schema.prefixes)
         self.manager.create(schema)
         if not skip_scan:
             with self._lock:
@@ -148,25 +166,35 @@ class Engine:
             self.manager.backfill(schema, snapshot)
         return "OK"
 
-    def ft_dropindex(self, name: str) -> str:
+    def ft_dropindex(self, name: str, user: str = "default") -> str:
+        schema = self.manager.get(_s(name))
+        self._acl_check(user, schema.prefixes)
         self.manager.drop(_s(name))
         return "OK"
 
     def ft_list(self) -> List[str]:
         return self.manager.list_names()
 
-    def ft_search(self, *args: Value) -> list:
+    def ft_search(self, *args: Value, user: str = "default") -> list:
         sp = ft_search_mod.parse_ft_search_args(list(args))
         schema = self.manager.get(sp.index_name)
+        self._acl_check(user, schema.prefixes)
         return ft_search_mod.run_ft_search(self, schema, sp)
 
-    def ft_aggregate(self, *args: Value) -> list:
+    def ft_aggregate(self, *args: Value, user: str = "default") -> list:
         from valkey_search_tpu.server import ft_aggregate as agg
 
+        if args:
+            try:
+                schema = self.manager.get(_s(args[0]))
+                self._acl_check(user, schema.prefixes)
+            except KeyError:
+                pass  # unknown index error surfaces from the parser
         return agg.run_ft_aggregate(self, list(args))
 
-    def ft_info(self, name: str) -> list:
+    def ft_info(self, name: str, user: str = "default") -> list:
         schema = self.manager.get(_s(name))
+        self._acl_check(user, schema.prefixes)
         st = schema.stats()
         attrs = []
         for alias, a in st["attributes"].items():
@@ -197,6 +225,18 @@ class Engine:
 
         return dbg.run_ft_debug(self, [_s(a) for a in args])
 
+    def info(self, include_dev: Optional[bool] = None) -> Dict[str, object]:
+        """INFO-style observability snapshot (reference vmsdk info_field
+        registry, ~90 fields, valkey_search.cc:93-1006)."""
+        from valkey_search_tpu.runtime import info as info_mod
+
+        if getattr(self, "_info_registry", None) is None:
+            self._info_registry = info_mod.InfoRegistry()
+            info_mod.register_engine_fields(self, self._info_registry)
+        out = info_mod.REGISTRY.collect(include_dev=include_dev)
+        out.update(self._info_registry.collect(include_dev=include_dev))
+        return out
+
     def config_set(self, name: str, value: Value) -> str:
         config.set_config(_s(name), value)
         return "OK"
@@ -205,19 +245,20 @@ class Engine:
         return config.get(_s(name))
 
     # redis-style generic dispatch -----------------------------------------
-    def execute(self, *argv: Value):
+    def execute(self, *argv: Value, user: str = "default"):
         if not argv:
             raise CommandError("empty command")
         cmd = _s(argv[0]).upper()
         rest = list(argv[1:])
         table = {
-            "FT.CREATE": lambda: self.ft_create(*rest),
-            "FT.DROPINDEX": lambda: self.ft_dropindex(*rest),
-            "FT.SEARCH": lambda: self.ft_search(*rest),
-            "FT.AGGREGATE": lambda: self.ft_aggregate(*rest),
-            "FT.INFO": lambda: self.ft_info(*rest),
+            "FT.CREATE": lambda: self.ft_create(*rest, user=user),
+            "FT.DROPINDEX": lambda: self.ft_dropindex(*rest, user=user),
+            "FT.SEARCH": lambda: self.ft_search(*rest, user=user),
+            "FT.AGGREGATE": lambda: self.ft_aggregate(*rest, user=user),
+            "FT.INFO": lambda: self.ft_info(*rest, user=user),
             "FT._LIST": lambda: self.ft_list(),
             "FT._DEBUG": lambda: self.ft_debug(*rest),
+            "INFO": lambda: self.info(),
         }
         if cmd == "HSET":
             if len(rest) < 3 or len(rest) % 2 == 0:

@@ -179,7 +179,19 @@ def run_ft_search(engine, schema, sp: SearchParameters) -> list:
     """Execute and shape the reply: [count, key, [field, value, ...], ...]."""
     resp = execute_search(schema, sp)
     rows = resolve_content(engine, schema, resp)
+    return shape_reply(rows, resp, sp)
 
+
+def shape_reply(
+    rows: List[Tuple[Neighbor, Optional[Dict[str, Value]]]],
+    resp: SearchResponse,
+    sp: SearchParameters,
+    total_override: Optional[int] = None,
+) -> list:
+    """Sort/trim/shape pre-resolved rows (split out so the cluster fanout
+    can merge per-shard rows before shaping — reference
+    SearchPartitionResultsTracker drains its merge heap through the same
+    reply path, fanout.cc:177)."""
     # SORTBY (applied before LIMIT; stable; ft.search.md)
     if sp.sortby is not None:
         score_name = resp.score_field
@@ -197,7 +209,10 @@ def run_ft_search(engine, schema, sp: SearchParameters) -> list:
     elif resp.knn is not None:
         rows.sort(key=lambda r: (r[0].distance if r[0].distance is not None else 0.0))
 
-    total = resp.total if resp.knn is None else len(rows)
+    if total_override is not None:
+        total = total_override
+    else:
+        total = resp.total if resp.knn is None else len(rows)
     window = rows[sp.limit_offset : sp.limit_offset + sp.limit_num]
 
     reply: list = [total]
