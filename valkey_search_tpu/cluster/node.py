@@ -114,9 +114,15 @@ class ClusterNode:
 
 
 class ClusterEngine:
-    """Facade over N primary shards; the client-visible cluster surface."""
+    """Facade over N primary shards (+ optional replicas); the
+    client-visible cluster surface."""
 
-    def __init__(self, n_nodes: int = 3, sync_ingest: bool = True):
+    def __init__(
+        self,
+        n_nodes: int = 3,
+        sync_ingest: bool = True,
+        replicas_per_shard: int = 0,
+    ):
         if n_nodes < 1:
             raise ValueError("need at least one node")
         self.bus = ClusterBus()
@@ -124,27 +130,71 @@ class ClusterEngine:
             ClusterNode(f"node{i}", self.bus, sync_ingest)
             for i in range(n_nodes)
         ]
+        # replica read scaling (P7): each replica indexes its own copy of
+        # the replication stream — index content is NOT replicated
+        # (docs/topics/search.md "Index Replication"); metadata reaches
+        # replicas through the same gossip (FT.INTERNAL_UPDATE path).
+        self.replicas: List[List[ClusterNode]] = [
+            [
+                ClusterNode(f"node{i}r{j}", self.bus, sync_ingest)
+                for j in range(replicas_per_shard)
+            ]
+            for i in range(n_nodes)
+        ]
         per = NUM_SLOTS // n_nodes
         for i, node in enumerate(self.nodes):
             lo = i * per
             hi = (i + 1) * per if i < n_nodes - 1 else NUM_SLOTS
             node.slots = (lo, hi)
+            for r in self.replicas[i]:
+                r.slots = (lo, hi)
         self._lock = threading.RLock()
 
     # -- routing ---------------------------------------------------------------
-    def owner(self, key: str) -> ClusterNode:
+    def _shard_of(self, key: str) -> int:
         slot = key_slot(key)
-        for node in self.nodes:
+        for i, node in enumerate(self.nodes):
             if node.slots[0] <= slot < node.slots[1]:
-                return node
+                return i
         raise RuntimeError("unowned slot")  # unreachable
+
+    def owner(self, key: str) -> ClusterNode:
+        return self.nodes[self._shard_of(key)]
+
+    def _targets(self) -> List[ClusterNode]:
+        """One node per shard by target-selection mode (reference
+        FanoutTargetMode: random/primary/replica, cluster_map.h:38-46;
+        ForceReplicasOnly controlled variable, commands.cc:96)."""
+        import random as _random
+
+        mode = str(config.get("search.fanout-target-mode"))
+        if CONTROLLED.is_true("force_replicas_only"):
+            mode = "replica"
+        out: List[ClusterNode] = []
+        for i, primary in enumerate(self.nodes):
+            reps = self.replicas[i]
+            if mode == "primary" or not reps:
+                out.append(primary)
+            elif mode == "replica":
+                out.append(_random.choice(reps))
+            else:
+                out.append(_random.choice([primary] + reps))
+        return out
 
     # -- keyspace --------------------------------------------------------------
     def hset(self, key: str, mapping: Dict[str, object]) -> int:
-        return self.owner(key).engine.hset(key, mapping)
+        i = self._shard_of(key)
+        n = self.nodes[i].engine.hset(key, mapping)
+        for r in self.replicas[i]:
+            r.engine.hset(key, mapping)  # replication stream apply
+        return n
 
     def delete(self, key: str) -> int:
-        return self.owner(key).engine.delete(key)
+        i = self._shard_of(key)
+        n = self.nodes[i].engine.delete(key)
+        for r in self.replicas[i]:
+            r.engine.delete(key)
+        return n
 
     def hgetall(self, key: str) -> Dict[str, object]:
         return self.owner(key).engine.hgetall(key)
@@ -152,6 +202,9 @@ class ClusterEngine:
     def drain(self) -> None:
         for node in self.nodes:
             node.engine.drain()
+        for reps in self.replicas:
+            for r in reps:
+                r.engine.drain()
 
     # -- metadata path -----------------------------------------------------------
     def ft_create(self, *args, timeout_s: float = 5.0) -> str:
@@ -170,13 +223,19 @@ class ClusterEngine:
         self.nodes[0].metadata.drop_entry(name)
         deadline = time.time() + timeout_s
         while time.time() < deadline:
-            if all(n.metadata.get(name) is None for n in self.nodes):
+            if all(n.metadata.get(name) is None for n in self._all_nodes()):
                 return "OK"
             self.nodes[0].metadata.broadcast()
         raise ConsistencyError(f"drop of {name!r} did not converge")
 
     def _missing(self, name: str):
         raise KeyError(f"unknown index {name!r}")
+
+    def _all_nodes(self) -> List[ClusterNode]:
+        out = list(self.nodes)
+        for reps in self.replicas:
+            out.extend(reps)
+        return out
 
     def _await_consistency(self, name: str, entry, timeout_s: float) -> None:
         """FT.CREATE consistency-check fanout (ft_create.cc:21-80): retry
@@ -187,7 +246,7 @@ class ClusterEngine:
                 (e := n.metadata.get(name)) is not None
                 and (e.version, e.fingerprint)
                 == (entry.version, entry.fingerprint)
-                for n in self.nodes
+                for n in self._all_nodes()
             )
             if ok:
                 return
@@ -228,13 +287,17 @@ class ClusterEngine:
             config.get("search.enable-partial-results")
             or config.get("search.prefer-partial-results")
         )
+        from valkey_search_tpu.utils import cancel
+
+        token = cancel.from_timeout_ms(sp.timeout_ms)
         last_err: Optional[Exception] = None
         for _attempt in range(max_retries):
+            token.check()
             rows, totals, score_field, knn, failures = [], [], None, None, []
-            for node in self.nodes:
+            for node in self._targets():
                 try:
                     r, t, sf, kn = self._search_partition(
-                        node, shard_sp, expected
+                        node, shard_sp, expected, token
                     )
                 except ConsistencyError as exc:
                     failures.append(exc)
@@ -255,11 +318,14 @@ class ClusterEngine:
             self.nodes[0].metadata.broadcast()  # push convergence, retry
         raise last_err  # type: ignore[misc]
 
-    def _search_partition(self, node: ClusterNode, sp, expected):
+    def _search_partition(self, node: ClusterNode, sp, expected, token=None):
         """One shard's SearchIndexPartition (server.cc): fingerprint checks
         then local search + content resolution on the owning shard."""
         from valkey_search_tpu.query.search import execute_search
         from valkey_search_tpu.server import ft_search as ft_search_mod
+
+        if token is not None:
+            token.check()
 
         if CONTROLLED.is_true("force_invalid_index_fingerprint"):
             raise ConsistencyError("forced index fingerprint mismatch")

@@ -293,7 +293,7 @@ def _replay_nonvector(schema, keyspace: Dict[str, Dict[str, object]]) -> None:
         schema._documents[key] = dict(fields)
         invalid = False
         for attr in nonvec:
-            val = fields.get(attr.identifier)
+            val = schema.data_type.fetch(fields, attr.identifier)
             if val is not None:
                 if attr.index.add_record(key, val) is RecordResult.INVALID_DATA:
                     invalid = True

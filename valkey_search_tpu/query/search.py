@@ -69,15 +69,24 @@ class SearchResponse:
     knn: Optional[qparser.KnnClause] = None
 
 
-def execute_search(schema, sp: SearchParameters) -> SearchResponse:
+def execute_search(schema, sp: SearchParameters, token=None) -> SearchResponse:
     """Run one search against a schema's published snapshots."""
+    from valkey_search_tpu.utils import cancel
+
     t0 = time.perf_counter()
+    if token is None:
+        token = cancel.from_timeout_ms(sp.timeout_ms)
+    token.check()
     pred, knn = qparser.parse_query(sp.query, sp.params)
     ctx = P.EvalContext(schema)
     if knn is not None:
+        # no post-kernel check: once the device kernel has produced the
+        # result, discarding it on deadline wastes the work (first-compile
+        # can exceed any reasonable query timeout); the token gates work
+        # about to start, matching the reference's loop-entry checks.
         resp = _search_vector(schema, ctx, pred, knn, sp)
     else:
-        resp = _search_non_vector(schema, ctx, pred, sp)
+        resp = _search_non_vector(schema, ctx, pred, sp, token)
     resp.predicate = pred
     resp.knn = knn
     STATS.sampler("query_execution", 1).observe_usec(
@@ -133,7 +142,7 @@ def _search_vector(schema, ctx, pred, knn, sp) -> SearchResponse:
     )
 
 
-def _search_non_vector(schema, ctx, pred, sp) -> SearchResponse:
+def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
     """Fetcher-scan path (search.cc:607): device mask → host ids, capped by
     search.max-non-vector-search-results-fetched."""
     cap_results = int(config.get("search.max-non-vector-search-results-fetched"))
@@ -142,7 +151,9 @@ def _search_non_vector(schema, ctx, pred, sp) -> SearchResponse:
     total = int(docs.shape[0])
     docs = docs[:cap_results]
     neighbors = []
-    for doc in docs:
+    for i, doc in enumerate(docs):
+        if token is not None and (i & 0x3FF) == 0:
+            token.check()  # hot-loop cancel checkpoint (search.cc:672)
         key = schema.interner.key_of(int(doc))
         if key is not None:
             neighbors.append(Neighbor(key=key, doc=int(doc)))

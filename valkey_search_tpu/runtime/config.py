@@ -178,6 +178,10 @@ _num("search.max-query-depth", 1000, 1, 100_000)   # filter_parser depth limit
 _num("search.max-query-terms", 16, 1, 10_000)
 _num("search.max-text-query-terms", 16, 1, 10_000)
 _bool("search.enable-partial-results", False)
+# fanout target selection (reference FanoutTargetMode, cluster_map.h:38-46)
+_enum("search.fanout-target-mode", "random",
+      ["random", "primary", "replica"])
+_num("search.replication-lag-ms", 0, 0, 60_000, flags=Flag.DEV)
 
 
 def get(name: str) -> Any:

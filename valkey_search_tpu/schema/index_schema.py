@@ -59,9 +59,12 @@ class IndexSchema:
     ):
         if on not in ("HASH", "JSON"):
             raise ValueError("ON must be HASH or JSON")
+        from valkey_search_tpu.schema.attribute_data_type import data_type_for
+
         self.name = name
         self.prefixes = tuple(prefixes) or ("",)
         self.on = on
+        self.data_type = data_type_for(on)
         self.db = db
         self.interner = KeyInterner()
         self.attributes: Dict[str, Attribute] = {}  # by alias
@@ -189,7 +192,7 @@ class IndexSchema:
             self._documents[key] = dict(fields)
             invalid = False
             for attr in self.attributes.values():
-                val = fields.get(attr.identifier)
+                val = self.data_type.fetch(fields, attr.identifier)
                 if val is None:
                     r = attr.index.remove_record(key)
                 else:

@@ -78,6 +78,19 @@ class IngestionEngine:
             STATS.incr("mutations_enqueued")
             self._cv.notify()
 
+    def enqueue_multi(self, muts) -> None:
+        """Ordered group enqueue, exempt from per-key combining (reference
+        EnqueueMultiMutation, index_schema.cc:834: MULTI/EXEC mutations keep
+        their order and never merge with other pending writes)."""
+        with self._cv:
+            for m in muts:
+                self._seq += 1
+                m.seq = self._seq
+                # unique queue key → no combining, FIFO order preserved
+                self._queue[(id(m.schema), m.key, m.seq)] = m
+                STATS.incr("mutations_enqueued")
+            self._cv.notify_all()
+
     # -- worker side ---------------------------------------------------------
     def _run(self) -> None:
         while True:
@@ -116,7 +129,12 @@ class IngestionEngine:
         contended queries on the mutation's completion,
         PerformKeyContentionCheck, index_schema.cc:1917)."""
         with self._lock:
-            return (id(schema), key) in self._queue
+            if (id(schema), key) in self._queue:
+                return True
+            return any(
+                qk[0] == id(schema) and qk[1] == key
+                for qk in self._queue if len(qk) == 3
+            )
 
     def drain(self, timeout: Optional[float] = None) -> bool:
         with self._cv:

@@ -85,14 +85,63 @@ class Engine:
         with self._lock:
             return dict(self.keyspace.get(key, {}))
 
+    # ------------------------------------------------------------- JSON API
+    def json_set(self, key: str, path: str, value: Value) -> str:
+        """JSON.SET equivalent (reference JsonAttributeDataType fetches via
+        JSON.GET, attribute_data_type.h:114-117). Path `$` replaces the
+        document; nested paths update in place."""
+        import json as _json
+
+        from valkey_search_tpu.schema.attribute_data_type import resolve_json_path
+
+        raw = value.decode() if isinstance(value, bytes) else str(value)
+        new_val = _json.loads(raw)
+        with self._lock:
+            if path in ("$", "."):
+                doc = new_val
+            else:
+                cur_raw = self.keyspace.get(key, {}).get("$")
+                doc = _json.loads(cur_raw) if cur_raw else {}
+                parts = path.lstrip("$").lstrip(".").split(".")
+                parent = doc
+                for p in parts[:-1]:
+                    nxt = parent.get(p) if isinstance(parent, dict) else None
+                    if not isinstance(nxt, (dict, list)):
+                        nxt = {}
+                        parent[p] = nxt
+                    parent = nxt
+                parent[parts[-1]] = new_val
+            snapshot = {"$": _json.dumps(doc)}
+            self.keyspace[key] = snapshot
+        self._notify(key, snapshot, kind="JSON")
+        return "OK"
+
+    def json_get(self, key: str, path: str = "$") -> Optional[str]:
+        import json as _json
+
+        from valkey_search_tpu.schema.attribute_data_type import resolve_json_path
+
+        with self._lock:
+            raw = self.keyspace.get(key, {}).get("$")
+        if raw is None:
+            return None
+        if path in ("$", "."):
+            return raw if isinstance(raw, str) else _json.dumps(raw)
+        val = resolve_json_path(_json.loads(raw), path)
+        return None if val is None else _json.dumps(val)
+
     def flushall(self) -> None:
         with self._lock:
             keys = list(self.keyspace)
         for k in keys:
             self.delete(k)
 
-    def _notify(self, key: str, fields: Dict[str, Value]) -> None:
+    def _notify(self, key: str, fields: Dict[str, Value], kind: str = "HASH") -> None:
+        # reference: hash vs JSON keyspace events route only to schemas of
+        # the matching ON type (attribute_data_type.h)
         for schema in self.manager.subscribed(key):
+            if schema.on != kind:
+                continue
             if self._sync_ingest:
                 schema.upsert(key, fields)
             else:
@@ -111,6 +160,13 @@ class Engine:
 
             self._ingestion = IngestionEngine()
         return self._ingestion
+
+    # ---------------------------------------------------------- MULTI/EXEC
+    def multi(self) -> "Transaction":
+        """Begin a MULTI/EXEC transaction: queued writes apply atomically
+        in order, exempt from mutation-queue combining (reference
+        EnqueueMultiMutation ordered queue, index_schema.cc:834)."""
+        return Transaction(self)
 
     def drain(self) -> None:
         """Wait for async ingestion to settle (tests/shutdown)."""
@@ -271,10 +327,105 @@ class Engine:
             return sum(self.delete(_s(k)) for k in rest)
         if cmd == "HGETALL":
             return self.hgetall(_s(rest[0]))
+        if cmd == "JSON.SET":
+            if len(rest) != 3:
+                raise CommandError("JSON.SET key path value")
+            return self.json_set(_s(rest[0]), _s(rest[1]), rest[2])
+        if cmd == "JSON.GET":
+            if not rest:
+                raise CommandError("JSON.GET key [path]")
+            return self.json_get(
+                _s(rest[0]), _s(rest[1]) if len(rest) > 1 else "$"
+            )
         fn = table.get(cmd)
         if fn is None:
             raise CommandError(f"unknown command {cmd!r}")
         return fn()
+
+
+class Transaction:
+    """Queued keyspace writes applied atomically on exec()."""
+
+    def __init__(self, engine: Engine):
+        self._engine = engine
+        self._ops: List[tuple] = []
+        self._done = False
+
+    def hset(self, key: str, mapping: Dict[str, Value]) -> "Transaction":
+        self._ops.append(("hset", key, dict(mapping)))
+        return self
+
+    def delete(self, key: str) -> "Transaction":
+        self._ops.append(("del", key, None))
+        return self
+
+    def json_set(self, key: str, path: str, value: Value) -> "Transaction":
+        self._ops.append(("json", key, (path, value)))
+        return self
+
+    def discard(self) -> None:
+        self._ops.clear()
+        self._done = True
+
+    def exec(self) -> int:
+        """Apply all queued writes under the engine lock; index mutations
+        land as one ordered group."""
+        if self._done:
+            raise CommandError("transaction already finished")
+        self._done = True
+        eng = self._engine
+        from valkey_search_tpu.schema.ingestion import Mutation
+
+        notifications: List[tuple] = []  # (schema, key, fields-or-None)
+        with eng._lock:
+            for op, key, arg in self._ops:
+                if op == "hset":
+                    doc = eng.keyspace.setdefault(key, {})
+                    doc.update(arg)
+                    snapshot = dict(doc)
+                    kind = "HASH"
+                elif op == "json":
+                    import json as _json
+
+                    path, value = arg
+                    raw = value.decode() if isinstance(value, bytes) else str(value)
+                    if path in ("$", "."):
+                        doc_obj = _json.loads(raw)
+                    else:
+                        cur = eng.keyspace.get(key, {}).get("$")
+                        doc_obj = _json.loads(cur) if cur else {}
+                        parts = path.lstrip("$").lstrip(".").split(".")
+                        parent = doc_obj
+                        for p in parts[:-1]:
+                            nxt = parent.get(p) if isinstance(parent, dict) else None
+                            if not isinstance(nxt, (dict, list)):
+                                nxt = {}
+                                parent[p] = nxt
+                            parent = nxt
+                        parent[parts[-1]] = _json.loads(raw)
+                    snapshot = {"$": _json.dumps(doc_obj)}
+                    eng.keyspace[key] = snapshot
+                    kind = "JSON"
+                else:  # del
+                    eng.keyspace.pop(key, None)
+                    snapshot = None
+                    kind = None
+                for schema in eng.manager.subscribed(key):
+                    if snapshot is not None and schema.on != kind:
+                        continue
+                    notifications.append((schema, key, snapshot))
+        if eng._sync_ingest:
+            for schema, key, fields in notifications:
+                if fields is None:
+                    schema.delete(key)
+                else:
+                    schema.upsert(key, fields)
+        else:
+            eng._queue().enqueue_multi([
+                Mutation(schema, key, fields)
+                for schema, key, fields in notifications
+            ])
+        return len(self._ops)
 
 
 def _s(v: Value) -> str:
