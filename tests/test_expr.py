@@ -80,14 +80,20 @@ def test_exists():
 
 
 def test_time_functions():
-    # 2021-01-02T03:04:05Z = 1609556645
+    # 2021-01-02T03:04:05Z = 1609556645. day/hour/minute/month TRUNCATE the
+    # timestamp to the period start (reference RoundToPeriod + FuncMonth,
+    # value.cc:766-831); the component extractors are dayof*/monthofyear/year.
     ts = "1609556645"
+    t = 1609556645
     assert ev(f"year({ts})") == 2021.0
-    assert ev(f"month({ts})") == 0.0  # January = 0
-    assert ev(f"day({ts})") == 2.0
-    assert ev(f"hour({ts})") == 3.0
-    assert ev(f"minute({ts})") == 4.0
+    assert ev(f"month({ts})") == 1609459200.0  # 2021-01-01T00:00:00Z
+    assert ev(f"day({ts})") == t - t % 86400
+    assert ev(f"hour({ts})") == t - t % 3600
+    assert ev(f"minute({ts})") == t - t % 60
+    assert ev(f"dayofmonth({ts})") == 2.0
+    assert ev(f"monthofyear({ts})") == 0.0  # January = 0
     assert ev(f"dayofweek({ts})") == 6.0  # Saturday
+    assert ev("day(-1)") is None  # pre-epoch → nil
     s = ev(f"timefmt({ts}, '%Y-%m-%d')")
     assert s == "2021-01-02"
     assert ev("parsetime('2021-01-02', '%Y-%m-%d')") == 1609545600.0

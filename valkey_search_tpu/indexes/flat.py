@@ -56,6 +56,7 @@ class FlatVectorIndex(VectorIndexBase):
             filter_mask=filter_mask,
             block_rows=int(config.get("search.flat-block-size")),
             precision=prec,
+            mode=str(config.get("search.topk-mode")),
         )
         STATS.incr("flat_searches", queries.shape[0])
         return np.asarray(d), np.asarray(i)

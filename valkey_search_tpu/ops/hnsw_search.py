@@ -104,7 +104,10 @@ def _descend_level(queries, vectors, id2row, links, cur, cur_d, metric, precisio
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric", "precision", "filtered", "max_iters"),
+    static_argnames=(
+        "k", "ef", "metric", "precision", "filtered", "max_iters",
+        "expand_per_iter",
+    ),
 )
 def hnsw_search_batch(
     graph: HnswDeviceGraph,
@@ -116,18 +119,28 @@ def hnsw_search_batch(
     filtered: bool = False,
     precision: str = "highest",
     max_iters: Optional[int] = None,
+    expand_per_iter: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched ANN search → (dists [B, k], node ids [B, k]) ascending.
 
     filter_mask: bool [n_docs_cap] in *doc-id* space (True = allowed); only
     consulted when ``filtered=True``. Deleted nodes are always excluded from
     results but traversed, matching hnswlib.
+
+    expand_per_iter: beam entries expanded per loop iteration. 1 reproduces
+    hnswlib's strictly-sequential expansion order; E>1 expands the E best
+    unexpanded entries at once — the sequential loop shrinks ~E× (the
+    device-latency win) at the same total FLOPs. Entries 2..E are expanded
+    before entry 1's neighbors are seen, so a few extra nodes may be
+    visited; recall can only improve, termination still fires when the
+    best unexpanded entry is worse than the ef-th result.
     """
     ef = max(ef, k)
     queries = queries.astype(jnp.float32)
     b = queries.shape[0]
+    e_exp = max(1, min(expand_per_iter, ef))
     if max_iters is None:
-        max_iters = 16 * ef + 64
+        max_iters = (16 * ef + 64 + e_exp - 1) // e_exp
 
     # --- upper-layer descent ------------------------------------------------
     cur = jnp.full((b,), graph.entry, jnp.int32)
@@ -175,22 +188,39 @@ def hnsw_search_batch(
         beam_d, beam_i, beam_e, res_d, res_i, it, done = state
 
         cand_d = jnp.where(beam_e | (beam_i < 0), INF, beam_d)
-        sel_pos = jnp.argmin(cand_d, axis=1)  # [B]
-        sel_d = jnp.take_along_axis(cand_d, sel_pos[:, None], 1)[:, 0]
+        # E best unexpanded entries (beam is distance-sorted, so the first
+        # e_exp unexpanded positions are exactly the E best).
+        neg_top, sel_pos = jax.lax.top_k(-cand_d, e_exp)  # [B, E]
+        sel_d = -neg_top
         lb = lower_bound(res_d)
-        active = jnp.isfinite(sel_d) & (sel_d <= lb) & ~done
+        # per-entry active: hnswlib break condition per expansion slot;
+        # the query is done only when its BEST unexpanded entry fails.
+        entry_active = jnp.isfinite(sel_d) & (sel_d <= lb[:, None]) & ~done[:, None]
+        active = entry_active[:, 0]
         new_done = done | ~active
 
-        sel_id = jnp.take_along_axis(beam_i, sel_pos[:, None], 1)[:, 0]
-        beam_e = beam_e.at[jnp.arange(b), sel_pos].set(
-            beam_e[jnp.arange(b), sel_pos] | active
+        sel_id = jnp.take_along_axis(beam_i, sel_pos, 1)  # [B, E]
+        upd = jnp.take_along_axis(beam_e, sel_pos, 1) | entry_active
+        beam_e = jax.vmap(lambda be, sp, u: be.at[sp].set(u))(
+            beam_e, sel_pos, upd
         )
 
-        nbrs = _gather_rows(graph.links0, sel_id)  # [B, M0]
-        nbrs = jnp.where(active[:, None], nbrs, -1)
+        nbrs = _gather_rows(graph.links0, sel_id)  # [B, E, M0]
+        nbrs = jnp.where(entry_active[:, :, None], nbrs, -1)
+        nbrs = nbrs.reshape(b, -1)  # [B, E*M0]
         nvecs = _gather_rows(graph.vectors, nbrs)
         nd = dist_ops.batched_candidate_scores(queries, nvecs, metric, precision)
         nd = jnp.where(nbrs >= 0, nd, INF)
+
+        if e_exp > 1:
+            # intra-iteration dedup: a node reached from two expanded
+            # entries in the same step must enter the beam only once
+            c_tot = nbrs.shape[1]
+            earlier = jnp.tril(jnp.ones((c_tot, c_tot), bool), k=-1)
+            dup_intra = jnp.any(
+                (nbrs[:, :, None] == nbrs[:, None, :]) & earlier[None], axis=2
+            )
+            nd = jnp.where(dup_intra, INF, nd)
 
         # dedup against current beam (replaces the visited bitset)
         dup = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)

@@ -78,6 +78,7 @@ def sharded_flat_topk(
     shard_versions: Optional[jnp.ndarray] = None,  # [S] int32, sharded
     block_rows: int = 131072,
     precision: str = "highest",
+    mode: str = "exact",
 ):
     """Exact k-NN over a mesh-sharded corpus.
 
@@ -99,6 +100,7 @@ def sharded_flat_topk(
             filter_mask=filter_l if filter_mask is not None else None,
             block_rows=min(block_rows, rows),
             precision=precision,
+            mode=mode,
         )
         gids = jnp.where(i >= 0, i + shard_id * rows, -1)
         all_d = jax.lax.all_gather(d, SHARD_AXIS)      # [S, B, k] over ICI
@@ -208,6 +210,7 @@ def replicated_sharded_flat_topk(
     k: int,
     metric: str = "l2",
     precision: str = "highest",
+    mode: str = "exact",
 ):
     """2D-mesh search: corpus split over `shard`, query batch split over
     `replica`. Each (shard, replica) device scans its corpus shard for its
@@ -222,6 +225,7 @@ def replicated_sharded_flat_topk(
         d, i = topk_ops.flat_topk(
             queries_l, corpus_l, k=k, metric=metric,
             block_rows=rows, precision=precision,
+            mode=mode,
         )
         gids = jnp.where(i >= 0, i + shard_id * rows, -1)
         all_d = jax.lax.all_gather(d, SHARD_AXIS)

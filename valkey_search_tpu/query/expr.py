@@ -199,10 +199,13 @@ def _num1(f: Callable[[float], float]):
     return g
 
 
-def _tm(field: str):
+def _tm(field: str, adjustment: int = 0):
+    """Component extraction (reference TIME_FUNCTION, value.cc:650-672):
+    NaN/inf/negative timestamps → nil."""
+
     def g(args):
         n = to_number(args[0])
-        if n is None:
+        if n is None or math.isnan(n) or math.isinf(n) or n < 0:
             return None
         try:
             t = _time.gmtime(n)
@@ -210,12 +213,42 @@ def _tm(field: str):
             return None
         v = getattr(t, field)
         if field == "tm_mon":
-            v -= 1  # spec months are 0-11 (C gmtime convention)
+            v -= 1  # C tm_mon is 0-11
+        elif field == "tm_yday":
+            v -= 1  # C tm_yday is 0-based; python's is 1-based
         elif field == "tm_wday":
             v = (v + 1) % 7  # python Monday=0 → C Sunday=0
-        return float(v)
+        elif field == "tm_year":
+            v -= 1900  # python gives the full year; C gives years-since-1900
+        return float(v + adjustment)
 
     return g
+
+
+def _round_period(period: float):
+    """day/hour/minute truncate the timestamp to the period start
+    (reference RoundToPeriod, value.cc:800-831 — pure arithmetic floor)."""
+
+    def g(args):
+        n = to_number(args[0])
+        if n is None or math.isnan(n) or math.isinf(n) or n < 0:
+            return None
+        return math.floor(n / period) * period
+
+    return g
+
+
+def _fn_month(args):
+    """Truncate to the first second of the month (value.cc FuncMonth:766,
+    post-1.2.1 semantics: tm_mday=1)."""
+    n = to_number(args[0])
+    if n is None or math.isnan(n) or math.isinf(n) or n < 0:
+        return None
+    try:
+        t = _time.gmtime(n)
+    except (OverflowError, OSError, ValueError):
+        return None
+    return float(calendar.timegm((t.tm_year, t.tm_mon, 1, 0, 0, 0, 0, 0, 0)))
 
 
 def _fn_timefmt(args):
@@ -270,13 +303,15 @@ _FUNCTIONS: Dict[str, tuple] = {
     "concat": (1, 50, lambda a: None if any(to_string(x) is None for x in a) else "".join(to_string(x) for x in a)),
     "dayofweek": (1, 1, _tm("tm_wday")),
     "dayofmonth": (1, 1, _tm("tm_mday")),
-    "dayofyear": (1, 1, lambda a: None if to_number(a[0]) is None else float(_time.gmtime(to_number(a[0])).tm_yday - 1)),
+    "dayofyear": (1, 1, _tm("tm_yday")),
     "monthofyear": (1, 1, _tm("tm_mon")),
-    "year": (1, 1, _tm("tm_year")),
-    "minute": (1, 1, _tm("tm_min")),
-    "hour": (1, 1, _tm("tm_hour")),
-    "day": (1, 1, _tm("tm_mday")),
-    "month": (1, 1, _tm("tm_mon")),
+    "year": (1, 1, _tm("tm_year", adjustment=1900)),
+    # day/hour/minute TRUNCATE the timestamp to the period start —
+    # they do not extract components (value.cc:817-831)
+    "minute": (1, 1, _round_period(60.0)),
+    "hour": (1, 1, _round_period(3600.0)),
+    "day": (1, 1, _round_period(86400.0)),
+    "month": (1, 1, _fn_month),
     "timefmt": (1, 2, _fn_timefmt),
     "parsetime": (1, 2, _fn_parsetime),
     "exists": (1, 1, lambda a: 0.0 if a[0] is None else 1.0),

@@ -111,10 +111,14 @@ def _search_vector(schema, ctx, pred, knn, sp) -> SearchResponse:
     match_all = isinstance(pred, P.MatchAll)
 
     if match_all:
-        if isinstance(index, HnswVectorIndex):
-            d, docs = index.search_batch(qvec[None], knn.k, ef=ef)
-        else:
-            d, docs = index.search_batch(qvec[None], knn.k)
+        # Unfiltered KNN goes through the query batcher: concurrent reader
+        # threads coalesce into one device launch (P1 batched execution,
+        # query/batcher.py).
+        from valkey_search_tpu.query import batcher
+
+        use_ef = ef if isinstance(index, HnswVectorIndex) else None
+        d_row, doc_row = batcher.submit(index, qvec, knn.k, use_ef).result()
+        d, docs = d_row[None], doc_row[None]
         STATS.incr("vector_searches_unfiltered")
     else:
         qualified = pred.estimate(ctx)

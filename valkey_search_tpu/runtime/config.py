@@ -162,9 +162,19 @@ _num("search.default-ef-runtime", 10, 1, 4096)     # ft.create.md:86-89
 _num("search.max-ef-runtime", 4096, 1, 100_000)
 _num("search.timeout-ms", 50_000, 1, 10_000_000)
 _bool("search.prefer-partial-results", False)      # fanout partial policy
-_num("search.query-batch-window-us", 200, 0, 100_000)  # host batching window
+# 0 = adaptive: no artificial wait; arrivals during an in-flight launch
+# queue behind the next leader (continuous batching). >0 adds a fixed
+# collection window for latency/throughput tuning.
+_num("search.query-batch-window-us", 0, 0, 100_000)
 _num("search.query-max-batch", 256, 1, 4096)
-_enum("search.distance-precision", "highest", ["highest", "high", "default"])
+# HIGH (bf16x3 MXU passes) keeps recall@10 >= 0.99 on tightly-clustered
+# corpora where DEFAULT (single bf16 pass) drops it to ~0.89; HIGHEST
+# (fp32) is bit-faithful to a CPU float implementation but slower.
+_enum("search.distance-precision", "high", ["highest", "high", "default"])
+# per-block top-k primitive for the flat scan: lax.approx_min_k is the
+# TPU-optimized partial reduce (2-3x faster; end-to-end recall@10 >= 0.99
+# measured — cross-block merges stay exact). "exact" = lax.top_k.
+_enum("search.topk-mode", "approx", ["approx", "exact"])
 _num("search.mutation-compaction-threshold", 4096, 1, 10_000_000)
 _num("search.backfill-batch-size", 10240, 1, 10_000_000)
 _num("search.max-indexes", 256, 1, 10_000)
@@ -182,6 +192,9 @@ _bool("search.enable-partial-results", False)
 _enum("search.fanout-target-mode", "random",
       ["random", "primary", "replica"])
 _num("search.replication-lag-ms", 0, 0, 60_000, flags=Flag.DEV)
+# memory guard (reference: DENYOOM command flag + backfill pause-on-OOM,
+# index_schema.h:475 paused_by_oom; 0 = unlimited)
+_num("search.max-memory-bytes", 0, 0, 1 << 62)
 
 
 def get(name: str) -> Any:

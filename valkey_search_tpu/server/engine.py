@@ -16,6 +16,7 @@ forces synchronous indexing for tests/simple usage.
 from __future__ import annotations
 
 import threading
+import time
 from typing import Dict, List, Optional, Sequence, Union
 
 from valkey_search_tpu.runtime import config
@@ -32,6 +33,12 @@ class CommandError(ValueError):
     pass
 
 
+class OutOfMemoryError(MemoryError):
+    """DENYOOM equivalent: mutating commands refused above the memory cap
+    (reference module_loader.cc:47 DENYOOM flag; backfill pauses,
+    index_schema.h:475 paused_by_oom)."""
+
+
 class Engine:
     def __init__(self, sync_ingest: bool = True):
         self.manager = SchemaManager()
@@ -40,11 +47,42 @@ class Engine:
         self._sync_ingest = sync_ingest
         self._ingestion = None  # created lazily (schema.ingestion)
         self._acl = None        # created lazily (server.acl)
+        self._expiry: Dict[str, float] = {}  # key → unix deadline
 
     # ------------------------------------------------------------------ data
+    def used_memory_bytes(self) -> int:
+        """Approximate engine footprint: device vector stores + keyspace
+        payloads (reference counts every module byte through malloc
+        interposition, memory_allocation_overrides.h; here the two
+        dominating pools are summed)."""
+        total = 0
+        for schema in self.manager.all_schemas():
+            for a in schema.vector_attributes():
+                total += a.index.store.vectors.nbytes
+        with self._lock:
+            for key, fields in self.keyspace.items():
+                total += len(key)
+                for f, v in fields.items():
+                    total += len(f) + (len(v) if isinstance(v, (str, bytes)) else 8)
+        return total
+
+    def _deny_oom(self) -> None:
+        cap = int(config.get("search.max-memory-bytes"))
+        if cap and self.used_memory_bytes() >= cap:
+            STATS.incr("oom_rejections")
+            for schema in self.manager.all_schemas():
+                schema.paused_by_oom = True
+            raise OutOfMemoryError(
+                "command not allowed when used memory > search.max-memory-bytes"
+            )
+        for schema in self.manager.all_schemas():
+            if getattr(schema, "paused_by_oom", False):
+                schema.paused_by_oom = False
+
     def hset(self, key: str, mapping: Dict[str, Value]) -> int:
         """HSET equivalent; triggers keyspace notification → index update
         (reference OnKeyspaceNotification, index_schema.cc:560)."""
+        self._deny_oom()
         with self._lock:
             doc = self.keyspace.setdefault(key, {})
             added = sum(1 for f in mapping if f not in doc)
@@ -77,13 +115,61 @@ class Engine:
     def delete(self, key: str) -> int:
         with self._lock:
             existed = self.keyspace.pop(key, None) is not None
+            self._expiry.pop(key, None)
         if existed:
             self._notify_delete(key)
         return int(existed)
 
     def hgetall(self, key: str) -> Dict[str, Value]:
+        self._expire_if_due(key)
         with self._lock:
             return dict(self.keyspace.get(key, {}))
+
+    # ------------------------------------------------------------ TTL/expiry
+    # Reference behavior: key expiry fires a keyspace event that removes the
+    # key from every index (integration test_expired.py); the engine expires
+    # lazily on access plus actively on cron (valkey semantics).
+    def expire(self, key: str, seconds: float) -> int:
+        with self._lock:
+            if key not in self.keyspace:
+                return 0
+            self._expiry[key] = time.time() + float(seconds)
+            return 1
+
+    def persist(self, key: str) -> int:
+        with self._lock:
+            return 1 if self._expiry.pop(key, None) is not None else 0
+
+    def ttl(self, key: str) -> float:
+        """Seconds to live; -1 no expiry, -2 missing (redis TTL contract)."""
+        self._expire_if_due(key)
+        with self._lock:
+            if key not in self.keyspace:
+                return -2
+            dl = self._expiry.get(key)
+            return -1 if dl is None else max(0.0, dl - time.time())
+
+    def _expire_if_due(self, key: str) -> bool:
+        with self._lock:
+            dl = self._expiry.get(key)
+            if dl is None or time.time() < dl:
+                return False
+            self._expiry.pop(key, None)
+        self.delete(key)
+        STATS.incr("keys_expired")
+        return True
+
+    def sweep_expired(self) -> int:
+        """Active expiration pass (the server-cron equivalent of the
+        reference's OnServerCronCallback housekeeping)."""
+        now = time.time()
+        with self._lock:
+            due = [k for k, dl in self._expiry.items() if dl <= now]
+        n = 0
+        for k in due:
+            if self._expire_if_due(k):
+                n += 1
+        return n
 
     # ------------------------------------------------------------- JSON API
     def json_set(self, key: str, path: str, value: Value) -> str:
@@ -94,6 +180,7 @@ class Engine:
 
         from valkey_search_tpu.schema.attribute_data_type import resolve_json_path
 
+        self._deny_oom()
         raw = value.decode() if isinstance(value, bytes) else str(value)
         new_val = _json.loads(raw)
         with self._lock:
@@ -237,6 +324,21 @@ class Engine:
         self._acl_check(user, schema.prefixes)
         return ft_search_mod.run_ft_search(self, schema, sp)
 
+    def ft_search_async(self, *args: Value, user: str = "default"):
+        """Schedule a search on the reader pool (reference SearchAsync,
+        search.cc:875: kHigh-priority enqueue on the reader thread pool;
+        the blocked client resolves when the reader finishes). Returns a
+        concurrent.futures.Future of the reply list. Concurrent unfiltered
+        KNN queries coalesce into one device launch (query/batcher.py)."""
+        if getattr(self, "_reader_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._reader_pool = ThreadPoolExecutor(
+                max_workers=max(2, int(config.get("search.reader-threads")) * 4),
+                thread_name_prefix="reader",
+            )
+        return self._reader_pool.submit(self.ft_search, *args, user=user)
+
     def ft_aggregate(self, *args: Value, user: str = "default") -> list:
         from valkey_search_tpu.server import ft_aggregate as agg
 
@@ -337,6 +439,14 @@ class Engine:
             return self.json_get(
                 _s(rest[0]), _s(rest[1]) if len(rest) > 1 else "$"
             )
+        if cmd == "EXPIRE":
+            return self.expire(_s(rest[0]), float(_s(rest[1])))
+        if cmd == "PEXPIRE":
+            return self.expire(_s(rest[0]), float(_s(rest[1])) / 1000.0)
+        if cmd == "TTL":
+            return self.ttl(_s(rest[0]))
+        if cmd == "PERSIST":
+            return self.persist(_s(rest[0]))
         fn = table.get(cmd)
         if fn is None:
             raise CommandError(f"unknown command {cmd!r}")
