@@ -4,6 +4,7 @@ import math
 
 import pytest
 
+from valkey_search_tpu.query import expr as E
 from valkey_search_tpu.query.expr import Expression, ExprError
 
 
@@ -21,29 +22,34 @@ def test_arithmetic_and_precedence():
     assert ev("-3 + 5") == 2.0
 
 
-def test_division_by_zero_is_nil():
-    assert ev("1 / 0") is None
-    assert ev("1 % 0") is None
+def test_division_by_zero_is_nan():
+    # reference FuncDiv (value.cc:350): x/0 == nan (oracle-verified)
+    assert math.isnan(ev("1 / 0"))
+    assert math.isnan(ev("1 % 0"))
 
 
 def test_field_and_param_refs():
     assert ev("@a + @b", {"a": 2.0, "b": 3.0}) == 5.0
     assert ev("@missing") is None
-    assert ev("@missing + 1") is None  # nil propagates
+    with pytest.raises(E.EvalError):
+        ev("@missing + 1")  # arithmetic on nil errors (oracle-verified)
     assert ev("$p * 2", {}, {"p": "21"}) == 42.0
 
 
 def test_string_conversion():
     assert ev("@s + 1", {"s": "41"}) == 42.0
-    assert ev("@s + 1", {"s": "xyz"}) is None
+    with pytest.raises(E.EvalError):
+        ev("@s + 1", {"s": "xyz"})  # non-numeric arithmetic errors
 
 
 def test_relational():
     assert ev("2 < 3") == 1.0
     assert ev("'abc' == 'abc'") == 1.0
     assert ev("'10' == 10") == 1.0  # numeric coercion rule 5
-    assert ev("@x == @y", {}) == 1.0  # nil == nil
-    assert ev("@x < 5", {}) == 0.0  # nil unordered
+    with pytest.raises(E.EvalError):
+        ev("@x == @y", {})  # nil comparison errors (oracle-verified)
+    with pytest.raises(E.EvalError):
+        ev("@x < 5", {})
 
 
 def test_logical():
@@ -60,7 +66,8 @@ def test_numeric_functions():
     assert ev("ceil(2.1)") == 3.0
     assert ev("log(exp(1))") == pytest.approx(1.0)
     assert ev("log2(8)") == 3.0
-    assert ev("sqrt('abc')") is None
+    # unparsable operand -> nan (numeric_unary_nan_on_unparsable)
+    assert math.isnan(ev("sqrt('abc')"))
 
 
 def test_string_functions():
@@ -70,7 +77,8 @@ def test_string_functions():
     assert ev("startswith('hello', 'he')") == 1.0
     assert ev("contains('banana', 'an')") == 2.0
     assert ev("substr('hello', 1, 3)") == "ell"
-    assert ev("substr('hello', 1, -1)") == "ello"
+    # negative length trims from the END (reference FuncSubstr value.cc:554)
+    assert ev("substr('hello', 1, -1)") == "ell"
     assert ev("concat('a', 'b', 'c')") == "abc"
 
 

@@ -83,7 +83,9 @@ def test_numeric_ranges():
 
 def test_numeric_invalid_and_update():
     n = NumericIndex()
-    assert n.add_record("k", "abc") is RecordResult.SKIPPED
+    # unparsable numeric -> INVALID_DATA: schema drops the key everywhere
+    # (Redisearch compat, index_schema.cc:729; 'bad numbers' oracle)
+    assert n.add_record("k", "abc") is RecordResult.INVALID_DATA
     assert "k" in n.untracked_keys()
     assert n.add_record("k", "5") is RecordResult.ADDED
     assert n.add_record("k", "7") is RecordResult.MODIFIED

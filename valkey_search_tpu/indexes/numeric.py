@@ -66,10 +66,13 @@ class NumericIndex(IndexBase):
         with self._lock:
             existed = key in self._tracked
             if v is None:
+                # unparsable numeric → kInvalidData: the schema drops the
+                # key from EVERY index (Redisearch compat,
+                # index_schema.cc:729; 'bad numbers' oracle dataset)
                 if existed:
                     self._remove_locked(key)
                 self._untracked.add(key)
-                return RecordResult.SKIPPED
+                return RecordResult.INVALID_DATA
             doc = self.interner.intern(key)
             self._untracked.discard(key)
             self._tracked[key] = doc

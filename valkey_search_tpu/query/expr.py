@@ -17,6 +17,13 @@ from typing import Callable, Dict, List, Optional, Union
 Value = Union[None, float, str]  # Nil / Numeric / String
 
 
+class EvalError(ValueError):
+    """Runtime type error during APPLY/FILTER evaluation — aborts the whole
+    query (Redisearch behavior, captured by the expr conformance oracle:
+    arithmetic/ordering on non-numeric or missing operands is an error,
+    not a silent nil)."""
+
+
 class ExprError(ValueError):
     pass
 
@@ -44,16 +51,24 @@ def to_string(v: Value) -> Optional[str]:
     if v is None:
         return None
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15 and not math.isinf(v):
+        if math.isfinite(v) and abs(v) < 1e15 and v == int(v):
             return str(int(v))
         return repr(v)
     return str(v)
 
 
 def truthy(v: Value) -> bool:
-    """Logical ops: 0 iff convertible to numeric 0, else 1 (spec)."""
-    n = to_number(v)
+    """Logical ops: 0 iff convertible to numeric 0 ("" counts as 0),
+    else 1 (spec; expr oracle: (0)||("") == 0, !("") == 1)."""
+    n = _arith_num(v)
     return not (n is not None and n == 0.0)
+
+
+def _truthy_strict(v: Value) -> bool:
+    """&&/|| operand: nil errors (expr oracle: (0)||(@missing) errors)."""
+    if v is None:
+        raise EvalError("logical operator requires an operand")
+    return truthy(v)
 
 
 class Node:
@@ -67,6 +82,19 @@ class Const(Node):
 
     def eval(self, record, params):
         return self.v
+
+
+class StrictRecord(dict):
+    """APPLY/FILTER evaluation context: referencing a property that is not
+    loaded nor produced by the pipeline is an error (Redisearch:
+    "Property ... not loaded nor in pipeline"; expr oracle: even
+    exists(@missing) errors). SORTBY stays lenient (missing keys sort
+    as nil)."""
+
+    def get(self, k, default=None):
+        if k not in self:
+            raise EvalError(f"property {k!r} not loaded nor in pipeline")
+        return self[k]
 
 
 class FieldRef(Node):
@@ -96,7 +124,7 @@ class Unary(Node):
     def eval(self, record, params):
         v = self.child.eval(record, params)
         if self.op == "!":
-            return 0.0 if truthy(v) else 1.0
+            return 0.0 if _truthy_strict(v) else 1.0
         if self.op == "-":
             n = to_number(v)
             return None if n is None else -n
@@ -111,22 +139,20 @@ class Binary(Node):
 
     def eval(self, record, params):
         op = self.op
-        if op == "&&":
-            lv = self.left.eval(record, params)
-            if not truthy(lv):
-                return 0.0
-            return 1.0 if truthy(self.right.eval(record, params)) else 0.0
-        if op == "||":
-            lv = self.left.eval(record, params)
-            if truthy(lv):
-                return 1.0
-            return 1.0 if truthy(self.right.eval(record, params)) else 0.0
+        if op in ("&&", "||"):
+            # NO short-circuit: both operands evaluate and must be non-nil
+            # (expr oracle: (-1)||(@missing) errors)
+            lt = _truthy_strict(self.left.eval(record, params))
+            rt = _truthy_strict(self.right.eval(record, params))
+            if op == "&&":
+                return 1.0 if (lt and rt) else 0.0
+            return 1.0 if (lt or rt) else 0.0
         lv = self.left.eval(record, params)
         rv = self.right.eval(record, params)
         if op in ("+", "-", "*", "/", "%", "^"):
-            ln, rn = to_number(lv), to_number(rv)
+            ln, rn = _arith_num(lv), _arith_num(rv)
             if ln is None or rn is None:
-                return None
+                raise EvalError(f"{op!r} requires numeric operands")
             try:
                 if op == "+":
                     return ln + rn
@@ -135,17 +161,54 @@ class Binary(Node):
                 if op == "*":
                     return ln * rn
                 if op == "/":
-                    return ln / rn if rn != 0 else None
+                    # reference FuncDiv (value.cc:350): x/0 == nan, not nil
+                    return ln / rn if rn != 0 else math.nan
                 if op == "%":
-                    return math.fmod(ln, rn) if rn != 0 else None
+                    return math.fmod(ln, rn) if rn != 0 else math.nan
                 if op == "^":
-                    return float(ln**rn)
+                    # C std::pow semantics (reference FuncPower, value.cc:365);
+                    # infinite exponents follow IEEE rules (python ** handles
+                    # them), only finite fractional exponents of negative
+                    # bases are domain errors
+                    if (
+                        ln < 0
+                        and math.isfinite(ln)
+                        and math.isfinite(rn)
+                        and not float(rn).is_integer()
+                    ):
+                        return math.nan
+                    try:
+                        return float(ln ** rn)
+                    except ZeroDivisionError:
+                        return math.inf
+                    except OverflowError:
+                        neg = ln < 0 and float(rn).is_integer() and int(rn) % 2
+                        return -math.inf if neg else math.inf
             except (OverflowError, ValueError):
                 return None
         # relational: conversion rules from search-expressions.md
-        cmp = _compare(lv, rv)
-        if cmp is None:
-            return 0.0 if op == "!=" else 0.0 if op != "==" else 0.0
+        # IEEE unordered comparisons (reference FuncLt.. use C++ double
+        # operators): any relation with nan is false, except != which is true
+        # Comparison type model (derived from the expr oracle):
+        #  - nil operand → error ((0)==(@missing) errors)
+        #  - both convert numerically ("" counts as 0) → numeric compare,
+        #    IEEE rules for nan (all false except !=)
+        #  - else both strings → lexical compare (("")<("a") == 1)
+        #  - else mixed → ordering errors ((0)<("a")); equality is false
+        if lv is None or rv is None:
+            raise EvalError(f"{op!r} requires two operands")
+        ln, rn = _arith_num(lv), _arith_num(rv)
+        if ln is not None and rn is not None:
+            if math.isnan(ln) or math.isnan(rn):
+                return 1.0 if op == "!=" else 0.0
+            cmp = (ln > rn) - (ln < rn)
+        elif isinstance(lv, str) and isinstance(rv, str):
+            a_s, b_s = lv, rv
+            cmp = (a_s > b_s) - (a_s < b_s)
+        else:
+            if op in ("<", "<=", ">", ">="):
+                raise EvalError(f"{op!r} requires operands of the same type")
+            return 1.0 if op == "!=" else 0.0
         res = {
             "<": cmp < 0, "<=": cmp <= 0, "==": cmp == 0,
             "!=": cmp != 0, ">": cmp > 0, ">=": cmp >= 0,
@@ -154,18 +217,15 @@ class Binary(Node):
 
 
 def _compare(a: Value, b: Value) -> Optional[int]:
+    """Numeric-first ordering (reference Value comparison operators:
+    values that both convert to doubles compare numerically — '-0.5' < '-1'
+    is FALSE — falling back to string ordering otherwise)."""
     if a is None and b is None:
         return 0
     if a is None or b is None:
         return None  # unordered
     an, bn = to_number(a), to_number(b)
-    if isinstance(a, float) and isinstance(b, float):
-        pass
-    elif isinstance(a, str) and isinstance(b, str):
-        an = bn = None  # prefer string compare
-        a_s, b_s = a, b
-        return (a_s > b_s) - (a_s < b_s)
-    if (isinstance(a, float) or isinstance(b, float)) and an is not None and bn is not None:
+    if an is not None and bn is not None:
         return (an > bn) - (an < bn)
     a_s, b_s = to_string(a), to_string(b)
     return (a_s > b_s) - (a_s < b_s)
@@ -175,6 +235,13 @@ class Call(Node):
     def __init__(self, name: str, args: List[Node]):
         self.name = name
         self.args = args
+        if name == "concat":
+            from valkey_search_tpu.runtime import config as _cfg
+
+            if str(_cfg.get("search.emulate-release")):
+                # Redisearch has no concat(); the conformance oracle
+                # expects an unknown-function error under emulation
+                raise ExprError("Function concat is unknown")
         fn = _FUNCTIONS.get(name)
         if fn is None:
             raise ExprError(f"unknown function {name!r}")
@@ -186,15 +253,33 @@ class Call(Node):
         return self.fn([a.eval(record, params) for a in self.args])
 
 
+def _arith_num(v) -> Optional[float]:
+    """Arithmetic operand conversion: empty string counts as 0
+    (oracle: (0)+("") == 0); unconvertible values stay None → error."""
+    n = to_number(v)
+    if n is None and isinstance(v, str) and v.strip() == "":
+        return 0.0
+    return n
+
+
 def _num1(f: Callable[[float], float]):
+    """C math semantics (the reference calls libm directly): domain errors
+    yield nan (log(-1) == nan), range errors yield inf (exp(1e9) == inf);
+    unparsable strings yield nan (oracle numeric_unary_nan_on_unparsable);
+    missing operands error."""
+
     def g(args):
-        n = to_number(args[0])
+        if args[0] is None:
+            raise EvalError("numeric function requires an operand")
+        n = _arith_num(args[0])
         if n is None:
-            return None
+            return math.nan
         try:
             return float(f(n))
-        except (ValueError, OverflowError):
-            return None
+        except ValueError:
+            return math.nan
+        except OverflowError:
+            return math.inf
 
     return g
 
@@ -204,11 +289,11 @@ def _tm(field: str, adjustment: int = 0):
     NaN/inf/negative timestamps → nil."""
 
     def g(args):
-        n = to_number(args[0])
+        n = _arith_num(args[0])
         if n is None or math.isnan(n) or math.isinf(n) or n < 0:
             return None
         try:
-            t = _time.gmtime(n)
+            t = _time.gmtime(int(n))  # (time_t) cast truncates toward zero
         except (OverflowError, OSError, ValueError):
             return None
         v = getattr(t, field)
@@ -230,7 +315,7 @@ def _round_period(period: float):
     (reference RoundToPeriod, value.cc:800-831 — pure arithmetic floor)."""
 
     def g(args):
-        n = to_number(args[0])
+        n = _arith_num(args[0])
         if n is None or math.isnan(n) or math.isinf(n) or n < 0:
             return None
         return math.floor(n / period) * period
@@ -241,7 +326,7 @@ def _round_period(period: float):
 def _fn_month(args):
     """Truncate to the first second of the month (value.cc FuncMonth:766,
     post-1.2.1 semantics: tm_mday=1)."""
-    n = to_number(args[0])
+    n = _arith_num(args[0])
     if n is None or math.isnan(n) or math.isinf(n) or n < 0:
         return None
     try:
@@ -251,56 +336,128 @@ def _fn_month(args):
     return float(calendar.timegm((t.tm_year, t.tm_mon, 1, 0, 0, 0, 0, 0, 0)))
 
 
+def _fn_strlen(args):
+    v = args[0]
+    if not isinstance(v, str):
+        raise EvalError("strlen requires a string operand")
+    return float(len(_b(v)))
+
+
+def _case_fn(v, f):
+    if v is None:
+        raise EvalError("upper/lower require an operand")
+    if not isinstance(v, str):
+        return None  # non-string -> nil (upper_non_string_to_nil flag)
+    return f(v)
+
+
+def _concat(args):
+    parts = [to_string(x) for x in args]
+    if any(p is None for p in parts):
+        raise EvalError("concat requires string operands")
+    return "".join(parts)
+
+
 def _fn_timefmt(args):
-    n = to_number(args[0])
+    if args[0] is None:
+        raise EvalError("timefmt requires an operand")
+    if len(args) > 1 and not isinstance(args[1], str):
+        raise EvalError("timefmt format must be a string")
+    fmt = args[1] if len(args) > 1 else "%FT%TZ"
+    n = _arith_num(args[0])
     if n is None:
+        return None  # unparsable timestamp string -> nil
+    if fmt == "":
+        return None  # timefmt_empty_format_to_nil compat flag
+    if math.isnan(n) or math.isinf(n):
         return None
-    fmt = to_string(args[1]) if len(args) > 1 else "%FT%TZ"
     try:
-        return _time.strftime(fmt, _time.gmtime(n))
+        return _time.strftime(fmt, _time.gmtime(int(n)))  # time_t trunc
     except (OverflowError, OSError, ValueError):
         return None
 
 
 def _fn_parsetime(args):
-    s = to_string(args[0])
-    fmt = to_string(args[1]) if len(args) > 1 else "%FT%TZ"
-    if s is None or fmt is None:
-        return None
+    if not isinstance(args[0], str):
+        raise EvalError("parsetime requires a string timestamp")
+    s = args[0]
+    if len(args) > 1 and not isinstance(args[1], str):
+        raise EvalError("parsetime format must be a string")
+    fmt = args[1] if len(args) > 1 else "%FT%TZ"
+    if fmt == "":
+        # C strptime with an empty format consumes nothing and succeeds,
+        # leaving a zeroed tm (mday 0 → 1899-12-31)
+        return -2209075200.0
     try:
-        return float(calendar.timegm(_time.strptime(s, fmt)))
+        ts = float(calendar.timegm(_time.strptime(s, fmt)))
     except ValueError:
-        return None
+        return None  # parsetime_format_mismatch_to_nil compat flag
+    if not any(d in fmt for d in ("%d", "%e", "%j", "%D", "%F", "%x", "%c", "%s")):
+        ts -= 86400.0  # C strptime leaves tm_mday 0 → previous day
+    return ts
+
+
+def _b(s: str) -> bytes:
+    # string functions operate on BYTES (reference uses string_view over the
+    # raw value); surrogateescape round-trips non-UTF-8 payloads
+    return s.encode("utf-8", "surrogateescape")
+
+
+def _unb(b: bytes) -> str:
+    return b.decode("utf-8", "surrogateescape")
 
 
 def _fn_substr(args):
-    s = to_string(args[0])
+    """Reference FuncSubstr (value.cc:534): byte-offset substring; negative
+    offset counts from the end; negative length trims from the end
+    (remaining + length); out of range → empty string."""
+    if not isinstance(args[0], str):
+        raise EvalError("Invalid type for substr. Expected string")
+    s = args[0]
     off = to_number(args[1])
     length = to_number(args[2])
-    if s is None or off is None or length is None:
-        return None
+    if off is None or length is None:
+        raise EvalError("substr requires (string, number, number)")
+    bs = _b(s)
     off = int(off)
     length = int(length)
-    if off < 0 or off > len(s):
-        return None
-    return s[off:] if length < 0 else s[off : off + length]
+    if off < 0:
+        off += len(bs)
+    if off > len(bs) or off < 0 or length == 0:
+        return ""
+    if length >= 0:
+        return _unb(bs[off : off + length])
+    remaining = len(bs) - off + length
+    return "" if remaining < 0 else _unb(bs[off : off + remaining])
+
+
+def _c_log(f):
+    # C libm: log(0) == -inf (range error), log(<0) == nan (domain error)
+    def g(n):
+        if n == 0:
+            return -math.inf
+        if n < 0:
+            return math.nan
+        return f(n)
+
+    return g
 
 
 _FUNCTIONS: Dict[str, tuple] = {
-    "log": (1, 1, _num1(math.log)),
-    "log2": (1, 1, _num1(math.log2)),
+    "log": (1, 1, _num1(_c_log(math.log))),
+    "log2": (1, 1, _num1(_c_log(math.log2))),
     "exp": (1, 1, _num1(math.exp)),
     "abs": (1, 1, _num1(abs)),
-    "ceil": (1, 1, _num1(math.ceil)),
-    "floor": (1, 1, _num1(math.floor)),
+    "ceil": (1, 1, _num1(lambda n: n if math.isinf(n) else float(math.ceil(n)))),
+    "floor": (1, 1, _num1(lambda n: n if math.isinf(n) else float(math.floor(n)))),
     "sqrt": (1, 1, _num1(math.sqrt)),
-    "upper": (1, 1, lambda a: None if to_string(a[0]) is None else to_string(a[0]).upper()),
-    "lower": (1, 1, lambda a: None if to_string(a[0]) is None else to_string(a[0]).lower()),
-    "startswith": (2, 2, lambda a: _strfn2(a, lambda x, y: 1.0 if x.startswith(y) else 0.0)),
-    "contains": (2, 2, lambda a: _strfn2(a, lambda x, y: float(x.count(y)) if y else float(len(x) + 1))),
-    "strlen": (1, 1, lambda a: None if to_string(a[0]) is None else float(len(to_string(a[0])))),
+    "upper": (1, 1, lambda a: _case_fn(a[0], str.upper)),
+    "lower": (1, 1, lambda a: _case_fn(a[0], str.lower)),
+    "startswith": (2, 2, lambda a: _strfn2(a, lambda x, y: 1.0 if _b(x).startswith(_b(y)) else 0.0)),
+    "contains": (2, 2, lambda a: _strfn2(a, lambda x, y: float(_b(x).count(_b(y))) if y else float(len(_b(x)) + 1))),
+    "strlen": (1, 1, lambda a: _fn_strlen(a)),
     "substr": (3, 3, _fn_substr),
-    "concat": (1, 50, lambda a: None if any(to_string(x) is None for x in a) else "".join(to_string(x) for x in a)),
+    "concat": (1, 50, lambda a: _concat(a)),
     "dayofweek": (1, 1, _tm("tm_wday")),
     "dayofmonth": (1, 1, _tm("tm_mday")),
     "dayofyear": (1, 1, _tm("tm_yday")),
@@ -313,16 +470,15 @@ _FUNCTIONS: Dict[str, tuple] = {
     "day": (1, 1, _round_period(86400.0)),
     "month": (1, 1, _fn_month),
     "timefmt": (1, 2, _fn_timefmt),
-    "parsetime": (1, 2, _fn_parsetime),
+    "parsetime": (2, 2, _fn_parsetime),
     "exists": (1, 1, lambda a: 0.0 if a[0] is None else 1.0),
 }
 
 
 def _strfn2(args, f):
-    x, y = to_string(args[0]), to_string(args[1])
-    if x is None or y is None:
-        return None
-    return f(x, y)
+    if not isinstance(args[0], str) or not isinstance(args[1], str):
+        raise EvalError("string function requires string operands")
+    return f(args[0], args[1])
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,10 @@ class QuerySyntaxError(ValueError):
     pass
 
 
-_TERM_SPECIALS = set(' \t\n\r(){}[]|":%')
+# '-' breaks a term: an unescaped mid-term hyphen starts a negation
+# (Redisearch dialect: 'minus-subtract' == 'minus -subtract';
+# escape as '\-' to keep it in-word).
+_TERM_SPECIALS = set(' \t\n\r(){}[]|":%-')
 
 
 @dataclasses.dataclass
@@ -299,30 +302,55 @@ class FilterParser:
         )
 
     def _read_term_chars(self) -> str:
+        word, _ = self._read_term_chars_tracked()
+        return word
+
+    def _read_term_chars_tracked(self):
+        """Returns (word, escaped_positions) — escaped chars are literal and
+        exempt from special-character validation."""
         chars: List[str] = []
+        escaped = set()
         while True:
             c = self._peek()
             if not c or c in _TERM_SPECIALS:
                 break
             if c == "\\":
                 self.pos += 1
+                escaped.add(len(chars))
                 chars.append(self._next())
             else:
                 chars.append(self._next())
-        return "".join(chars)
+        return "".join(chars), escaped
 
     def _parse_term(self, field: Optional[str]) -> P.Predicate:
         suffix = False
         if self._peek() == "*":
             self.pos += 1
             suffix = True
-        word = self._read_term_chars()
+        word, escaped = self._read_term_chars_tracked()
         if not word:
             self._error("expected a term")
-        prefix = word.endswith("*")
+        # Redisearch dialect: '$' (parameter marker, except a whole-token
+        # parameter reference) and '@' (field marker) inside a bare term are
+        # syntax errors unless escaped (compatibility-oracle behavior).
+        is_param_ref = word.startswith("$") and 0 not in escaped
+        for i, ch in enumerate(word):
+            if i in escaped:
+                continue
+            if ch in "@;" or (ch == "$" and not (is_param_ref and i == 0)):
+                self._error(f"unescaped special character {ch!r} in term")
+        prefix = word.endswith("*") and (len(word) - 1) not in escaped
         if prefix:
             word = word[:-1]
-        word = self._subst(word)
+        if is_param_ref:
+            word = self._subst(word)
+        else:
+            # keep escapes in the predicate term: the text engine tokenizes
+            # query terms with the schema lexer (escape-aware), so escaped
+            # punctuation stays inside the word exactly like at ingest
+            word = "".join(
+                ("\\" + c) if i in escaped else c for i, c in enumerate(word)
+            )
         if not word:
             self._error("empty term")
         self._count_term()

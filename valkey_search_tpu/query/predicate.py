@@ -50,6 +50,12 @@ class Predicate:
     def device_mask(self, ctx: EvalContext) -> jnp.ndarray:
         raise NotImplementedError
 
+    def host_ids(self, ctx: EvalContext) -> set:
+        """Qualified doc ids as a host set (the reference's fetcher-scan
+        path, search.cc:607 — non-vector queries never touch the device;
+        device_mask exists for fusing predicates into vector kernels)."""
+        raise NotImplementedError
+
     def matches(self, ctx: EvalContext, doc: int) -> bool:
         raise NotImplementedError
 
@@ -110,6 +116,9 @@ class TagPredicate(Predicate):
     def fetch_ids(self, ctx):
         return self._index(ctx).search(self.values)
 
+    def host_ids(self, ctx):
+        return set(self.fetch_ids(ctx))
+
     def to_dict(self):
         return {"kind": "tag", "field": self.field, "values": list(self.values)}
 
@@ -158,6 +167,9 @@ class NumericPredicate(Predicate):
             self.lo, self.hi, self.lo_open, self.hi_open
         )
 
+    def host_ids(self, ctx):
+        return set(self.fetch_ids(ctx))
+
     def to_dict(self):
         return {
             "kind": "numeric", "field": self.field, "lo": self.lo,
@@ -203,6 +215,9 @@ class TextPredicate(Predicate):
     def fetch_ids(self, ctx):
         return self._engine(ctx).fetch_ids(self)
 
+    def host_ids(self, ctx):
+        return set(self.fetch_ids(ctx))
+
     def to_dict(self):
         return {
             "kind": "text", "term": self.term, "field": self.field,
@@ -226,6 +241,15 @@ class And(Predicate):
             m = m & c.device_mask(ctx)
         return m
 
+    def host_ids(self, ctx):
+        kids = sorted(self.children, key=lambda c: c.estimate(ctx))
+        out = kids[0].host_ids(ctx)
+        for c in kids[1:]:
+            if not out:
+                break
+            out &= c.host_ids(ctx)
+        return out
+
     def matches(self, ctx, doc):
         return all(c.matches(ctx, doc) for c in self.children)
 
@@ -246,6 +270,12 @@ class Or(Predicate):
         for c in self.children[1:]:
             m = m | c.device_mask(ctx)
         return m
+
+    def host_ids(self, ctx):
+        out = set()
+        for c in self.children:
+            out |= c.host_ids(ctx)
+        return out
 
     def matches(self, ctx, doc):
         return any(c.matches(ctx, doc) for c in self.children)
@@ -269,6 +299,9 @@ class Negate(Predicate):
     def device_mask(self, ctx):
         return ctx.valid_mask() & ~self.child.device_mask(ctx)
 
+    def host_ids(self, ctx):
+        return MatchAll().host_ids(ctx) - self.child.host_ids(ctx)
+
     def matches(self, ctx, doc):
         return not self.child.matches(ctx, doc)
 
@@ -287,6 +320,9 @@ class MatchAll(Predicate):
 
     def device_mask(self, ctx):
         return ctx.valid_mask()
+
+    def host_ids(self, ctx):
+        return {doc for _, doc in ctx.schema.interner.items()}
 
     def matches(self, ctx, doc):
         return ctx.schema.interner.key_of(doc) is not None

@@ -147,12 +147,13 @@ def _search_vector(schema, ctx, pred, knn, sp) -> SearchResponse:
 
 
 def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
-    """Fetcher-scan path (search.cc:607): device mask → host ids, capped by
-    search.max-non-vector-search-results-fetched."""
+    """Fetcher-scan path (search.cc:607): host-set predicate resolution,
+    capped by search.max-non-vector-search-results-fetched. Non-vector
+    queries never touch the device — host posting sets are the fetchers;
+    device masks exist to fuse predicates into the vector kernels."""
     cap_results = int(config.get("search.max-non-vector-search-results-fetched"))
-    mask = np.asarray(pred.device_mask(ctx))
-    docs = np.nonzero(mask)[0]
-    total = int(docs.shape[0])
+    docs = sorted(pred.host_ids(ctx))
+    total = len(docs)
     docs = docs[:cap_results]
     neighbors = []
     for i, doc in enumerate(docs):

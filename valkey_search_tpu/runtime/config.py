@@ -195,6 +195,11 @@ _num("search.replication-lag-ms", 0, 0, 60_000, flags=Flag.DEV)
 # memory guard (reference: DENYOOM command flag + backfill pause-on-OOM,
 # index_schema.h:475 paused_by_oom; 0 = unlimited)
 _num("search.max-memory-bytes", 0, 0, 1 << 62)
+# Redisearch compatibility pinning (reference search.emulate-release,
+# module_config.h VALKEY_SEARCH_COMPATIBILITY_FIX; '' = native behavior).
+# When set, dialect divergences emulate Redisearch (e.g. concat() is
+# unknown there).
+REGISTRY.register(Entry("search.emulate-release", "", "", "string"))
 
 
 def get(name: str) -> Any:

@@ -174,7 +174,7 @@ class _Apply(_Stage):
 
     def run(self, records, params):
         for r in records:
-            r[self.field] = self.expr.eval(r, params)
+            r[self.field] = self.expr.eval(E.StrictRecord(r), params)
         return records
 
 
@@ -183,7 +183,10 @@ class _Filter(_Stage):
         self.expr = expr
 
     def run(self, records, params):
-        return [r for r in records if E.truthy(self.expr.eval(r, params))]
+        return [
+            r for r in records
+            if E.truthy(self.expr.eval(E.StrictRecord(r), params))
+        ]
 
 
 class _Limit(_Stage):
@@ -344,11 +347,13 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
                     i += 1
                     consumed += 1
                 keys.append((expr, desc))
-            max_n = None
+            # SORTBY uses a bounded sorter; MAX defaults to 10 (reference
+            # ft_aggregate_parser.h:291 `size_t max_{10}`; MAX 0 = unbounded)
+            max_n = 10
             if i < len(args) and _s(args[i]).upper() == "MAX":
                 max_n = int(_s(args[i + 1]))
                 i += 2
-            stages.append(_SortBy(keys, max_n))
+            stages.append(_SortBy(keys, max_n or None))
         elif tok == "GROUPBY":
             n = int(_s(args[i + 1]))
             fields = []
@@ -397,19 +402,36 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
     # ---- step 2: LOAD records ---------------------------------------------
     records: List[Record] = []
     eparams = {k: v for k, v in params.items() if not k.startswith("__")}
+    def fetch_field(fields, name):
+        """LOAD resolution: raw field, or schema attribute alias resolved
+        through the attribute data type (ON JSON loads by JSONPath —
+        reference JsonAttributeDataType, attribute_data_type.h:117)."""
+        if name in fields:
+            return fields[name]
+        attr = schema.attributes.get(name)
+        if attr is not None:
+            return schema.data_type.fetch(fields, attr.identifier)
+        return schema.data_type.fetch(fields, name)
+
     for nb, fields in rows:
         rec: Record = {}
         fields = fields or {}
         if load_all:
+            # LOAD * returns the raw stored fields — for ON JSON that is the
+            # single '$' document blob (oracle behavior); explicit LOAD
+            # resolves aliases through the data type instead
             for f, v in fields.items():
                 rec[f] = _coerce(v)
         elif load_fields:
             for f in load_fields:
-                if f == "@__key" or f == "__key":
+                fname = f.lstrip("@")
+                if fname == "__key":
                     rec["__key"] = nb.key
-                elif f.lstrip("@") in fields:
-                    rec[f.lstrip("@")] = _coerce(fields[f.lstrip("@")])
-                elif resp.score_field and f.lstrip("@") == resp.score_field:
+                    continue
+                v = fetch_field(fields, fname)
+                if v is not None:
+                    rec[fname] = _coerce(v)
+                elif resp.score_field and fname == resp.score_field:
                     rec[resp.score_field] = nb.distance
         if resp.score_field is not None and nb.distance is not None:
             rec.setdefault(resp.score_field, nb.distance)
@@ -424,9 +446,9 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
     for rec in records:
         row: list = []
         for f, v in rec.items():
-            if v is None:
-                continue
-            row += [f, E.to_string(v)]
+            # nil values are emitted as RESP nils, not dropped (expr
+            # oracle: APPLY lower(0) keeps the field with a nil value)
+            row += [f, None if v is None else E.to_string(v)]
         reply.append(row)
     return reply
 

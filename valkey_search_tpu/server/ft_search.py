@@ -179,7 +179,23 @@ def run_ft_search(engine, schema, sp: SearchParameters) -> list:
     """Execute and shape the reply: [count, key, [field, value, ...], ...]."""
     resp = execute_search(schema, sp)
     rows = resolve_content(engine, schema, resp)
+    augment_json_sortby(schema, sp, rows)
     return shape_reply(rows, resp, sp)
+
+
+def augment_json_sortby(schema, sp: SearchParameters, rows) -> None:
+    """ON JSON + SORTBY: Redisearch projects the sort field's resolved value
+    into the reply alongside '$' (oracle behavior)."""
+    if schema.on != "JSON" or sp.sortby is None:
+        return
+    attr = schema.attributes.get(sp.sortby)
+    for _nb, fields in rows:
+        if fields is None or sp.sortby in fields:
+            continue
+        ident = attr.identifier if attr is not None else sp.sortby
+        v = schema.data_type.fetch(fields, ident)
+        if v is not None:
+            fields[sp.sortby] = v if isinstance(v, str) else str(v)
 
 
 def shape_reply(
@@ -246,9 +262,12 @@ def shape_reply(
 
 
 def _sortkey_value(nb, fields, sp, resp):
+    # '$'-prefixed sort key (Redisearch WITHSORTKEYS wire format; the
+    # oracle shows b'$-5' for SORTBY n1)
     if resp.score_field is not None and sp.sortby == resp.score_field:
-        return _fmt_num(nb.distance)
-    return (fields or {}).get(sp.sortby)
+        return "$" + _fmt_num(nb.distance)
+    v = (fields or {}).get(sp.sortby)
+    return None if v is None else "$" + _s(v)
 
 
 def _fmt_num(v: Optional[float]) -> str:

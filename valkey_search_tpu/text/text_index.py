@@ -300,10 +300,31 @@ class TextEngine:
         return groups
 
     # -- query API (predicate.TextPredicate contract) -----------------------------
+    def _effective(self, pred):
+        """Punctuation-joined query terms split with the schema's lexer and
+        behave as an exact phrase (Redisearch tokenizes query terms with the
+        document rules: 'office#home' == "office home"); escaped punctuation
+        stays in-word (r'degree\\%cold' matches the single indexed token
+        'degree%cold'), mirroring ingest-side escape handling."""
+        import dataclasses as _dc
+
+        if pred.match == "term":
+            words = self.lexer.split_words(pred.term)
+            if len(words) > 1:
+                return _dc.replace(pred, match="phrase", phrase=tuple(words))
+            if words and words[0] != pred.term:
+                return _dc.replace(pred, term=words[0])
+        elif "\\" in pred.term:
+            # prefix/suffix/infix/fuzzy: strip escapes, no splitting
+            clean = _unescape(pred.term)
+            return _dc.replace(pred, term=clean)
+        return pred
+
     def fetch_ids(self, pred) -> EntriesFetcher:
-        return EntriesFetcher(sorted(self._doc_set(pred)))
+        return EntriesFetcher(sorted(self._doc_set(self._effective(pred))))
 
     def estimate(self, pred) -> int:
+        pred = self._effective(pred)
         mask = self.field_mask(pred.field)
         if pred.match == "phrase":
             groups = self._phrase_word_groups(pred)
@@ -421,6 +442,7 @@ class TextEngine:
         return False
 
     def doc_matches(self, pred, doc: int) -> bool:
+        pred = self._effective(pred)
         mask = self.field_mask(pred.field)
         if pred.match == "phrase":
             groups = self._phrase_word_groups(pred)
@@ -450,7 +472,7 @@ class TextEngine:
         import jax.numpy as jnp
 
         host = np.zeros(cap, bool)
-        for doc in self._doc_set(pred):
+        for doc in self._doc_set(self._effective(pred)):
             if doc < cap:
                 host[doc] = True
         return jnp.asarray(host)
@@ -464,6 +486,19 @@ class TextEngine:
                 "stem_entries": len(self.stems),
                 "docs_with_text": len(self._doc_tokens),
             }
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 def _min_greater(sorted_list: List[int], t: int) -> Optional[int]:
