@@ -200,6 +200,8 @@ _num("search.max-memory-bytes", 0, 0, 1 << 62)
 # When set, dialect divergences emulate Redisearch (e.g. concat() is
 # unknown there).
 REGISTRY.register(Entry("search.emulate-release", "", "", "string"))
+_enum("search.log-level", "notice", ["debug", "verbose", "notice", "warning"])
+_bool("search.log-user-data", False)  # reference RedactIfNeeded gate
 
 
 def get(name: str) -> Any:

@@ -22,7 +22,10 @@ class SchemaError(ValueError):
 
 class SchemaManager:
     def __init__(self):
+        from valkey_search_tpu.utils.patricia import PatriciaTree
+
         self._schemas: Dict[Tuple[int, str], IndexSchema] = {}
+        self._subscriptions = PatriciaTree()  # prefix → schemas
         self._lock = threading.RLock()
 
     def create(self, schema: IndexSchema) -> IndexSchema:
@@ -33,6 +36,8 @@ class SchemaManager:
             if len(self._schemas) >= int(config.get("search.max-indexes")):
                 raise SchemaError("too many indexes")
             self._schemas[key] = schema
+            for p in schema.prefixes:
+                self._subscriptions.insert(p, schema)
             STATS.incr("indexes_created")
             return schema
 
@@ -47,7 +52,9 @@ class SchemaManager:
         with self._lock:
             if (db, name) not in self._schemas:
                 raise SchemaError(f"Index with name '{name}' not found")
-            del self._schemas[(db, name)]
+            schema = self._schemas.pop((db, name))
+            for p in schema.prefixes:
+                self._subscriptions.remove(p, schema)
             STATS.incr("indexes_dropped")
 
     def list_names(self, db: int = 0) -> List[str]:
@@ -59,14 +66,18 @@ class SchemaManager:
             return list(self._schemas.values())
 
     def subscribed(self, key: str, db: int = 0) -> Iterable[IndexSchema]:
-        """Schemas whose prefix set matches the key (reference
-        KeyspaceEventManager patricia dispatch, keyspace_event_manager.h:52)."""
+        """Schemas whose prefix set matches the key — O(len(key)) patricia
+        dispatch (reference KeyspaceEventManager + PatriciaTree,
+        keyspace_event_manager.h:52, utils/patricia_tree.h). Dedup because
+        a schema may own several covering prefixes."""
         with self._lock:
-            return [
-                s
-                for (d, _), s in self._schemas.items()
-                if d == db and s.matches_key(key)
-            ]
+            seen = set()
+            out = []
+            for s in self._subscriptions.match(key):
+                if id(s) not in seen and s.db == db:
+                    seen.add(id(s))
+                    out.append(s)
+            return out
 
     def backfill(
         self,

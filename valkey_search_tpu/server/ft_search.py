@@ -177,9 +177,19 @@ def resolve_content(
 
 def run_ft_search(engine, schema, sp: SearchParameters) -> list:
     """Execute and shape the reply: [count, key, [field, value, ...], ...]."""
+    from valkey_search_tpu.server import externalizer
+
     resp = execute_search(schema, sp)
-    rows = resolve_content(engine, schema, resp)
-    augment_json_sortby(schema, sp, rows)
+    if externalizer.index_serves_return_fields(schema, sp, resp):
+        # RETURN fields served straight from index state — no keyspace
+        # fetch (reference MaybeAddIndexedContent, search.cc:497)
+        rows = [
+            (nb, externalizer.indexed_content(schema, sp, nb, resp))
+            for nb in resp.neighbors
+        ]
+    else:
+        rows = resolve_content(engine, schema, resp)
+        augment_json_sortby(schema, sp, rows)
     return shape_reply(rows, resp, sp)
 
 
