@@ -246,3 +246,62 @@ class HnswBuilder:
         )
         if rc != 0:
             raise ValueError(f"hnsw_import failed: corrupt graph (code {rc})")
+
+
+class NativeLexer:
+    """ctypes wrapper over native/text_core.cpp — the text-ingest hot loop
+    (punctuation split, ASCII fold, stop words, snowball-3.0.1 stemming
+    with an in-library cache), mirroring the reference's all-C++ lexer
+    (src/indexes/text/lexer.cc)."""
+
+    def __init__(self, punctuation: str, stop_words, min_stem_size: int):
+        self._lib = load()
+        if not hasattr(self._lib, "_lexer_ready"):
+            self._lib.lexer_create.restype = ct.c_void_p
+            self._lib.lexer_create.argtypes = [
+                ct.c_char_p, ct.c_int, ct.c_char_p, ct.c_int, ct.c_int,
+                ct.c_int,
+            ]
+            self._lib.lexer_free.argtypes = [ct.c_void_p]
+            self._lib.lexer_tokenize.restype = ct.c_int
+            self._lib.lexer_tokenize.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.c_int, ct.c_char_p, ct.c_int,
+            ]
+            self._lib.stem_word.restype = ct.c_int
+            self._lib.stem_word.argtypes = [
+                ct.c_char_p, ct.c_int, ct.c_char_p, ct.c_int,
+            ]
+            self._lib._lexer_ready = True
+        punct = punctuation.encode()
+        stops = b"\x00".join(w.encode() for w in stop_words) + b"\x00"
+        self._h = self._lib.lexer_create(
+            punct, len(punct), stops, len(stops), len(tuple(stop_words)),
+            int(min_stem_size),
+        )
+        self._lock = threading.Lock()
+        self._buf = ct.create_string_buffer(1 << 16)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lexer_free(h)
+            self._h = None
+
+    def tokenize(self, text: str):
+        """[(word, stem_or_empty), ...] or None when the text outgrows the
+        buffer (caller falls back to the Python path)."""
+        raw = text.encode()
+        with self._lock:
+            need = len(raw) * 2 + 64
+            if need > len(self._buf):
+                self._buf = ct.create_string_buffer(max(need, 1 << 16))
+            n = self._lib.lexer_tokenize(
+                self._h, raw, len(raw), self._buf, len(self._buf)
+            )
+            if n < 0:
+                return None
+            parts = self._buf.raw[:n].split(b"\x00")[:-1]
+        return [
+            (parts[i].decode(), parts[i + 1].decode())
+            for i in range(0, len(parts), 2)
+        ]

@@ -45,6 +45,11 @@ class Lexer:
         self._split = _build_split_table(punctuation)
         self._stop: Set[str] = {w.casefold() for w in stop_words}
         self.min_stem_size = max(0, int(min_stem_size))
+        self._stem_cache: dict = {}
+        self._punctuation = punctuation
+        self._stop_words = tuple(stop_words)
+        self._native = None       # lazy (native/text_core.cpp fast path)
+        self._native_tried = False
 
     def is_stop_word(self, lowercase_word: str) -> bool:
         return lowercase_word in self._stop
@@ -56,12 +61,21 @@ class Lexer:
 
     def stem(self, lowercase_word: str) -> str:
         """Stem if long enough (reference StemWordInPlace min_stem_size
-        gate); returns the input when stemming doesn't apply."""
+        gate); returns the input when stemming doesn't apply. Memoized:
+        corpora are Zipf-distributed, so the cache hit rate is high (the
+        reference amortizes differently — a thread-local C stemmer)."""
+        cached = self._stem_cache.get(lowercase_word)
+        if cached is not None:
+            return cached
         if len(lowercase_word) < self.min_stem_size:
-            return lowercase_word
-        if not lowercase_word.isascii():
-            return lowercase_word
-        return _stem(lowercase_word)
+            out = lowercase_word
+        elif not lowercase_word.isascii():
+            out = lowercase_word
+        else:
+            out = _stem(lowercase_word)
+        if len(self._stem_cache) < 200_000:
+            self._stem_cache[lowercase_word] = out
+        return out
 
     def split_words(self, text: str) -> List[str]:
         """Punctuation/whitespace split with backslash escapes
@@ -87,6 +101,24 @@ class Lexer:
             words.append("".join(cur))
         return words
 
+    # -- native fast path (native/text_core.cpp) -----------------------------
+    def _native_lexer(self):
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        try:
+            if not (self._punctuation.isascii()
+                    and all(w.isascii() for w in self._stop_words)):
+                return None
+            from valkey_search_tpu import native_lib
+
+            self._native = native_lib.NativeLexer(
+                self._punctuation, self._stop_words, self.min_stem_size
+            )
+        except Exception:
+            self._native = None
+        return self._native
+
     def tokenize(
         self,
         text: str,
@@ -101,7 +133,23 @@ class Lexer:
         (reference InProgressStemMap, lexer.h:44-50); the *original*
         lowercase word is what lands in the token stream — stems are a
         side index, matching text_index.h StageAttributeData.
+
+        ASCII documents run through the native tokenizer+stemmer
+        (native/text_core.cpp, the reference's all-C++ ingest pipeline);
+        non-ASCII falls back to this Python pipeline with identical
+        semantics.
         """
+        if text.isascii():
+            native = self._native_lexer()
+            if native is not None:
+                pairs = native.tokenize(text)
+                if pairs is not None:
+                    out = [w for w, _ in pairs]
+                    if stemming_enabled and stem_map is not None:
+                        for w, st in pairs:
+                            if st and st != w:
+                                stem_map.setdefault(st, set()).add(w)
+                    return out
         out: List[str] = []
         for raw in self.split_words(text):
             w = self.normalize(raw)
