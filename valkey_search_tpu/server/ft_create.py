@@ -115,6 +115,10 @@ def parse_ft_create(args: List[str]) -> Tuple[IndexSchema, bool]:
         elif tok == "PUNCTUATION":
             a.next()
             text_opts["punctuation"] = a.next("punctuation")
+        elif tok in ("FILTER", "LANGUAGE_FIELD", "PAYLOAD_FIELD"):
+            # explicitly rejected, like the reference
+            # (NotSupportedParamErrorMsg, ft_create_parser.cc:279,647)
+            raise FTCreateError(f"{tok} is not supported")
         elif tok == "SCHEMA":
             a.next()
             break

@@ -133,6 +133,25 @@ def run_ft_debug(engine, args: List[str]) -> object:
             out += [k, v]
         return out
 
+    if sub == "PROFILE":
+        # jax.profiler trace capture (SURVEY §5.1: the reference is
+        # metrics-first; on TPU the added capability is a real XLA trace)
+        _require_debug_mode()
+        if not rest:
+            raise FTDebugError("PROFILE START <dir> | STOP")
+        op = rest[0].upper()
+        import jax
+
+        if op == "START":
+            if len(rest) < 2:
+                raise FTDebugError("PROFILE START needs a directory")
+            jax.profiler.start_trace(rest[1])
+            return "OK"
+        if op == "STOP":
+            jax.profiler.stop_trace()
+            return "OK"
+        raise FTDebugError(f"unknown PROFILE op {op!r}")
+
     if sub == "RESET":
         _require_debug_mode()
         from valkey_search_tpu.runtime import debug as dbg
