@@ -111,6 +111,12 @@ def main():
     blk = int(cfg.get("search.flat-block-size"))
 
     def launch(qb):
+        if "vectors_lp" in snap and str(cfg.get("search.topk-mode")) == "approx":
+            return topk_ops.flat_topk_two_stage(
+                qb, snap["vectors"], snap["vectors_lp"], k=K, metric="l2",
+                corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
+                block_rows=blk,
+            )
         return topk_ops.flat_topk(
             qb, snap["vectors"], k=K, metric="l2",
             corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
@@ -155,7 +161,7 @@ def main():
             "cpu_flat_qps_1core": round(cpu_flat_qps, 2),
             "flat_build_s": round(build_flat_s, 2),
             "platform": jax.default_backend(),
-            "topk_mode": "approx(lax.approx_min_k per block, exact merge)",
+            "topk_mode": "bf16 coarse scan (approx_min_k/block) + exact fp32 rescore",
             "corpus": "sift-like clustered bytes (1024 centers)",
         },
     }
@@ -183,7 +189,7 @@ def main():
             gt_sub.append(part[np.argsort(dd[part])])
         gt_sub = np.stack(gt_sub)
 
-        hq = queries[:256]
+        hq = queries[:1024]
         d, docs = hnsw.search_batch(hq, K, ef=100)  # warmup/compile
         t0 = time.perf_counter()
         for _ in range(3):

@@ -46,18 +46,33 @@ class FlatVectorIndex(VectorIndexBase):
             queries = queries / np.maximum(mags, 1e-30)
         snap = self.store.device_snapshot()
         prec = precision or config.get("search.distance-precision")
-        d, i = topk_ops.flat_topk(
-            jnp.asarray(queries),
-            snap["vectors"],
-            k=k,
-            metric=self.metric,
-            corpus_sq=snap["norms_sq"],
-            invalid=snap["invalid"],
-            filter_mask=filter_mask,
-            block_rows=int(config.get("search.flat-block-size")),
-            precision=prec,
-            mode=str(config.get("search.topk-mode")),
-        )
+        mode = str(config.get("search.topk-mode"))
+        if mode == "approx" and "vectors_lp" in snap:
+            # bf16 coarse scan + exact fp32 rescore (ops/topk.py)
+            d, i = topk_ops.flat_topk_two_stage(
+                jnp.asarray(queries),
+                snap["vectors"],
+                snap["vectors_lp"],
+                k=k,
+                metric=self.metric,
+                corpus_sq=snap["norms_sq"],
+                invalid=snap["invalid"],
+                filter_mask=filter_mask,
+                block_rows=int(config.get("search.flat-block-size")),
+            )
+        else:
+            d, i = topk_ops.flat_topk(
+                jnp.asarray(queries),
+                snap["vectors"],
+                k=k,
+                metric=self.metric,
+                corpus_sq=snap["norms_sq"],
+                invalid=snap["invalid"],
+                filter_mask=filter_mask,
+                block_rows=int(config.get("search.flat-block-size")),
+                precision=prec,
+                mode=mode,
+            )
         STATS.incr("flat_searches", queries.shape[0])
         return np.asarray(d), np.asarray(i)
 

@@ -144,12 +144,21 @@ class HostVectorStore:
         ``_dirty`` and publish as either a scatter or a full upload.
         """
         with self._lock:
+            lp = str(config.get("search.corpus-dtype")) == "bfloat16"
             if self._device is None:
                 self._device = {
                     "vectors": jnp.asarray(self.vectors),
                     "norms_sq": jnp.asarray(self.norms_sq),
                     "invalid": jnp.asarray(~self.present),
                 }
+                if lp:
+                    # bf16 mirror for the coarse scan (half the HBM
+                    # traffic; exact fp32 rescore uses "vectors") — cast
+                    # ON DEVICE: one HBM pass instead of a host convert +
+                    # second transfer
+                    self._device["vectors_lp"] = self._device[
+                        "vectors"
+                    ].astype(jnp.bfloat16)
                 self._dirty.clear()
                 self.epoch += 1
                 STATS.incr("vector_store_full_uploads")
@@ -171,6 +180,11 @@ class HostVectorStore:
                         dev["invalid"], idx, jnp.asarray(~self.present[idx])
                     ),
                 }
+                if "vectors_lp" in dev:
+                    self._device["vectors_lp"] = _scatter_rows(
+                        dev["vectors_lp"], idx,
+                        jnp.asarray(self.vectors[idx]).astype(jnp.bfloat16),
+                    )
                 self._dirty.clear()
                 self.epoch += 1
                 STATS.incr("vector_store_scatter_uploads")

@@ -360,20 +360,41 @@ class Engine:
                 ["identifier", a["identifier"], "attribute", alias,
                  "type", a["type"]]
             )
-        return [
+        topts = getattr(schema, "text_options", None) or {}
+        out = [
             "index_name", st["name"],
             "index_options", [],
             "index_definition",
-            ["key_type", st["on"], "prefixes", st["prefixes"]],
+            ["key_type", st["on"], "prefixes", st["prefixes"],
+             "default_score", topts.get("score", 1.0),
+             "score_field", topts.get("score_field")],
             "attributes", attrs,
             "num_docs", st["num_docs"],
             "num_records", sum(a["tracked"] for a in st["attributes"].values()),
             "hash_indexing_failures",
             STATS.get("documents_dropped_invalid"),
             "backfill_in_progress", int(st["backfill_in_progress"]),
+            "backfill_complete_percent",
+            "1.000000" if not st["backfill_in_progress"] else "0.000000",
             "mutation_queue_size", self._queue_size(),
+            "recent_mutations_queue_delay", "0 sec",
             "state", "ready",
         ]
+        eng = getattr(schema, "text_engine", None)
+        if eng is not None:  # text sections (index_schema.cc:1194-1280)
+            tstats = eng.stats()
+            out += [
+                "num_terms", tstats["distinct_words"],
+                "total_term_occurrences", sum(
+                    p.position_count() for _, p in eng.dictionary.items()
+                ),
+                "punctuation", eng.options.punctuation,
+                "stop_words", list(eng.options.stop_words),
+                "with_offsets", int(eng.options.with_offsets),
+                "min_stem_size", eng.lexer.min_stem_size,
+                "language", "english",
+            ]
+        return out
 
     def _queue_size(self) -> int:
         return self._ingestion.pending() if self._ingestion is not None else 0
