@@ -189,12 +189,24 @@ def main():
             gt_sub.append(part[np.argsort(dd[part])])
         gt_sub = np.stack(gt_sub)
 
+        from valkey_search_tpu.runtime import config as _cfg
+
         hq = queries[:1024]
+        # product path: the scan-vs-graph planner serves <=2M corpora with
+        # the MXU exact scan at recall 1.0
         d, docs = hnsw.search_batch(hq, K, ef=100)  # warmup/compile
         t0 = time.perf_counter()
         for _ in range(3):
             d, docs = hnsw.search_batch(hq, K, ef=100)
         hnsw_qps = 3 * len(hq) / (time.perf_counter() - t0)
+        # graph-traversal datum (threshold off): the batched beam search
+        _cfg.set_config("search.hnsw-scan-threshold", 0)
+        dg, docsg = hnsw.search_batch(hq, K, ef=100)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dg, docsg = hnsw.search_batch(hq, K, ef=100)
+        hnsw_graph_qps = 3 * len(hq) / (time.perf_counter() - t0)
+        _cfg.REGISTRY.reset_all()
         hnsw_recall = float(
             np.mean([
                 len(set(docs[b, :K].tolist()) & set(gt_sub[b].tolist())) / K
@@ -216,6 +228,7 @@ def main():
                 "hnsw_build_vecs_per_s": round(HNSW_N / hnsw_build_s, 1),
                 "hnsw_publish_s": round(publish_s, 2),
                 "tpu_hnsw_qps_ef100": round(hnsw_qps, 1),
+                "tpu_hnsw_graph_traversal_qps_ef100": round(hnsw_graph_qps, 1),
                 "tpu_hnsw_recall_at_10": round(hnsw_recall, 4),
                 "cpu_hnsw_qps_1core_ef100": round(cpu_hnsw_qps, 1),
             }

@@ -1,4 +1,20 @@
-"""Batched device HNSW search: recall + parity vs the native CPU oracle."""
+"""Batched device HNSW search: recall + parity vs the native CPU oracle.
+
+Pins search.hnsw-scan-threshold to 0 so the batched GRAPH traversal is
+what runs (the product planner serves small corpora via the exact scan
+— covered by the engine e2e tests)."""
+
+import pytest as _pytest
+
+from valkey_search_tpu.runtime import config as _config
+
+
+@_pytest.fixture(autouse=True)
+def _force_graph_path():
+    _config.set_config("search.hnsw-scan-threshold", 0)
+    yield
+    _config.REGISTRY.reset_all()
+
 
 import numpy as np
 import jax.numpy as jnp

@@ -230,6 +230,14 @@ class HnswVectorIndex(VectorIndexBase):
                 np.full((b, k), np.inf, np.float32),
                 np.full((b, k), -1, np.int32),
             )
+        # TPU-first planner choice the reference cannot make: below the
+        # scan threshold the MXU exact scan beats graph traversal outright
+        # (higher QPS at recall 1.0) — the graph stays for huge corpora,
+        # persistence, and hnswlib-semantics parity. 0 disables.
+        scan_thresh = int(config.get("search.hnsw-scan-threshold"))
+        if scan_thresh and self.builder.count <= scan_thresh:
+            STATS.incr("hnsw_served_by_scan")
+            return self.exact_search_batch(queries, k, filter_mask=filter_mask)
         queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
         if self.metric == "cosine":
             mags = np.linalg.norm(queries, axis=1, keepdims=True)
@@ -286,17 +294,33 @@ class HnswVectorIndex(VectorIndexBase):
             node_filter = jnp.take(filter_mask, jnp.maximum(node_doc, 0)) & (
                 node_doc >= 0
             )
-        d, ids = topk_ops.flat_topk(
-            jnp.asarray(queries),
-            snap["vectors"],
-            k=k,
-            metric=self.metric,
-            corpus_sq=snap["norms_sq"],
-            invalid=invalid,
-            filter_mask=node_filter,
-            block_rows=max(self.store.capacity, 131072),
-            precision=config.get("search.distance-precision"),
-        )
+        if (
+            "vectors_lp" in snap
+            and str(config.get("search.topk-mode")) == "approx"
+        ):
+            d, ids = topk_ops.flat_topk_two_stage(
+                jnp.asarray(queries),
+                snap["vectors"],
+                snap["vectors_lp"],
+                k=k,
+                metric=self.metric,
+                corpus_sq=snap["norms_sq"],
+                invalid=invalid,
+                filter_mask=node_filter,
+                block_rows=max(self.store.capacity, 131072),
+            )
+        else:
+            d, ids = topk_ops.flat_topk(
+                jnp.asarray(queries),
+                snap["vectors"],
+                k=k,
+                metric=self.metric,
+                corpus_sq=snap["norms_sq"],
+                invalid=invalid,
+                filter_mask=node_filter,
+                block_rows=max(self.store.capacity, 131072),
+                precision=config.get("search.distance-precision"),
+            )
         d = np.asarray(d)
         nodes = np.asarray(ids)
         docs = np.where(nodes >= 0, self._node_doc[np.maximum(nodes, 0)], -1)
