@@ -95,3 +95,19 @@ def test_shard_distribution(sharded_index):
     counts = [s.count() for s in idx.shards]
     assert sum(counts) == 1199  # one removed
     assert min(counts) > 0
+
+
+def test_sharded_two_stage_matches_exact(rng):
+    mesh8 = pm.make_mesh(8)
+    d = 16
+    corpus = rng.standard_normal((8 * 64, d)).astype("float32")
+    queries = rng.standard_normal((6, d)).astype("float32")
+    de, ie, _ = pm.sharded_flat_topk(
+        mesh8, jnp.asarray(corpus), jnp.asarray(queries), k=5
+    )
+    dt, it, _ = pm.sharded_flat_topk(
+        mesh8, jnp.asarray(corpus), jnp.asarray(queries), k=5, two_stage=True
+    )
+    # tiny shards: coarse covers everything → identical ids
+    assert np.array_equal(np.asarray(ie), np.asarray(it))
+    assert np.allclose(np.asarray(de), np.asarray(dt), atol=1e-4)

@@ -79,29 +79,48 @@ def sharded_flat_topk(
     block_rows: int = 131072,
     precision: str = "highest",
     mode: str = "exact",
+    two_stage: bool = False,
 ):
     """Exact k-NN over a mesh-sharded corpus.
 
     Returns (dists [B,k], global ids [B,k], version_minmax [2]). Each device
     scans only its local shard (1/S of HBM traffic), local ids are offset to
     global ids, and one all_gather of [B,k] rows merges over ICI.
+
+    two_stage=True runs the bf16-coarse + fp32-rescore retrieval per shard
+    (each device casts its own shard once; the rescore happens locally, so
+    only exact-rescored [B, k] rows cross the interconnect).
     """
     n_shards = mesh.shape[SHARD_AXIS]
     rows = corpus.shape[0] // n_shards
 
     def local(corpus_l, queries_l, invalid_l, filter_l, version_l):
         shard_id = jax.lax.axis_index(SHARD_AXIS)
-        d, i = topk_ops.flat_topk(
-            queries_l,
-            corpus_l,
-            k=k,
-            metric=metric,
-            invalid=invalid_l if invalid is not None else None,
-            filter_mask=filter_l if filter_mask is not None else None,
-            block_rows=min(block_rows, rows),
-            precision=precision,
-            mode=mode,
-        )
+        inv = invalid_l if invalid is not None else None
+        filt = filter_l if filter_mask is not None else None
+        if two_stage:
+            d, i = topk_ops.flat_topk_two_stage(
+                queries_l,
+                corpus_l,
+                corpus_l.astype(jnp.bfloat16),  # local cast, one HBM pass
+                k=k,
+                metric=metric,
+                invalid=inv,
+                filter_mask=filt,
+                block_rows=min(block_rows, rows),
+            )
+        else:
+            d, i = topk_ops.flat_topk(
+                queries_l,
+                corpus_l,
+                k=k,
+                metric=metric,
+                invalid=inv,
+                filter_mask=filt,
+                block_rows=min(block_rows, rows),
+                precision=precision,
+                mode=mode,
+            )
         gids = jnp.where(i >= 0, i + shard_id * rows, -1)
         all_d = jax.lax.all_gather(d, SHARD_AXIS)      # [S, B, k] over ICI
         all_i = jax.lax.all_gather(gids, SHARD_AXIS)
