@@ -52,3 +52,63 @@ def test_async_engine_end_to_end(rng):
     d = dict(zip(info[::2], info[1::2]))
     assert d["num_docs"] == 100
     assert d["mutation_queue_size"] == 0
+
+
+def test_incremental_backfill_on_cron(rng):
+    """Async engines backfill on cron ticks in batches, pausing under OOM
+    (reference PerformBackfill on server cron, schema_manager.cc:621)."""
+    import numpy as np
+
+    from valkey_search_tpu.runtime import config
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine(sync_ingest=False)
+    for i in range(50):
+        e.hset(f"k:{i}", {"t": "a"})
+    e.drain()
+    config.set_config("search.backfill-batch-size", 20)
+    try:
+        e.execute("FT.CREATE", "i", "ON", "HASH", "PREFIX", "1", "k:",
+                  "SCHEMA", "t", "TAG")
+        schema = e.manager.get("i")
+        assert schema.backfill_in_progress
+        assert e.execute("FT.SEARCH", "i", "@t:{a}", "NOCONTENT")[0] == 0
+        assert e.cron()["backfilled"] == 20      # batch 1
+        assert schema.backfill_in_progress
+        # OOM pause freezes the cursor
+        schema.paused_by_oom = True
+        assert e.cron()["backfilled"] == 0
+        schema.paused_by_oom = False
+        assert e.cron()["backfilled"] == 20      # batch 2
+        assert e.cron()["backfilled"] == 10      # final batch
+        assert not schema.backfill_in_progress
+        r = e.execute("FT.SEARCH", "i", "@t:{a}", "NOCONTENT",
+                      "LIMIT", "0", "100")
+        assert r[0] == 50
+    finally:
+        config.REGISTRY.reset_all()
+
+
+def test_cron_thread_completes_backfill(rng):
+    import time
+
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine(sync_ingest=False)
+    for i in range(30):
+        e.hset(f"k:{i}", {"t": "z"})
+    e.drain()
+    e.execute("FT.CREATE", "i", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG")
+    e.start_cron(interval_s=0.01)
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if e.execute("FT.SEARCH", "i", "@t:{z}", "NOCONTENT",
+                         "LIMIT", "0", "100")[0] == 30:
+                break
+            time.sleep(0.02)
+        assert e.execute("FT.SEARCH", "i", "@t:{z}", "NOCONTENT",
+                         "LIMIT", "0", "100")[0] == 30
+    finally:
+        e.stop_cron()

@@ -107,5 +107,44 @@ class SchemaManager:
         STATS.incr("backfilled_records", n)
         return n
 
+    def backfill_batch(
+        self,
+        schema: IndexSchema,
+        keyspace: Dict[str, Dict[str, object]],
+        batch_size: Optional[int] = None,
+    ) -> int:
+        """Advance one cursor-batched backfill step (reference
+        SchemaManager::PerformBackfill driven from server cron,
+        schema_manager.cc:621: scan-cursor batches, low priority, pauses
+        while OOM). Returns keys processed this step; 0 when complete.
+        The scan snapshot is the key list at cron time — keys written
+        after a cursor passes them are covered by keyspace notifications,
+        exactly like the reference's scan semantics."""
+        if getattr(schema, "paused_by_oom", False):
+            return 0  # backfill pauses under memory pressure
+        batch_size = batch_size or int(config.get("search.backfill-batch-size"))
+        from valkey_search_tpu.runtime.debug import PAUSEPOINTS
+
+        PAUSEPOINTS.test("backfill.batch")
+        keys = sorted(k for k in keyspace if schema.matches_key(k))
+        cursor = getattr(schema, "backfill_cursor", 0)
+        chunk = keys[cursor : cursor + batch_size]
+        if not chunk:
+            schema.backfill_in_progress = False
+            schema.backfill_cursor = 0
+            return 0
+        schema.backfill_in_progress = True
+        for key in chunk:
+            fields = keyspace.get(key)
+            if fields is not None:
+                schema.upsert(key, fields)
+        schema.backfill_cursor = cursor + len(chunk)
+        schema.backfill_scanned = schema.backfill_cursor
+        if schema.backfill_cursor >= len(keys):
+            schema.backfill_in_progress = False
+            schema.backfill_cursor = 0
+        STATS.incr("backfilled_records", len(chunk))
+        return len(chunk)
+
 
 MANAGER = SchemaManager()

@@ -296,6 +296,47 @@ class Engine:
             return  # no custom users registered; default has allkeys
         self.acl.check_index_access(user, prefixes)
 
+    # ----------------------------------------------------------------- cron
+    def cron(self) -> Dict[str, int]:
+        """One server-cron tick (reference OnServerCronCallback,
+        valkey_search.cc:1069): advance pending backfills by one batch
+        each (skipping OOM-paused schemas) and sweep expired keys."""
+        stats = {"backfilled": 0, "expired": 0}
+        for schema in self.manager.all_schemas():
+            if schema.backfill_in_progress:
+                with self._lock:
+                    snapshot = {k: dict(v) for k, v in self.keyspace.items()}
+                stats["backfilled"] += self.manager.backfill_batch(
+                    schema, snapshot
+                )
+        stats["expired"] = self.sweep_expired()
+        return stats
+
+    def start_cron(self, interval_s: float = 0.1) -> None:
+        """Background cron thread (optional — tests and embedders may call
+        cron() directly)."""
+        if getattr(self, "_cron_thread", None) is not None:
+            return
+        self._cron_stop = threading.Event()
+
+        def loop():
+            while not self._cron_stop.wait(interval_s):
+                try:
+                    self.cron()
+                except Exception:
+                    STATS.incr("cron_errors")
+
+        self._cron_thread = threading.Thread(
+            target=loop, daemon=True, name="server-cron"
+        )
+        self._cron_thread.start()
+
+    def stop_cron(self) -> None:
+        if getattr(self, "_cron_thread", None) is not None:
+            self._cron_stop.set()
+            self._cron_thread.join(5)
+            self._cron_thread = None
+
     # ------------------------------------------------------------- commands
     def ft_create(self, *args: Value, user: str = "default") -> str:
         schema, skip_scan = ft_create_mod.parse_ft_create(
@@ -304,9 +345,15 @@ class Engine:
         self._acl_check(user, schema.prefixes)
         self.manager.create(schema)
         if not skip_scan:
-            with self._lock:
-                snapshot = {k: dict(v) for k, v in self.keyspace.items()}
-            self.manager.backfill(schema, snapshot)
+            if self._sync_ingest:
+                with self._lock:
+                    snapshot = {k: dict(v) for k, v in self.keyspace.items()}
+                self.manager.backfill(schema, snapshot)
+            else:
+                # async engines backfill incrementally on cron ticks
+                # (reference: backfill runs on server cron at low priority)
+                schema.backfill_in_progress = True
+                schema.backfill_cursor = 0
         return "OK"
 
     def ft_dropindex(self, name: str, user: str = "default") -> str:
