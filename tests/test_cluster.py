@@ -236,3 +236,46 @@ def test_late_joining_node_converges():
     c.nodes[0].metadata.broadcast()
     assert late.metadata.get("idx") is not None
     assert late.engine.manager.get("idx") is not None
+
+
+def test_cluster_text_search(rng):
+    c = ClusterEngine(n_nodes=3)
+    titles = ["running shoes", "blue suede shoes", "quantum computing",
+              "running late again", "the art of computing"]
+    for i, t in enumerate(titles * 4):
+        c.hset(f"doc:{i}", {"title": t, "n": str(i)})
+    c.execute("FT.CREATE", "t", "ON", "HASH", "PREFIX", "1", "doc:",
+              "SCHEMA", "title", "TEXT", "n", "NUMERIC")
+    r = c.execute("FT.SEARCH", "t", "@title:run", "NOCONTENT",
+                  "LIMIT", "0", "50")
+    want = {f"doc:{i}" for i, t in enumerate(titles * 4) if "running" in t}
+    assert set(r[1:]) == want
+    r2 = c.execute("FT.SEARCH", "t", '"quantum computing"', "NOCONTENT")
+    assert set(r2[1:]) == {f"doc:{i}" for i, t in enumerate(titles * 4)
+                           if t == "quantum computing"}
+    # fanout + numeric + text conjunction
+    r3 = c.execute("FT.SEARCH", "t", "@title:shoes @n:[0 9]", "NOCONTENT",
+                   "LIMIT", "0", "50")
+    assert all(int(k.split(":")[1]) <= 9 for k in r3[1:])
+    assert r3[0] >= 2
+
+
+def test_cluster_json_documents(rng):
+    import json as _json
+
+    c = ClusterEngine(n_nodes=2)
+    c.execute("FT.CREATE", "j", "ON", "JSON", "PREFIX", "1", "p:",
+              "SCHEMA", "$.v", "AS", "v", "VECTOR", "FLAT", "6",
+              "TYPE", "FLOAT32", "DIM", "4", "DISTANCE_METRIC", "L2",
+              "$.tag", "AS", "tag", "TAG")
+    vecs = rng.standard_normal((20, 4)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        node = c.owner(f"p:{i}")
+        node.engine.json_set(f"p:{i}", "$", _json.dumps(
+            {"v": [float(x) for x in v], "tag": ["a", "b"][i % 2]}
+        ))
+    q = vecs[11].tobytes()
+    r = c.execute("FT.SEARCH", "j", "(@tag:{b})=>[KNN 3 @v $q]",
+                  "PARAMS", "2", "q", q, "NOCONTENT")
+    assert r[1] == "p:11"
+    assert all(int(k.split(":")[1]) % 2 == 1 for k in r[1:])
