@@ -66,5 +66,9 @@ class IndexBase:
     def tracked_keys(self) -> Set[str]:
         raise NotImplementedError
 
+    def tracks(self, key: str) -> bool:
+        """O(1) membership (hot write path: tracked_keys() copies)."""
+        return key in self.tracked_keys()
+
     def count(self) -> int:
         raise NotImplementedError

@@ -215,6 +215,10 @@ class TagIndex(IndexBase):
         with self._lock:
             return set(self._tracked)
 
+    def tracks(self, key: str) -> bool:
+        with self._lock:
+            return key in self._tracked
+
     def untracked_keys(self) -> Set[str]:
         with self._lock:
             return set(self._untracked)

@@ -253,6 +253,10 @@ class VectorIndexBase(IndexBase):
         with self._lock:
             return set(self._tracked)
 
+    def tracks(self, key: str) -> bool:
+        with self._lock:
+            return key in self._tracked
+
     def count(self) -> int:
         with self._lock:
             return len(self._tracked)

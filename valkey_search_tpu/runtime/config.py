@@ -180,9 +180,13 @@ _enum("search.topk-mode", "approx", ["approx", "exact"])
 # measured 1.6x QPS at recall@10 0.998 on 1M x 128); float32 = single-stage
 _enum("search.corpus-dtype", "bfloat16", ["bfloat16", "float32"])
 # HNSW indexes answer queries via the MXU exact scan while the corpus is
-# at or below this size (recall 1.0 and ~10x the QPS of batched graph
-# traversal at <=1M on one chip); the graph takes over beyond it. 0 = off.
-_num("search.hnsw-scan-threshold", 2_000_000, 0, 1 << 40)
+# at or below this size. Measured: the scan wins at every on-chip size
+# (recall 1.0; 141k qps at 1M, 44k at 10M vs ~1.4k for batched graph
+# traversal), and HBM caps a single chip near ~20M rows at 128d — so the
+# default keeps the scan for everything that fits. The graph remains for
+# API/persistence parity, the CPU oracle, and >HBM sharded regimes.
+# 0 = always traverse the graph.
+_num("search.hnsw-scan-threshold", 1 << 30, 0, 1 << 40)
 _num("search.mutation-compaction-threshold", 4096, 1, 10_000_000)
 _num("search.backfill-batch-size", 10240, 1, 10_000_000)
 _num("search.max-indexes", 256, 1, 10_000)

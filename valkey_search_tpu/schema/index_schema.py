@@ -227,7 +227,7 @@ class IndexSchema:
         if key not in self._documents:
             return
         for attr in self.attributes.values():
-            if key in attr.index.tracked_keys():
+            if attr.index.tracks(key):
                 return
         # document exists but indexes nothing → keep raw fields, release id
         self.interner.release(key)

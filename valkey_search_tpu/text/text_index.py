@@ -573,5 +573,8 @@ class TextFieldIndex(IndexBase):
     def tracked_keys(self) -> Set[str]:
         return set(self._tracked)
 
+    def tracks(self, key: str) -> bool:
+        return key in self._tracked
+
     def count(self) -> int:
         return len(self._tracked)
