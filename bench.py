@@ -85,13 +85,19 @@ def main():
 
     # ---- recall ground truth on a query subset ----------------------------
     n_gt = 64
+    # fp64 ground truth via BLAS matvec (|c|^2 - 2 c·q ordering) — the
+    # elementwise form allocates GB-sized temporaries per query and spends
+    # minutes in kernel page-zeroing on this box
     gt_ids = []
     gt_q = queries[:n_gt].astype(np.float64)
     c64 = corpus.astype(np.float64)
+    c64_sq = np.einsum("ij,ij->i", c64, c64)
     for q in gt_q:
-        dd = ((c64 - q) ** 2).sum(1)
-        gt_ids.append(np.argpartition(dd, K)[:K][np.argsort(dd[np.argpartition(dd, K)[:K]])])
+        dd = c64_sq - 2.0 * (c64 @ q)  # + |q|^2 constant: same ordering
+        part = np.argpartition(dd, K)[:K]
+        gt_ids.append(part[np.argsort(dd[part])])
     gt_ids = np.stack(gt_ids)
+    del c64, c64_sq
 
     # ---- TPU flat QPS (pipelined launches over the device snapshot) -------
     import jax.numpy as jnp
@@ -165,6 +171,30 @@ def main():
             "corpus": "sift-like clustered bytes (1024 centers)",
         },
     }
+
+    # ---- hybrid filter sweep (BASELINE config #4: selectivity 1/10/50%) ----
+    if not QUICK:
+        hybrid = {}
+        rng3 = np.random.default_rng(11)
+        for sel_pct in (1, 10, 50):
+            mask_host = rng3.random(snap["vectors"].shape[0]) < (sel_pct / 100)
+            fmask = jnp.asarray(mask_host)
+
+            def launch_f(qb, fm=fmask):
+                return topk_ops.flat_topk_two_stage(
+                    qb, snap["vectors"], snap["vectors_lp"], k=K, metric="l2",
+                    corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
+                    filter_mask=fm, block_rows=blk,
+                )
+            _ = [np.asarray(x) for x in launch_f(q_batches[0])]
+            t0 = time.perf_counter()
+            outs = [launch_f(qb) for qb in q_batches[:3]]
+            for od, oi in outs:
+                np.asarray(od), np.asarray(oi)
+            qps = 3 * BATCH / (time.perf_counter() - t0)
+            hybrid[f"hybrid_{sel_pct}pct_qps"] = round(qps, 1)
+            log(f"hybrid {sel_pct}% selectivity: {qps:.0f} qps")
+        result["details"].update(hybrid)
 
     # ---- HNSW: build rate + QPS at recall ---------------------------------
     if not QUICK:

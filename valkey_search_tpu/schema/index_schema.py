@@ -252,13 +252,17 @@ class IndexSchema:
         return cap
 
     def docs_valid_mask(self, cap: int) -> jnp.ndarray:
-        """Device bool [cap]: allocated doc ids (for Negate / match-all)."""
+        """Device bool [cap]: allocated doc ids (for Negate / match-all).
+        Cached per (interner.epoch, cap) so repeated queries reuse the
+        device-resident mask instead of rebuilding + re-uploading."""
         with self._lock:
-            host = np.zeros(cap, bool)
-            for key, doc in self.interner.items():
-                if doc < cap:
-                    host[doc] = True
-            return jnp.asarray(host)
+            cache = getattr(self, "_valid_mask_cache", None)
+            key = (self.interner.epoch, cap)
+            if cache is not None and cache[0] == key:
+                return cache[1]
+            mask = jnp.asarray(self.interner.valid_ids_np(cap))
+            self._valid_mask_cache = (key, mask)
+            return mask
 
     def doc_keys(self, docs: Sequence[int]) -> List[Optional[str]]:
         return [self.interner.key_of(int(d)) for d in docs]

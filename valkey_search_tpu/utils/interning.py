@@ -24,6 +24,7 @@ class KeyInterner:
         self._id_to_key: List[Optional[str]] = []
         self._free: List[int] = []
         self._lock = threading.RLock()
+        self.epoch = 0  # bumped per id-space change (valid-mask cache key)
 
     def intern(self, key: str) -> int:
         """Return the doc id for key, allocating one if new."""
@@ -38,6 +39,7 @@ class KeyInterner:
                 doc = len(self._id_to_key)
                 self._id_to_key.append(key)
             self._key_to_id[key] = doc
+            self.epoch += 1
             return doc
 
     def lookup(self, key: str) -> Optional[int]:
@@ -58,6 +60,7 @@ class KeyInterner:
                 return None
             self._id_to_key[doc] = None
             self._free.append(doc)
+            self.epoch += 1
             return doc
 
     def restore(self, mapping: Dict[str, int], capacity: Optional[int] = None) -> None:
@@ -79,6 +82,21 @@ class KeyInterner:
                 self._id_to_key[doc] = key
             self._free = [i for i in range(cap - 1, -1, -1)
                           if self._id_to_key[i] is None]
+            self.epoch += 1
+
+    def valid_ids_np(self, cap: int):
+        """bool [cap]: allocated doc ids — vectorized (allocated = below
+        the high-water mark and not on the free list)."""
+        import numpy as np
+
+        with self._lock:
+            out = np.zeros(cap, bool)
+            hw = min(len(self._id_to_key), cap)
+            out[:hw] = True
+            if self._free:
+                free = np.asarray(self._free, np.int64)
+                out[free[free < cap]] = False
+            return out
 
     @property
     def capacity(self) -> int:
