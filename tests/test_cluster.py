@@ -279,3 +279,29 @@ def test_cluster_json_documents(rng):
                   "PARAMS", "2", "q", q, "NOCONTENT")
     assert r[1] == "p:11"
     assert all(int(k.split(":")[1]) % 2 == 1 for k in r[1:])
+
+
+def test_cluster_save_load_roundtrip(cluster, tmp_path, rng):
+    from valkey_search_tpu.cluster.node import ClusterEngine
+
+    c, vecs = cluster
+    q = vecs[17].tobytes()
+    before = c.execute("FT.SEARCH", "idx", "*=>[KNN 5 @emb $q]",
+                       "PARAMS", "2", "q", q, "NOCONTENT")
+    d = str(tmp_path / "cluster_ckpt")
+    totals = c.save(d)
+    assert totals["keys"] == 90
+    c2 = ClusterEngine.load(d)
+    after = c2.execute("FT.SEARCH", "idx", "*=>[KNN 5 @emb $q]",
+                       "PARAMS", "2", "q", q, "NOCONTENT")
+    assert before == after
+    # metadata survived with its version → new creates bump past it
+    e = c2.nodes[0].metadata.get("idx")
+    assert e is not None and e.version >= 1
+    # writes still route and index after restore
+    nv = np.full(8, 0.25, np.float32)
+    c2.hset("doc:900", {"emb": nv.tobytes(), "color": "gold", "n": "900"})
+    assert c2.execute("FT.SEARCH", "idx", "@color:{gold}",
+                      "NOCONTENT") == [1, "doc:900"]
+    # drop converges across restored nodes
+    assert c2.ft_dropindex("idx") == "OK"

@@ -390,6 +390,77 @@ class ClusterEngine:
             out += [k, v]
         return out
 
+    # -- persistence --------------------------------------------------------------
+    def save(self, directory: str) -> Dict[str, int]:
+        """Cluster-wide checkpoint: one chunked file per shard plus a
+        manifest (slot layout + metadata entries). The reference's
+        equivalent is each node BGSAVE-ing its own aux-RDB; metadata
+        reconverges by gossip on restart."""
+        import json as _json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        totals = {"schemas": 0, "keys": 0}
+        manifest = {"nodes": [], "metadata": {}}
+        for i, node in enumerate(self.nodes):
+            path = os.path.join(directory, f"node{i}.vstpu")
+            s = node.engine.save(path)
+            totals["schemas"] = max(totals["schemas"], s["schemas"])
+            totals["keys"] += s["keys"]
+            manifest["nodes"].append({
+                "node_id": node.node_id, "file": f"node{i}.vstpu",
+                "slots": list(node.slots),
+            })
+        for name, e in self.nodes[0].metadata.entries().items():
+            manifest["metadata"][name] = {
+                "version": e.version, "payload": e.payload,
+            }
+        with open(os.path.join(directory, "manifest.json"), "w") as f:
+            _json.dump(manifest, f)
+        return totals
+
+    @classmethod
+    def load(cls, directory: str, sync_ingest: bool = True) -> "ClusterEngine":
+        """Restore a cluster checkpoint: per-shard engines come back from
+        their chunked files; index metadata re-registers through each
+        node's MetadataManager so gossip state is converged from the
+        start."""
+        import json as _json
+        import os
+
+        from valkey_search_tpu.persistence import load_engine
+
+        with open(os.path.join(directory, "manifest.json")) as f:
+            manifest = _json.load(f)
+        cluster = cls(n_nodes=len(manifest["nodes"]), sync_ingest=sync_ingest)
+        for i, info in enumerate(manifest["nodes"]):
+            node = cluster.nodes[i]
+            node.slots = tuple(info["slots"])
+            # schemas rebuild from the checkpoint (drop the freshly
+            # created empty engine state first)
+            node.engine = type(node.engine)(sync_ingest=sync_ingest)
+            load_engine(os.path.join(directory, info["file"]),
+                        engine=node.engine)
+            node.engine.metadata = node.metadata
+        # re-seed the metadata maps so entries carry their saved versions
+        # (schemas were already restored from the checkpoints, so entries
+        # are written directly instead of through on_apply; gossip keeps
+        # them converged from here)
+        from valkey_search_tpu.cluster.metadata import (
+            MetadataEntry,
+            _entry_fingerprint,
+        )
+
+        for name, m in manifest["metadata"].items():
+            entry = MetadataEntry(
+                name, int(m["version"]),
+                _entry_fingerprint(name, m["payload"]), m["payload"],
+            )
+            for node in cluster._all_nodes():
+                with node.metadata._lock:
+                    node.metadata._entries[name] = entry
+        return cluster
+
     # -- generic dispatch -----------------------------------------------------------
     def execute(self, *argv):
         cmd = _s(argv[0]).upper()

@@ -442,14 +442,20 @@ def parse_query(
 ) -> Tuple[P.Predicate, Optional[KnnClause]]:
     """Full query: (filter predicate, optional KNN clause)."""
     params = params or {}
-    filt, knn_part = split_vector_clause(query)
-    filt = filt.strip()
-    if knn_part is not None:
-        knn = parse_knn_clause(knn_part, params)
-        pred = (
-            P.MatchAll()
-            if (not filt or filt == "*")
-            else FilterParser(filt, params).parse()
-        )
-        return pred, knn
-    return FilterParser(filt, params).parse(), None
+    try:
+        filt, knn_part = split_vector_clause(query)
+        filt = filt.strip()
+        if knn_part is not None:
+            knn = parse_knn_clause(knn_part, params)
+            pred = (
+                P.MatchAll()
+                if (not filt or filt == "*")
+                else FilterParser(filt, params).parse()
+            )
+            return pred, knn
+        return FilterParser(filt, params).parse(), None
+    except RecursionError:
+        # the configured max depth (parity with the reference's 1000)
+        # can exceed python's recursion headroom; surface the same
+        # typed error either way
+        raise QuerySyntaxError("query too deep")

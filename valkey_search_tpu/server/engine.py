@@ -486,39 +486,49 @@ class Engine:
             "FT._DEBUG": lambda: self.ft_debug(*rest),
             "INFO": lambda: self.info(),
         }
-        if cmd == "HSET":
-            if len(rest) < 3 or len(rest) % 2 == 0:
-                raise CommandError("wrong number of arguments for HSET")
-            mapping = {
-                _s(rest[i]): rest[i + 1] for i in range(1, len(rest), 2)
-            }
-            return self.hset(_s(rest[0]), mapping)
-        if cmd == "DEL":
-            return sum(self.delete(_s(k)) for k in rest)
-        if cmd == "HGETALL":
-            return self.hgetall(_s(rest[0]))
-        if cmd == "JSON.SET":
-            if len(rest) != 3:
-                raise CommandError("JSON.SET key path value")
-            return self.json_set(_s(rest[0]), _s(rest[1]), rest[2])
-        if cmd == "JSON.GET":
-            if not rest:
-                raise CommandError("JSON.GET key [path]")
-            return self.json_get(
-                _s(rest[0]), _s(rest[1]) if len(rest) > 1 else "$"
-            )
-        if cmd == "EXPIRE":
-            return self.expire(_s(rest[0]), float(_s(rest[1])))
-        if cmd == "PEXPIRE":
-            return self.expire(_s(rest[0]), float(_s(rest[1])) / 1000.0)
-        if cmd == "TTL":
-            return self.ttl(_s(rest[0]))
-        if cmd == "PERSIST":
-            return self.persist(_s(rest[0]))
-        fn = table.get(cmd)
-        if fn is None:
-            raise CommandError(f"unknown command {cmd!r}")
-        return fn()
+        def dispatch():
+            if cmd == "HSET":
+                if len(rest) < 3 or len(rest) % 2 == 0:
+                    raise CommandError("wrong number of arguments for HSET")
+                mapping = {
+                    _s(rest[i]): rest[i + 1] for i in range(1, len(rest), 2)
+                }
+                return self.hset(_s(rest[0]), mapping)
+            if cmd == "DEL":
+                return sum(self.delete(_s(k)) for k in rest)
+            if cmd == "HGETALL":
+                return self.hgetall(_s(rest[0]))
+            if cmd == "JSON.SET":
+                if len(rest) != 3:
+                    raise CommandError("JSON.SET key path value")
+                return self.json_set(_s(rest[0]), _s(rest[1]), rest[2])
+            if cmd == "JSON.GET":
+                if not rest:
+                    raise CommandError("JSON.GET key [path]")
+                return self.json_get(
+                    _s(rest[0]), _s(rest[1]) if len(rest) > 1 else "$"
+                )
+            if cmd == "EXPIRE":
+                return self.expire(_s(rest[0]), float(_s(rest[1])))
+            if cmd == "PEXPIRE":
+                return self.expire(_s(rest[0]), float(_s(rest[1])) / 1000.0)
+            if cmd == "TTL":
+                return self.ttl(_s(rest[0]))
+            if cmd == "PERSIST":
+                return self.persist(_s(rest[0]))
+            fn = table.get(cmd)
+            if fn is None:
+                raise CommandError(f"unknown command {cmd!r}")
+            return fn()
+
+        try:
+            return dispatch()
+        except (TypeError, IndexError) as exc:
+            # arity/shape errors surface as the redis-style command error
+            # instead of leaking python signature failures
+            raise CommandError(
+                f"wrong number of arguments for {cmd}"
+            ) from exc
 
 
 class Transaction:
