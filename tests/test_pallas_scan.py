@@ -1,0 +1,126 @@
+"""Fused Pallas coarse-scan kernel vs its XLA oracle + end-to-end recall.
+
+Runs the kernel in interpret mode on the CPU test mesh (tests/conftest.py
+pins JAX_PLATFORMS=cpu); the compiled-TPU path is exercised by the bench
+and the driver's TPU drive.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valkey_search_tpu.ops import pallas_scan as ps
+from valkey_search_tpu.ops import topk as topk_ops
+
+
+def _mk(rng, b, n, d):
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    return (
+        jnp.asarray(q, jnp.bfloat16),
+        jnp.asarray(c, jnp.bfloat16),
+        q,
+        c,
+    )
+
+
+@pytest.mark.parametrize("positive", [True, False])
+def test_kernel_matches_reference(rng, positive):
+    b, n, d = 16, ps.GROUP, 128
+    _, c_lp, q, c = _mk(rng, b, n, d)
+    q_lp = jnp.asarray(-2.0 * q, jnp.bfloat16)  # alpha pre-folded
+    qsq = (
+        jnp.asarray((q ** 2).sum(1, keepdims=True))
+        if positive
+        else jnp.zeros((b, 1), jnp.float32)
+    )
+    bias = jnp.asarray(((c.astype(np.float32) ** 2).sum(1))[None, :])
+    vals, idx = ps.bucket_min_scan(
+        q_lp, qsq, c_lp, bias, positive=positive, block_b=8, interpret=True
+    )
+    rvals, ridx = ps.bucket_min_scan_reference(q_lp, qsq, c_lp, bias)
+    # the kernel quantizes low 7 mantissa bits into the packed index
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(rvals), rtol=4e-5, atol=1e-2
+    )
+    agree = (np.asarray(idx) == np.asarray(ridx)).mean()
+    assert agree > 0.99
+
+
+def test_kernel_invalid_rows_survive_as_inf(rng):
+    b, n, d = 8, ps.GROUP, 128
+    _, c_lp, q, c = _mk(rng, b, n, d)
+    q_lp = jnp.asarray(-2.0 * q, jnp.bfloat16)
+    qsq = jnp.asarray((q ** 2).sum(1, keepdims=True))
+    invalid = np.zeros(n, bool)
+    # buckets are strided: lane 0 of group 0 = rows {m*BUCKET + 0}
+    invalid[np.arange(0, ps.GROUP, ps.BUCKET)] = True
+    bias = ps.make_bias(
+        n, "l2", jnp.asarray((c ** 2).sum(1)), jnp.asarray(invalid), None
+    )
+    vals, _ = ps.bucket_min_scan(
+        q_lp, qsq, c_lp, bias, positive=True, block_b=8, interpret=True
+    )
+    assert np.isinf(np.asarray(vals)[:, 0]).all()
+    assert np.isfinite(np.asarray(vals)[:, 1:]).all()
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_fused_pipeline_recall(rng, metric):
+    b, n, d, k = 24, 2 * ps.GROUP, 64, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    dists, ids = topk_ops.flat_topk_fused(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(c, jnp.bfloat16),
+        k=k, metric=metric, interpret=True,
+    )
+    if metric == "l2":
+        gt = np.argsort(
+            ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+        )[:, :k]
+    else:
+        gt = np.argsort(1.0 - q @ c.T, axis=1)[:, :k]
+    rec = np.mean([
+        len(set(ids[i].tolist()) & set(gt[i].tolist())) / k for i in range(b)
+    ])
+    assert rec >= 0.95, rec
+    assert np.all(np.diff(np.asarray(dists), axis=1) >= -1e-6)
+
+
+def test_fused_pipeline_filter_and_padding(rng):
+    # capacity NOT a multiple of GROUP → row padding; odd B → query padding
+    b, n, d, k = 5, ps.GROUP + 300, 32, 5
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    allowed = np.zeros(n, bool)
+    allowed[::7] = True
+    dists, ids = topk_ops.flat_topk_fused(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(c, jnp.bfloat16),
+        k=k, metric="l2", filter_mask=jnp.asarray(allowed), interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert (ids % 7 == 0).all() and (ids < n).all()
+    masked = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    masked[:, ~allowed] = np.inf
+    gt = np.argsort(masked, axis=1)[:, :k]
+    rec = np.mean([
+        len(set(ids[i].tolist()) & set(gt[i].tolist())) / k for i in range(b)
+    ])
+    assert rec >= 0.9, rec
+
+
+def test_fused_multiblock_merge(rng):
+    # two scan blocks: block_rows = GROUP
+    b, n, d, k = 8, 4 * ps.GROUP, 32, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    dists, ids = topk_ops.flat_topk_fused(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(c, jnp.bfloat16),
+        k=k, metric="l2", block_rows=2 * ps.GROUP, interpret=True,
+    )
+    gt = np.argsort(((q[:, None, :] - c[None, :, :]) ** 2).sum(-1), 1)[:, :k]
+    rec = np.mean([
+        len(set(np.asarray(ids)[i].tolist()) & set(gt[i].tolist())) / k
+        for i in range(b)
+    ])
+    assert rec >= 0.95, rec

@@ -47,7 +47,24 @@ class FlatVectorIndex(VectorIndexBase):
         snap = self.store.device_snapshot()
         prec = precision or config.get("search.distance-precision")
         mode = str(config.get("search.topk-mode"))
-        if mode == "approx" and "vectors_lp" in snap:
+        if (
+            mode == "approx"
+            and "vectors_lp" in snap
+            and topk_ops.use_fused_scan(snap["vectors"].shape[0], filter_mask)
+        ):
+            # fused Pallas coarse scan + exact fp32 rescore (ops/pallas_scan)
+            d, i = topk_ops.flat_topk_fused(
+                jnp.asarray(queries),
+                snap["vectors"],
+                snap["vectors_lp"],
+                k=k,
+                metric=self.metric,
+                corpus_sq=snap["norms_sq"],
+                invalid=snap["invalid"],
+                filter_mask=filter_mask,
+                block_rows=int(config.get("search.flat-block-size")),
+            )
+        elif mode == "approx" and "vectors_lp" in snap:
             # bf16 coarse scan + exact fp32 rescore (ops/topk.py)
             d, i = topk_ops.flat_topk_two_stage(
                 jnp.asarray(queries),

@@ -297,6 +297,22 @@ class HnswVectorIndex(VectorIndexBase):
         if (
             "vectors_lp" in snap
             and str(config.get("search.topk-mode")) == "approx"
+            and topk_ops.use_fused_scan(snap["vectors"].shape[0], node_filter)
+        ):
+            d, ids = topk_ops.flat_topk_fused(
+                jnp.asarray(queries),
+                snap["vectors"],
+                snap["vectors_lp"],
+                k=k,
+                metric=self.metric,
+                corpus_sq=snap["norms_sq"],
+                invalid=invalid,
+                filter_mask=node_filter,
+                block_rows=max(self.store.capacity, 131072),
+            )
+        elif (
+            "vectors_lp" in snap
+            and str(config.get("search.topk-mode")) == "approx"
         ):
             d, ids = topk_ops.flat_topk_two_stage(
                 jnp.asarray(queries),

@@ -128,6 +128,149 @@ def flat_topk_two_stage(
     )
 
 
+def use_fused_scan(cap: int, filter_mask) -> bool:
+    """Route a coarse scan to the fused Pallas kernel?
+
+    True when the configured scan kernel allows it, the backend is a real
+    TPU (the kernel is Mosaic-compiled; the CPU test mesh runs it only in
+    interpret mode), the corpus is large enough that bucketed selection has
+    headroom (>= 131072 rows → >= 1024 buckets per block), and any
+    pre-filter is query-shared (per-query [B, cap] masks need the XLA path).
+    """
+    from valkey_search_tpu.runtime import config
+
+    choice = str(config.get("search.scan-kernel"))
+    if choice == "xla":
+        return False
+    if filter_mask is not None and filter_mask.ndim != 1:
+        return False
+    if cap < 131072:
+        return False
+    if choice == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "block_rows", "coarse_factor", "interpret"
+    ),
+)
+def flat_topk_fused(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,      # fp32 [cap, d]
+    corpus_lp: jnp.ndarray,   # bf16 [cap, d] (same rows)
+    k: int,
+    metric: str = "l2",
+    corpus_sq: Optional[jnp.ndarray] = None,
+    invalid: Optional[jnp.ndarray] = None,
+    filter_mask: Optional[jnp.ndarray] = None,  # 1-D only (shared prefilter)
+    block_rows: int = 262144,
+    coarse_factor: int = 3,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage k-NN with the coarse scan fused into a Pallas kernel.
+
+    Same contract and recall story as ``flat_topk_two_stage`` but the coarse
+    stage never writes the [B, N] score matrix to HBM (see
+    ops/pallas_scan.py): the kernel emits one (min, argmin) survivor per 128
+    corpus rows, an exact ``lax.top_k`` picks coarse_factor*k of the
+    survivors, and the fp32 rescore restores exact ordering. Requires a 1-D
+    (query-shared) filter mask; per-query masks fall back to the XLA path in
+    the callers.
+    """
+    from valkey_search_tpu.ops import pallas_scan as ps
+
+    cap, d = corpus.shape
+    b = queries.shape[0]
+    if filter_mask is not None and filter_mask.ndim != 1:
+        raise ValueError("flat_topk_fused needs a 1-D filter mask")
+    from valkey_search_tpu.ops import pallas_scan as _ps
+    block_rows = -(-block_rows // _ps.GROUP) * _ps.GROUP
+    if metric == "l2" and corpus_sq is None:
+        corpus_sq = dist_ops.squared_norms(corpus_lp)
+    # alpha is folded into the queries (one fewer VPU op per score element
+    # in the kernel epilogue — see pallas_scan._kernel); for l2 the
+    # ||q||^2 row constant makes coarse scores the true non-negative
+    # squared distance, unlocking the raw-bits key path.
+    alpha = -2.0 if metric == "l2" else -1.0
+    positive = metric == "l2"
+    kc = min(coarse_factor * k, cap)
+
+    q_lp = (queries.astype(jnp.float32) * alpha).astype(jnp.bfloat16)
+    qsq = (
+        dist_ops.squared_norms(queries)[:, None]
+        if positive
+        else jnp.zeros((b, 1), jnp.float32)
+    )
+    block_b = 1024 if b >= 1024 else -(-b // 8) * 8
+    pad_b = -b % block_b
+    if pad_b:
+        q_lp = jnp.pad(q_lp, ((0, pad_b), (0, 0)))
+        qsq = jnp.pad(qsq, ((0, pad_b), (0, 0)))
+    pad_d = -d % 128
+    if pad_d:
+        q_lp = jnp.pad(q_lp, ((0, 0), (0, pad_d)))
+
+    bias = ps.make_bias(cap, metric, corpus_sq, invalid, filter_mask)
+    pad_n = -cap % ps.GROUP
+    c_lp = corpus_lp
+    if pad_n:
+        c_lp = jnp.pad(c_lp, ((0, pad_n), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad_n)), constant_values=INF)
+    if pad_d:
+        c_lp = jnp.pad(c_lp, ((0, 0), (0, pad_d)))
+    n = cap + pad_n
+
+    def coarse_block(c_blk, bias_blk, row0):
+        vals, idx = ps.bucket_min_scan(
+            q_lp, qsq, c_blk, bias_blk, positive=positive,
+            block_b=block_b, block_n=1024, interpret=interpret,
+        )
+        kk = min(kc, vals.shape[-1])
+        if vals.shape[-1] >= 2048 and not interpret:
+            bd, pos = jax.lax.approx_min_k(vals, kk, recall_target=0.95)
+        else:
+            neg_top, pos = jax.lax.top_k(-vals, kk)
+            bd = -neg_top
+        bi = jnp.take_along_axis(idx, pos, axis=-1) + row0
+        bi = jnp.where(jnp.isinf(bd), INVALID_ID, bi)
+        return bd, bi
+
+    if n <= block_rows:
+        cd, ci = coarse_block(c_lp, bias, 0)
+    else:
+        if n % block_rows:
+            raise ValueError(
+                f"capacity {n} not divisible by block_rows {block_rows}"
+            )
+        nblk = n // block_rows
+        c_b = c_lp.reshape(nblk, block_rows, c_lp.shape[1])
+        bias_b = bias.reshape(nblk, 1, block_rows)
+
+        def step(carry, xs):
+            run_d, run_i, row0 = carry
+            bd, bi = coarse_block(xs[0], xs[1], row0)
+            md, mi = merge_topk(run_d, run_i, bd, bi, bd.shape[-1])
+            return (md, mi, row0 + block_rows), None
+
+        kk = min(kc, block_rows // ps.BUCKET)
+        init = (
+            jnp.full((q_lp.shape[0], kk), INF, jnp.float32),
+            jnp.full((q_lp.shape[0], kk), INVALID_ID, jnp.int32),
+            jnp.int32(0),
+        )
+        (cd, ci, _), _ = jax.lax.scan(step, init, (c_b, bias_b))
+
+    if pad_b:
+        cd, ci = cd[:b], ci[:b]
+    ci = jnp.where(ci >= cap, INVALID_ID, ci)  # padded corpus rows
+    return _rescore_exact(
+        queries, corpus, ci, cd, k=k, metric=metric, precision="highest"
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -177,6 +177,12 @@ _enum("search.distance-precision", "high", ["highest", "high", "default"])
 # TPU-optimized partial reduce (2-3x faster; end-to-end recall@10 >= 0.99
 # measured — cross-block merges stay exact). "exact" = lax.top_k.
 _enum("search.topk-mode", "approx", ["approx", "exact"])
+# coarse-scan implementation: "pallas" fuses the distance matmul with the
+# per-bucket min/argmin reduction (ops/pallas_scan.py) so the [B, N] score
+# matrix never touches HBM; "xla" is the approx_min_k two-stage; "auto"
+# picks pallas on TPU for large corpora (per-query filter masks and small
+# corpora always take the xla path).
+_enum("search.scan-kernel", "auto", ["auto", "pallas", "xla"])
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for
 # the coarse pass (exact fp32 rescore of 4k candidates restores recall:
 # measured 1.6x QPS at recall@10 0.998 on 1M x 128); float32 = single-stage
