@@ -219,7 +219,7 @@ def main():
         result["details"].update(hybrid)
 
     # ---- HNSW: build rate + QPS at recall ---------------------------------
-    if not QUICK:
+    if not QUICK and HNSW_N > 0:
         log(f"building HNSW on {HNSW_N} vectors (native, 1 core)")
         hnsw = HnswVectorIndex(dim=D, m=16, ef_construction=100)
         t0 = time.perf_counter()

@@ -52,7 +52,11 @@ class FlatVectorIndex(VectorIndexBase):
             and "vectors_lp" in snap
             and topk_ops.use_fused_scan(snap["vectors"].shape[0], filter_mask)
         ):
-            # fused Pallas coarse scan + exact fp32 rescore (ops/pallas_scan)
+            # fused Pallas coarse scan + exact fp32 rescore (ops/pallas_scan).
+            # One kernel block over the whole corpus: the survivor array is
+            # 128x smaller than the score matrix, so even at 10M rows it is
+            # B x 80k — no need for the blocked scan's memory bound at
+            # engine batch sizes.
             d, i = topk_ops.flat_topk_fused(
                 jnp.asarray(queries),
                 snap["vectors"],
@@ -62,7 +66,10 @@ class FlatVectorIndex(VectorIndexBase):
                 corpus_sq=snap["norms_sq"],
                 invalid=snap["invalid"],
                 filter_mask=filter_mask,
-                block_rows=int(config.get("search.flat-block-size")),
+                block_rows=max(
+                    int(config.get("search.flat-block-size")),
+                    snap["vectors"].shape[0],
+                ),
             )
         elif mode == "approx" and "vectors_lp" in snap:
             # bf16 coarse scan + exact fp32 rescore (ops/topk.py)

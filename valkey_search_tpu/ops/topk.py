@@ -223,6 +223,31 @@ def flat_topk_fused(
         c_lp = jnp.pad(c_lp, ((0, 0), (0, pad_d)))
     n = cap + pad_n
 
+    # A single kernel block is fastest, but the coarse survivor pair is
+    # [B, block/128] x 8 bytes — at 10M rows x 65536 queries that is 41 GB.
+    # Shrink the block to the largest GROUP-aligned divisor of n that keeps
+    # survivors under a fixed HBM budget.
+    surv_budget = 2 << 30
+    bs = min(block_rows, n)
+
+    def _surv_bytes(width):
+        return q_lp.shape[0] * (width // ps.BUCKET) * 8
+
+    if _surv_bytes(bs) > surv_budget:
+        m = 2
+        while not (
+            n % m == 0
+            and (n // m) % ps.GROUP == 0
+            and _surv_bytes(n // m) <= surv_budget
+        ):
+            m += 1
+            if m > n // ps.GROUP:
+                raise ValueError(
+                    f"no survivor-budget block split for n={n}, B={b}"
+                )
+        bs = n // m
+    block_rows = bs
+
     def coarse_block(c_blk, bias_blk, row0):
         vals, idx = ps.bucket_min_scan(
             q_lp, qsq, c_blk, bias_blk, positive=positive,
