@@ -1,0 +1,294 @@
+"""RESP serving layer: drive the engine over a real TCP socket exactly the
+way a redis/valkey client drives the reference module (integration-harness
+analog of the reference's valkey_search_test_case.py, which spawns real
+valkey-server processes and speaks RESP to them)."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from valkey_search_tpu.server.engine import Engine
+from valkey_search_tpu.server.resp import RespServer, encode, SimpleString
+
+
+class ReplyError(Exception):
+    pass
+
+
+class RespClient:
+    """Minimal binary-safe RESP2/RESP3 client."""
+
+    def __init__(self, port, host="127.0.0.1"):
+        self.sock = socket.create_connection((host, port), timeout=30)
+        self.f = self.sock.makefile("rwb")
+
+    def close(self):
+        try:
+            self.f.close()
+        finally:
+            self.sock.close()
+
+    def send_raw(self, data: bytes):
+        self.f.write(data)
+        self.f.flush()
+
+    def cmd(self, *argv):
+        enc = b"*%d\r\n" % len(argv)
+        for a in argv:
+            if isinstance(a, str):
+                a = a.encode()
+            elif isinstance(a, (int, float)):
+                a = str(a).encode()
+            enc += b"$%d\r\n" % len(a) + a + b"\r\n"
+        self.send_raw(enc)
+        return self.read_reply()
+
+    def read_reply(self):
+        line = self.f.readline()
+        if not line:
+            raise EOFError("connection closed")
+        t, rest = line[:1], line[1:-2]
+        if t == b"+":
+            return rest.decode()
+        if t == b"-":
+            raise ReplyError(rest.decode())
+        if t == b":":
+            return int(rest)
+        if t == b"$":
+            n = int(rest)
+            if n == -1:
+                return None
+            data = self.f.read(n + 2)
+            return data[:-2]
+        if t in (b"*", b">"):
+            n = int(rest)
+            if n == -1:
+                return None
+            return [self.read_reply() for _ in range(n)]
+        if t == b"%":
+            n = int(rest)
+            out = {}
+            for _ in range(n):
+                k = self.read_reply()
+                out[k if not isinstance(k, bytes) else k.decode()] = (
+                    self.read_reply()
+                )
+            return out
+        if t == b"_":
+            return None
+        if t == b"#":
+            return rest == b"t"
+        if t == b",":
+            return float(rest)
+        raise AssertionError(f"unknown reply type {line!r}")
+
+
+@pytest.fixture()
+def server():
+    srv = RespServer(Engine(), port=0).start()
+    yield srv
+    srv.close()
+
+
+@pytest.fixture()
+def client(server):
+    c = RespClient(server.port)
+    yield c
+    c.close()
+
+
+def test_ping_echo_quit(server, client):
+    assert client.cmd("PING") == "PONG"
+    assert client.cmd("PING", b"\x00bin\xff") == b"\x00bin\xff"
+    assert client.cmd("ECHO", "hello") == b"hello"
+    assert client.cmd("QUIT") == "OK"
+    with pytest.raises(EOFError):
+        client.cmd("PING")
+
+
+def test_hello3_switches_protocol(server, client):
+    info = client.cmd("HELLO", "3")
+    assert isinstance(info, dict)
+    assert info["proto"] == 3
+    assert info[b"server" if b"server" in info else "server"] == b"valkey-search-tpu"
+    # RESP3 null
+    assert client.cmd("HGETALL", "missing") == {}
+
+
+def test_hset_hgetall_binary_roundtrip(server, client):
+    blob = np.arange(4, dtype=np.float32).tobytes()
+    assert client.cmd("HSET", "doc:1", "emb", blob, "title", "hi") == 2
+    fields = client.cmd("HGETALL", "doc:1")
+    d = {fields[i]: fields[i + 1] for i in range(0, len(fields), 2)}
+    assert d[b"emb"] == blob
+    assert d[b"title"] == b"hi"
+    assert client.cmd("DBSIZE") == 1
+    assert client.cmd("DEL", "doc:1") == 1
+    assert client.cmd("DBSIZE") == 0
+
+
+def test_knn_search_over_wire(server, client):
+    dim = 8
+    assert (
+        client.cmd(
+            "FT.CREATE", "idx", "ON", "HASH", "PREFIX", "1", "doc:",
+            "SCHEMA", "emb", "VECTOR", "FLAT", "6", "TYPE", "FLOAT32",
+            "DIM", str(dim), "DISTANCE_METRIC", "L2",
+            "tags", "TAG",
+        )
+        == "OK"
+    )
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, dim)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        client.cmd(
+            "HSET", f"doc:{i}", "emb", v.tobytes(),
+            "tags", "even" if i % 2 == 0 else "odd",
+        )
+    q = vecs[7]
+    reply = client.cmd(
+        "FT.SEARCH", "idx", "*=>[KNN 3 @emb $q]",
+        "PARAMS", "2", "q", q.tobytes(), "DIALECT", "2",
+    )
+    assert reply[0] == 3
+    assert b"doc:7" in reply[1::2][0:3][0] or reply[1] == b"doc:7"
+    # hybrid: tag filter over the wire
+    reply = client.cmd(
+        "FT.SEARCH", "idx", "@tags:{odd}=>[KNN 2 @emb $q]",
+        "PARAMS", "2", "q", q.tobytes(), "NOCONTENT",
+    )
+    assert reply[0] == 2
+    names = set(reply[1:])
+    assert all(int(n.decode().split(":")[1]) % 2 == 1 for n in names)
+
+
+def test_error_replies(server, client):
+    with pytest.raises(ReplyError, match="unknown command"):
+        client.cmd("NOSUCH")
+    with pytest.raises(ReplyError, match="not found"):
+        client.cmd("FT.INFO", "ghost")
+    with pytest.raises(ReplyError, match="wrong number"):
+        client.cmd("HSET", "k")
+
+
+def test_multi_exec(server, client):
+    assert client.cmd("MULTI") == "OK"
+    assert client.cmd("HSET", "k1", "f", "1") == "QUEUED"
+    assert client.cmd("HSET", "k2", "f", "2") == "QUEUED"
+    assert client.cmd("DBSIZE") == "QUEUED"
+    res = client.cmd("EXEC")
+    assert res[0] == 1 and res[1] == 1 and res[2] == 2
+    # DISCARD drops the queue
+    assert client.cmd("MULTI") == "OK"
+    assert client.cmd("HSET", "k3", "f", "3") == "QUEUED"
+    assert client.cmd("DISCARD") == "OK"
+    assert client.cmd("DBSIZE") == 2
+    with pytest.raises(ReplyError, match="EXEC without MULTI"):
+        client.cmd("EXEC")
+
+
+def test_config_get_set(server, client):
+    reply = client.cmd("CONFIG", "GET", "search.reader-threads")
+    d = {reply[i].decode(): reply[i + 1] for i in range(0, len(reply), 2)}
+    assert "search.reader-threads" in d
+    assert client.cmd("CONFIG", "SET", "search.timeout-ms", "1234") == "OK"
+    reply = client.cmd("CONFIG", "GET", "search.timeout-ms")
+    assert reply[1] == b"1234"
+    client.cmd("CONFIG", "SET", "search.timeout-ms", "50")
+    # glob pattern
+    reply = client.cmd("CONFIG", "GET", "search.*threads*")
+    assert len(reply) >= 4
+
+
+def test_info_sections(server, client):
+    blob = client.cmd("INFO")
+    assert blob.startswith(b"# search")
+    assert b"search_queries_total" in blob
+    assert client.cmd("INFO", "replication") == b"\r\n"
+
+
+def test_inline_commands(server, client):
+    client.send_raw(b"PING\r\n")
+    assert client.read_reply() == "PONG"
+    client.send_raw(b'ECHO "two words"\r\n')
+    assert client.read_reply() == b"two words"
+
+
+def test_ft_list_and_dropindex(server, client):
+    client.cmd(
+        "FT.CREATE", "a", "ON", "HASH", "SCHEMA", "t", "TAG"
+    )
+    assert client.cmd("FT._LIST") == [b"a"]
+    assert client.cmd("FT.DROPINDEX", "a") == "OK"
+    assert client.cmd("FT._LIST") == []
+
+
+def test_concurrent_connections_coalesce(server):
+    """Two connections issuing KNN at once — the reader pool + batcher
+    coalesce them into one device launch; replies stay per-connection."""
+    c0 = RespClient(server.port)
+    dim = 4
+    c0.cmd(
+        "FT.CREATE", "idx", "ON", "HASH", "SCHEMA",
+        "emb", "VECTOR", "FLAT", "6", "TYPE", "FLOAT32",
+        "DIM", str(dim), "DISTANCE_METRIC", "L2",
+    )
+    vecs = np.eye(dim, dtype=np.float32)
+    for i in range(dim):
+        c0.cmd("HSET", f"k{i}", "emb", vecs[i].tobytes())
+
+    results = {}
+
+    def worker(i):
+        c = RespClient(server.port)
+        try:
+            r = c.cmd(
+                "FT.SEARCH", "idx", "*=>[KNN 1 @emb $q]",
+                "PARAMS", "2", "q", vecs[i].tobytes(), "NOCONTENT",
+            )
+            results[i] = r
+        finally:
+            c.close()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(dim)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(dim):
+        assert results[i][0] == 1
+        assert results[i][1] == f"k{i}".encode()
+    c0.close()
+
+
+def test_flushall(server, client):
+    client.cmd("HSET", "x", "f", "v")
+    assert client.cmd("FLUSHALL") == "OK"
+    assert client.cmd("DBSIZE") == 0
+
+
+def test_json_over_wire(server, client):
+    assert client.cmd("JSON.SET", "j:1", "$", '{"a": 1}') == "OK"
+    assert client.cmd("JSON.GET", "j:1") == b'{"a": 1}'
+
+
+def test_expire_ttl(server, client):
+    client.cmd("HSET", "e", "f", "v")
+    assert client.cmd("EXPIRE", "e", "100") == 1
+    ttl = client.cmd("TTL", "e")
+    assert 0 < float(ttl) <= 100
+    assert client.cmd("PERSIST", "e") == 1
+    assert client.cmd("TTL", "e") == -1
+
+
+def test_encode_helpers():
+    assert encode(SimpleString("OK")) == b"+OK\r\n"
+    assert encode(None) == b"$-1\r\n"
+    assert encode(None, proto=3) == b"_\r\n"
+    assert encode(True) == b":1\r\n"
+    assert encode(True, proto=3) == b"#t\r\n"
+    assert encode(1.5, proto=3) == b",1.5\r\n"
+    assert encode([1, "a"]) == b"*2\r\n:1\r\n$1\r\na\r\n"
+    assert encode({"k": 1}, proto=3) == b"%1\r\n$1\r\nk\r\n:1\r\n"

@@ -69,6 +69,14 @@ class TagIndex(IndexBase):
 
     # -- mutation ------------------------------------------------------------
     def add_record(self, key: str, value: str) -> RecordResult:
+        # hash values arrive as raw bytes over the wire; tags are text
+        # (the reference reads hash fields as byte strings and parses them
+        # as UTF-8 tag lists, tag.cc ParseSearchTags)
+        if isinstance(value, (bytes, bytearray)):
+            try:
+                value = bytes(value).decode("utf-8")
+            except UnicodeDecodeError:
+                value = ""
         tags = parse_tags(str(value), self.separator, self.case_sensitive)
         with self._lock:
             existed = key in self._tracked

@@ -1,0 +1,611 @@
+"""RESP network serving layer: any Redis/Valkey client can drive the engine.
+
+The reference is a Valkey *module* — the server speaks RESP and routes
+FT.* argv to the module's command table (src/module_loader.cc:33-129,
+vmsdk/src/module.h VALKEY_MODULE macro). This framework owns its whole
+stack, so the equivalent is a standalone RESP2/RESP3 server in front of
+``Engine.execute``: redis-cli / redis-py / valkey-py connect unchanged
+and issue HSET / FT.CREATE / FT.SEARCH exactly as against the reference.
+
+Design notes (TPU-first):
+- One OS thread per connection (like the reference's main thread accepting
+  commands), but FT.SEARCH is dispatched through ``Engine.ft_search_async``
+  — the reader pool + query batcher (query/batcher.py) coalesce concurrent
+  KNN queries from *different connections* into one device launch, which is
+  where the MXU batch-throughput comes from (reference P1 reader pool,
+  valkey_search.cc:1161-1164).
+- Fully binary-safe: argv elements stay ``bytes`` end-to-end (vector blobs
+  in HSET values and PARAMS must never pass through a text decode).
+- RESP3 upgrade via HELLO 3 (maps/doubles/nulls per spec); RESP2 default.
+
+Connection-level commands handled here (the reference gets these from
+valkey-server itself): PING, ECHO, HELLO, AUTH, SELECT, QUIT, RESET,
+CLIENT, COMMAND, DBSIZE, FLUSHALL, MULTI/EXEC/DISCARD, CONFIG GET/SET,
+SAVE/BGSAVE-style checkpointing via FT._DEBUG in the engine.
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import socketserver
+import threading
+from fnmatch import fnmatchcase
+from typing import Any, List, Optional
+
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.log import log
+from valkey_search_tpu.server.engine import (
+    CommandError,
+    Engine,
+    OutOfMemoryError,
+)
+
+CRLF = b"\r\n"
+
+
+class SimpleString(str):
+    """Marker: encode as +str (RESP simple string) instead of bulk."""
+
+
+class RespError(Exception):
+    """Carries a redis-style error line (first word = error code)."""
+
+    def __init__(self, message: str, code: str = "ERR"):
+        super().__init__(message)
+        self.code = code
+
+
+# --------------------------------------------------------------------------
+# Encoding
+# --------------------------------------------------------------------------
+
+def _fmt_double(x: float) -> bytes:
+    if x == int(x) and abs(x) < 1e17:
+        return str(int(x)).encode()
+    return repr(x).encode()
+
+
+def encode(value: Any, proto: int = 2) -> bytes:
+    """Encode a Python reply value as RESP2 (proto=2) or RESP3 (proto=3)."""
+    out = io.BytesIO()
+    _encode_into(out, value, proto)
+    return out.getvalue()
+
+
+def _encode_into(out: io.BytesIO, v: Any, proto: int) -> None:
+    if isinstance(v, RespError):
+        msg = str(v).replace("\r", " ").replace("\n", " ")
+        code = v.code
+        head = msg.split(" ", 1)[0]
+        prefix = "" if head.isupper() and head == code else code + " "
+        out.write(b"-" + (prefix + msg).encode() + CRLF)
+    elif isinstance(v, SimpleString):
+        out.write(b"+" + str(v).encode() + CRLF)
+    elif v is None:
+        out.write(b"_" + CRLF if proto >= 3 else b"$-1" + CRLF)
+    elif isinstance(v, bool):
+        if proto >= 3:
+            out.write(b"#t" + CRLF if v else b"#f" + CRLF)
+        else:
+            out.write(b":1" + CRLF if v else b":0" + CRLF)
+    elif isinstance(v, int):
+        out.write(b":" + str(v).encode() + CRLF)
+    elif isinstance(v, float):
+        if proto >= 3:
+            out.write(b"," + _fmt_double(v) + CRLF)
+        else:
+            b = _fmt_double(v)
+            out.write(b"$" + str(len(b)).encode() + CRLF + b + CRLF)
+    elif isinstance(v, (bytes, bytearray, memoryview)):
+        b = bytes(v)
+        out.write(b"$" + str(len(b)).encode() + CRLF + b + CRLF)
+    elif isinstance(v, str):
+        b = v.encode("utf-8", "surrogateescape")
+        out.write(b"$" + str(len(b)).encode() + CRLF + b + CRLF)
+    elif isinstance(v, dict):
+        if proto >= 3:
+            out.write(b"%" + str(len(v)).encode() + CRLF)
+            for k, val in v.items():
+                _encode_into(out, k, proto)
+                _encode_into(out, val, proto)
+        else:
+            out.write(b"*" + str(2 * len(v)).encode() + CRLF)
+            for k, val in v.items():
+                _encode_into(out, k, proto)
+                _encode_into(out, val, proto)
+    elif isinstance(v, (list, tuple)):
+        out.write(b"*" + str(len(v)).encode() + CRLF)
+        for item in v:
+            _encode_into(out, item, proto)
+    else:  # numpy scalars and friends: degrade to their string form
+        _encode_into(out, str(v), proto)
+
+
+# --------------------------------------------------------------------------
+# Decoding (client → server direction: arrays of bulk strings + inline)
+# --------------------------------------------------------------------------
+
+class ProtocolError(Exception):
+    pass
+
+
+class CommandReader:
+    """Incremental reader of client commands from a socket file."""
+
+    def __init__(self, rfile):
+        self._r = rfile
+
+    def _readline(self, limit: int = 64 * 1024) -> bytes:
+        line = self._r.readline(limit + 2)
+        if not line:
+            raise EOFError
+        if not line.endswith(b"\r\n"):
+            if line.endswith(b"\n"):  # tolerate bare LF for inline/telnet use
+                return line[:-1].rstrip(b"\r")
+            raise ProtocolError("too big inline request or missing CRLF")
+        return line[:-2]
+
+    def read_command(self) -> Optional[List[bytes]]:
+        """Returns argv as a list of bytes, or None for an empty inline line.
+
+        Raises EOFError on clean connection close."""
+        line = self._readline()
+        if not line:
+            return None
+        if line[:1] == b"*":
+            try:
+                n = int(line[1:])
+            except ValueError:
+                raise ProtocolError("invalid multibulk length")
+            if n < 0 or n > 1024 * 1024:
+                raise ProtocolError("invalid multibulk length")
+            argv: List[bytes] = []
+            for _ in range(n):
+                hdr = self._readline()
+                if hdr[:1] != b"$":
+                    raise ProtocolError(
+                        f"expected '$', got {hdr[:1].decode(errors='replace')!r}"
+                    )
+                try:
+                    blen = int(hdr[1:])
+                except ValueError:
+                    raise ProtocolError("invalid bulk length")
+                if blen < 0 or blen > 512 * 1024 * 1024:
+                    raise ProtocolError("invalid bulk length")
+                data = self._r.read(blen + 2)
+                if len(data) != blen + 2 or data[-2:] != CRLF:
+                    raise EOFError
+                argv.append(data[:-2])
+            return argv
+        # inline command (redis protocol compat: space-split, no quoting
+        # beyond simple double/single quotes)
+        return _split_inline(line)
+
+
+def _split_inline(line: bytes) -> List[bytes]:
+    parts: List[bytes] = []
+    i, n = 0, len(line)
+    while i < n:
+        while i < n and line[i : i + 1].isspace():
+            i += 1
+        if i >= n:
+            break
+        quote = line[i : i + 1]
+        if quote in (b'"', b"'"):
+            i += 1
+            buf = bytearray()
+            while i < n and line[i : i + 1] != quote:
+                if quote == b'"' and line[i : i + 1] == b"\\" and i + 1 < n:
+                    i += 1
+                    esc = line[i : i + 1]
+                    buf += {b"n": b"\n", b"r": b"\r", b"t": b"\t"}.get(esc, esc)
+                else:
+                    buf += line[i : i + 1]
+                i += 1
+            if i >= n:
+                raise ProtocolError("unbalanced quotes in request")
+            i += 1
+            parts.append(bytes(buf))
+        else:
+            j = i
+            while j < n and not line[j : j + 1].isspace():
+                j += 1
+            parts.append(line[i:j])
+            i = j
+    return parts
+
+
+# --------------------------------------------------------------------------
+# Server
+# --------------------------------------------------------------------------
+
+def _s(v) -> str:
+    return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else str(v)
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    rbufsize = 64 * 1024
+    wbufsize = 64 * 1024
+
+    def setup(self):
+        super().setup()
+        self.connection.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.proto = 2
+        self.user = "default"
+        self.multi_queue: Optional[List[List[bytes]]] = None
+        self.multi_error = False
+
+    def handle(self):
+        srv: RespServer = self.server.resp_server  # type: ignore[attr-defined]
+        reader = CommandReader(self.rfile)
+        while not srv._closing:
+            try:
+                argv = reader.read_command()
+            except EOFError:
+                return
+            except ProtocolError as exc:
+                self._reply(RespError(f"Protocol error: {exc}"))
+                return
+            if argv is None:
+                continue
+            if not argv:
+                self._reply(RespError("empty command"))
+                continue
+            try:
+                quit_after = self._dispatch(srv, argv)
+            except BrokenPipeError:
+                return
+            if quit_after:
+                return
+
+    # -- reply helpers ------------------------------------------------------
+    def _reply(self, value: Any) -> None:
+        self.wfile.write(encode(value, self.proto))
+        self.wfile.flush()
+
+    # -- dispatch -----------------------------------------------------------
+    def _dispatch(self, srv: "RespServer", argv: List[bytes]) -> bool:
+        cmd = _s(argv[0]).upper()
+
+        # MULTI/EXEC state machine (reference: valkey-server's MULTI wraps
+        # module commands; ingestion keeps ordered groups per EXEC —
+        # index_schema.cc:834 EnqueueMultiMutation)
+        if self.multi_queue is not None and cmd not in (
+            "EXEC", "DISCARD", "MULTI", "RESET", "QUIT",
+        ):
+            self.multi_queue.append(argv)
+            self._reply(SimpleString("QUEUED"))
+            return False
+
+        try:
+            if cmd == "QUIT":
+                self._reply(SimpleString("OK"))
+                return True
+            result = self._run(srv, cmd, argv)
+            self._reply(result)
+        except RespError as exc:
+            self._reply(exc)
+        except OutOfMemoryError as exc:
+            self._reply(RespError(str(exc), code="OOM"))
+        except (CommandError, config.ConfigError, ValueError, KeyError) as exc:
+            msg = exc.args[0] if exc.args else str(exc)
+            self._reply(RespError(str(msg)))
+        except Exception as exc:  # never kill the connection on a bug
+            log("warning", f"internal error serving {cmd}: {exc!r}")
+            self._reply(RespError(f"internal error: {exc}", code="ERR"))
+        return False
+
+    def _run(self, srv: "RespServer", cmd: str, argv: List[bytes]) -> Any:
+        engine = srv.engine
+        rest = argv[1:]
+
+        if cmd == "PING":
+            if len(rest) > 1:
+                raise RespError("wrong number of arguments for 'ping' command")
+            return rest[0] if rest else SimpleString("PONG")
+        if cmd == "ECHO":
+            if len(rest) != 1:
+                raise RespError("wrong number of arguments for 'echo' command")
+            return rest[0]
+        if cmd == "HELLO":
+            if rest:
+                ver = _s(rest[0])
+                if ver not in ("2", "3"):
+                    raise RespError(
+                        "NOPROTO unsupported protocol version", code="NOPROTO"
+                    )
+                self.proto = int(ver)
+                i = 1
+                while i < len(rest):
+                    opt = _s(rest[i]).upper()
+                    if opt == "AUTH" and i + 2 < len(rest):
+                        self.user = _s(rest[i + 1])
+                        i += 3
+                    elif opt == "SETNAME" and i + 1 < len(rest):
+                        i += 2
+                    else:
+                        raise RespError(f"unknown HELLO option {opt!r}")
+            return {
+                "server": "valkey-search-tpu",
+                "version": srv.version,
+                "proto": self.proto,
+                "id": threading.get_ident() % (1 << 31),
+                "mode": "standalone",
+                "role": "master",
+                "modules": [],
+            }
+        if cmd == "AUTH":
+            # username+password form selects the ACL user; passwords are not
+            # checked (the reference delegates authentication to valkey-server
+            # and only enforces key-prefix ACL per user, src/acl.h:36)
+            if len(rest) == 2:
+                self.user = _s(rest[0])
+            elif len(rest) != 1:
+                raise RespError("wrong number of arguments for 'auth' command")
+            return SimpleString("OK")
+        if cmd == "SELECT":
+            if len(rest) != 1 or not _s(rest[0]).lstrip("-").isdigit():
+                raise RespError("value is not an integer or out of range")
+            if _s(rest[0]) != "0":
+                raise RespError("DB index is out of range")
+            return SimpleString("OK")
+        if cmd == "RESET":
+            self.multi_queue = None
+            self.multi_error = False
+            self.user = "default"
+            return SimpleString("RESET")
+        if cmd == "CLIENT":
+            sub = _s(rest[0]).upper() if rest else ""
+            if sub == "SETNAME":
+                return SimpleString("OK")
+            if sub == "GETNAME":
+                return ""
+            if sub == "ID":
+                return threading.get_ident() % (1 << 31)
+            if sub in ("SETINFO", "NO-EVICT", "NO-TOUCH"):
+                return SimpleString("OK")
+            raise RespError(f"Unknown CLIENT subcommand {sub!r}")
+        if cmd == "COMMAND":
+            if rest and _s(rest[0]).upper() == "DOCS":
+                return {} if self.proto >= 3 else []
+            if rest and _s(rest[0]).upper() == "COUNT":
+                return len(_COMMANDS)
+            return [[name.lower(), -1, [], 0, 0, 0] for name in _COMMANDS]
+        if cmd == "DBSIZE":
+            with engine._lock:
+                return len(engine.keyspace)
+        if cmd == "FLUSHALL" or cmd == "FLUSHDB":
+            engine.flushall()
+            return SimpleString("OK")
+        if cmd == "MULTI":
+            if self.multi_queue is not None:
+                raise RespError("MULTI calls can not be nested")
+            self.multi_queue = []
+            self.multi_error = False
+            return SimpleString("OK")
+        if cmd == "DISCARD":
+            if self.multi_queue is None:
+                raise RespError("DISCARD without MULTI")
+            self.multi_queue = None
+            return SimpleString("OK")
+        if cmd == "EXEC":
+            if self.multi_queue is None:
+                raise RespError("EXEC without MULTI")
+            queued, self.multi_queue = self.multi_queue, None
+            return self._exec_multi(srv, queued)
+        if cmd == "CONFIG":
+            return self._config_cmd(rest)
+        if cmd == "INFO":
+            return _format_info(engine, [_s(a) for a in rest])
+        if cmd == "SHUTDOWN":
+            threading.Thread(target=srv.close, daemon=True).start()
+            return SimpleString("OK")
+
+        if cmd == "FT.SEARCH" and srv.async_search:
+            # route through the reader pool so concurrent connections'
+            # KNN queries coalesce into one device launch
+            fut = engine.ft_search_async(*argv[1:], user=self.user)
+            return _ok(fut.result(timeout=srv.search_timeout))
+        return _ok(engine.execute(*argv, user=self.user))
+
+    def _exec_multi(self, srv: "RespServer", queued: List[List[bytes]]) -> list:
+        """Apply queued commands atomically under the engine lock; queued
+        keyspace writes land as one ordered mutation group (reference
+        EnqueueMultiMutation, index_schema.cc:834)."""
+        engine = srv.engine
+        results: list = []
+        group = engine.multi()
+        flushes: List[tuple] = []  # (position, argv) of non-write commands
+        wrote = False
+        for argv in queued:
+            cmd = _s(argv[0]).upper()
+            if cmd == "HSET" and len(argv) >= 4 and len(argv) % 2 == 0:
+                mapping = {
+                    _s(argv[i]): argv[i + 1] for i in range(2, len(argv), 2)
+                }
+                group.hset(_s(argv[1]), mapping)
+                results.append(len(mapping))
+                wrote = True
+            elif cmd == "DEL" and len(argv) >= 2:
+                for k in argv[1:]:
+                    group.delete(_s(k))
+                results.append(len(argv) - 1)
+                wrote = True
+            else:
+                flushes.append((len(results), argv))
+                results.append(None)
+        if wrote:
+            group.exec()
+        for pos, argv in flushes:
+            try:
+                results[pos] = _ok(
+                    self._run(srv, _s(argv[0]).upper(), argv)
+                )
+            except Exception as exc:  # transactions report per-command errors
+                results[pos] = RespError(str(exc))
+        return results
+
+    def _config_cmd(self, rest: List[bytes]) -> Any:
+        if not rest:
+            raise RespError("wrong number of arguments for 'config' command")
+        sub = _s(rest[0]).upper()
+        if sub == "GET":
+            if len(rest) < 2:
+                raise RespError("wrong number of arguments for 'config|get'")
+            pattern = _s(rest[1])
+            snap = config.REGISTRY.snapshot(include_hidden=False)
+            out = {}
+            for name, val in sorted(snap.items()):
+                if fnmatchcase(name, pattern) or name == pattern:
+                    out[name] = _cfg_str(val)
+            return out if self.proto >= 3 else _flatten(out)
+        if sub == "SET":
+            if len(rest) != 3:
+                raise RespError("wrong number of arguments for 'config|set'")
+            config.set_config(_s(rest[1]), _s(rest[2]))
+            return SimpleString("OK")
+        if sub == "RESETSTAT":
+            return SimpleString("OK")
+        raise RespError(f"Unknown CONFIG subcommand {sub!r}")
+
+
+def _cfg_str(val) -> str:
+    if isinstance(val, bool):
+        return "yes" if val else "no"
+    return str(val)
+
+
+def _flatten(d: dict) -> list:
+    out: list = []
+    for k, v in d.items():
+        out.append(k)
+        out.append(v)
+    return out
+
+
+def _ok(result: Any) -> Any:
+    """Engine results → RESP conventions: bare 'OK' is a simple string."""
+    if isinstance(result, str) and result == "OK":
+        return SimpleString("OK")
+    return result
+
+
+def _format_info(engine: Engine, args: List[str]) -> str:
+    """INFO as the sectioned text blob redis clients expect (the reference's
+    ~90 fields appear under the SEARCH section of valkey's INFO)."""
+    section = args[0].lower() if args else None
+    fields = engine.info()
+    lines = ["# search"]
+    for k, v in fields.items():
+        name = k if k.startswith("search_") else f"search_{k}"
+        lines.append(f"{name}:{v}")
+    if section not in (None, "all", "everything", "search", "modules"):
+        lines = []
+    return "\r\n".join(lines) + "\r\n"
+
+
+_COMMANDS = [
+    "PING", "ECHO", "HELLO", "AUTH", "SELECT", "QUIT", "RESET", "CLIENT",
+    "COMMAND", "DBSIZE", "FLUSHALL", "MULTI", "EXEC", "DISCARD", "CONFIG",
+    "INFO", "HSET", "HGETALL", "DEL", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
+    "JSON.SET", "JSON.GET", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
+    "FT.AGGREGATE", "FT.INFO", "FT._LIST", "FT._DEBUG",
+]
+
+
+class _ThreadingTCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class RespServer:
+    """Standalone RESP server wrapping an Engine.
+
+    >>> srv = RespServer(Engine(), port=0)   # port=0 → ephemeral
+    >>> srv.start()
+    >>> srv.port
+    54321
+    >>> srv.close()
+    """
+
+    version = "1.0.0"
+
+    def __init__(
+        self,
+        engine: Optional[Engine] = None,
+        host: str = "127.0.0.1",
+        port: int = 6379,
+        async_search: bool = True,
+        search_timeout: float = 60.0,
+    ):
+        self.engine = engine if engine is not None else Engine()
+        self.host = host
+        self._requested_port = port
+        self.async_search = async_search
+        self.search_timeout = search_timeout
+        self._server: Optional[_ThreadingTCPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self._closing = False
+
+    @property
+    def port(self) -> int:
+        assert self._server is not None, "server not started"
+        return self._server.server_address[1]
+
+    def start(self) -> "RespServer":
+        self._server = _ThreadingTCPServer(
+            (self.host, self._requested_port), _Handler
+        )
+        self._server.resp_server = self  # type: ignore[attr-defined]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever,
+            kwargs={"poll_interval": 0.1},
+            daemon=True,
+            name=f"resp-server:{self.port}",
+        )
+        self._thread.start()
+        log("notice", f"RESP server listening on {self.host}:{self.port}")
+        return self
+
+    def close(self) -> None:
+        self._closing = True
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        if self._thread is not None:
+            self._thread.join(5)
+            self._thread = None
+
+    def __enter__(self) -> "RespServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def serve(host: str = "127.0.0.1", port: int = 6379, **engine_kwargs) -> None:
+    """Blocking entry point: ``python -m valkey_search_tpu.server.resp``."""
+    engine = Engine(**engine_kwargs)
+    engine.start_cron()
+    srv = RespServer(engine, host=host, port=port)
+    srv.start()
+    try:
+        srv._thread.join()
+    except KeyboardInterrupt:
+        srv.close()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="valkey-search-tpu RESP server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=6379)
+    ap.add_argument(
+        "--async-ingest", action="store_true",
+        help="index mutations on the background ingestion pipeline",
+    )
+    ns = ap.parse_args()
+    serve(host=ns.host, port=ns.port, sync_ingest=not ns.async_ingest)
