@@ -34,3 +34,9 @@ jaxinit.init()
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running multi-process integration tests"
+    )

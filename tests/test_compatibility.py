@@ -3,9 +3,8 @@
 The reference's own integration suite replays these pickles against
 valkey-search as its compatibility oracle (SURVEY.md §4.2); here the same
 commands replay against this engine. Thresholds assert the measured
-conformance level so regressions fail loudly; the only known divergence
-in the text suite is a 12-command family of double-apostrophe queries
-(`great'wall great'wall`) that Redisearch rejects with a syntax error."""
+conformance level so regressions fail loudly. All suites sit at 100%
+(46k recorded replies)."""
 
 import os
 
@@ -67,8 +66,7 @@ def test_expr_conformance():
 
 def test_aggregate_conformance():
     """FT.AGGREGATE/FT.SEARCH oracle: 9,384 recorded replies across 13
-    datasets (numbers/strings/tags/vectors, hash+json). One known
-    divergence: a binary-blob comparison artifact in the harness."""
+    datasets (numbers/strings/tags/vectors, hash+json)."""
     groups = H.group_answers(H.load_answers("aggregate-answers.pickle.gz"))
     gp = gt = 0
     worst = []
@@ -81,7 +79,7 @@ def test_aggregate_conformance():
         worst += fails[:2]
     assert gt >= 9000
     rate = gp / gt
-    assert rate >= 0.9995, (
+    assert rate == 1.0, (
         f"aggregate conformance {rate:.4%}: "
         + "; ".join(str(f['why'])[:70] for f in worst[:3])
     )
@@ -94,8 +92,7 @@ def test_punctuation_conformance(text_groups, key_type, schema_type):
     eng = H.build_engine("punctuation", key_type, schema_type)
     passed, total, fails = H.run_group(eng, text_groups[key])
     rate = passed / total
-    # 12 known double-apostrophe divergences across the whole pickle
-    assert rate >= 0.995, (
+    assert rate == 1.0, (
         f"{key}: {rate:.4%} — first failures: "
         + "; ".join(str(f['why'])[:80] for f in fails[:3])
     )

@@ -1,0 +1,710 @@
+"""Cross-process cluster transport over real sockets.
+
+The reference's distributed backend has two planes (SURVEY.md §2.4):
+a gRPC point-to-point data plane (``SearchIndexPartition`` /
+``GetGlobalMetadata`` / ``InfoIndexPartition``, src/coordinator/
+coordinator.proto:21-31, port = valkey port + 20294) and the valkey
+cluster-bus gossip control plane (top-level metadata fingerprint
+broadcast, metadata_manager.h:74-76).
+
+Here both planes ride the node's own RESP listener as internal commands
+(the socket-RPC analog of the gRPC service methods, server.cc):
+
+- ``_PART.SEARCH <ver> <fp> <FT.SEARCH argv...>`` — one shard's partition
+  search: index fingerprint/version + slot-ownership checks (mismatch →
+  ``-MISMATCH`` reply = FAILED_PRECONDITION, server.h:60-65), then local
+  search + content resolution on the owning shard, rows returned with
+  raw distances for the coordinator's k-bounded merge (fanout.cc:69-222).
+- ``_PART.INFO <name>`` — InfoIndexPartition.
+- ``_META.FP`` / ``_META.PULL`` / ``_META.PUSH`` — gossip fingerprint
+  probe, GetGlobalMetadata pull, and direct entry push (the
+  FT.INTERNAL_UPDATE-style replication write).
+- ``_SLOTS.SET/_SLOTS.GET`` — slot-range ownership (CLUSTER ADDSLOTS).
+
+Each ``NodeServer`` runs a pull-based gossip loop: poll every peer's
+``_META.FP``; on mismatch pull ``_META.PULL`` and reconcile per-entry
+last-writer-wins — the same convergence the reference reaches with
+broadcast+pull, but symmetric (both sides poll, so a one-way partition
+still converges when it heals).
+
+``ClusterClient`` is the coordinator-side facade: slot-routed keyspace
+commands, FT.CREATE with a consistency-check fanout (ft_create.cc:21-80),
+and scatter/gather FT.SEARCH with retry-on-mismatch + the
+partial-results policy (fanout.cc:177-221).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from valkey_search_tpu.cluster.metadata import (
+    ClusterBus,
+    MetadataEntry,
+    MetadataManager,
+    _entry_fingerprint,
+    fingerprint64,
+)
+from valkey_search_tpu.cluster.node import NUM_SLOTS, ConsistencyError, key_slot
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.runtime.debug import CONTROLLED
+from valkey_search_tpu.runtime.log import log
+from valkey_search_tpu.runtime.metrics import STATS
+from valkey_search_tpu.server.engine import Engine
+from valkey_search_tpu.server.resp import RespError, RespServer, SimpleString
+
+
+def _s(v) -> str:
+    return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else str(v)
+
+
+# ---------------------------------------------------------------------------
+# Minimal binary-safe RESP client (library-side; tests reuse it)
+# ---------------------------------------------------------------------------
+
+class ReplyError(Exception):
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.code = message.split(" ", 1)[0] if message else ""
+
+
+class RespConnection:
+    """One client connection speaking RESP2 to a node."""
+
+    def __init__(self, addr: Tuple[str, int], timeout: float = 30.0):
+        self.addr = addr
+        self.sock = socket.create_connection(addr, timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.f = self.sock.makefile("rwb")
+        self._lock = threading.Lock()
+
+    def close(self) -> None:
+        try:
+            self.f.close()
+        finally:
+            self.sock.close()
+
+    def cmd(self, *argv):
+        with self._lock:
+            enc = b"*%d\r\n" % len(argv)
+            for a in argv:
+                if isinstance(a, str):
+                    a = a.encode("utf-8", "surrogateescape")
+                elif isinstance(a, (int, float)):
+                    a = repr(a).encode() if isinstance(a, float) else str(a).encode()
+                elif isinstance(a, (bytearray, memoryview)):
+                    a = bytes(a)
+                enc += b"$%d\r\n" % len(a) + a + b"\r\n"
+            self.f.write(enc)
+            self.f.flush()
+            return self._read()
+
+    def _read(self):
+        line = self.f.readline()
+        if not line:
+            raise EOFError("connection closed")
+        t, rest = line[:1], line[1:-2]
+        if t == b"+":
+            return rest.decode()
+        if t == b"-":
+            raise ReplyError(rest.decode())
+        if t == b":":
+            return int(rest)
+        if t == b"$":
+            n = int(rest)
+            if n == -1:
+                return None
+            data = self.f.read(n + 2)
+            if len(data) != n + 2:
+                raise EOFError("short read")
+            return data[:-2]
+        if t == b"*":
+            n = int(rest)
+            if n == -1:
+                return None
+            return [self._read() for _ in range(n)]
+        if t == b"_":
+            return None
+        raise ReplyError(f"unexpected reply type {line!r}")
+
+
+# ---------------------------------------------------------------------------
+# Node server
+# ---------------------------------------------------------------------------
+
+class NodeServer:
+    """One cluster shard as a network server: Engine + metadata + gossip.
+
+    The reference equivalent is one valkey-server process with the search
+    module loaded: RESP on the client port, gRPC coordinator on port+20294;
+    here both surfaces share one listener.
+    """
+
+    def __init__(
+        self,
+        node_id: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        peers: Sequence[str] = (),
+        sync_ingest: bool = True,
+        gossip_interval_s: float = 0.2,
+    ):
+        self.node_id = node_id
+        self.engine = Engine(sync_ingest=sync_ingest)
+        self.bus = ClusterBus()  # local-only; cross-process gossip is TCP
+        self.metadata = MetadataManager(node_id, self.bus, on_apply=self._apply)
+        self.engine.metadata = self.metadata
+        self.slots: Tuple[int, int] = (0, NUM_SLOTS)
+        self.peers: List[str] = list(peers)
+        self.resp = RespServer(self.engine, host=host, port=port)
+        self.resp.extra_commands.update({
+            # cluster mode: FT.CREATE/FT.DROPINDEX go through the metadata
+            # manager so entries exist to gossip (schema_manager.cc
+            # CreateIndexSchema cluster branch → MetadataManager::CreateEntry)
+            "FT.CREATE": self._cmd_ft_create,
+            "FT.DROPINDEX": self._cmd_ft_dropindex,
+            "_PART.SEARCH": self._cmd_part_search,
+            "_PART.INFO": self._cmd_part_info,
+            "_META.FP": self._cmd_meta_fp,
+            "_META.PULL": self._cmd_meta_pull,
+            "_META.PUSH": self._cmd_meta_push,
+            "_SLOTS.SET": self._cmd_slots_set,
+            "_SLOTS.GET": self._cmd_slots_get,
+            "_NODE.ID": lambda rest: self.node_id,
+        })
+        self._gossip_interval = gossip_interval_s
+        self._gossip_stop = threading.Event()
+        self._gossip_thread: Optional[threading.Thread] = None
+        self._peer_conns: Dict[str, RespConnection] = {}
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> "NodeServer":
+        self.resp.start()
+        if self.peers:
+            self._gossip_thread = threading.Thread(
+                target=self._gossip_loop, daemon=True,
+                name=f"gossip:{self.node_id}",
+            )
+            self._gossip_thread.start()
+        return self
+
+    def close(self) -> None:
+        self._gossip_stop.set()
+        if self._gossip_thread is not None:
+            self._gossip_thread.join(2)
+            self._gossip_thread = None
+        for c in self._peer_conns.values():
+            try:
+                c.close()
+            except OSError:
+                pass
+        self._peer_conns.clear()
+        self.resp.close()
+
+    @property
+    def port(self) -> int:
+        return self.resp.port
+
+    # -- metadata apply (index create/drop landed via gossip or local) --------
+    def _apply(self, name: str, payload: Optional[Dict]) -> None:
+        from valkey_search_tpu.persistence.checkpoint import _build_schema
+        from valkey_search_tpu.schema.schema_manager import SchemaError
+
+        mgr = self.engine.manager
+        try:
+            mgr.drop(name)
+        except SchemaError:
+            pass
+        if payload is None:
+            return
+        schema = _build_schema(payload)
+        mgr.create(schema)
+        mgr.backfill(schema, self.engine.keyspace)
+
+    # -- gossip loop -----------------------------------------------------------
+    def _peer_conn(self, addr: str) -> RespConnection:
+        conn = self._peer_conns.get(addr)
+        if conn is None:
+            host, port_s = addr.rsplit(":", 1)
+            conn = RespConnection((host, int(port_s)), timeout=5.0)
+            self._peer_conns[addr] = conn
+        return conn
+
+    def _gossip_loop(self) -> None:
+        while not self._gossip_stop.wait(self._gossip_interval):
+            self.gossip_once()
+
+    def gossip_once(self) -> None:
+        """One gossip round: probe each peer's fingerprint, pull+reconcile
+        on mismatch (metadata_manager.h:74-76 broadcast → pull, made
+        symmetric/pull-based for the socket transport)."""
+        my_fp = self.metadata.top_fingerprint()
+        for addr in self.peers:
+            if self._gossip_stop.is_set():
+                return
+            try:
+                conn = self._peer_conn(addr)
+                peer_fp = int(_s(conn.cmd("_META.FP")))
+                if peer_fp == my_fp:
+                    continue
+                raw = conn.cmd("_META.PULL")
+                self.metadata.reconcile(_decode_entries(raw))
+            except (OSError, EOFError, ValueError, ReplyError):
+                # peer down or mid-restart: drop the cached connection and
+                # try again next round (the reference's gossip is equally
+                # best-effort; convergence resumes when the peer returns)
+                conn = self._peer_conns.pop(addr, None)
+                if conn is not None:
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+
+    # -- cluster-mode index lifecycle ------------------------------------------
+    def _cmd_ft_create(self, rest: List[bytes]):
+        from valkey_search_tpu.persistence.checkpoint import _schema_definition
+        from valkey_search_tpu.server import ft_create as ft_create_mod
+
+        schema, _skip = ft_create_mod.parse_ft_create([_s(a) for a in rest])
+        payload = _schema_definition(schema)
+        payload.pop("mutation_epoch", None)
+        # normalize through JSON so the entry fingerprint is identical no
+        # matter which process computed it (tuples→lists etc.)
+        payload = json.loads(json.dumps(payload, sort_keys=True))
+        self.metadata.create_entry(schema.name, payload)
+        return SimpleString("OK")
+
+    def _cmd_ft_dropindex(self, rest: List[bytes]):
+        if not rest:
+            raise RespError("wrong number of arguments for FT.DROPINDEX")
+        name = _s(rest[0])
+        if self.metadata.get(name) is None:
+            raise RespError(f"Index with name '{name}' not found")
+        self.metadata.drop_entry(name)
+        return SimpleString("OK")
+
+    # -- internal RPC handlers ---------------------------------------------------
+    def slot_fingerprint(self) -> int:
+        if CONTROLLED.is_true("force_invalid_slot_fingerprint"):
+            return 0xBAD
+        return fingerprint64(f"{self.slots[0]}:{self.slots[1]}".encode())
+
+    def _cmd_part_search(self, rest: List[bytes]):
+        """SearchIndexPartition (coordinator.proto:24, server.cc): check
+        consistency scalars, run the local shard search, return rows with
+        raw distances for the coordinator merge."""
+        from valkey_search_tpu.query.search import execute_search
+        from valkey_search_tpu.server import ft_search as ft_search_mod
+
+        if len(rest) < 4:
+            raise RespError("_PART.SEARCH ver fp index query [args...]")
+        expected_ver = int(_s(rest[0]))
+        expected_fp = int(_s(rest[1]))
+        argv = rest[2:]
+
+        sp = ft_search_mod.parse_ft_search_args(list(argv))
+        if CONTROLLED.is_true("force_invalid_index_fingerprint"):
+            STATS.incr("fanout_inconsistent")
+            raise RespError(
+                "index fingerprint mismatch (forced)", code="MISMATCH"
+            )
+        mine = self.metadata.get(sp.index_name)
+        if mine is None or (mine.version, mine.fingerprint) != (
+            expected_ver, expected_fp
+        ):
+            STATS.incr("fanout_inconsistent")
+            raise RespError(
+                f"{self.node_id}: index metadata mismatch", code="MISMATCH"
+            )
+        if self.slot_fingerprint() == 0xBAD:
+            STATS.incr("fanout_inconsistent")
+            raise RespError(
+                f"{self.node_id}: slot ownership mismatch", code="MISMATCH"
+            )
+
+        # per-shard LIMIT window: each shard returns the merged window's
+        # worth of rows (fanout.cc:322-358)
+        import dataclasses as _dc
+
+        shard_sp = _dc.replace(
+            sp, limit_offset=0, limit_num=sp.limit_offset + sp.limit_num
+        )
+        schema = self.engine.manager.get(sp.index_name)
+        resp = execute_search(schema, shard_sp)
+        rows = ft_search_mod.resolve_content(self.engine, schema, resp)
+        enc_rows = []
+        for nb, fields in rows:
+            f_enc = None
+            if fields is not None:
+                f_enc = []
+                for k, v in fields.items():
+                    f_enc.append(k)
+                    f_enc.append(v)
+            enc_rows.append([
+                nb.key,
+                "" if nb.distance is None else repr(float(nb.distance)),
+                f_enc,
+            ])
+        return [
+            resp.total,
+            -1 if resp.knn is None else resp.knn.k,
+            resp.score_field or "",
+            enc_rows,
+        ]
+
+    def _cmd_part_info(self, rest: List[bytes]):
+        if not rest:
+            raise RespError("_PART.INFO index")
+        return self.engine.ft_info(_s(rest[0]))
+
+    def _cmd_meta_fp(self, rest: List[bytes]):
+        return str(self.metadata.top_fingerprint())
+
+    def _cmd_meta_pull(self, rest: List[bytes]):
+        out = {}
+        for name, e in self.metadata.entries().items():
+            out[name] = {"version": e.version, "payload": e.payload}
+        return json.dumps(out, sort_keys=True)
+
+    def _cmd_meta_push(self, rest: List[bytes]):
+        if not rest:
+            raise RespError("_META.PUSH json")
+        changed = self.metadata.reconcile(_decode_entries(rest[0]))
+        return int(changed)
+
+    def _cmd_slots_set(self, rest: List[bytes]):
+        if len(rest) != 2:
+            raise RespError("_SLOTS.SET lo hi")
+        self.slots = (int(_s(rest[0])), int(_s(rest[1])))
+        return SimpleString("OK")
+
+    def _cmd_slots_get(self, rest: List[bytes]):
+        return [self.slots[0], self.slots[1], self.node_id]
+
+
+def _decode_entries(raw) -> Dict[str, MetadataEntry]:
+    d = json.loads(_s(raw))
+    out = {}
+    for name, m in d.items():
+        payload = m["payload"]
+        out[name] = MetadataEntry(
+            name, int(m["version"]), _entry_fingerprint(name, payload), payload
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Coordinator-side client
+# ---------------------------------------------------------------------------
+
+class ClusterClient:
+    """Slot-routing, fanning-out cluster client over node sockets."""
+
+    def __init__(self, addrs: Sequence[str], timeout: float = 180.0):
+        # default allows for cold XLA compiles on the serving side (first
+        # compile per program shape is 20-60s on TPU)
+        if not addrs:
+            raise ValueError("need at least one node address")
+        self.addrs = list(addrs)
+        self.conns: List[RespConnection] = []
+        for a in self.addrs:
+            host, port_s = a.rsplit(":", 1)
+            self.conns.append(RespConnection((host, int(port_s)), timeout))
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(4, len(self.conns)),
+            thread_name_prefix="fanout",
+        )
+        self.refresh_slots()
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+        for c in self.conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    # -- routing ----------------------------------------------------------------
+    def refresh_slots(self) -> None:
+        """Snapshot slot ownership from the nodes (CLUSTER SLOTS analog,
+        vmsdk/src/cluster_map.h)."""
+        self.slot_ranges: List[Tuple[int, int]] = []
+        for c in self.conns:
+            lo, hi, _nid = c.cmd("_SLOTS.GET")
+            self.slot_ranges.append((int(lo), int(hi)))
+
+    def _conn_for_key(self, key: str) -> RespConnection:
+        slot = key_slot(key)
+        for (lo, hi), conn in zip(self.slot_ranges, self.conns):
+            if lo <= slot < hi:
+                return conn
+        raise ConsistencyError(f"slot {slot} unowned")
+
+    # -- keyspace ----------------------------------------------------------------
+    def execute(self, *argv):
+        """Slot-routed single-key commands + cluster FT.* dispatch."""
+        cmd = _s(argv[0]).upper()
+        if cmd in ("HSET", "HGETALL", "DEL", "JSON.SET", "JSON.GET",
+                   "EXPIRE", "PEXPIRE", "TTL", "PERSIST"):
+            if cmd == "DEL" and len(argv) > 2:
+                return sum(
+                    self._conn_for_key(_s(k)).cmd("DEL", k) for k in argv[1:]
+                )
+            return self._conn_for_key(_s(argv[1])).cmd(*argv)
+        if cmd == "FT.CREATE":
+            return self.ft_create(*argv[1:])
+        if cmd == "FT.DROPINDEX":
+            return self.ft_dropindex(*argv[1:])
+        if cmd == "FT.SEARCH":
+            return self.ft_search(*argv[1:])
+        if cmd == "FT.INFO":
+            return self.ft_info(*argv[1:])
+        if cmd == "FT._LIST":
+            return self.conns[0].cmd("FT._LIST")
+        # anything else: first node answers (PING, CONFIG, INFO...)
+        return self.conns[0].cmd(*argv)
+
+    # -- metadata path -------------------------------------------------------------
+    def ft_create(self, *args, timeout_s: float = 10.0) -> str:
+        """FT.CREATE on one node, push the entry to the rest, then the
+        consistency-check fanout: retry until every node reports the new
+        (version, fingerprint) (ft_create.cc:21-80)."""
+        r = self.conns[0].cmd("FT.CREATE", *args)
+        blob = self.conns[0].cmd("_META.PULL")
+        entries = _decode_entries(blob)
+        for c in self.conns[1:]:
+            try:
+                c.cmd("_META.PUSH", _s(blob))
+            except (OSError, ReplyError):
+                pass  # gossip will converge it; fanout below verifies
+        name = _s(args[0])
+        want = entries.get(name)
+        deadline = time.time() + timeout_s
+        while True:
+            ok = True
+            for c in self.conns:
+                try:
+                    remote = _decode_entries(c.cmd("_META.PULL")).get(name)
+                except (OSError, EOFError, ReplyError):
+                    ok = False
+                    break
+                if remote is None or want is None or (
+                    remote.version, remote.fingerprint
+                ) != (want.version, want.fingerprint):
+                    ok = False
+                    break
+            if ok:
+                return r if isinstance(r, str) else "OK"
+            if time.time() >= deadline:
+                raise ConsistencyError(
+                    f"index {name!r} metadata did not converge"
+                )
+            STATS.incr("fanout_retries")
+            time.sleep(0.02)
+
+    def ft_dropindex(self, name, timeout_s: float = 10.0) -> str:
+        r = self.conns[0].cmd("FT.DROPINDEX", name)
+        blob = self.conns[0].cmd("_META.PULL")
+        for c in self.conns[1:]:
+            try:
+                c.cmd("_META.PUSH", _s(blob))
+            except (OSError, ReplyError):
+                pass
+        deadline = time.time() + timeout_s
+        name_s = _s(name)
+        while time.time() < deadline:
+            if all(
+                name_s not in {_s(x) for x in c.cmd("FT._LIST")}
+                for c in self.conns
+            ):
+                return r if isinstance(r, str) else "OK"
+            time.sleep(0.02)
+        raise ConsistencyError(f"drop of {name_s!r} did not converge")
+
+    # -- scatter/gather search --------------------------------------------------------
+    def ft_search(self, *args, max_retries: int = 3):
+        from valkey_search_tpu.server import ft_search as ft_search_mod
+
+        sp = ft_search_mod.parse_ft_search_args(list(args))
+        if sp.local_only:
+            return self.conns[0].cmd("FT.SEARCH", *args)
+        STATS.incr("fanout_queries")
+        expected = _decode_entries(self.conns[0].cmd("_META.PULL")).get(
+            sp.index_name
+        )
+        if expected is None or expected.payload is None:
+            raise ReplyError(
+                f"ERR Index with name '{sp.index_name}' not found"
+            )
+        partial_ok = bool(
+            config.get("search.enable-partial-results")
+            or config.get("search.prefer-partial-results")
+        )
+        last_err: Optional[Exception] = None
+        for _attempt in range(max_retries):
+            futures = [
+                self._pool.submit(
+                    c.cmd, "_PART.SEARCH",
+                    str(expected.version), str(expected.fingerprint), *args,
+                )
+                for c in self.conns
+            ]
+            rows, totals, score_field, knn_k = [], [], None, -1
+            failures: List[Exception] = []
+            for fut in futures:
+                try:
+                    total, kk, sf, enc_rows = fut.result()
+                except (ReplyError, OSError, EOFError) as exc:
+                    failures.append(exc)
+                    continue
+                totals.append(int(total))
+                if _s(sf):
+                    score_field = _s(sf)
+                if int(kk) >= 0:
+                    knn_k = int(kk)
+                for key, dist, f_enc in enc_rows:
+                    fields = None
+                    if f_enc is not None:
+                        fields = {
+                            _s(f_enc[i]): f_enc[i + 1]
+                            for i in range(0, len(f_enc), 2)
+                        }
+                    rows.append((
+                        _Row(_s(key),
+                             None if not _s(dist) else float(_s(dist))),
+                        fields,
+                    ))
+            hard = [
+                f for f in failures
+                if not (isinstance(f, ReplyError) and f.code == "MISMATCH")
+            ]
+            mismatches = len(failures) - len(hard)
+            if not failures:
+                return self._shape(rows, totals, score_field, knn_k, sp)
+            last_err = failures[0]
+            if partial_ok:
+                STATS.incr("partial_results")
+                return self._shape(rows, totals, score_field, knn_k, sp)
+            if mismatches:
+                # push convergence before retrying (reference: coordinator
+                # retries FAILED_PRECONDITION until timeout)
+                STATS.incr("fanout_retries")
+                blob = self.conns[0].cmd("_META.PULL")
+                for c in self.conns[1:]:
+                    try:
+                        c.cmd("_META.PUSH", _s(blob))
+                    except (OSError, ReplyError):
+                        pass
+                time.sleep(0.02)
+                continue
+            break  # hard failures don't retry without partial_ok
+        raise last_err  # type: ignore[misc]
+
+    def _shape(self, rows, totals, score_field, knn_k, sp) -> list:
+        from valkey_search_tpu.query.search import SearchResponse
+        from valkey_search_tpu.server import ft_search as ft_search_mod
+
+        merged = SearchResponse(
+            total=sum(totals), neighbors=[], score_field=score_field
+        )
+        if knn_k >= 0:
+            rows.sort(
+                key=lambda r: r[0].distance if r[0].distance is not None else 0.0
+            )
+            rows = rows[:knn_k]
+            merged.knn = _KnnStub(knn_k)
+            total_override = len(rows)
+        else:
+            merged.knn = None
+            total_override = sum(totals)
+        return ft_search_mod.shape_reply(
+            rows, merged, sp, total_override=total_override
+        )
+
+    # -- info fanout ----------------------------------------------------------------
+    def ft_info(self, name, mode: str = "CLUSTER") -> list:
+        mode = _s(mode).upper()
+        if mode == "LOCAL":
+            return self.conns[0].cmd("FT.INFO", name)
+        infos = []
+        for c in self.conns:
+            i = c.cmd("_PART.INFO", name)
+            infos.append({_s(i[j]): i[j + 1] for j in range(0, len(i), 2)})
+        agg = infos[0]
+        for k in ("num_docs", "num_records"):
+            agg[k] = sum(int(i[k]) for i in infos)
+        agg["backfill_in_progress"] = max(
+            int(i["backfill_in_progress"]) for i in infos
+        )
+        agg["mode"] = mode
+        out: list = []
+        for k, v in agg.items():
+            out += [k, v]
+        return out
+
+
+class _Row:
+    """Neighbor stand-in for merged remote rows (key + distance)."""
+
+    __slots__ = ("key", "distance", "doc")
+
+    def __init__(self, key: str, distance: Optional[float]):
+        self.key = key
+        self.distance = distance
+        self.doc = -1
+
+
+class _KnnStub:
+    __slots__ = ("k",)
+
+    def __init__(self, k: int):
+        self.k = k
+
+
+# ---------------------------------------------------------------------------
+# Process entry point
+# ---------------------------------------------------------------------------
+
+def assign_slot_ranges(n_nodes: int) -> List[Tuple[int, int]]:
+    per = NUM_SLOTS // n_nodes
+    return [
+        (i * per, (i + 1) * per if i < n_nodes - 1 else NUM_SLOTS)
+        for i in range(n_nodes)
+    ]
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="valkey-search-tpu cluster node")
+    ap.add_argument("--node-id", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--slots", default="0:16384", help="lo:hi owned range")
+    ap.add_argument("--peers", default="", help="comma-separated host:port")
+    ap.add_argument("--async-ingest", action="store_true")
+    ns = ap.parse_args(argv)
+
+    lo, hi = (int(x) for x in ns.slots.split(":"))
+    peers = [p for p in ns.peers.split(",") if p]
+    node = NodeServer(
+        ns.node_id, host=ns.host, port=ns.port, peers=peers,
+        sync_ingest=not ns.async_ingest,
+    )
+    node.slots = (lo, hi)
+    node.start()
+    # handshake line for the parent/orchestrator (flush immediately)
+    print(f"READY {node.port}", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        node.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -112,7 +112,7 @@ class ParamRef(Node):
     def eval(self, record, params):
         v = params.get(self.name)
         if isinstance(v, (bytes, bytearray)):
-            return v.decode(errors="replace")
+            return v.decode(errors="surrogateescape")
         return v if v is None or isinstance(v, (float, str)) else str(v)
 
 

@@ -93,11 +93,35 @@ class FilterParser:
             self._error("empty query")
         if self.text.strip() == "*":
             return P.MatchAll()
+        self._check_verbatim_quotes()
         node = self._parse_or(0)
         self._skip_ws()
         if self.pos < len(self.text):
             self._error("trailing characters")
         return node
+
+    def _check_verbatim_quotes(self) -> None:
+        """Redisearch's lexer treats an unescaped ``'`` as a verbatim-quote
+        delimiter: the first intra-token apostrophe opens a quote that runs
+        to end-of-string (tolerated), but a second one closes it mid-token
+        and the trailing characters are a syntax error (oracle: every
+        two-apostrophe query in the punctuation pickle is rejected, e.g.
+        ``great'wall great'wall``). Apostrophes at token edges (a real
+        ``'...'`` verbatim phrase) are not affected."""
+        n = len(self.text)
+        seps = " \t\n()|@{}[]"
+        count = 0
+        for i, ch in enumerate(self.text):
+            if ch != "'":
+                continue
+            if i > 0 and self.text[i - 1] == "\\":
+                continue  # escaped
+            prev_in = i > 0 and self.text[i - 1] not in seps
+            next_in = i + 1 < n and self.text[i + 1] not in seps
+            if prev_in and next_in:
+                count += 1
+                if count >= 2:
+                    self._error("unbalanced verbatim quote")
 
     def _parse_or(self, depth: int) -> P.Predicate:
         if depth > self.max_depth:

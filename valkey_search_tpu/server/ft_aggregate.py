@@ -458,7 +458,7 @@ def _coerce(v: Value) -> E.Value:
         try:
             return v.decode()
         except UnicodeDecodeError:
-            return v.decode(errors="replace")
+            return v.decode(errors="surrogateescape")
     if isinstance(v, (int, float)):
         return float(v)
     return str(v)

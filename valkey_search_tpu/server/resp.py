@@ -300,6 +300,13 @@ class _Handler(socketserver.StreamRequestHandler):
         engine = srv.engine
         rest = argv[1:]
 
+        # extension commands (cluster transport registers _PART.*/_META.*
+        # here — the socket-RPC analog of the reference's gRPC service
+        # methods, src/coordinator/server.cc)
+        ext = srv.extra_commands.get(cmd)
+        if ext is not None:
+            return ext(argv[1:])
+
         if cmd == "PING":
             if len(rest) > 1:
                 raise RespError("wrong number of arguments for 'ping' command")
@@ -542,6 +549,9 @@ class RespServer:
         self.engine = engine if engine is not None else Engine()
         self.host = host
         self._requested_port = port
+        # name → fn(rest_argv: List[bytes]) -> reply; lets the cluster
+        # transport (and tests) extend the command surface per server
+        self.extra_commands = {}
         self.async_search = async_search
         self.search_timeout = search_timeout
         self._server: Optional[_ThreadingTCPServer] = None
