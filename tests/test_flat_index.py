@@ -126,3 +126,37 @@ def test_k_larger_than_corpus(rng):
     assert ids[0][0] == idx.doc_of("only")
     assert (ids[0][1:] == -1).all()
     assert np.isinf(d[0][1:]).all()
+
+
+def test_int8_corpus_mirror_snapshot(rng):
+    """search.corpus-dtype int8: snapshot publishes an int8 mirror + scale;
+    scatter updates requantize; out-of-range rows force a republish."""
+    import numpy as np
+
+    from valkey_search_tpu.indexes.flat import FlatVectorIndex
+    from valkey_search_tpu.runtime import config
+
+    config.set_config("search.corpus-dtype", "int8")
+    try:
+        idx = FlatVectorIndex(dim=8, metric="l2")
+        vecs = rng.standard_normal((50, 8)).astype(np.float32)
+        for i, v in enumerate(vecs):
+            idx.add_record(f"k{i}", v)
+        snap = idx.store.device_snapshot()
+        assert "vectors_i8" in snap and "i8_scale" in snap
+        scale = float(snap["i8_scale"])
+        deq = np.asarray(snap["vectors_i8"], np.float32)[:50] * scale
+        np.testing.assert_allclose(deq, vecs, atol=scale * 0.51)
+        # in-range scatter keeps the published scale
+        idx.add_record("k50", (vecs[0] * 0.5).astype(np.float32))
+        snap2 = idx.store.device_snapshot()
+        assert float(snap2["i8_scale"]) == scale
+        # out-of-range row forces a fresh global scale
+        idx.add_record("k51", (vecs[0] * 10).astype(np.float32))
+        snap3 = idx.store.device_snapshot()
+        assert float(snap3["i8_scale"]) > scale
+        # searches still exact via the fp32 rescore path
+        d, ids = idx.search_batch(vecs[:4], 1)
+        assert (ids[:, 0] == np.arange(4)).all()
+    finally:
+        config.set_config("search.corpus-dtype", "bfloat16")

@@ -124,3 +124,98 @@ def test_fused_multiblock_merge(rng):
         for i in range(b)
     ])
     assert rec >= 0.95, rec
+
+
+# ---------------------------------------------------------------------------
+# int8 variant
+# ---------------------------------------------------------------------------
+
+def _quant(x, scale):
+    return np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+
+
+def test_i8_kernel_matches_reference(rng):
+    b, n, d = 16, ps.GROUP, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    sq = np.abs(q).max() / 127
+    sc = np.abs(c).max() / 127
+    qi = jnp.asarray(_quant(q, sq))
+    ci = jnp.asarray(_quant(c, sc))
+    inv_two = jnp.float32(1.0 / (2 * sq * sc))
+    bias = ps.make_bias_i8(
+        n, d, "l2", jnp.asarray((c ** 2).sum(1)), inv_two, None, None
+    )
+    vals, idx = ps.bucket_min_scan_i8(
+        qi, ci, bias, block_b=8, interpret=True
+    )
+    rvals, ridx = ps.bucket_min_scan_i8_reference(qi, ci, bias)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(rvals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+
+
+def test_i8_invalid_rows_cross_threshold(rng):
+    b, n, d = 8, ps.GROUP, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    sq = np.abs(q).max() / 127
+    sc = np.abs(c).max() / 127
+    qi = jnp.asarray(_quant(q, sq))
+    ci = jnp.asarray(_quant(c, sc))
+    invalid = np.zeros(n, bool)
+    invalid[np.arange(0, ps.GROUP, ps.BUCKET)] = True  # lane 0 buckets
+    inv_two = jnp.float32(1.0 / (2 * sq * sc))
+    bias = ps.make_bias_i8(
+        n, d, "l2", jnp.asarray((c ** 2).sum(1)), inv_two,
+        jnp.asarray(invalid), None,
+    )
+    vals, idx = ps.bucket_min_scan_i8(
+        qi, ci, bias, block_b=8, interpret=True
+    )
+    _, _, _, thresh = ps.i8_layout(d)
+    v = np.asarray(vals).reshape(b, -1, ps.BUCKET)
+    # lane 0 of every group only ever saw invalid rows
+    assert (v[:, :, 0] > thresh).all()
+    assert (v[:, :, 1:] <= thresh).all()
+
+
+def test_i8_fused_pipeline_recall(rng):
+    from valkey_search_tpu.ops import topk as tk
+
+    b, n, d, k = 16, 2 * ps.GROUP, 24, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    sc = np.float32(np.abs(c).max() / 127)
+    ci8 = jnp.asarray(_quant(c, sc))
+    dists, ids = tk.flat_topk_fused(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(c, jnp.bfloat16), k=k,
+        metric="l2", corpus_i8=ci8, i8_scale=jnp.float32(sc),
+        interpret=True,
+    )
+    gt = np.argsort(((c[None] - q[:, None]) ** 2).sum(-1), axis=1)[:, :k]
+    recall = np.mean([
+        len(set(np.asarray(ids)[i].tolist()) & set(gt[i].tolist())) / k
+        for i in range(b)
+    ])
+    assert recall >= 0.95, recall
+    # returned distances are exact fp32
+    ref_d = ((c[np.asarray(ids)[0]] - q[0]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dists)[0], ref_d, rtol=1e-4)
+
+
+def test_i8_fused_filter(rng):
+    from valkey_search_tpu.ops import topk as tk
+
+    b, n, d, k = 8, 2 * ps.GROUP, 16, 5
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    sc = np.float32(np.abs(c).max() / 127)
+    keep = rng.random(n) < 0.3
+    dists, ids = tk.flat_topk_fused(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(c, jnp.bfloat16), k=k,
+        metric="l2", corpus_i8=jnp.asarray(_quant(c, sc)),
+        i8_scale=jnp.float32(sc), filter_mask=jnp.asarray(keep),
+        interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert (keep[ids[ids >= 0]]).all()

@@ -70,6 +70,10 @@ class FlatVectorIndex(VectorIndexBase):
                     int(config.get("search.flat-block-size")),
                     snap["vectors"].shape[0],
                 ),
+                # int8 coarse mirror when published (search.corpus-dtype
+                # int8): 2x MXU rate, exact fp32 rescore unchanged
+                corpus_i8=snap.get("vectors_i8"),
+                i8_scale=snap.get("i8_scale"),
             )
         elif mode == "approx" and "vectors_lp" in snap:
             # bf16 coarse scan + exact fp32 rescore (ops/topk.py)

@@ -144,7 +144,9 @@ class HostVectorStore:
         ``_dirty`` and publish as either a scatter or a full upload.
         """
         with self._lock:
-            lp = str(config.get("search.corpus-dtype")) == "bfloat16"
+            dt = str(config.get("search.corpus-dtype"))
+            lp = dt != "float32"
+            i8 = dt == "int8"
             if self._device is None:
                 self._device = {
                     "vectors": jnp.asarray(self.vectors),
@@ -159,10 +161,28 @@ class HostVectorStore:
                     self._device["vectors_lp"] = self._device[
                         "vectors"
                     ].astype(jnp.bfloat16)
+                if i8:
+                    # int8 mirror: 2x MXU rate + integer scan epilogue
+                    # (ops/pallas_scan int8 section); global symmetric
+                    # scale from the published rows' absmax
+                    v = self._device["vectors"]
+                    scale = jnp.maximum(
+                        jnp.max(jnp.abs(v)) / 127.0, 1e-30
+                    ).astype(jnp.float32)
+                    self._device["vectors_i8"] = jnp.clip(
+                        jnp.round(v / scale), -127, 127
+                    ).astype(jnp.int8)
+                    self._device["i8_scale"] = scale
                 self._dirty.clear()
                 self.epoch += 1
                 STATS.incr("vector_store_full_uploads")
                 return self._device
+            if (lp and "vectors_lp" not in self._device) or (
+                i8 and "vectors_i8" not in self._device
+            ):
+                # corpus-dtype config changed since last publish
+                self._device = None
+                return self.device_snapshot()
             if self._dirty:
                 if len(self._dirty) > max(1024, self.capacity // 5):
                     self._device = None
@@ -185,6 +205,22 @@ class HostVectorStore:
                         dev["vectors_lp"], idx,
                         jnp.asarray(self.vectors[idx]).astype(jnp.bfloat16),
                     )
+                if "vectors_i8" in dev:
+                    scale = float(dev["i8_scale"])
+                    new_abs = float(np.abs(self.vectors[idx]).max()) \
+                        if len(idx) else 0.0
+                    if new_abs > scale * 127.0 * 1.001:
+                        # incoming rows exceed the published quantization
+                        # range: re-publish with a fresh global scale
+                        self._device = None
+                        return self.device_snapshot()
+                    rows = np.clip(
+                        np.round(self.vectors[idx] / scale), -127, 127
+                    ).astype(np.int8)
+                    self._device["vectors_i8"] = _scatter_rows(
+                        dev["vectors_i8"], idx, jnp.asarray(rows)
+                    )
+                    self._device["i8_scale"] = dev["i8_scale"]
                 self._dirty.clear()
                 self.epoch += 1
                 STATS.incr("vector_store_scatter_uploads")

@@ -154,7 +154,7 @@ def use_fused_scan(cap: int, filter_mask) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "metric", "block_rows", "coarse_factor", "interpret"
+        "k", "metric", "block_rows", "coarse_factor", "interpret", "span"
     ),
 )
 def flat_topk_fused(
@@ -167,7 +167,10 @@ def flat_topk_fused(
     invalid: Optional[jnp.ndarray] = None,
     filter_mask: Optional[jnp.ndarray] = None,  # 1-D only (shared prefilter)
     block_rows: int = 262144,
-    coarse_factor: int = 3,
+    coarse_factor: Optional[int] = None,
+    corpus_i8: Optional[jnp.ndarray] = None,  # int8 [cap, d] mirror
+    i8_scale: Optional[jnp.ndarray] = None,   # scalar f32 corpus quant scale
+    span: Optional[int] = None,  # int8 survivor granularity (None = auto)
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage k-NN with the coarse scan fused into a Pallas kernel.
@@ -187,7 +190,6 @@ def flat_topk_fused(
     if filter_mask is not None and filter_mask.ndim != 1:
         raise ValueError("flat_topk_fused needs a 1-D filter mask")
     from valkey_search_tpu.ops import pallas_scan as _ps
-    block_rows = -(-block_rows // _ps.GROUP) * _ps.GROUP
     if metric == "l2" and corpus_sq is None:
         corpus_sq = dist_ops.squared_norms(corpus_lp)
     # alpha is folded into the queries (one fewer VPU op per score element
@@ -196,52 +198,123 @@ def flat_topk_fused(
     # squared distance, unlocking the raw-bits key path.
     alpha = -2.0 if metric == "l2" else -1.0
     positive = metric == "l2"
+    use_i8 = corpus_i8 is not None
+    if coarse_factor is None:
+        # swept on 1M x 128 clustered data (B=65536, k=10, 256-query fp64
+        # ground truth): bf16 cf3 = 248k qps on-chip @ recall ~0.995;
+        # int8 cf5/span4 = 274k @ 0.9965 (the extra over-retrieval absorbs
+        # the int8 quantization noise and is cheap because packed
+        # survivors make selection + rescore small)
+        coarse_factor = 5 if use_i8 else 3
     kc = min(coarse_factor * k, cap)
+    pad_d = -d % 128
+    d_pad = d + pad_d
 
-    q_lp = (queries.astype(jnp.float32) * alpha).astype(jnp.bfloat16)
-    qsq = (
-        dist_ops.squared_norms(queries)[:, None]
-        if positive
-        else jnp.zeros((b, 1), jnp.float32)
-    )
     block_b = 1024 if b >= 1024 else -(-b // 8) * 8
     pad_b = -b % block_b
-    if pad_b:
-        q_lp = jnp.pad(q_lp, ((0, pad_b), (0, 0)))
-        qsq = jnp.pad(qsq, ((0, pad_b), (0, 0)))
-    pad_d = -d % 128
-    if pad_d:
-        q_lp = jnp.pad(q_lp, ((0, 0), (0, pad_d)))
-
-    bias = ps.make_bias(cap, metric, corpus_sq, invalid, filter_mask)
-    pad_n = -cap % ps.GROUP
-    c_lp = corpus_lp
-    if pad_n:
-        c_lp = jnp.pad(c_lp, ((0, pad_n), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, pad_n)), constant_values=INF)
-    if pad_d:
-        c_lp = jnp.pad(c_lp, ((0, 0), (0, pad_d)))
+    # packed int8 survivors cover span*128 rows each; pick span so the
+    # survivor array stays >= ~2k columns for the top-k's bucketing
+    if use_i8:
+        if span is None:
+            span = 4 if cap >= 786432 else (2 if cap >= 262144 else 1)
+        quantum = ps.GROUP * span
+    else:
+        span = 1
+        quantum = ps.GROUP
+    pad_n = -cap % quantum
     n = cap + pad_n
+    block_rows = -(-block_rows // quantum) * quantum
 
-    # A single kernel block is fastest, but the coarse survivor pair is
-    # [B, block/128] x 8 bytes — at 10M rows x 65536 queries that is 41 GB.
-    # Shrink the block to the largest GROUP-aligned divisor of n that keeps
-    # survivors under a fixed HBM budget.
-    surv_budget = 2 << 30
+    if use_i8:
+        # packed int8 coarse stage: 2x MXU rate, 3-op integer epilogue,
+        # single int32 survivor per span*128 rows (pallas_scan
+        # _kernel_i8_packed). Queries get a per-batch global scale; the
+        # corpus mirror carries its own (store-published) scale.
+        if i8_scale is None:
+            raise ValueError("corpus_i8 needs i8_scale")
+        sq = jnp.maximum(
+            jnp.max(jnp.abs(queries.astype(jnp.float32))) / 127.0, 1e-30
+        )
+        q_i8 = jnp.clip(
+            jnp.round(queries.astype(jnp.float32) / sq), -127, 127
+        ).astype(jnp.int8)
+        if pad_b:
+            q_i8 = jnp.pad(q_i8, ((0, pad_b), (0, 0)))
+        if pad_d:
+            q_i8 = jnp.pad(q_i8, ((0, 0), (0, pad_d)))
+        inv_two = 1.0 / (2.0 * sq * i8_scale.astype(jnp.float32))
+        bias_i = ps.make_bias_i8_packed(
+            cap, d_pad, span, metric, corpus_sq, inv_two, invalid,
+            filter_mask,
+        )
+        _, _, sentinel_i, pre_shift_i, invalid_thresh = ps.i8_packed_layout(
+            d_pad, span
+        )
+        chunk_bits = (span * (ps.GROUP // ps.BUCKET) - 1).bit_length()
+        c_i8 = corpus_i8
+        if pad_n:
+            c_i8 = jnp.pad(c_i8, ((0, pad_n), (0, 0)))
+            bias_i = jnp.pad(
+                bias_i, ((0, 0), (0, pad_n)), constant_values=sentinel_i
+            )
+        if pad_d:
+            c_i8 = jnp.pad(c_i8, ((0, 0), (0, pad_d)))
+        c_scan, bias_scan = c_i8, bias_i
+    else:
+        q_lp = (queries.astype(jnp.float32) * alpha).astype(jnp.bfloat16)
+        qsq = (
+            dist_ops.squared_norms(queries)[:, None]
+            if positive
+            else jnp.zeros((b, 1), jnp.float32)
+        )
+        if pad_b:
+            q_lp = jnp.pad(q_lp, ((0, pad_b), (0, 0)))
+            qsq = jnp.pad(qsq, ((0, pad_b), (0, 0)))
+        if pad_d:
+            q_lp = jnp.pad(q_lp, ((0, 0), (0, pad_d)))
+
+        bias = ps.make_bias(cap, metric, corpus_sq, invalid, filter_mask)
+        c_lp = corpus_lp
+        if pad_n:
+            c_lp = jnp.pad(c_lp, ((0, pad_n), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, pad_n)), constant_values=INF)
+        if pad_d:
+            c_lp = jnp.pad(c_lp, ((0, 0), (0, pad_d)))
+        c_scan, bias_scan = c_lp, bias
+
+    # A single kernel block is fastest (no merge pass, full grid), but the
+    # coarse survivor pair is [B, block/128] x 8 bytes — at 10M rows x
+    # 65536 queries that is 41 GB. Budget = what HBM can hold alongside
+    # the resident corpus mirrors (with headroom for the top-k workspace
+    # and allocator fragmentation); shrink the block to the largest
+    # GROUP-aligned divisor of n that fits.
+    resident = corpus.nbytes + corpus_lp.nbytes
+    if use_i8:
+        resident += corpus_i8.nbytes
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm_limit = int(stats.get("bytes_limit", 16 << 30))
+    except Exception:
+        hbm_limit = 16 << 30
+    surv_budget = max(1 << 30, int(hbm_limit * 0.70) - resident)
     bs = min(block_rows, n)
+    b_padded = b + pad_b
 
     def _surv_bytes(width):
-        return q_lp.shape[0] * (width // ps.BUCKET) * 8
+        if use_i8:
+            # packed keys + their f32 bitcast view for the top-k
+            return b_padded * (width // (ps.BUCKET * span)) * 8
+        return b_padded * (width // ps.BUCKET) * 8
 
     if _surv_bytes(bs) > surv_budget:
         m = 2
         while not (
             n % m == 0
-            and (n // m) % ps.GROUP == 0
+            and (n // m) % quantum == 0
             and _surv_bytes(n // m) <= surv_budget
         ):
             m += 1
-            if m > n // ps.GROUP:
+            if m > n // quantum:
                 raise ValueError(
                     f"no survivor-budget block split for n={n}, B={b}"
                 )
@@ -249,6 +322,37 @@ def flat_topk_fused(
     block_rows = bs
 
     def coarse_block(c_blk, bias_blk, row0):
+        if use_i8:
+            # packed keys: the top-k runs on the f32 bitcast view (keys
+            # are non-negative ints → bitcast order == integer order) and
+            # the selected VALUES are the keys — no idx array, no
+            # take_along gather over the survivor matrix
+            packed = ps.bucket_min_scan_i8_packed(
+                q_i8, c_blk, bias_blk, span=span,
+                block_b=block_b, block_n=1024, interpret=interpret,
+            )
+            pf = jax.lax.bitcast_convert_type(packed, jnp.float32)
+            kk = min(kc, pf.shape[-1])
+            if pf.shape[-1] >= 2048 and not interpret:
+                # survivors are span*128x smaller than the score matrix, so
+                # a tight selection recall target is nearly free here
+                bf, pos = jax.lax.approx_min_k(pf, kk, recall_target=0.98)
+            else:
+                neg_top, pos = jax.lax.top_k(-pf, kk)
+                bf = -neg_top
+            key = jax.lax.bitcast_convert_type(bf, jnp.int32)
+            chunk = key & ((span * 128) - 1)
+            score = (key >> chunk_bits) << pre_shift_i
+            bi = (
+                row0
+                + (pos // 128) * (span * ps.GROUP)
+                + chunk * ps.BUCKET
+                + (pos % 128)
+            )
+            bad = score > invalid_thresh
+            bd = jnp.where(bad, INF, score.astype(jnp.float32))
+            bi = jnp.where(bad, INVALID_ID, bi)
+            return bd, bi
         vals, idx = ps.bucket_min_scan(
             q_lp, qsq, c_blk, bias_blk, positive=positive,
             block_b=block_b, block_n=1024, interpret=interpret,
@@ -264,15 +368,15 @@ def flat_topk_fused(
         return bd, bi
 
     if n <= block_rows:
-        cd, ci = coarse_block(c_lp, bias, 0)
+        cd, ci = coarse_block(c_scan, bias_scan, 0)
     else:
         if n % block_rows:
             raise ValueError(
                 f"capacity {n} not divisible by block_rows {block_rows}"
             )
         nblk = n // block_rows
-        c_b = c_lp.reshape(nblk, block_rows, c_lp.shape[1])
-        bias_b = bias.reshape(nblk, 1, block_rows)
+        c_b = c_scan.reshape(nblk, block_rows, c_scan.shape[1])
+        bias_b = bias_scan.reshape(nblk, 1, block_rows)
 
         def step(carry, xs):
             run_d, run_i, row0 = carry
@@ -280,10 +384,10 @@ def flat_topk_fused(
             md, mi = merge_topk(run_d, run_i, bd, bi, bd.shape[-1])
             return (md, mi, row0 + block_rows), None
 
-        kk = min(kc, block_rows // ps.BUCKET)
+        kk = min(kc, block_rows // (ps.BUCKET * span))
         init = (
-            jnp.full((q_lp.shape[0], kk), INF, jnp.float32),
-            jnp.full((q_lp.shape[0], kk), INVALID_ID, jnp.int32),
+            jnp.full((b_padded, kk), INF, jnp.float32),
+            jnp.full((b_padded, kk), INVALID_ID, jnp.int32),
             jnp.int32(0),
         )
         (cd, ci, _), _ = jax.lax.scan(step, init, (c_b, bias_b))

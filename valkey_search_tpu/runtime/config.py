@@ -186,7 +186,7 @@ _enum("search.scan-kernel", "auto", ["auto", "pallas", "xla"])
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for
 # the coarse pass (exact fp32 rescore of 4k candidates restores recall:
 # measured 1.6x QPS at recall@10 0.998 on 1M x 128); float32 = single-stage
-_enum("search.corpus-dtype", "bfloat16", ["bfloat16", "float32"])
+_enum("search.corpus-dtype", "bfloat16", ["bfloat16", "float32", "int8"])
 # HNSW indexes answer queries via the MXU exact scan while the corpus is
 # at or below this size. Measured: the scan wins at every on-chip size
 # (recall 1.0; 141k qps at 1M, 44k at 10M vs ~1.4k for batched graph
