@@ -273,6 +273,80 @@ struct HnswIndex {
     }
   }
 
+  // Device-seeded insert: the caller supplies the level-0 candidate pool
+  // (exact top-k of v against every node id < this one, computed by the
+  // TPU's fused scan) so the expensive ef_construction beam at level 0 —
+  // ~90% of hnswlib addPoint's distance computations (hnswalg.h:1260) —
+  // is skipped. Exact candidates are a strict quality upgrade over the
+  // approximate beam pool; upper levels (6% of nodes at M=16) still use
+  // the classic descent+beam since their graphs are tiny.
+  int32_t add_seeded(const float* v, const int32_t* seeds, int k_seeds) {
+    ensure_cap((size_t)count + 1, 10240);
+    const int32_t node = count++;
+    std::memcpy(vectors.data() + (size_t)node * dim, v,
+                sizeof(float) * dim);
+    const int level = random_level();
+    levels[node] = level;
+    if (level > 0) upper[node].assign((size_t)level * M, -1);
+
+    if (entry < 0) {
+      entry = node;
+      max_level = level;
+      return node;
+    }
+
+    // upper levels: classic greedy descent + beam (rare nodes only)
+    int32_t cur = entry;
+    if (level < max_level) {
+      float cd;
+      for (int lc = max_level; lc > level; --lc)
+        cur = greedy_descend(v, cur, lc, &cd);
+    }
+    for (int lc = std::min(level, max_level); lc >= 1; --lc) {
+      MaxHeap top = search_layer(v, cur, lc, ef_construction,
+                                 /*skip_deleted=*/false);
+      std::vector<std::pair<float, int32_t>> cands;
+      while (!top.empty()) {
+        cands.push_back(top.top());
+        top.pop();
+      }
+      std::vector<int32_t> sel;
+      select_neighbors(cands, M, &sel);
+      connect(node, lc, sel);
+      if (!sel.empty()) cur = sel[0];
+    }
+
+    // level 0 from the seed pool
+    std::vector<std::pair<float, int32_t>> cands;
+    cands.reserve(k_seeds);
+    for (int i = 0; i < k_seeds; ++i) {
+      const int32_t s = seeds[i];
+      if (s < 0 || s >= node) continue;  // invalid / not yet inserted / self
+      cands.emplace_back(dist(v, vec(s)), s);
+      ++dist_comps;
+    }
+    if (cands.empty()) {
+      // degenerate (first nodes of an empty index): classic beam
+      MaxHeap top = search_layer(v, cur, 0, ef_construction,
+                                 /*skip_deleted=*/false);
+      while (!top.empty()) {
+        cands.push_back(top.top());
+        top.pop();
+      }
+    } else {
+      std::sort(cands.begin(), cands.end());
+    }
+    std::vector<int32_t> sel;
+    select_neighbors(cands, M, &sel);
+    connect(node, 0, sel);
+
+    if (level > max_level) {
+      max_level = level;
+      entry = node;
+    }
+    return node;
+  }
+
   int32_t add(const float* v) {
     ensure_cap((size_t)count + 1, 10240);
     const int32_t node = count++;
@@ -365,6 +439,17 @@ void hnsw_add_batch(void* p, const float* vecs, int32_t n, int32_t* out_nodes) {
   auto* h = (HnswIndex*)p;
   for (int32_t i = 0; i < n; ++i)
     out_nodes[i] = h->add(vecs + (size_t)i * h->dim);
+}
+
+// seeds: [n, k_seeds] node ids (device-computed exact top-k of each new
+// point against all node ids below it; -1 padded). See add_seeded.
+void hnsw_add_batch_seeded(void* p, const float* vecs, int32_t n,
+                           const int32_t* seeds, int32_t k_seeds,
+                           int32_t* out_nodes) {
+  auto* h = (HnswIndex*)p;
+  for (int32_t i = 0; i < n; ++i)
+    out_nodes[i] = h->add_seeded(vecs + (size_t)i * h->dim,
+                                 seeds + (size_t)i * k_seeds, k_seeds);
 }
 
 void hnsw_mark_deleted(void* p, int32_t node, int flag) {

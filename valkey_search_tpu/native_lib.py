@@ -39,6 +39,10 @@ def load() -> ct.CDLL:
         lib.hnsw_free.argtypes = [ct.c_void_p]
         lib.hnsw_add.restype = ct.c_int32
         lib.hnsw_add.argtypes = [ct.c_void_p, ct.POINTER(ct.c_float)]
+        lib.hnsw_add_batch_seeded.argtypes = [
+            ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int32,
+            ct.POINTER(ct.c_int32), ct.c_int32, ct.POINTER(ct.c_int32),
+        ]
         lib.hnsw_add_batch.argtypes = [
             ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int32,
             ct.POINTER(ct.c_int32),
@@ -149,6 +153,26 @@ class HnswBuilder:
         with self._lock:
             self._lib.hnsw_add_batch(
                 self._h, _fptr(vecs), vecs.shape[0], _iptr(out)
+            )
+        return out
+
+    def add_batch_seeded(self, vecs: np.ndarray,
+                         seeds: np.ndarray) -> np.ndarray:
+        """Insert a batch with device-computed level-0 candidate pools.
+
+        ``seeds``: [n, k] int32 node ids — for row i, the exact nearest
+        nodes of vecs[i] among all node ids < (count + i), -1 padded.
+        The builder skips the level-0 ef_construction beam entirely
+        (add_seeded): candidate quality is exact, so recall matches or
+        beats beam-built graphs at a fraction of the host cost."""
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        seeds = np.ascontiguousarray(seeds, np.int32)
+        assert seeds.shape[0] == vecs.shape[0]
+        out = np.empty(vecs.shape[0], np.int32)
+        with self._lock:
+            self._lib.hnsw_add_batch_seeded(
+                self._h, _fptr(vecs), vecs.shape[0], _iptr(seeds),
+                seeds.shape[1], _iptr(out),
             )
         return out
 
