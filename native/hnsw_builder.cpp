@@ -20,6 +20,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <queue>
 #include <random>
 #include <utility>
@@ -388,6 +389,107 @@ struct HnswIndex {
     return node;
   }
 
+  // Bulk construction from a device-built pruned KNN graph (vectorized
+  // M2 path, SURVEY.md §7): the TPU computes every node's exact top-k
+  // neighbors and runs the select heuristic across all nodes in
+  // parallel; the host only (a) installs the forward lists, (b) adds
+  // reverse edges with overflow re-selection (hnswalg.h
+  // mutuallyConnectNewElement semantics), and (c) builds the tiny upper
+  // hierarchy (P(level>=1) = 1/M of nodes) with the classic beams.
+  // Requires an empty index. Returns 0 on success.
+  int bulk_build(const float* vecs, int32_t n, const int32_t* in_levels,
+                 const int32_t* fwd_links, int m_links) {
+    if (count != 0 || n <= 0) return -1;
+    ensure_cap((size_t)n, 10240);
+    std::memcpy(vectors.data(), vecs, sizeof(float) * (size_t)n * dim);
+    count = n;
+    for (int32_t v = 0; v < n; ++v) {
+      const int lvl = in_levels[v];
+      levels[v] = lvl;
+      if (lvl > 0) upper[v].assign((size_t)lvl * M, -1);
+    }
+
+    // (a) forward level-0 lists (already heuristic-pruned on device)
+    std::vector<int32_t> fl;
+    for (int32_t v = 0; v < n; ++v) {
+      fl.clear();
+      const int32_t* row = fwd_links + (size_t)v * m_links;
+      for (int i = 0; i < m_links; ++i)
+        if (row[i] >= 0 && row[i] != v && row[i] < n) fl.push_back(row[i]);
+      set_links(v, 0, fl);
+    }
+
+    // (b) reverse edges: u→v implies v→u unless v is full, in which case
+    // v's list is re-selected with u as a candidate
+    std::vector<std::pair<float, int32_t>> merged;
+    std::vector<int32_t> pruned;
+    for (int32_t u = 0; u < n; ++u) {
+      const int32_t* lu = links_at(u, 0);
+      const int du = nlinks0[u];
+      for (int i = 0; i < du; ++i) {
+        const int32_t v = lu[i];
+        int32_t* lv = links_at(v, 0);
+        const int dv = nlinks0[v];
+        bool present = false;
+        for (int j = 0; j < dv; ++j)
+          if (lv[j] == u) { present = true; break; }
+        if (present) continue;
+        if (dv < M0) {
+          lv[dv] = u;
+          nlinks0[v] = dv + 1;
+          continue;
+        }
+        merged.clear();
+        merged.emplace_back(dist(vec(v), vec(u)), u);
+        ++dist_comps;
+        for (int j = 0; j < dv; ++j) {
+          merged.emplace_back(dist(vec(v), vec(lv[j])), lv[j]);
+          ++dist_comps;
+        }
+        select_neighbors(merged, M0, &pruned);
+        set_links(v, 0, pruned);
+      }
+    }
+
+    // (c) upper hierarchy over the ~n/M nodes with level >= 1
+    int32_t up_entry = -1;
+    int up_max = -1;
+    for (int32_t v = 0; v < n; ++v) {
+      const int lvl = levels[v];
+      if (lvl <= 0) continue;
+      if (up_entry < 0) {
+        up_entry = v;
+        up_max = lvl;
+        continue;
+      }
+      int32_t cur = up_entry;
+      float cd;
+      if (lvl < up_max)
+        for (int lc = up_max; lc > lvl; --lc)
+          cur = greedy_descend(vec(v), cur, lc, &cd);
+      for (int lc = std::min(lvl, up_max); lc >= 1; --lc) {
+        MaxHeap top = search_layer(vec(v), cur, lc, ef_construction,
+                                   /*skip_deleted=*/false);
+        std::vector<std::pair<float, int32_t>> cands;
+        while (!top.empty()) {
+          cands.push_back(top.top());
+          top.pop();
+        }
+        std::vector<int32_t> sel;
+        select_neighbors(cands, M, &sel);
+        connect(v, lc, sel);
+        if (!sel.empty()) cur = sel[0];
+      }
+      if (lvl > up_max) {
+        up_max = lvl;
+        up_entry = v;
+      }
+    }
+    entry = up_entry >= 0 ? up_entry : 0;
+    max_level = up_max >= 0 ? up_max : 0;
+    return 0;
+  }
+
   int search(const float* q, int k, int ef, int32_t* out_ids,
              float* out_dists) {
     if (entry < 0) return 0;
@@ -450,6 +552,72 @@ void hnsw_add_batch_seeded(void* p, const float* vecs, int32_t n,
   for (int32_t i = 0; i < n; ++i)
     out_nodes[i] = h->add_seeded(vecs + (size_t)i * h->dim,
                                  seeds + (size_t)i * k_seeds, k_seeds);
+}
+
+int hnsw_bulk_build(void* p, const float* vecs, int32_t n,
+                    const int32_t* levels, const int32_t* fwd_links,
+                    int32_t m_links) {
+  return ((HnswIndex*)p)->bulk_build(vecs, n, levels, fwd_links, m_links);
+}
+
+// Label the level-0 connected components (undirected view of links0).
+// Returns the component count; out_comp[i] = component id of node i.
+// Bulk-built KNN graphs can fragment into per-cluster islands (no
+// incremental long-range edges); the Python side bridges components
+// with device scans until one remains.
+int32_t hnsw_components(void* p, int32_t* out_comp) {
+  auto* h = (HnswIndex*)p;
+  const int32_t n = h->count;
+  std::vector<int32_t> parent(n);
+  for (int32_t i = 0; i < n; ++i) parent[i] = i;
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  for (int32_t u = 0; u < n; ++u) {
+    const int32_t* l = h->links_at(u, 0);
+    const int du = h->nlinks0[u];
+    for (int i = 0; i < du; ++i) {
+      int32_t ru = find(u), rv = find(l[i]);
+      if (ru != rv) parent[ru] = rv;
+    }
+  }
+  std::vector<int32_t> remap(n, -1);
+  int32_t nc = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t r = find(i);
+    if (remap[r] < 0) remap[r] = nc++;
+    out_comp[i] = remap[r];
+  }
+  return nc;
+}
+
+// Force a mutual level-0 edge (connectivity bridge): append if there is
+// room, otherwise replace the last (farthest, lists are kept
+// closest-first) link. Never subject to heuristic pruning — bridges
+// exist precisely because the heuristic would prune them.
+void hnsw_add_bridge(void* p, int32_t u, int32_t v) {
+  auto* h = (HnswIndex*)p;
+  if (u < 0 || v < 0 || u >= h->count || v >= h->count || u == v) return;
+  for (int pass = 0; pass < 2; ++pass) {
+    const int32_t a = pass ? v : u;
+    const int32_t b = pass ? u : v;
+    int32_t* l = h->links_at(a, 0);
+    const int deg = h->nlinks0[a];
+    bool present = false;
+    for (int i = 0; i < deg; ++i)
+      if (l[i] == b) { present = true; break; }
+    if (present) continue;
+    if (deg < h->M0) {
+      l[deg] = b;
+      h->nlinks0[a] = deg + 1;
+    } else {
+      l[h->M0 - 1] = b;
+    }
+  }
 }
 
 void hnsw_mark_deleted(void* p, int32_t node, int flag) {

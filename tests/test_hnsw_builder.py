@@ -136,4 +136,4 @@ def test_device_seeded_build_matches_host_quality(rng):
         idx_d.add_record("extra", vecs[0] + 0.001)
         assert idx_d.builder.count == n + 1
     finally:
-        config.set_config("search.hnsw-build-mode", "host")
+        config.set_config("search.hnsw-build-mode", "auto")

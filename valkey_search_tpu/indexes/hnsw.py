@@ -151,8 +151,17 @@ class HnswVectorIndex(VectorIndexBase):
                 mags = np.linalg.norm(vectors, axis=1, keepdims=True)
                 ins = vectors / np.maximum(mags, 1e-30)
             mode = str(config.get("search.hnsw-build-mode"))
+            if mode == "auto":
+                # the vectorized build pays off on the MXU; the XLA-CPU
+                # test mesh is slower than the native sequential build
+                import jax as _jax
+
+                mode = "device" if _jax.default_backend() == "tpu" else "host"
             if mode == "device" and len(keys) >= 2048:
-                nodes = self._add_batch_device_seeded(ins)
+                if self.builder.count == 0:
+                    nodes = self._bulk_build_device(ins)
+                else:
+                    nodes = self._add_batch_device_seeded(ins)
             else:
                 nodes = self.builder.add_batch(ins)
             self.store.ensure_capacity(int(nodes.max()) + 1)
@@ -175,6 +184,28 @@ class HnswVectorIndex(VectorIndexBase):
             self._graph_dirty = True
             STATS.incr("vector_records_added", len(keys))
             return len(keys)
+
+    def _bulk_build_device(self, ins: np.ndarray) -> np.ndarray:
+        """Vectorized construction (SURVEY.md §7 M2): device-exact KNN
+        candidates + device-parallel select heuristic; host assembles
+        links and the tiny upper hierarchy (ops/hnsw_build.py)."""
+        from valkey_search_tpu.ops import hnsw_build as hb
+
+        levels, _ = hb.sample_levels(ins.shape[0], self.m, seed=0x5EED)
+        links = hb.build_pruned_knn_links(
+            ins, self.metric, m=self.m,
+            k_cand=min(self.ef_construction, 64),
+            batch=int(config.get("search.hnsw-build-batch")),
+        )
+        nodes = self.builder.bulk_build(ins, levels, links)
+        # Bulk KNN graphs have no long-range edges (those come from
+        # incremental insertion history in hnswlib), so clustered corpora
+        # fragment into islands at level 0. Repair: union-find the
+        # components, scan each component representative against the rest
+        # of the corpus on device, and add mutual bridge edges until one
+        # component remains.
+        hb.bridge_components(self.builder, ins)
+        return nodes
 
     def _add_batch_device_seeded(self, ins: np.ndarray) -> np.ndarray:
         """Insert ``ins`` with device-computed candidate pools.

@@ -39,6 +39,14 @@ def load() -> ct.CDLL:
         lib.hnsw_free.argtypes = [ct.c_void_p]
         lib.hnsw_add.restype = ct.c_int32
         lib.hnsw_add.argtypes = [ct.c_void_p, ct.POINTER(ct.c_float)]
+        lib.hnsw_components.restype = ct.c_int32
+        lib.hnsw_components.argtypes = [ct.c_void_p, ct.POINTER(ct.c_int32)]
+        lib.hnsw_add_bridge.argtypes = [ct.c_void_p, ct.c_int32, ct.c_int32]
+        lib.hnsw_bulk_build.restype = ct.c_int
+        lib.hnsw_bulk_build.argtypes = [
+            ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int32,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.c_int32,
+        ]
         lib.hnsw_add_batch_seeded.argtypes = [
             ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int32,
             ct.POINTER(ct.c_int32), ct.c_int32, ct.POINTER(ct.c_int32),
@@ -175,6 +183,40 @@ class HnswBuilder:
                 seeds.shape[1], _iptr(out),
             )
         return out
+
+    def bulk_build(self, vecs: np.ndarray, levels: np.ndarray,
+                   links: np.ndarray) -> np.ndarray:
+        """Vectorized bulk construction from device-pruned KNN links
+        (ops/hnsw_build.py). Requires an empty builder; returns node ids
+        0..n-1 (insertion order == row order)."""
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        levels = np.ascontiguousarray(levels, np.int32)
+        links = np.ascontiguousarray(links, np.int32)
+        n = vecs.shape[0]
+        assert levels.shape[0] == n and links.shape[0] == n
+        with self._lock:
+            rc = self._lib.hnsw_bulk_build(
+                self._h, _fptr(vecs), n, _iptr(levels), _iptr(links),
+                links.shape[1],
+            )
+        if rc != 0:
+            raise RuntimeError("bulk_build requires an empty index")
+        return np.arange(n, dtype=np.int32)
+
+    def components(self) -> np.ndarray:
+        """Level-0 connected-component labels [count] (undirected)."""
+        n = self.count
+        out = np.empty(n, np.int32)
+        if n == 0:
+            return out
+        with self._lock:
+            self._lib.hnsw_components(self._h, _iptr(out))
+        return out
+
+    def add_bridge(self, u: int, v: int) -> None:
+        """Force a mutual level-0 edge (connectivity repair)."""
+        with self._lock:
+            self._lib.hnsw_add_bridge(self._h, int(u), int(v))
 
     def mark_deleted(self, node: int, flag: bool = True) -> None:
         with self._lock:
