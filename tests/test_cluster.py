@@ -305,3 +305,27 @@ def test_cluster_save_load_roundtrip(cluster, tmp_path, rng):
                       "NOCONTENT") == [1, "doc:900"]
     # drop converges across restored nodes
     assert c2.ft_dropindex("idx") == "OK"
+
+
+def test_cluster_engine_aggregate_fanout():
+    import numpy as np
+
+    from valkey_search_tpu.cluster.node import ClusterEngine
+
+    ce = ClusterEngine(n_nodes=3)
+    ce.ft_create("idx", "ON", "HASH", "PREFIX", "1", "doc:",
+                 "SCHEMA", "price", "NUMERIC", "tags", "TAG")
+    for i in range(40):
+        ce.hset(f"doc:{i}", {"price": str(i), "tags": "a" if i < 10 else "b"})
+    reply = ce.execute(
+        "FT.AGGREGATE", "idx", "*", "LOAD", "2", "@tags", "@price",
+        "GROUPBY", "1", "@tags",
+        "REDUCE", "COUNT", "0", "AS", "cnt",
+        "REDUCE", "SUM", "1", "@price", "AS", "total",
+    )
+    assert reply[0] == 2
+    rows = [dict(zip(r[::2], r[1::2])) for r in reply[1:]]
+    by_tag = {r["tags"]: r for r in rows}
+    assert int(by_tag["a"]["cnt"]) == 10
+    assert float(by_tag["a"]["total"]) == sum(range(10))
+    assert int(by_tag["b"]["cnt"]) == 30

@@ -255,3 +255,27 @@ def test_multiprocess_cluster():
                 p.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 p.kill()
+
+
+def test_aggregate_fanout(trio):
+    nodes, client = trio
+    _mk_index(client)
+    rng = np.random.default_rng(12)
+    for i in range(30):
+        client.execute(
+            "HSET", f"doc:{i}", "emb",
+            rng.standard_normal(8).astype(np.float32).tobytes(),
+            "tags", "even" if i % 2 == 0 else "odd",
+        )
+    reply = client.execute(
+        "FT.AGGREGATE", "idx", "*", "LOAD", "1", "@tags",
+        "GROUPBY", "1", "@tags", "REDUCE", "COUNT", "0", "AS", "cnt",
+        "SORTBY", "2", "@cnt", "DESC",
+    )
+    assert reply[0] == 2
+    rows = [
+        {_txt(r[i]): _txt(r[i + 1]) for i in range(0, len(r), 2)}
+        for r in reply[1:]
+    ]
+    counts = {r["tags"]: int(r["cnt"]) for r in rows}
+    assert counts == {"even": 15, "odd": 15}

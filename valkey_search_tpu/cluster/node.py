@@ -365,6 +365,50 @@ class ClusterEngine:
             rows, merged, sp, total_override=total_override
         )
 
+    # -- aggregate fanout ----------------------------------------------------------
+    def ft_aggregate(self, *args, max_retries: int = 3) -> list:
+        """FT.AGGREGATE over the cluster: fan out the underlying search to
+        every shard (no per-shard LIMIT optimization — aggregation needs
+        all matching rows), then run the stage pipeline on the coordinator
+        over the merged rows (reference: FT.AGGREGATE routes through the
+        same QueryCommand fanout as FT.SEARCH, ft_aggregate.cc:462)."""
+        from valkey_search_tpu.query.search import SearchParameters
+        from valkey_search_tpu.server import ft_aggregate as agg
+
+        spec = agg.parse_ft_aggregate(list(args))
+        expected = self.nodes[0].metadata.get(spec.index_name)
+        if expected is None:
+            self._missing(spec.index_name)
+        sp = SearchParameters(
+            index_name=spec.index_name, query=spec.query,
+            params=spec.params, timeout_ms=spec.timeout_ms,
+            no_content=False, limit_offset=0, limit_num=10**9,
+        )
+        STATS.incr("fanout_queries")
+        last_err = None
+        for _attempt in range(max_retries):
+            rows, score_field, knn, failures = [], None, None, []
+            for node in self._targets():
+                try:
+                    r, _t, sf, kn = self._search_partition(
+                        node, sp, expected
+                    )
+                except ConsistencyError as exc:
+                    failures.append(exc)
+                    continue
+                rows.extend(r)
+                if sf is not None:
+                    score_field = sf
+                if kn is not None:
+                    knn = kn
+            if not failures:
+                schema = self.nodes[0].engine.manager.get(spec.index_name)
+                return agg.aggregate_rows(schema, spec, rows, score_field, knn)
+            last_err = failures[0]
+            STATS.incr("fanout_retries")
+            self.nodes[0].metadata.broadcast()
+        raise last_err
+
     # -- info fanout -------------------------------------------------------------
     def ft_info(self, name: str, mode: str = "CLUSTER") -> list:
         """FT.INFO with LOCAL/PRIMARY/CLUSTER aggregation
@@ -478,6 +522,8 @@ class ClusterEngine:
             return self.ft_dropindex(*rest)
         if cmd == "FT.SEARCH":
             return self.ft_search(*rest)
+        if cmd == "FT.AGGREGATE":
+            return self.ft_aggregate(*rest)
         if cmd == "FT.INFO":
             return self.ft_info(*rest)
         if cmd == "FT._LIST":

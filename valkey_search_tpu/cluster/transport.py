@@ -461,6 +461,8 @@ class ClusterClient:
             return self.ft_dropindex(*argv[1:])
         if cmd == "FT.SEARCH":
             return self.ft_search(*argv[1:])
+        if cmd == "FT.AGGREGATE":
+            return self.ft_aggregate(*argv[1:])
         if cmd == "FT.INFO":
             return self.ft_info(*argv[1:])
         if cmd == "FT._LIST":
@@ -623,6 +625,66 @@ class ClusterClient:
             total_override = sum(totals)
         return ft_search_mod.shape_reply(
             rows, merged, sp, total_override=total_override
+        )
+
+    # -- aggregate fanout --------------------------------------------------------
+    def ft_aggregate(self, *args):
+        """Cluster FT.AGGREGATE: fan the underlying search out through
+        _PART.SEARCH (synthesized FT.SEARCH argv, full row window), merge,
+        run the pipeline locally. The schema for LOAD alias resolution is
+        rebuilt from the gossiped metadata payload."""
+        from valkey_search_tpu.persistence.checkpoint import _build_schema
+        from valkey_search_tpu.server import ft_aggregate as agg
+
+        spec = agg.parse_ft_aggregate(list(args))
+        expected = _decode_entries(self.conns[0].cmd("_META.PULL")).get(
+            spec.index_name
+        )
+        if expected is None or expected.payload is None:
+            raise ReplyError(
+                f"ERR Index with name '{spec.index_name}' not found"
+            )
+        search_argv = [spec.index_name, spec.query,
+                       "LIMIT", "0", str(10**9)]
+        if spec.timeout_ms is not None:
+            search_argv += ["TIMEOUT", str(spec.timeout_ms)]
+        kv = [(k, v) for k, v in spec.params.items()
+              if not k.startswith("__")]
+        if kv:
+            search_argv += ["PARAMS", str(2 * len(kv))]
+            for k, v in kv:
+                search_argv += [k, v]
+        futures = [
+            self._pool.submit(
+                c.cmd, "_PART.SEARCH",
+                str(expected.version), str(expected.fingerprint),
+                *search_argv,
+            )
+            for c in self.conns
+        ]
+        rows, score_field, knn_k = [], None, -1
+        for fut in futures:
+            _total, kk, sf, enc_rows = fut.result()
+            if _s(sf):
+                score_field = _s(sf)
+            if int(kk) >= 0:
+                knn_k = int(kk)
+            for key, dist, f_enc in enc_rows:
+                fields = None
+                if f_enc is not None:
+                    fields = {
+                        _s(f_enc[i]): f_enc[i + 1]
+                        for i in range(0, len(f_enc), 2)
+                    }
+                rows.append((
+                    _Row(_s(key),
+                         None if not _s(dist) else float(_s(dist))),
+                    fields,
+                ))
+        schema = _build_schema(expected.payload)
+        return agg.aggregate_rows(
+            schema, spec, rows, score_field,
+            _KnnStub(knn_k) if knn_k >= 0 else None,
         )
 
     # -- info fanout ----------------------------------------------------------------

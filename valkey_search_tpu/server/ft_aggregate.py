@@ -272,7 +272,17 @@ class _GroupBy(_Stage):
 # --------------------------------------------------------------------------
 
 
-def run_ft_aggregate(engine, args: List[Value]) -> list:
+class AggregateSpec:
+    """Parsed FT.AGGREGATE request (split from execution so the cluster
+    fanout can run the same pipeline over merged per-shard rows — the
+    reference routes FT.AGGREGATE through the identical QueryCommand
+    fanout as FT.SEARCH, ft_aggregate.cc:462 / commands.cc:172)."""
+
+    __slots__ = ("index_name", "query", "params", "load_fields",
+                 "load_all", "stages", "timeout_ms")
+
+
+def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
     if len(args) < 2:
         raise FTAggregateError("FT.AGGREGATE requires index and query")
     index_name = _s(args[0])
@@ -387,17 +397,43 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
         else:
             raise FTAggregateError(f"unknown FT.AGGREGATE token {tok!r}")
 
+    spec = AggregateSpec()
+    spec.index_name = index_name
+    spec.query = query
+    spec.params = params
+    spec.load_fields = load_fields
+    spec.load_all = load_all
+    spec.stages = stages
+    spec.timeout_ms = timeout_ms
+    return spec
+
+
+def run_ft_aggregate(engine, args: List[Value]) -> list:
+    spec = parse_ft_aggregate(args)
+
     # ---- step 1: query ----------------------------------------------------
-    schema = engine.manager.get(index_name)
+    schema = engine.manager.get(spec.index_name)
     sp = SearchParameters(
-        index_name=index_name, query=query, params=params,
-        timeout_ms=timeout_ms, no_content=False,
+        index_name=spec.index_name, query=spec.query, params=spec.params,
+        timeout_ms=spec.timeout_ms, no_content=False,
         limit_offset=0, limit_num=10**9,
     )
     resp = execute_search(schema, sp)
     rows = fts.resolve_content(engine, schema, resp)
-    if resp.knn is not None:
-        rows.sort(key=lambda r: r[0].distance or 0.0)
+    return aggregate_rows(schema, spec, rows, resp.score_field, resp.knn)
+
+
+def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
+                   knn) -> list:
+    """Steps 2-3: LOAD records from resolved rows, run the stage pipeline,
+    shape the reply. ``rows``: [(neighbor, fields-dict-or-None)] — from a
+    local search or a cluster fanout merge."""
+    params = spec.params
+    load_fields = spec.load_fields
+    load_all = spec.load_all
+    stages = spec.stages
+    if knn is not None:
+        rows = sorted(rows, key=lambda r: r[0].distance or 0.0)
 
     # ---- step 2: LOAD records ---------------------------------------------
     records: List[Record] = []
@@ -431,10 +467,10 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
                 v = fetch_field(fields, fname)
                 if v is not None:
                     rec[fname] = _coerce(v)
-                elif resp.score_field and fname == resp.score_field:
-                    rec[resp.score_field] = nb.distance
-        if resp.score_field is not None and nb.distance is not None:
-            rec.setdefault(resp.score_field, nb.distance)
+                elif score_field and fname == score_field:
+                    rec[score_field] = nb.distance
+        if score_field is not None and nb.distance is not None:
+            rec.setdefault(score_field, nb.distance)
         records.append(rec)
 
     # ---- step 3: stages ---------------------------------------------------
