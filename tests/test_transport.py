@@ -279,3 +279,55 @@ def test_aggregate_fanout(trio):
     ]
     counts = {r["tags"]: int(r["cnt"]) for r in rows}
     assert counts == {"even": 15, "odd": 15}
+
+
+def test_socket_replica_read_scaling():
+    """A replica NodeServer registers with its primary over TCP, receives
+    a full sync + the ongoing write stream, and serves fanout reads when
+    the target mode selects replicas (reference FanoutTargetMode)."""
+    from valkey_search_tpu.cluster.transport import NodeServer
+
+    primary = NodeServer("p0", port=0).start()
+    # pre-replica state (exercises the full-sync path)
+    pc = RespConnection(("127.0.0.1", primary.port))
+    pc.cmd("FT.CREATE", "idx", "ON", "HASH", "SCHEMA", "tags", "TAG")
+    pc.cmd("HSET", "k0", "tags", "old")
+
+    replica = NodeServer("r0", port=0, gossip_interval_s=0.05).start()
+    replica.become_replica_of(f"127.0.0.1:{primary.port}")
+    try:
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if "idx" in replica.engine.ft_list() and \
+                    "k0" in replica.engine.keyspace:
+                break
+            time.sleep(0.02)
+        assert "idx" in replica.engine.ft_list()
+        assert replica.engine.hgetall("k0")
+
+        # ongoing stream: new write on the primary reaches the replica
+        pc.cmd("HSET", "k1", "tags", "fresh")
+        deadline = time.time() + 5
+        while time.time() < deadline and "k1" not in replica.engine.keyspace:
+            time.sleep(0.02)
+        assert replica.engine.hgetall("k1")
+
+        # fanout read served by the replica
+        client = ClusterClient(
+            [f"127.0.0.1:{primary.port}"],
+            replica_addrs=[[f"127.0.0.1:{replica.port}"]],
+        )
+        config.set_config("search.fanout-target-mode", "replica")
+        try:
+            reply = client.execute(
+                "FT.SEARCH", "idx", "@tags:{fresh}", "NOCONTENT"
+            )
+            assert reply[0] == 1
+            stats_before = replica.engine.info().get("search_queries_total")
+        finally:
+            config.set_config("search.fanout-target-mode", "random")
+        client.close()
+    finally:
+        replica.close()
+        primary.close()
+        pc.close()

@@ -175,11 +175,19 @@ class NodeServer:
             "_SLOTS.SET": self._cmd_slots_set,
             "_SLOTS.GET": self._cmd_slots_get,
             "_NODE.ID": lambda rest: self.node_id,
+            "_REPL.REGISTER": self._cmd_repl_register,
         })
         self._gossip_interval = gossip_interval_s
         self._gossip_stop = threading.Event()
         self._gossip_thread: Optional[threading.Thread] = None
         self._peer_conns: Dict[str, RespConnection] = {}
+        # replication (P7 replica read scaling): primaries forward their
+        # write stream to registered replicas; each replica's engine
+        # indexes its own copy (index content is never replicated,
+        # docs/topics/search.md "Index Replication")
+        self._replica_conns: Dict[str, RespConnection] = {}
+        self._repl_lock = threading.Lock()
+        self.resp.write_observer = self._forward_write
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "NodeServer":
@@ -208,6 +216,67 @@ class NodeServer:
     @property
     def port(self) -> int:
         return self.resp.port
+
+    def become_replica_of(self, primary_addr: str) -> None:
+        """Attach to a primary: adopt its slots, gossip with it, and
+        receive an initial full sync + the ongoing write stream."""
+        host, port_s = primary_addr.rsplit(":", 1)
+        conn = RespConnection((host, int(port_s)), timeout=30.0)
+        lo, hi, _nid = conn.cmd("_SLOTS.GET")
+        self.slots = (int(lo), int(hi))
+        if primary_addr not in self.peers:
+            self.peers.append(primary_addr)
+        conn.cmd("_REPL.REGISTER", f"{self.resp.host}:{self.port}")
+        conn.close()
+
+    def _cmd_repl_register(self, rest: List[bytes]):
+        """Primary side: record the replica and stream a full sync of the
+        current keyspace (the reference uses replica full-sync over the
+        same RDB path; here the keyspace replays as writes)."""
+        if not rest:
+            raise RespError("_REPL.REGISTER host:port")
+        addr = _s(rest[0])
+        host, port_s = addr.rsplit(":", 1)
+        conn = RespConnection((host, int(port_s)), timeout=30.0)
+        with self._repl_lock:
+            old = self._replica_conns.pop(addr, None)
+            if old is not None:
+                try:
+                    old.close()
+                except OSError:
+                    pass
+            self._replica_conns[addr] = conn
+        # metadata first so indexes exist before documents arrive
+        try:
+            conn.cmd("_META.PUSH", self._cmd_meta_pull([]))
+        except (OSError, ReplyError):
+            pass
+        with self.engine._lock:
+            snapshot = {k: dict(v) for k, v in self.engine.keyspace.items()}
+        for key, fields in snapshot.items():
+            argv = ["HSET", key]
+            for f, v in fields.items():
+                argv += [f, v]
+            try:
+                conn.cmd(*argv)
+            except (OSError, ReplyError):
+                break
+        return SimpleString("OK")
+
+    def _forward_write(self, argv: List[bytes]) -> None:
+        with self._repl_lock:
+            conns = list(self._replica_conns.items())
+        for addr, conn in conns:
+            try:
+                conn.cmd(*argv)
+            except (OSError, EOFError, ReplyError):
+                # dead replica: drop it; it re-registers on restart
+                with self._repl_lock:
+                    self._replica_conns.pop(addr, None)
+                try:
+                    conn.close()
+                except OSError:
+                    pass
 
     # -- metadata apply (index create/drop landed via gossip or local) --------
     def _apply(self, name: str, payload: Optional[Dict]) -> None:
@@ -404,7 +473,12 @@ def _decode_entries(raw) -> Dict[str, MetadataEntry]:
 class ClusterClient:
     """Slot-routing, fanning-out cluster client over node sockets."""
 
-    def __init__(self, addrs: Sequence[str], timeout: float = 180.0):
+    def __init__(
+        self,
+        addrs: Sequence[str],
+        timeout: float = 180.0,
+        replica_addrs: Optional[Sequence[Sequence[str]]] = None,
+    ):
         # default allows for cold XLA compiles on the serving side (first
         # compile per program shape is 20-60s on TPU)
         if not addrs:
@@ -414,11 +488,39 @@ class ClusterClient:
         for a in self.addrs:
             host, port_s = a.rsplit(":", 1)
             self.conns.append(RespConnection((host, int(port_s)), timeout))
+        # replica read scaling: replica_addrs[i] lists shard i's replicas
+        # (reference FanoutTargetMode random/primary/replica,
+        # cluster_map.h:38-46)
+        self.replica_conns: List[List[RespConnection]] = []
+        for i in range(len(self.addrs)):
+            reps = []
+            for a in (replica_addrs[i] if replica_addrs else []):
+                host, port_s = a.rsplit(":", 1)
+                reps.append(RespConnection((host, int(port_s)), timeout))
+            self.replica_conns.append(reps)
         self._pool = ThreadPoolExecutor(
             max_workers=max(4, len(self.conns)),
             thread_name_prefix="fanout",
         )
         self.refresh_slots()
+
+    def _search_targets(self) -> List[RespConnection]:
+        """One connection per shard by target-selection mode."""
+        import random as _random
+
+        mode = str(config.get("search.fanout-target-mode"))
+        if CONTROLLED.is_true("force_replicas_only"):
+            mode = "replica"
+        out = []
+        for i, primary in enumerate(self.conns):
+            reps = self.replica_conns[i]
+            if mode == "primary" or not reps:
+                out.append(primary)
+            elif mode == "replica":
+                out.append(_random.choice(reps))
+            else:
+                out.append(_random.choice([primary] + reps))
+        return out
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)
@@ -427,6 +529,12 @@ class ClusterClient:
                 c.close()
             except OSError:
                 pass
+        for reps in getattr(self, "replica_conns", []):
+            for c in reps:
+                try:
+                    c.close()
+                except OSError:
+                    pass
 
     # -- routing ----------------------------------------------------------------
     def refresh_slots(self) -> None:
@@ -553,7 +661,7 @@ class ClusterClient:
                     c.cmd, "_PART.SEARCH",
                     str(expected.version), str(expected.fingerprint), *args,
                 )
-                for c in self.conns
+                for c in self._search_targets()
             ]
             rows, totals, score_field, knn_k = [], [], None, -1
             failures: List[Exception] = []
@@ -748,6 +856,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--slots", default="0:16384", help="lo:hi owned range")
     ap.add_argument("--peers", default="", help="comma-separated host:port")
+    ap.add_argument("--replica-of", default="",
+                    help="primary host:port to replicate from")
     ap.add_argument("--async-ingest", action="store_true")
     ns = ap.parse_args(argv)
 
@@ -759,6 +869,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     node.slots = (lo, hi)
     node.start()
+    if ns.replica_of:
+        node.become_replica_of(ns.replica_of)
     # handshake line for the parent/orchestrator (flush immediately)
     print(f"READY {node.port}", flush=True)
     try:

@@ -414,7 +414,13 @@ class _Handler(socketserver.StreamRequestHandler):
             # KNN queries coalesce into one device launch
             fut = engine.ft_search_async(*argv[1:], user=self.user)
             return _ok(fut.result(timeout=srv.search_timeout))
-        return _ok(engine.execute(*argv, user=self.user))
+        result = engine.execute(*argv, user=self.user)
+        if cmd in _WRITE_COMMANDS and srv.write_observer is not None:
+            # replication stream hook: each replica indexes its own copy
+            # of the write stream (docs/topics/search.md "Index
+            # Replication" — index content itself is never replicated)
+            srv.write_observer(argv)
+        return _ok(result)
 
     def _exec_multi(self, srv: "RespServer", queued: List[List[bytes]]) -> list:
         """Apply queued commands atomically under the engine lock; queued
@@ -512,6 +518,10 @@ def _format_info(engine: Engine, args: List[str]) -> str:
     return "\r\n".join(lines) + "\r\n"
 
 
+_WRITE_COMMANDS = {
+    "HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST",
+}
+
 _COMMANDS = [
     "PING", "ECHO", "HELLO", "AUTH", "SELECT", "QUIT", "RESET", "CLIENT",
     "COMMAND", "DBSIZE", "FLUSHALL", "MULTI", "EXEC", "DISCARD", "CONFIG",
@@ -552,6 +562,9 @@ class RespServer:
         # name → fn(rest_argv: List[bytes]) -> reply; lets the cluster
         # transport (and tests) extend the command surface per server
         self.extra_commands = {}
+        # called with the raw argv after each successful keyspace write
+        # (replication stream hook for the cluster transport)
+        self.write_observer = None
         self.async_search = async_search
         self.search_timeout = search_timeout
         self._server: Optional[_ThreadingTCPServer] = None
