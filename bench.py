@@ -195,6 +195,26 @@ def main():
         },
     }
 
+    # ---- latency percentiles (BASELINE: p50 query latency) -----------------
+    # single-query round-trip through the serving path; on this dev
+    # harness the axon tunnel adds ~60ms fixed per round trip, so the
+    # batch-amortized per-query service time is reported alongside
+    lat = []
+    q1 = queries[:1]
+    for i in range(30):
+        t0 = time.perf_counter()
+        d1, i1 = flat.search_batch(q1 + np.float32(i), K)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    log(f"single-query latency p50={p50:.1f}ms p99={p99:.1f}ms "
+        f"(incl. ~60ms tunnel RTT); amortized "
+        f"{1e6 / flat_qps:.1f}us/query at batch {BATCH}")
+    result["details"]["single_query_p50_ms"] = round(p50, 1)
+    result["details"]["single_query_p99_ms"] = round(p99, 1)
+    result["details"]["amortized_us_per_query"] = round(1e6 / flat_qps, 2)
+
     # ---- hybrid filter sweep (BASELINE config #4: selectivity 1/10/50%) ----
     if not QUICK:
         hybrid = {}

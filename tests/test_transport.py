@@ -331,3 +331,31 @@ def test_socket_replica_read_scaling():
         replica.close()
         primary.close()
         pc.close()
+
+
+def test_single_slot_index_routing(trio):
+    """Hash-tagged index name → queries hit only the owning shard
+    (reference single_slot_number_, commands.cc:99-136)."""
+    from valkey_search_tpu.cluster.node import key_slot
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    nodes, client = trio
+    name = "idx{route}"
+    assert client.execute(
+        "FT.CREATE", name, "ON", "HASH", "PREFIX", "1", "doc{route}:",
+        "SCHEMA", "tags", "TAG",
+    ) == "OK"
+    # keys hash-tagged to the same slot as the index
+    for i in range(8):
+        client.execute("HSET", f"doc{{route}}:{i}", "tags", "x")
+    slot = key_slot(name)
+    owner = next(
+        i for i, n in enumerate(nodes) if n.slots[0] <= slot < n.slots[1]
+    )
+    before = [n.engine.info().get("queries_total",
+              n.engine.info().get("search_queries_total", 0))
+              for n in nodes]
+    n0 = STATS.get("single_slot_queries")
+    reply = client.execute("FT.SEARCH", name, "@tags:{x}", "NOCONTENT")
+    assert reply[0] == 8
+    assert STATS.get("single_slot_queries") == n0 + 1

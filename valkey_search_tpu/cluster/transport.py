@@ -62,6 +62,11 @@ def _s(v) -> str:
     return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else str(v)
 
 
+def _has_hashtag(name: str) -> bool:
+    i = name.find("{")
+    return i >= 0 and name.find("}", i + 1) > i + 1
+
+
 # ---------------------------------------------------------------------------
 # Minimal binary-safe RESP client (library-side; tests reuse it)
 # ---------------------------------------------------------------------------
@@ -504,23 +509,35 @@ class ClusterClient:
         )
         self.refresh_slots()
 
-    def _search_targets(self) -> List[RespConnection]:
-        """One connection per shard by target-selection mode."""
+    def _search_targets(
+        self, index_name: Optional[str] = None
+    ) -> List[RespConnection]:
+        """One connection per shard by target-selection mode. A hash-tagged
+        index name ({tag}) confines the index to one slot — the query
+        targets only that slot's shard, no fanout (reference
+        single_slot_number_, commands.cc:99-136)."""
         import random as _random
 
         mode = str(config.get("search.fanout-target-mode"))
         if CONTROLLED.is_true("force_replicas_only"):
             mode = "replica"
-        out = []
-        for i, primary in enumerate(self.conns):
+
+        def pick(i):
+            primary = self.conns[i]
             reps = self.replica_conns[i]
             if mode == "primary" or not reps:
-                out.append(primary)
-            elif mode == "replica":
-                out.append(_random.choice(reps))
-            else:
-                out.append(_random.choice([primary] + reps))
-        return out
+                return primary
+            if mode == "replica":
+                return _random.choice(reps)
+            return _random.choice([primary] + reps)
+
+        if index_name and _has_hashtag(index_name):
+            slot = key_slot(index_name)
+            for i, (lo, hi) in enumerate(self.slot_ranges):
+                if lo <= slot < hi:
+                    STATS.incr("single_slot_queries")
+                    return [pick(i)]
+        return [pick(i) for i in range(len(self.conns))]
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)
@@ -661,7 +678,7 @@ class ClusterClient:
                     c.cmd, "_PART.SEARCH",
                     str(expected.version), str(expected.fingerprint), *args,
                 )
-                for c in self._search_targets()
+                for c in self._search_targets(sp.index_name)
             ]
             rows, totals, score_field, knn_k = [], [], None, -1
             failures: List[Exception] = []
@@ -768,7 +785,7 @@ class ClusterClient:
                 str(expected.version), str(expected.fingerprint),
                 *search_argv,
             )
-            for c in self.conns
+            for c in self._search_targets(spec.index_name)
         ]
         rows, score_field, knn_k = [], None, -1
         for fut in futures:
