@@ -175,3 +175,42 @@ def test_info_two_engines_do_not_alias():
     e1.execute("FT.CREATE", "a", "ON", "HASH", "SCHEMA", "t", "TAG")
     assert e1.info()["search_number_of_indexes"] == 1
     assert e2.info()["search_number_of_indexes"] == 0
+
+
+def test_thread_cpu_monitor_samples_pools():
+    import threading
+    import time as _time
+
+    from valkey_search_tpu.runtime.threadmon import (
+        MONITOR,
+        ThreadCpuMonitor,
+        _pool_of,
+    )
+
+    assert _pool_of("reader-3") == "reader"
+    assert _pool_of("gossip:n0") == "gossip"
+    assert _pool_of("MainThread") == "MainThread"
+
+    mon = ThreadCpuMonitor()
+    stop = _time.monotonic() + 0.5
+
+    def burn():
+        x = 0
+        while _time.monotonic() < stop:
+            x += 1
+        return x
+
+    t = threading.Thread(target=burn, name="burner-0")
+    t.start()
+    _time.sleep(0.05)
+    mon.sample()          # baseline with the thread alive
+    _time.sleep(0.3)
+    pct = mon.sample()    # delta while it burns
+    t.join()
+    assert pct.get("burner", 0) > 5.0, pct  # busy thread shows real CPU%
+    # engine INFO carries the field
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    fields = e.info(include_dev=True)
+    assert "search_thread_pool_cpu_percent" in fields

@@ -171,6 +171,18 @@ def register_engine_fields(engine, registry: InfoRegistry) -> None:
     process (cluster simulations, tests) don't alias each other."""
     R = registry
 
+    # per-pool thread CPU% (vmsdk ThreadMonitor parity, thread_pool.h:111)
+    from valkey_search_tpu.runtime.threadmon import MONITOR
+
+    R.field(
+        "search_thread_pool_cpu_percent",
+        lambda: ",".join(
+            f"{pool}={pct}" for pool, pct in
+            sorted(MONITOR.sample().items()) if pct > 0
+        ) or "idle",
+        dev=True,
+    )
+
     R.field("search_number_of_indexes",
             lambda: len(engine.manager.all_schemas()), crash_safe=True)
     R.field("search_total_indexed_documents",

@@ -310,6 +310,14 @@ class Engine:
                     schema, snapshot
                 )
         stats["expired"] = self.sweep_expired()
+        # thread CPU sampling rides the cron like the reference's
+        # ThreadMonitor (sampled on server cron)
+        try:
+            from valkey_search_tpu.runtime.threadmon import MONITOR
+
+            MONITOR.sample()
+        except OSError:
+            pass
         return stats
 
     def start_cron(self, interval_s: float = 0.1) -> None:
