@@ -359,3 +359,34 @@ def test_single_slot_index_routing(trio):
     reply = client.execute("FT.SEARCH", name, "@tags:{x}", "NOCONTENT")
     assert reply[0] == 8
     assert STATS.get("single_slot_queries") == n0 + 1
+
+
+def test_ft_internal_update_command(trio):
+    import json as _json
+
+    from valkey_search_tpu.runtime import config as _cfg
+
+    nodes, client = trio
+    _mk_index(client)
+    entry = nodes[0].metadata.entries()["idx"]
+    raw = _json.dumps({
+        "name": "idx", "version": entry.version + 1,
+        "payload": entry.payload,
+    })
+    c = RespConnection(("127.0.0.1", nodes[1].port))
+    try:
+        assert c.cmd("FT.INTERNAL_UPDATE", raw) == 1
+        assert nodes[1].metadata.get("idx").version == entry.version + 1
+        with pytest.raises(Exception, match="corrupted"):
+            c.cmd("FT.INTERNAL_UPDATE", "not json")
+        _cfg.set_config(
+            "search.skip-corrupted-internal-update-entries", "yes"
+        )
+        try:
+            assert c.cmd("FT.INTERNAL_UPDATE", "not json") == 0
+        finally:
+            _cfg.set_config(
+                "search.skip-corrupted-internal-update-entries", "no"
+            )
+    finally:
+        c.close()

@@ -181,6 +181,10 @@ class NodeServer:
             "_SLOTS.GET": self._cmd_slots_get,
             "_NODE.ID": lambda rest: self.node_id,
             "_REPL.REGISTER": self._cmd_repl_register,
+            # replicated metadata-update command (reference
+            # ft_internal_update.cc:55 — the AOF/replica path for cluster
+            # metadata; corrupted entries optionally skipped by config)
+            "FT.INTERNAL_UPDATE": self._cmd_internal_update,
         })
         self._gossip_interval = gossip_interval_s
         self._gossip_stop = threading.Event()
@@ -233,6 +237,18 @@ class NodeServer:
             self.peers.append(primary_addr)
         conn.cmd("_REPL.REGISTER", f"{self.resp.host}:{self.port}")
         conn.close()
+
+    def _cmd_internal_update(self, rest: List[bytes]):
+        if not rest:
+            raise RespError("FT.INTERNAL_UPDATE payload")
+        skip = bool(config.get(
+            "search.skip-corrupted-internal-update-entries"
+        ))
+        try:
+            changed = self.metadata.internal_update(rest[0], skip_corrupted=skip)
+        except Exception as exc:
+            raise RespError(f"corrupted internal update entry: {exc}")
+        return int(changed)
 
     def _cmd_repl_register(self, rest: List[bytes]):
         """Primary side: record the replica and stream a full sync of the
