@@ -99,6 +99,20 @@ struct HnswIndex {
   std::mt19937_64 rng;
   double mult = 0.0;  // 1/ln(M) — hnswlib mult_
 
+  // incremental-publish support: nodes whose level-0 row changed since
+  // the last export (the device mirror scatter-updates just these rows;
+  // upper structures are tiny and re-export whole when touched)
+  std::vector<int32_t> dirty_list;
+  std::vector<uint8_t> dirty_flag;
+  bool upper_dirty = false;
+
+  void mark_dirty(int32_t n) {
+    if ((size_t)n < dirty_flag.size() && !dirty_flag[n]) {
+      dirty_flag[n] = 1;
+      dirty_list.push_back(n);
+    }
+  }
+
   const float* vec(int32_t n) const { return vectors.data() + (size_t)n * dim; }
 
   float dist(const float* a, const float* b) const {
@@ -114,6 +128,7 @@ struct HnswIndex {
     levels.resize(new_cap, 0);
     deleted.resize(new_cap, 0);
     upper.resize(new_cap);
+    dirty_flag.resize(new_cap, 0);
     cap = new_cap;
   }
 
@@ -147,7 +162,12 @@ struct HnswIndex {
     int c = (int)std::min<size_t>(ids.size(), capd);
     for (int i = 0; i < c; ++i) l[i] = ids[i];
     for (int i = c; i < capd; ++i) l[i] = -1;
-    if (level == 0) nlinks0[n] = c;
+    if (level == 0) {
+      nlinks0[n] = c;
+      mark_dirty(n);
+    } else {
+      upper_dirty = true;
+    }
   }
 
   // Greedy descent at one level: move to the best-improving neighbor until
@@ -257,7 +277,12 @@ struct HnswIndex {
       int deg = degree(nb, level);
       if (deg < capd) {
         l[deg] = node;
-        if (level == 0) nlinks0[nb] = deg + 1;
+        if (level == 0) {
+          nlinks0[nb] = deg + 1;
+          mark_dirty(nb);
+        } else {
+          upper_dirty = true;
+        }
         continue;
       }
       // overflow: re-select nb's neighbor list including the new node
@@ -288,11 +313,16 @@ struct HnswIndex {
                 sizeof(float) * dim);
     const int level = random_level();
     levels[node] = level;
-    if (level > 0) upper[node].assign((size_t)level * M, -1);
+    mark_dirty(node);
+    if (level > 0) {
+      upper[node].assign((size_t)level * M, -1);
+      upper_dirty = true;
+    }
 
     if (entry < 0) {
       entry = node;
       max_level = level;
+      upper_dirty = true;
       return node;
     }
 
@@ -344,6 +374,7 @@ struct HnswIndex {
     if (level > max_level) {
       max_level = level;
       entry = node;
+      upper_dirty = true;
     }
     return node;
   }
@@ -355,11 +386,16 @@ struct HnswIndex {
                 sizeof(float) * dim);
     const int level = random_level();
     levels[node] = level;
-    if (level > 0) upper[node].assign((size_t)level * M, -1);
+    mark_dirty(node);
+    if (level > 0) {
+      upper[node].assign((size_t)level * M, -1);
+      upper_dirty = true;
+    }
 
     if (entry < 0) {
       entry = node;
       max_level = level;
+      upper_dirty = true;
       return node;
     }
 
@@ -617,12 +653,51 @@ void hnsw_add_bridge(void* p, int32_t u, int32_t v) {
     } else {
       l[h->M0 - 1] = b;
     }
+    h->mark_dirty(a);
   }
 }
 
 void hnsw_mark_deleted(void* p, int32_t node, int flag) {
   auto* h = (HnswIndex*)p;
-  if (node >= 0 && node < h->count) h->deleted[node] = (uint8_t)(flag != 0);
+  if (node >= 0 && node < h->count) {
+    h->deleted[node] = (uint8_t)(flag != 0);
+    h->mark_dirty(node);
+  }
+}
+
+int32_t hnsw_dirty_count(void* p) {
+  return (int32_t)((HnswIndex*)p)->dirty_list.size();
+}
+
+int hnsw_upper_dirty(void* p) {
+  return ((HnswIndex*)p)->upper_dirty ? 1 : 0;
+}
+
+// Export the changed level-0 rows (ids + links + deleted flag) and clear
+// the dirty set. out_links is [dirty_count, M0]; returns count written.
+int32_t hnsw_export_dirty(void* p, int32_t* out_nodes, int32_t* out_links,
+                          uint8_t* out_deleted) {
+  auto* h = (HnswIndex*)p;
+  const int32_t n = (int32_t)h->dirty_list.size();
+  for (int32_t i = 0; i < n; ++i) {
+    const int32_t nd = h->dirty_list[i];
+    out_nodes[i] = nd;
+    std::memcpy(out_links + (size_t)i * h->M0,
+                h->links0.data() + (size_t)nd * h->M0,
+                sizeof(int32_t) * h->M0);
+    out_deleted[i] = h->deleted[nd];
+    h->dirty_flag[nd] = 0;
+  }
+  h->dirty_list.clear();
+  h->upper_dirty = false;
+  return n;
+}
+
+void hnsw_clear_dirty(void* p) {
+  auto* h = (HnswIndex*)p;
+  for (int32_t nd : h->dirty_list) h->dirty_flag[nd] = 0;
+  h->dirty_list.clear();
+  h->upper_dirty = false;
 }
 
 int hnsw_search(void* p, const float* q, int k, int ef, int32_t* out_ids,

@@ -143,3 +143,41 @@ def test_cosine_hnsw(corpus):
     d, docs = idx.search_batch(v[None], k=1, ef=50)
     assert idx.interner.key_of(int(docs[0, 0])) == "c25"
     assert d[0, 0] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_incremental_graph_publish(rng):
+    """Mutations between publishes scatter-update the device mirror
+    instead of re-exporting O(N); results stay identical to a fresh
+    full publish."""
+    import numpy as np
+
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    n, d, k = 600, 16, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswVectorIndex(dim=d, m=8, ef_construction=50, seed=3)
+    for i in range(n):
+        idx.add_record(f"k{i}", vecs[i])
+    idx.device_graph()  # full publish
+    full = STATS.get("hnsw_graph_publishes")
+
+    # small mutation batch → incremental
+    idx.add_record("k17", vecs[17] + 0.001)      # update (tombstone+insert)
+    idx.remove_record("k23")
+    idx.add_record(f"k{n}", vecs[0] * 0.5)
+    inc0 = STATS.get("hnsw_graph_incremental_publishes")
+    g = idx.device_graph()
+    assert STATS.get("hnsw_graph_incremental_publishes") == inc0 + 1
+    assert STATS.get("hnsw_graph_publishes") == full  # no full re-export
+
+    d1, docs1 = idx.search_batch(vecs[:8], k, ef=60)
+    # oracle: force a full publish and compare results
+    idx._device_graph = None
+    idx._graph_dirty = True
+    idx.builder.clear_dirty()
+    d2, docs2 = idx.search_batch(vecs[:8], k, ef=60)
+    np.testing.assert_array_equal(docs1, docs2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    # deleted key never returned
+    assert (docs1 != idx.interner.intern("k23")).all()

@@ -285,14 +285,56 @@ class HnswVectorIndex(VectorIndexBase):
             if self._device_graph is not None and not self._graph_dirty:
                 return self._device_graph
             with self._lock:
-                g = self.builder.export_graph()
+                prev = self._device_graph
                 cap = self.store.capacity
+                self._ensure_node_arrays()
+                dirty = self.builder.dirty_count
+                # incremental publish: scatter just the changed level-0
+                # rows into the device mirror (the reference republishes
+                # nothing — readers share the mutable index under the
+                # time-sliced mutex; here snapshots are immutable, so the
+                # cost target is O(mutations), not O(N))
+                if (
+                    prev is not None
+                    and prev.links0.shape[0] == cap
+                    and 0 < dirty <= max(1024, cap // 5)
+                ):
+                    upper_dirty = self.builder.upper_dirty
+                    nodes, links_rows, del_rows = self.builder.export_dirty()
+                    snap = self.store.device_snapshot()
+                    idx = jnp.asarray(nodes)
+                    links0 = prev.links0.at[idx].set(jnp.asarray(links_rows))
+                    deleted = prev.deleted.at[idx].set(jnp.asarray(del_rows))
+                    node_doc = prev.node_doc.at[idx].set(
+                        jnp.asarray(self._node_doc[nodes])
+                    )
+                    if upper_dirty:
+                        self._device_graph = hs_ops.build_device_graph(
+                            vectors=snap["vectors"],
+                            links0=links0,
+                            deleted=deleted,
+                            uppers=self.builder.export_uppers(),
+                            entry=max(self.builder.entry, 0),
+                            node_doc=node_doc,
+                            m=self.m,
+                        )
+                    else:
+                        self._device_graph = prev._replace(
+                            vectors=snap["vectors"],
+                            links0=links0,
+                            deleted=deleted,
+                            node_doc=node_doc,
+                        )
+                    self._graph_dirty = False
+                    STATS.incr("hnsw_graph_incremental_publishes")
+                    return self._device_graph
+
+                g = self.builder.export_graph()
                 n = g["count"]
                 links0 = np.full((cap, 2 * self.m), -1, np.int32)
                 links0[:n] = g["links0"]
                 deleted = np.ones(cap, bool)
                 deleted[:n] = g["deleted"]
-                self._ensure_node_arrays()
                 snap = self.store.device_snapshot()
                 self._device_graph = hs_ops.build_device_graph(
                     vectors=snap["vectors"],
@@ -303,6 +345,7 @@ class HnswVectorIndex(VectorIndexBase):
                     node_doc=self._node_doc,
                     m=self.m,
                 )
+                self.builder.clear_dirty()
                 self._graph_dirty = False
                 STATS.incr("hnsw_graph_publishes")
             return self._device_graph

@@ -39,6 +39,16 @@ def load() -> ct.CDLL:
         lib.hnsw_free.argtypes = [ct.c_void_p]
         lib.hnsw_add.restype = ct.c_int32
         lib.hnsw_add.argtypes = [ct.c_void_p, ct.POINTER(ct.c_float)]
+        lib.hnsw_dirty_count.restype = ct.c_int32
+        lib.hnsw_dirty_count.argtypes = [ct.c_void_p]
+        lib.hnsw_upper_dirty.restype = ct.c_int
+        lib.hnsw_upper_dirty.argtypes = [ct.c_void_p]
+        lib.hnsw_export_dirty.restype = ct.c_int32
+        lib.hnsw_export_dirty.argtypes = [
+            ct.c_void_p, ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_uint8),
+        ]
+        lib.hnsw_clear_dirty.argtypes = [ct.c_void_p]
         lib.hnsw_components.restype = ct.c_int32
         lib.hnsw_components.argtypes = [ct.c_void_p, ct.POINTER(ct.c_int32)]
         lib.hnsw_add_bridge.argtypes = [ct.c_void_p, ct.c_int32, ct.c_int32]
@@ -203,6 +213,32 @@ class HnswBuilder:
             raise RuntimeError("bulk_build requires an empty index")
         return np.arange(n, dtype=np.int32)
 
+    @property
+    def dirty_count(self) -> int:
+        return int(self._lib.hnsw_dirty_count(self._h))
+
+    @property
+    def upper_dirty(self) -> bool:
+        return bool(self._lib.hnsw_upper_dirty(self._h))
+
+    def export_dirty(self):
+        """(nodes [n], links0 [n, 2m], deleted [n]) of changed level-0
+        rows since the last export; clears the dirty set."""
+        n = self.dirty_count
+        nodes = np.empty(max(n, 1), np.int32)
+        links = np.empty((max(n, 1), 2 * self.m), np.int32)
+        deleted = np.empty(max(n, 1), np.uint8)
+        with self._lock:
+            got = int(self._lib.hnsw_export_dirty(
+                self._h, _iptr(nodes), _iptr(links),
+                deleted.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            ))
+        return nodes[:got], links[:got], deleted[:got].astype(bool)
+
+    def clear_dirty(self) -> None:
+        with self._lock:
+            self._lib.hnsw_clear_dirty(self._h)
+
     def components(self) -> np.ndarray:
         """Level-0 connected-component labels [count] (undirected)."""
         n = self.count
@@ -251,6 +287,23 @@ class HnswBuilder:
         return int(self._lib.hnsw_dist_comps(self._h))
 
     # -- graph export for device upload / checkpoint -------------------------
+    def export_uppers(self):
+        """Per-level upper exports (levels 1..max_level) — small
+        (~count/M rows total), re-exported whole when any upper changed."""
+        uppers = []
+        level = 1
+        n = self.count
+        while n and level <= self.max_level:
+            cnt = int(self._lib.hnsw_count_at_level(self._h, level))
+            nodes = np.empty(max(cnt, 1), np.int32)
+            links = np.empty((max(cnt, 1), self.m), np.int32)
+            got = int(self._lib.hnsw_export_upper(
+                self._h, level, _iptr(nodes), _iptr(links)
+            ))
+            uppers.append({"nodes": nodes[:got], "links": links[:got]})
+            level += 1
+        return uppers
+
     def export_graph(self) -> dict:
         n = self.count
         m0 = 2 * self.m
