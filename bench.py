@@ -82,7 +82,10 @@ def main():
     # int8 coarse mirror: 2x MXU rate + packed single-int32 survivors
     # (ops/pallas_scan int8 section); exact fp32 rescore keeps the final
     # ordering. Recall measured below against fp64 ground truth.
-    cfg0.set_config("search.corpus-dtype", "int8")
+    cfg0.set_config(
+        "search.corpus-dtype",
+        os.environ.get("VSTPU_BENCH_DTYPE", "int8"),
+    )
     t0 = time.perf_counter()
     flat = FlatVectorIndex(dim=D, metric="l2")
     flat.bulk_load([f"doc:{i}" for i in range(N)], corpus)

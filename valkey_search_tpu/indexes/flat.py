@@ -49,7 +49,7 @@ class FlatVectorIndex(VectorIndexBase):
         mode = str(config.get("search.topk-mode"))
         if (
             mode == "approx"
-            and "vectors_lp" in snap
+            and ("vectors_lp" in snap or "vectors_i8" in snap)
             and topk_ops.use_fused_scan(snap["vectors"].shape[0], filter_mask)
         ):
             # fused Pallas coarse scan + exact fp32 rescore (ops/pallas_scan).
@@ -60,7 +60,7 @@ class FlatVectorIndex(VectorIndexBase):
             d, i = topk_ops.flat_topk_fused(
                 jnp.asarray(queries),
                 snap["vectors"],
-                snap["vectors_lp"],
+                snap.get("vectors_lp"),
                 k=k,
                 metric=self.metric,
                 corpus_sq=snap["norms_sq"],

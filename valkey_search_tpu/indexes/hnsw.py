@@ -434,20 +434,22 @@ class HnswVectorIndex(VectorIndexBase):
                 node_doc >= 0
             )
         if (
-            "vectors_lp" in snap
+            ("vectors_lp" in snap or "vectors_i8" in snap)
             and str(config.get("search.topk-mode")) == "approx"
             and topk_ops.use_fused_scan(snap["vectors"].shape[0], node_filter)
         ):
             d, ids = topk_ops.flat_topk_fused(
                 jnp.asarray(queries),
                 snap["vectors"],
-                snap["vectors_lp"],
+                snap.get("vectors_lp"),
                 k=k,
                 metric=self.metric,
                 corpus_sq=snap["norms_sq"],
                 invalid=invalid,
                 filter_mask=node_filter,
                 block_rows=max(self.store.capacity, 131072),
+                corpus_i8=snap.get("vectors_i8"),
+                i8_scale=snap.get("i8_scale"),
             )
         elif (
             "vectors_lp" in snap

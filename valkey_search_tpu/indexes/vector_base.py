@@ -145,7 +145,10 @@ class HostVectorStore:
         """
         with self._lock:
             dt = str(config.get("search.corpus-dtype"))
-            lp = dt != "float32"
+            # int8 mode serves the coarse stage from the int8 mirror and
+            # rescores from fp32 — the bf16 mirror would be dead HBM
+            # (2.5GB at 10Mx128), so it is only built for bfloat16 mode
+            lp = dt == "bfloat16"
             i8 = dt == "int8"
             if self._device is None:
                 self._device = {

@@ -160,7 +160,7 @@ def use_fused_scan(cap: int, filter_mask) -> bool:
 def flat_topk_fused(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,      # fp32 [cap, d]
-    corpus_lp: jnp.ndarray,   # bf16 [cap, d] (same rows)
+    corpus_lp: Optional[jnp.ndarray],  # bf16 [cap, d]; None when int8 serves
     k: int,
     metric: str = "l2",
     corpus_sq: Optional[jnp.ndarray] = None,
@@ -191,7 +191,9 @@ def flat_topk_fused(
         raise ValueError("flat_topk_fused needs a 1-D filter mask")
     from valkey_search_tpu.ops import pallas_scan as _ps
     if metric == "l2" and corpus_sq is None:
-        corpus_sq = dist_ops.squared_norms(corpus_lp)
+        corpus_sq = dist_ops.squared_norms(
+            corpus_lp if corpus_lp is not None else corpus
+        )
     # alpha is folded into the queries (one fewer VPU op per score element
     # in the kernel epilogue — see pallas_scan._kernel); for l2 the
     # ||q||^2 row constant makes coarse scores the true non-negative
@@ -261,6 +263,8 @@ def flat_topk_fused(
             c_i8 = jnp.pad(c_i8, ((0, 0), (0, pad_d)))
         c_scan, bias_scan = c_i8, bias_i
     else:
+        if corpus_lp is None:
+            raise ValueError("flat_topk_fused needs corpus_lp or corpus_i8")
         q_lp = (queries.astype(jnp.float32) * alpha).astype(jnp.bfloat16)
         qsq = (
             dist_ops.squared_norms(queries)[:, None]
@@ -288,7 +292,9 @@ def flat_topk_fused(
     # the resident corpus mirrors (with headroom for the top-k workspace
     # and allocator fragmentation); shrink the block to the largest
     # GROUP-aligned divisor of n that fits.
-    resident = corpus.nbytes + corpus_lp.nbytes
+    resident = corpus.nbytes
+    if corpus_lp is not None:
+        resident += corpus_lp.nbytes
     if use_i8:
         resident += corpus_i8.nbytes
     try:
