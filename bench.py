@@ -128,7 +128,7 @@ def main():
 
     def launch(qb):
         two_stage = (
-            "vectors_lp" in snap
+            ("vectors_lp" in snap or "vectors_i8" in snap)
             and str(cfg.get("search.topk-mode")) == "approx"
         )
         if two_stage and topk_ops.use_fused_scan(
@@ -137,13 +137,13 @@ def main():
             # fused Pallas coarse scan (ops/pallas_scan.py): matmul +
             # bucket-argmin in one kernel, whole corpus as one block
             return topk_ops.flat_topk_fused(
-                qb, snap["vectors"], snap["vectors_lp"], k=K, metric="l2",
+                qb, snap["vectors"], snap.get("vectors_lp"), k=K, metric="l2",
                 corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
                 block_rows=max(blk, snap["vectors"].shape[0]),
                 corpus_i8=snap.get("vectors_i8"),
                 i8_scale=snap.get("i8_scale"),
             )
-        if two_stage:
+        if two_stage and "vectors_lp" in snap:
             return topk_ops.flat_topk_two_stage(
                 qb, snap["vectors"], snap["vectors_lp"], k=K, metric="l2",
                 corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
@@ -229,12 +229,18 @@ def main():
             def launch_f(qb, fm=fmask):
                 if topk_ops.use_fused_scan(snap["vectors"].shape[0], fm):
                     return topk_ops.flat_topk_fused(
-                        qb, snap["vectors"], snap["vectors_lp"], k=K,
+                        qb, snap["vectors"], snap.get("vectors_lp"), k=K,
                         metric="l2", corpus_sq=snap["norms_sq"],
                         invalid=snap["invalid"], filter_mask=fm,
                         block_rows=max(blk, snap["vectors"].shape[0]),
                         corpus_i8=snap.get("vectors_i8"),
                         i8_scale=snap.get("i8_scale"),
+                    )
+                if "vectors_lp" not in snap:
+                    return topk_ops.flat_topk(
+                        qb, snap["vectors"], k=K, metric="l2",
+                        corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
+                        filter_mask=fm, block_rows=blk,
                     )
                 return topk_ops.flat_topk_two_stage(
                     qb, snap["vectors"], snap["vectors_lp"], k=K, metric="l2",
