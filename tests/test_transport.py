@@ -390,3 +390,34 @@ def test_ft_internal_update_command(trio):
             )
     finally:
         c.close()
+
+
+def test_multi_exec_writes_replicate():
+    from valkey_search_tpu.cluster.transport import NodeServer
+
+    primary = NodeServer("pm", port=0).start()
+    replica = NodeServer("rm", port=0).start()
+    replica.become_replica_of(f"127.0.0.1:{primary.port}")
+    pc = RespConnection(("127.0.0.1", primary.port))
+    try:
+        # raw MULTI/EXEC over the wire
+        pc.sock.sendall(
+            b"*1\r\n$5\r\nMULTI\r\n"
+        )
+        assert pc._read() == "OK"
+        pc.cmd("HSET", "tx1", "f", "1")
+        pc.cmd("HSET", "tx2", "f", "2")
+        pc.sock.sendall(b"*1\r\n$4\r\nEXEC\r\n")
+        res = pc._read()
+        assert res[0] == 1 and res[1] == 1
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if "tx1" in replica.engine.keyspace and \
+                    "tx2" in replica.engine.keyspace:
+                break
+            time.sleep(0.02)
+        assert replica.engine.hgetall("tx1") and replica.engine.hgetall("tx2")
+    finally:
+        pc.close()
+        replica.close()
+        primary.close()

@@ -450,6 +450,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 results.append(None)
         if wrote:
             group.exec()
+            if srv.write_observer is not None:
+                # replicate the transaction's writes in order (the
+                # reference's replicas receive MULTI'd writes through the
+                # same replication stream as plain ones)
+                for argv in queued:
+                    if _s(argv[0]).upper() in _WRITE_COMMANDS:
+                        srv.write_observer(argv)
         for pos, argv in flushes:
             try:
                 results[pos] = _ok(
