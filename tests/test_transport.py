@@ -421,3 +421,33 @@ def test_multi_exec_writes_replicate():
         pc.close()
         replica.close()
         primary.close()
+
+
+def test_moved_redirect(trio):
+    """Keys in foreign slots answer -MOVED <slot> <owner> so redis-cluster
+    clients can follow redirects against the nodes directly."""
+    from valkey_search_tpu.cluster.node import key_slot
+
+    nodes, client = trio
+    # let gossip learn peer slot ranges
+    for n in nodes:
+        n.gossip_once()
+    slot = key_slot("somekey")
+    owner_i = next(
+        i for i, n in enumerate(nodes) if n.slots[0] <= slot < n.slots[1]
+    )
+    wrong = nodes[(owner_i + 1) % len(nodes)]
+    c = RespConnection(("127.0.0.1", wrong.port))
+    try:
+        with pytest.raises(ReplyError) as ei:
+            c.cmd("HSET", "somekey", "f", "v")
+        assert ei.value.code == "MOVED"
+        parts = str(ei.value).split()
+        assert int(parts[1]) == slot
+        assert parts[2].endswith(f":{nodes[owner_i].port}")
+        # the owner accepts it
+        co = RespConnection(("127.0.0.1", nodes[owner_i].port))
+        assert co.cmd("HSET", "somekey", "f", "v") == 1
+        co.close()
+    finally:
+        c.close()

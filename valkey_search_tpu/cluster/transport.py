@@ -181,11 +181,23 @@ class NodeServer:
             "_SLOTS.GET": self._cmd_slots_get,
             "_NODE.ID": lambda rest: self.node_id,
             "_REPL.REGISTER": self._cmd_repl_register,
+            # keyspace commands get cluster slot checks: a key in a slot
+            # this node doesn't own answers -MOVED <slot> <host:port>
+            # (valkey cluster redirect semantics), so real redis-cluster
+            # clients can drive nodes directly
+            **{
+                c: self._keyspace_interceptor(c)
+                for c in ("HSET", "DEL", "HGETALL", "JSON.SET", "JSON.GET",
+                          "EXPIRE", "PEXPIRE", "TTL", "PERSIST")
+            },
             # replicated metadata-update command (reference
             # ft_internal_update.cc:55 — the AOF/replica path for cluster
             # metadata; corrupted entries optionally skipped by config)
             "FT.INTERNAL_UPDATE": self._cmd_internal_update,
         })
+        self.host = host
+        # peer addr → (lo, hi) owned slot range (learned by gossip)
+        self._peer_slots: Dict[str, Tuple[int, int]] = {}
         self._gossip_interval = gossip_interval_s
         self._gossip_stop = threading.Event()
         self._gossip_thread: Optional[threading.Thread] = None
@@ -237,6 +249,35 @@ class NodeServer:
             self.peers.append(primary_addr)
         conn.cmd("_REPL.REGISTER", f"{self.resp.host}:{self.port}")
         conn.close()
+
+    def _keyspace_interceptor(self, cmd: str):
+        """Slot-checked keyspace command: execute locally when this node
+        owns the key's slot, else -MOVED to the owner (best-known from
+        gossip)."""
+        writes = {"HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST"}
+
+        def run(rest: List[bytes]):
+            if not rest:
+                raise RespError(f"wrong number of arguments for {cmd}")
+            key = _s(rest[0])
+            slot = key_slot(key)
+            if not (self.slots[0] <= slot < self.slots[1]):
+                owner = None
+                for addr, (lo, hi) in self._peer_slots.items():
+                    if lo <= slot < hi:
+                        owner = addr
+                        break
+                raise RespError(
+                    f"{slot} {owner or 'unknown:0'}", code="MOVED"
+                )
+            result = self.engine.execute(cmd, *rest)
+            if cmd in writes and self.resp.write_observer is not None:
+                self.resp.write_observer([cmd.encode()] + list(rest))
+            from valkey_search_tpu.server.resp import _ok
+
+            return _ok(result)
+
+        return run
 
     def _cmd_internal_update(self, rest: List[bytes]):
         if not rest:
@@ -338,6 +379,9 @@ class NodeServer:
                 return
             try:
                 conn = self._peer_conn(addr)
+                if addr not in self._peer_slots:
+                    lo, hi, _nid = conn.cmd("_SLOTS.GET")
+                    self._peer_slots[addr] = (int(lo), int(hi))
                 peer_fp = int(_s(conn.cmd("_META.FP")))
                 if peer_fp == my_fp:
                     continue

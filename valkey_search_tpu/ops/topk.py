@@ -202,12 +202,16 @@ def flat_topk_fused(
     positive = metric == "l2"
     use_i8 = corpus_i8 is not None
     if coarse_factor is None:
-        # swept on 1M x 128 clustered data (B=65536, k=10, 256-query fp64
-        # ground truth): bf16 cf3 = 248k qps on-chip @ recall ~0.995;
-        # int8 cf5/span4 = 274k @ 0.9965 (the extra over-retrieval absorbs
-        # the int8 quantization noise and is cheap because packed
-        # survivors make selection + rescore small)
-        coarse_factor = 5 if use_i8 else 3
+        # swept on clustered byte data (B=65536, k=10): 1M — bf16 cf3 =
+        # 248k qps on-chip @ recall ~0.995, int8 cf5/span4 = 274k @
+        # 0.9965; 10M int8 — cf5 = 0.9938, cf8 = 0.9996 at ~17% QPS cost
+        # (the survivor pool spans more blocks, so per-block over-
+        # retrieval must rise to keep the merged top-k covered). Packed
+        # survivors keep selection + rescore cheap either way.
+        if use_i8:
+            coarse_factor = 8 if cap >= 4_000_000 else 5
+        else:
+            coarse_factor = 3
     kc = min(coarse_factor * k, cap)
     pad_d = -d % 128
     d_pad = d + pad_d
