@@ -451,3 +451,48 @@ def test_moved_redirect(trio):
         co.close()
     finally:
         c.close()
+
+
+def test_cluster_command_surface(trio):
+    nodes, client = trio
+    for n in nodes:
+        n.gossip_once()
+    c = RespConnection(("127.0.0.1", nodes[0].port))
+    try:
+        slots = c.cmd("CLUSTER", "SLOTS")
+        assert len(slots) == 3
+        covered = sorted((int(r[0]), int(r[1])) for r in slots)
+        assert covered[0][0] == 0 and covered[-1][1] == 16383
+        assert _txt(c.cmd("CLUSTER", "MYID")) == "n0"
+        info = _txt(c.cmd("CLUSTER", "INFO"))
+        assert "cluster_state:ok" in info and "cluster_known_nodes:3" in info
+    finally:
+        c.close()
+
+
+def test_save_bgsave_over_wire(tmp_path):
+    from valkey_search_tpu.cluster.transport import NodeServer
+
+    node = NodeServer("sv", port=0).start()
+    c = RespConnection(("127.0.0.1", node.port))
+    try:
+        c.cmd("FT.CREATE", "idx", "ON", "HASH", "SCHEMA", "t", "TAG")
+        c.cmd("HSET", "k1", "t", "a")
+        path = str(tmp_path / "dump.vstpu")
+        assert c.cmd("SAVE", path) == "OK"
+        from valkey_search_tpu.persistence import load_engine
+
+        e2 = load_engine(path)
+        assert "idx" in e2.ft_list()
+        assert e2.hgetall("k1")
+        with pytest.raises(ReplyError, match="no checkpoint path"):
+            c.cmd("SAVE")
+        assert "saving" in c.cmd("BGSAVE", path).lower()
+        deadline = time.time() + 5
+        import os as _os
+
+        while time.time() < deadline and not _os.path.exists(path):
+            time.sleep(0.02)
+    finally:
+        c.close()
+        node.close()

@@ -181,6 +181,7 @@ class NodeServer:
             "_SLOTS.GET": self._cmd_slots_get,
             "_NODE.ID": lambda rest: self.node_id,
             "_REPL.REGISTER": self._cmd_repl_register,
+            "CLUSTER": self._cmd_cluster,
             # keyspace commands get cluster slot checks: a key in a slot
             # this node doesn't own answers -MOVED <slot> <host:port>
             # (valkey cluster redirect semantics), so real redis-cluster
@@ -249,6 +250,38 @@ class NodeServer:
             self.peers.append(primary_addr)
         conn.cmd("_REPL.REGISTER", f"{self.resp.host}:{self.port}")
         conn.close()
+
+    def _cmd_cluster(self, rest: List[bytes]):
+        """CLUSTER SLOTS/SHARDS/MYID/INFO for redis-cluster client compat
+        (vmsdk cluster_map snapshots the same data from CLUSTER SLOTS)."""
+        sub = _s(rest[0]).upper() if rest else "INFO"
+        ranges = [(self.slots[0], self.slots[1],
+                   self.resp.host, self.port, self.node_id)]
+        for addr, (lo, hi) in sorted(self._peer_slots.items()):
+            host, port_s = addr.rsplit(":", 1)
+            ranges.append((lo, hi, host, int(port_s), addr))
+        if sub == "SLOTS":
+            return [
+                [lo, hi - 1, [host, port, nid]]
+                for lo, hi, host, port, nid in sorted(ranges)
+            ]
+        if sub == "SHARDS":
+            return [
+                ["slots", [lo, hi - 1], "nodes",
+                 [["id", nid, "endpoint", host, "port", port,
+                   "role", "master", "health", "online"]]]
+                for lo, hi, host, port, nid in sorted(ranges)
+            ]
+        if sub == "MYID":
+            return self.node_id
+        if sub == "INFO":
+            known = 1 + len(self._peer_slots)
+            return (
+                "cluster_enabled:1\r\ncluster_state:ok\r\n"
+                f"cluster_known_nodes:{known}\r\n"
+                f"cluster_size:{known}\r\n"
+            )
+        raise RespError(f"Unknown CLUSTER subcommand {sub!r}")
 
     def _keyspace_interceptor(self, cmd: str):
         """Slot-checked keyspace command: execute locally when this node

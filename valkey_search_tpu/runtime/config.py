@@ -184,6 +184,7 @@ _enum("search.topk-mode", "approx", ["approx", "exact"])
 # corpora always take the xla path).
 _enum("search.scan-kernel", "auto", ["auto", "pallas", "xla"])
 _bool("search.skip-corrupted-internal-update-entries", False)
+REGISTRY.register(Entry("search.checkpoint-path", "", "", "string"))
 _enum("search.hnsw-build-mode", "auto", ["auto", "device", "host"])
 _num("search.hnsw-build-batch", 4096, lo=256, hi=65536)
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for

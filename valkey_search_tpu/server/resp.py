@@ -405,6 +405,24 @@ class _Handler(socketserver.StreamRequestHandler):
             return self._config_cmd(rest)
         if cmd == "INFO":
             return _format_info(engine, [_s(a) for a in rest])
+        if cmd in ("SAVE", "BGSAVE"):
+            path = str(config.get("search.checkpoint-path"))
+            if rest:
+                path = _s(rest[0])
+            if not path:
+                raise RespError(
+                    "no checkpoint path (set search.checkpoint-path "
+                    "or pass one: SAVE /path/file.vstpu)"
+                )
+            if cmd == "SAVE":
+                engine.save(path)
+                return SimpleString("OK")
+            t = threading.Thread(
+                target=lambda: engine.save(path), daemon=True,
+                name="bgsave",
+            )
+            t.start()
+            return SimpleString("Background saving started")
         if cmd == "SHUTDOWN":
             threading.Thread(target=srv.close, daemon=True).start()
             return SimpleString("OK")
