@@ -257,6 +257,59 @@ def main():
             log(f"hybrid {sel_pct}% selectivity: {qps:.0f} qps")
         result["details"].update(hybrid)
 
+    # ---- full-text: ingest + query throughput (reference FTS benchmark
+    # analog, .github/benchmark_configs/fts-benchmarks-arm.json) ----------
+    if not QUICK:
+        from valkey_search_tpu.server import Engine as _Engine
+
+        tycoon = np.random.default_rng(5)
+        vocab = [f"w{i:05d}" for i in range(20000)]
+        zipf = np.minimum(tycoon.zipf(1.3, size=(20000, 12)) - 1, 19999)
+        eng = _Engine()
+        eng.execute("FT.CREATE", "t", "ON", "HASH", "PREFIX", "1", "d:",
+                    "SCHEMA", "body", "TEXT", "tag", "TAG")
+        n_docs = 100_000
+        t0 = time.perf_counter()
+        for i in range(n_docs):
+            words = zipf[i % 20000]
+            eng.hset(f"d:{i}", {
+                "body": " ".join(vocab[w] for w in words),
+                "tag": "even" if i % 2 == 0 else "odd",
+            })
+        text_ingest = n_docs / (time.perf_counter() - t0)
+        log(f"text ingest: {text_ingest:.0f} docs/s (12-word docs)")
+
+        def qps_of(queries_list, reps=1):
+            t0 = time.perf_counter()
+            c = 0
+            for _ in range(reps):
+                for q in queries_list:
+                    eng.ft_search("t", q, "NOCONTENT", "LIMIT", "0", "10")
+                    c += 1
+            return c / (time.perf_counter() - t0)
+
+        terms = [f"@body:{vocab[tycoon.integers(100, 5000)]}"
+                 for _ in range(500)]
+        ands = [f"@body:({vocab[tycoon.integers(100, 2000)]} "
+                f"{vocab[tycoon.integers(100, 2000)]})" for _ in range(300)]
+        prefixes = [f"@body:w0{tycoon.integers(10, 99)}*"
+                    for _ in range(200)]
+        hybrid_t = [f"(@tag:{{odd}} @body:{vocab[tycoon.integers(100, 2000)]})"
+                    for _ in range(300)]
+        r_term = qps_of(terms)
+        r_and = qps_of(ands)
+        r_pref = qps_of(prefixes)
+        r_hyb = qps_of(hybrid_t)
+        log(f"text QPS (1 core): term={r_term:.0f} and={r_and:.0f} "
+            f"prefix={r_pref:.0f} tag+text={r_hyb:.0f}")
+        result["details"].update({
+            "text_ingest_docs_per_s": round(text_ingest, 1),
+            "text_term_qps_1core": round(r_term, 1),
+            "text_and_qps_1core": round(r_and, 1),
+            "text_prefix_qps_1core": round(r_pref, 1),
+            "text_hybrid_qps_1core": round(r_hyb, 1),
+        })
+
     # ---- HNSW: build rate + QPS at recall ---------------------------------
     if not QUICK and HNSW_N > 0:
         log(f"building HNSW on {HNSW_N} vectors (native, 1 core)")
