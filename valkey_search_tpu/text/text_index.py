@@ -90,6 +90,7 @@ class TextEngine:
         self.stems = RadixTree()               # stem -> {word: refcount}
         self._doc_tokens: Dict[int, Dict[str, List[str]]] = {}  # doc -> alias -> tokens
         self._lock = threading.RLock()
+        self.revision = 0
 
     # -- field registry --------------------------------------------------------
     def register_field(
@@ -139,6 +140,7 @@ class TextEngine:
             text, stemming_enabled=not fi.no_stem, stem_map=stem_map
         )
         with self._lock:
+            self.revision += 1
             existed = alias in self._doc_tokens.get(doc, {})
             self._remove_field_locked(doc, alias)
             self._doc_tokens.setdefault(doc, {})[alias] = tokens
@@ -154,6 +156,7 @@ class TextEngine:
         if doc is None:
             return RecordResult.SKIPPED
         with self._lock:
+            self.revision += 1
             if alias not in self._doc_tokens.get(doc, {}):
                 return RecordResult.SKIPPED
             self._remove_field_locked(doc, alias)
@@ -442,31 +445,41 @@ class TextEngine:
         return False
 
     def doc_matches(self, pred, doc: int) -> bool:
+        orig = pred
         pred = self._effective(pred)
         mask = self.field_mask(pred.field)
-        if pred.match == "phrase":
-            groups = self._phrase_word_groups(pred)
-            if not groups:
+        if pred.match != "phrase":
+            # Content re-verification calls this once per result row
+            # (reference ProcessNeighborsForReply re-evaluates the
+            # predicate per key); re-expanding a prefix/fuzzy pattern over
+            # the radix tree per row turns wide prefixes into O(rows *
+            # expansion) — memoize the matching doc set per (engine
+            # revision, predicate) instead.
+            cache = getattr(orig, "_docset_cache", None)
+            if cache is None or cache[0] is not self or cache[1] != self.revision:
+                cache = (self, self.revision, self._doc_set(pred))
+                try:
+                    orig._docset_cache = cache
+                except AttributeError:
+                    return doc in cache[2]
+            return doc in cache[2]
+        groups = self._phrase_word_groups(pred)
+        if not groups:
+            return False
+        for g in groups:
+            if not any(
+                (p := self.dictionary.get(w)) is not None
+                and p.contains(doc, mask)
+                for w in g
+            ):
                 return False
-            for g in groups:
-                if not any(
-                    (p := self.dictionary.get(w)) is not None
-                    and p.contains(doc, mask)
-                    for w in g
-                ):
-                    return False
-            if len(groups) == 1:
-                return True
-            return self._phrase_positions_ok(
-                groups, doc, mask,
-                int(getattr(pred, "slop", 0)),
-                bool(getattr(pred, "inorder", True)),
-            )
-        for w in self.expand_words(pred):
-            p = self.dictionary.get(w)
-            if p is not None and p.contains(doc, mask):
-                return True
-        return False
+        if len(groups) == 1:
+            return True
+        return self._phrase_positions_ok(
+            groups, doc, mask,
+            int(getattr(pred, "slop", 0)),
+            bool(getattr(pred, "inorder", True)),
+        )
 
     def device_mask(self, pred, cap: int):
         import jax.numpy as jnp
