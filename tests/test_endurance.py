@@ -123,3 +123,109 @@ def test_async_ingest_endurance():
     from valkey_search_tpu.runtime.metrics import STATS
 
     assert STATS.get("mutations_applied") > 0
+
+
+def test_wire_cluster_endurance(tmp_path):
+    """Socket cluster under concurrent wire traffic: writers + searchers +
+    a mid-run BGSAVE per node, replica staying in sync — the socket-level
+    analog of the reference's memtier endurance suite
+    (scripts/benchmark/run_endurance_test.sh)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from valkey_search_tpu.cluster.transport import (
+        ClusterClient,
+        NodeServer,
+        RespConnection,
+        assign_slot_ranges,
+    )
+
+    nodes = [NodeServer(f"e{i}", port=0, gossip_interval_s=0.05)
+             for i in range(2)]
+    for (lo, hi), n in zip(assign_slot_ranges(2), nodes):
+        n.slots = (lo, hi)
+    for n in nodes:
+        n.resp.start()
+    addrs = [f"127.0.0.1:{n.port}" for n in nodes]
+    for i, n in enumerate(nodes):
+        n.peers = [a for j, a in enumerate(addrs) if j != i]
+    replica = NodeServer("er", port=0, gossip_interval_s=0.05).start()
+    replica.become_replica_of(addrs[0])
+    client = ClusterClient(addrs)
+    dim = 8
+    rng = np.random.default_rng(3)
+    client.execute(
+        "FT.CREATE", "idx", "ON", "HASH", "PREFIX", "1", "doc:",
+        "SCHEMA", "emb", "VECTOR", "FLAT", "6", "TYPE", "FLOAT32",
+        "DIM", str(dim), "DISTANCE_METRIC", "L2", "tags", "TAG",
+    )
+    vecs = rng.standard_normal((400, dim)).astype(np.float32)
+    stop = time.time() + 4.0
+    errors = []
+
+    def writer():
+        try:
+            c = ClusterClient(addrs)
+            i = 0
+            while time.time() < stop:
+                client_i = i % 400
+                c.execute("HSET", f"doc:{client_i}", "emb",
+                          vecs[client_i].tobytes(), "tags",
+                          "even" if client_i % 2 == 0 else "odd")
+                if i % 37 == 0:
+                    c.execute("DEL", f"doc:{(i * 7) % 400}")
+                i += 1
+            c.close()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("writer", exc))
+
+    def searcher():
+        try:
+            c = ClusterClient(addrs)
+            while time.time() < stop:
+                q = rng.standard_normal(dim).astype(np.float32)
+                r = c.execute("FT.SEARCH", "idx", "*=>[KNN 3 @emb $q]",
+                              "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+                assert isinstance(r[0], int)
+            c.close()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("searcher", exc))
+
+    def saver():
+        try:
+            conns = [RespConnection(("127.0.0.1", n.port)) for n in nodes]
+            k = 0
+            while time.time() < stop:
+                for j, cc in enumerate(conns):
+                    cc.cmd("SAVE", str(tmp_path / f"n{j}-{k}.vstpu"))
+                k += 1
+                time.sleep(0.5)
+            for cc in conns:
+                cc.close()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("saver", exc))
+
+    threads = [threading.Thread(target=f)
+               for f in (writer, writer, searcher, saver)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert not errors, errors
+
+    # post-run integrity: cluster answers; replica converged for shard 0
+    r = client.execute("FT.SEARCH", "idx", "@tags:{even}", "NOCONTENT",
+                       "LIMIT", "0", "5")
+    assert isinstance(r[0], int)
+    time.sleep(0.3)
+    shard0_keys = set(nodes[0].engine.keyspace)
+    replica_keys = set(replica.engine.keyspace)
+    missing = shard0_keys - replica_keys
+    assert len(missing) <= max(2, len(shard0_keys) // 20), (
+        len(missing), len(shard0_keys))
+    client.close()
+    replica.close()
+    for n in nodes:
+        n.close()
