@@ -214,13 +214,16 @@ class NodeServer:
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "NodeServer":
         self.resp.start()
-        if self.peers:
+        self._ensure_gossip_thread()
+        return self
+
+    def _ensure_gossip_thread(self) -> None:
+        if self.peers and self._gossip_thread is None:
             self._gossip_thread = threading.Thread(
                 target=self._gossip_loop, daemon=True,
                 name=f"gossip:{self.node_id}",
             )
             self._gossip_thread.start()
-        return self
 
     def close(self) -> None:
         self._gossip_stop.set()
@@ -248,6 +251,7 @@ class NodeServer:
         self.slots = (int(lo), int(hi))
         if primary_addr not in self.peers:
             self.peers.append(primary_addr)
+        self._ensure_gossip_thread()  # peers may arrive after start()
         conn.cmd("_REPL.REGISTER", f"{self.resp.host}:{self.port}")
         conn.close()
 
@@ -811,10 +815,12 @@ class ClusterClient:
                 return self._shape(rows, totals, score_field, knn_k, sp)
             if mismatches:
                 # push convergence before retrying (reference: coordinator
-                # retries FAILED_PRECONDITION until timeout)
+                # retries FAILED_PRECONDITION until timeout) — replicas
+                # included, since target modes may route reads to them
                 STATS.incr("fanout_retries")
                 blob = self.conns[0].cmd("_META.PULL")
-                for c in self.conns[1:]:
+                extras = [c for reps in self.replica_conns for c in reps]
+                for c in self.conns[1:] + extras:
                     try:
                         c.cmd("_META.PUSH", _s(blob))
                     except (OSError, ReplyError):
