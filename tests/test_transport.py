@@ -496,3 +496,12 @@ def test_save_bgsave_over_wire(tmp_path):
     finally:
         c.close()
         node.close()
+
+
+def test_cluster_wide_dbsize_flushall(trio):
+    nodes, client = trio
+    for i in range(12):
+        client.execute("HSET", f"doc:{i}", "f", "v")
+    assert client.execute("DBSIZE") == 12
+    assert client.execute("FLUSHALL") == "OK"
+    assert client.execute("DBSIZE") == 0

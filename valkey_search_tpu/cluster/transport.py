@@ -689,6 +689,12 @@ class ClusterClient:
             return self.ft_info(*argv[1:])
         if cmd == "FT._LIST":
             return self.conns[0].cmd("FT._LIST")
+        if cmd == "DBSIZE":
+            return sum(int(c.cmd("DBSIZE")) for c in self.conns)
+        if cmd == "FLUSHALL":
+            for c in self.conns:
+                c.cmd("FLUSHALL")
+            return "OK"
         # anything else: first node answers (PING, CONFIG, INFO...)
         return self.conns[0].cmd(*argv)
 
