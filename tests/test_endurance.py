@@ -69,10 +69,12 @@ def test_concurrent_ingest_search_checkpoint(eng, tmp_path):
     for t in writers + readers:
         t.start()
     for t in writers:
-        t.join(60)
+        t.join(300)  # generous: CI boxes share one core with other load
+        assert not t.is_alive(), "writer starved past the join budget"
     stop.set()
     for t in readers:
-        t.join(60)
+        t.join(300)
+        assert not t.is_alive(), "reader starved past the join budget"
     assert not errors, errors[:3]
 
     # final state: every 10th doc deleted, rest present
