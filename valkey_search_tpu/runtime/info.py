@@ -160,6 +160,14 @@ def _register_builtin_fields() -> None:
     R.counter("search_fanout_inconsistent_snapshots", "fanout_inconsistent")
     R.counter("search_metadata_broadcasts", "metadata_broadcasts", dev=True)
     R.counter("search_metadata_reconciles", "metadata_reconciles", dev=True)
+    R.counter("search_single_slot_queries", "single_slot_queries", dev=True)
+    R.counter("search_queries_parked_on_mutations",
+              "queries_parked_on_mutations", dev=True)
+    R.counter("search_hnsw_graph_publishes", "hnsw_graph_publishes",
+              dev=True)
+    R.counter("search_hnsw_graph_incremental_publishes",
+              "hnsw_graph_incremental_publishes", dev=True)
+    R.counter("search_hnsw_served_by_scan", "hnsw_served_by_scan", dev=True)
 
 
 _register_builtin_fields()
