@@ -292,3 +292,113 @@ def test_encode_helpers():
     assert encode(1.5, proto=3) == b",1.5\r\n"
     assert encode([1, "a"]) == b"*2\r\n:1\r\n$1\r\na\r\n"
     assert encode({"k": 1}, proto=3) == b"%1\r\n$1\r\nk\r\n:1\r\n"
+
+
+def test_multi_exec_strict_order(server, client):
+    """Queued commands execute strictly in queue order: a read between a
+    write and a delete sees the write (redis MULTI semantics; round-1
+    impl applied all writes first, breaking HSET/READ/DEL ordering)."""
+    client.cmd("HSET", "mk", "f", "old")
+    assert client.cmd("MULTI") == "OK"
+    assert client.cmd("HSET", "mk", "f", "new") == "QUEUED"
+    assert client.cmd("HGETALL", "mk") == "QUEUED"
+    assert client.cmd("DEL", "mk") == "QUEUED"
+    assert client.cmd("HGETALL", "mk") == "QUEUED"
+    res = client.cmd("EXEC")
+    assert res[0] == 0  # field existed -> 0 new fields
+    assert res[1] == [b"f", b"new"]  # read AFTER the write sees it
+    assert res[2] == 1
+    assert res[3] == []  # read after DEL sees the delete
+    assert client.cmd("DBSIZE") == 0
+
+
+def test_multi_execabort_on_bad_queue(server, client):
+    assert client.cmd("MULTI") == "OK"
+    with pytest.raises(ReplyError, match="unknown command"):
+        client.cmd("NOSUCHCMD", "x")
+    assert client.cmd("HSET", "ek", "f", "1") == "QUEUED"
+    with pytest.raises(ReplyError, match="EXECABORT"):
+        client.cmd("EXEC")
+    # transaction discarded: nothing applied, and state machine reset
+    assert client.cmd("DBSIZE") == 0
+    assert client.cmd("MULTI") == "OK"
+    assert client.cmd("HSET", "ek", "f", "1") == "QUEUED"
+    assert client.cmd("EXEC") == [1]
+
+
+def test_multi_ft_search_inline(server, client):
+    """FT.SEARCH inside MULTI runs inline (reader-pool dispatch would
+    self-deadlock on the engine lock held for the transaction)."""
+    import struct
+
+    client.cmd(
+        "FT.CREATE", "mIdx", "SCHEMA", "emb", "VECTOR", "FLAT", "6",
+        "TYPE", "FLOAT32", "DIM", "4", "DISTANCE_METRIC", "L2",
+    )
+    blob = struct.pack("<4f", 1.0, 0.0, 0.0, 0.0)
+    client.cmd("MULTI")
+    client.cmd("HSET", "v:1", "emb", blob)
+    client.cmd(
+        "FT.SEARCH", "mIdx", "*=>[KNN 1 @emb $q]",
+        "PARAMS", "2", "q", blob, "DIALECT", "2",
+    )
+    res = client.cmd("EXEC")
+    assert res[0] == 1
+    # the search ran before the group's index notifications committed:
+    # result shape is a valid reply (total count first)
+    assert isinstance(res[1], list) and res[1][0] in (0, 1)
+
+
+def test_auth_no_password_configured(server, client):
+    from valkey_search_tpu.runtime import config
+
+    assert str(config.get("search.requirepass")) == ""
+    with pytest.raises(ReplyError, match="no password is set"):
+        client.cmd("AUTH", "whatever")
+    # switching to a named user without credentials must be refused
+    with pytest.raises(ReplyError, match="WRONGPASS"):
+        client.cmd("AUTH", "alice", "whatever")
+
+
+def test_auth_requirepass_gate(server):
+    from valkey_search_tpu.runtime import config
+
+    config.set_config("search.requirepass", "sekret")
+    try:
+        c = RespClient(server.port)
+        with pytest.raises(ReplyError, match="NOAUTH"):
+            c.cmd("DBSIZE")
+        with pytest.raises(ReplyError, match="NOAUTH"):
+            c.cmd("FLUSHALL")
+        with pytest.raises(ReplyError, match="NOAUTH"):
+            c.cmd("SHUTDOWN")
+        with pytest.raises(ReplyError, match="WRONGPASS"):
+            c.cmd("AUTH", "wrong")
+        assert c.cmd("AUTH", "sekret") == "OK"
+        assert c.cmd("DBSIZE") == 0
+        # RESET deauthenticates
+        assert c.cmd("RESET") == "RESET"
+        with pytest.raises(ReplyError, match="NOAUTH"):
+            c.cmd("DBSIZE")
+        c.close()
+        # HELLO AUTH path
+        c2 = RespClient(server.port)
+        info = c2.cmd("HELLO", "2", "AUTH", "default", "sekret")
+        assert b"server" in info or "server" in str(info)
+        assert c2.cmd("DBSIZE") == 0
+        c2.close()
+    finally:
+        config.set_config("search.requirepass", "")
+
+
+def test_auth_acl_user_password(server, client):
+    server.engine.acl.setuser("alice", "on", ">alicepw", "~doc:*")
+    with pytest.raises(ReplyError, match="WRONGPASS"):
+        client.cmd("AUTH", "alice", "bad")
+    assert client.cmd("AUTH", "alice", "alicepw") == "OK"
+    # alice's prefix ACL now applies to FT.CREATE
+    with pytest.raises(ReplyError, match="ACL|lacks"):
+        client.cmd(
+            "FT.CREATE", "other", "PREFIX", "1", "secret:",
+            "SCHEMA", "t", "TAG",
+        )

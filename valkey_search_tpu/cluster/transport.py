@@ -35,6 +35,7 @@ partial-results policy (fanout.cc:177-221).
 
 from __future__ import annotations
 
+import collections
 import json
 import socket
 import threading
@@ -141,6 +142,28 @@ class RespConnection:
 # Node server
 # ---------------------------------------------------------------------------
 
+class _Replica:
+    """Primary-side state for one registered replica connection.
+
+    ``ready=False`` while the initial full sync replays: live writes that
+    arrive meanwhile are buffered in ``backlog`` (in sequence order) and
+    flushed after the snapshot, so a newer live write can never be
+    overwritten by a stale snapshot replay. ``min_seq`` is the replication
+    sequence at registration time — log entries at or below it are already
+    contained in the snapshot and must not be re-sent (re-sending an older
+    write after the snapshot could permanently regress a key)."""
+
+    __slots__ = ("addr", "conn", "ready", "backlog", "min_seq", "lock")
+
+    def __init__(self, addr: str, conn: "RespConnection"):
+        self.addr = addr
+        self.conn = conn
+        self.ready = False
+        self.backlog: collections.deque = collections.deque()
+        self.min_seq = 0
+        self.lock = threading.Lock()  # serializes sends to this conn
+
+
 class NodeServer:
     """One cluster shard as a network server: Engine + metadata + gossip.
 
@@ -206,10 +229,21 @@ class NodeServer:
         # replication (P7 replica read scaling): primaries forward their
         # write stream to registered replicas; each replica's engine
         # indexes its own copy (index content is never replicated,
-        # docs/topics/search.md "Index Replication")
-        self._replica_conns: Dict[str, RespConnection] = {}
+        # docs/topics/search.md "Index Replication").
+        # The stream is strictly ordered: writes are captured into
+        # _repl_log UNDER the engine lock (write_observer contract) with a
+        # monotonic sequence, and a single forwarder thread sends them in
+        # sequence order — concurrent writes can never reach a replica in
+        # an order different from the apply order on this primary.
+        self._replica_conns: Dict[str, _Replica] = {}
         self._repl_lock = threading.Lock()
+        self._repl_log: "collections.deque" = collections.deque()
+        self._repl_seq = 0
+        self._repl_cv = threading.Condition()
+        self._repl_stop = threading.Event()
+        self._repl_thread: Optional[threading.Thread] = None
         self.resp.write_observer = self._forward_write
+        self.resp.key_router = self._check_slot
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "NodeServer":
@@ -227,15 +261,29 @@ class NodeServer:
 
     def close(self) -> None:
         self._gossip_stop.set()
+        self._repl_stop.set()
+        with self._repl_cv:
+            self._repl_cv.notify_all()
         if self._gossip_thread is not None:
             self._gossip_thread.join(2)
             self._gossip_thread = None
+        if self._repl_thread is not None:
+            self._repl_thread.join(2)
+            self._repl_thread = None
         for c in self._peer_conns.values():
             try:
                 c.close()
             except OSError:
                 pass
         self._peer_conns.clear()
+        with self._repl_lock:
+            reps = list(self._replica_conns.values())
+            self._replica_conns.clear()
+        for rep in reps:
+            try:
+                rep.conn.close()
+            except OSError:
+                pass
         self.resp.close()
 
     @property
@@ -287,6 +335,20 @@ class NodeServer:
             )
         raise RespError(f"Unknown CLUSTER subcommand {sub!r}")
 
+    def _check_slot(self, key: str) -> None:
+        """Raises -MOVED when this node doesn't own the key's slot (owner
+        best-known from gossip). Shared by the keyspace interceptors and
+        the RESP server's MULTI/EXEC path (resp.key_router)."""
+        slot = key_slot(key)
+        if self.slots[0] <= slot < self.slots[1]:
+            return
+        owner = None
+        for addr, (lo, hi) in self._peer_slots.items():
+            if lo <= slot < hi:
+                owner = addr
+                break
+        raise RespError(f"{slot} {owner or 'unknown:0'}", code="MOVED")
+
     def _keyspace_interceptor(self, cmd: str):
         """Slot-checked keyspace command: execute locally when this node
         owns the key's slot, else -MOVED to the owner (best-known from
@@ -296,22 +358,17 @@ class NodeServer:
         def run(rest: List[bytes]):
             if not rest:
                 raise RespError(f"wrong number of arguments for {cmd}")
-            key = _s(rest[0])
-            slot = key_slot(key)
-            if not (self.slots[0] <= slot < self.slots[1]):
-                owner = None
-                for addr, (lo, hi) in self._peer_slots.items():
-                    if lo <= slot < hi:
-                        owner = addr
-                        break
-                raise RespError(
-                    f"{slot} {owner or 'unknown:0'}", code="MOVED"
-                )
-            result = self.engine.execute(cmd, *rest)
-            if cmd in writes and self.resp.write_observer is not None:
-                self.resp.write_observer([cmd.encode()] + list(rest))
+            self._check_slot(_s(rest[0]))
             from valkey_search_tpu.server.resp import _ok
 
+            if cmd in writes and self.resp.write_observer is not None:
+                # apply + capture under the engine lock so the replica
+                # stream order equals the apply order
+                with self.engine._lock:
+                    result = self.engine.execute(cmd, *rest)
+                    self.resp.write_observer([cmd.encode()] + list(rest))
+            else:
+                result = self.engine.execute(cmd, *rest)
             return _ok(result)
 
         return run
@@ -331,27 +388,39 @@ class NodeServer:
     def _cmd_repl_register(self, rest: List[bytes]):
         """Primary side: record the replica and stream a full sync of the
         current keyspace (the reference uses replica full-sync over the
-        same RDB path; here the keyspace replays as writes)."""
+        same RDB path; here the keyspace replays as writes).
+
+        Ordering: the replica registers (not-ready) and the keyspace
+        snapshot is taken under ONE engine-lock critical section, so every
+        write is either (a) in the snapshot (seq ≤ min_seq, forwarder
+        skips it) or (b) sequenced after it (buffered in the replica's
+        backlog until the snapshot finishes replaying, then flushed in
+        order). A live-forwarded newer value can therefore never be
+        clobbered by a stale snapshot row."""
         if not rest:
             raise RespError("_REPL.REGISTER host:port")
         addr = _s(rest[0])
         host, port_s = addr.rsplit(":", 1)
         conn = RespConnection((host, int(port_s)), timeout=30.0)
-        with self._repl_lock:
-            old = self._replica_conns.pop(addr, None)
-            if old is not None:
-                try:
-                    old.close()
-                except OSError:
-                    pass
-            self._replica_conns[addr] = conn
+        rep = _Replica(addr, conn)
+        with self.engine._lock:
+            with self._repl_lock:
+                old = self._replica_conns.pop(addr, None)
+                self._replica_conns[addr] = rep
+            with self._repl_cv:
+                rep.min_seq = self._repl_seq
+            snapshot = {k: dict(v) for k, v in self.engine.keyspace.items()}
+        if old is not None:
+            try:
+                old.conn.close()
+            except OSError:
+                pass
+        self._ensure_repl_thread()
         # metadata first so indexes exist before documents arrive
         try:
             conn.cmd("_META.PUSH", self._cmd_meta_pull([]))
         except (OSError, ReplyError):
             pass
-        with self.engine._lock:
-            snapshot = {k: dict(v) for k, v in self.engine.keyspace.items()}
         for key, fields in snapshot.items():
             argv = ["HSET", key]
             for f, v in fields.items():
@@ -360,22 +429,72 @@ class NodeServer:
                 conn.cmd(*argv)
             except (OSError, ReplyError):
                 break
+        # flush writes that raced the snapshot replay, then go live
+        with rep.lock:
+            while rep.backlog:
+                _seq, argv = rep.backlog.popleft()
+                try:
+                    conn.cmd(*argv)
+                except (OSError, EOFError, ReplyError):
+                    break
+            rep.ready = True
         return SimpleString("OK")
 
     def _forward_write(self, argv: List[bytes]) -> None:
-        with self._repl_lock:
-            conns = list(self._replica_conns.items())
-        for addr, conn in conns:
-            try:
-                conn.cmd(*argv)
-            except (OSError, EOFError, ReplyError):
-                # dead replica: drop it; it re-registers on restart
+        """write_observer hook — called UNDER the engine lock right after
+        a write applies. Appends to the ordered replication log; the
+        forwarder thread drains it in sequence order."""
+        if not self._replica_conns:
+            return
+        with self._repl_cv:
+            self._repl_seq += 1
+            self._repl_log.append((self._repl_seq, list(argv)))
+            self._repl_cv.notify()
+
+    def _ensure_repl_thread(self) -> None:
+        if self._repl_thread is None or not self._repl_thread.is_alive():
+            self._repl_stop.clear()
+            self._repl_thread = threading.Thread(
+                target=self._repl_forwarder, daemon=True,
+                name=f"repl-fwd:{self.node_id}",
+            )
+            self._repl_thread.start()
+
+    def _repl_forwarder(self) -> None:
+        """Single sender: preserves the apply order captured in _repl_log
+        across every replica (syncing replicas get entries buffered into
+        their backlog; per-conn locks keep backlog-flush vs live sends
+        serialized)."""
+        while not self._repl_stop.is_set():
+            with self._repl_cv:
+                while not self._repl_log and not self._repl_stop.is_set():
+                    self._repl_cv.wait(0.2)
+                if not self._repl_log:
+                    continue
+                seq, argv = self._repl_log.popleft()
+            with self._repl_lock:
+                reps = list(self._replica_conns.items())
+            dead: List[str] = []
+            for addr, rep in reps:
+                if seq <= rep.min_seq:
+                    continue  # already contained in this replica's snapshot
+                with rep.lock:
+                    if not rep.ready:
+                        rep.backlog.append((seq, argv))
+                        continue
+                    try:
+                        rep.conn.cmd(*argv)
+                    except (OSError, EOFError, ReplyError):
+                        # dead replica: drop it; it re-registers on restart
+                        dead.append(addr)
+            for addr in dead:
                 with self._repl_lock:
-                    self._replica_conns.pop(addr, None)
-                try:
-                    conn.close()
-                except OSError:
-                    pass
+                    rep = self._replica_conns.pop(addr, None)
+                if rep is not None:
+                    try:
+                        rep.conn.close()
+                    except OSError:
+                        pass
 
     # -- metadata apply (index create/drop landed via gossip or local) --------
     def _apply(self, name: str, payload: Optional[Dict]) -> None:
@@ -776,6 +895,17 @@ class ClusterClient:
         )
         last_err: Optional[Exception] = None
         for _attempt in range(max_retries):
+            if _attempt:
+                # refresh the expected (version, fingerprint) — the index
+                # may have been recreated mid-query; retrying with stale
+                # scalars would re-mismatch forever even though the
+                # cluster converged (reference coordinator retries
+                # FAILED_PRECONDITION with refreshed metadata)
+                fresh = _decode_entries(
+                    self.conns[0].cmd("_META.PULL")
+                ).get(sp.index_name)
+                if fresh is not None and fresh.payload is not None:
+                    expected = fresh
             futures = [
                 self._pool.submit(
                     c.cmd, "_PART.SEARCH",
@@ -884,38 +1014,83 @@ class ClusterClient:
             search_argv += ["PARAMS", str(2 * len(kv))]
             for k, v in kv:
                 search_argv += [k, v]
-        futures = [
-            self._pool.submit(
-                c.cmd, "_PART.SEARCH",
-                str(expected.version), str(expected.fingerprint),
-                *search_argv,
-            )
-            for c in self._search_targets(spec.index_name)
-        ]
-        rows, score_field, knn_k = [], None, -1
-        for fut in futures:
-            _total, kk, sf, enc_rows = fut.result()
-            if _s(sf):
-                score_field = _s(sf)
-            if int(kk) >= 0:
-                knn_k = int(kk)
-            for key, dist, f_enc in enc_rows:
-                fields = None
-                if f_enc is not None:
-                    fields = {
-                        _s(f_enc[i]): f_enc[i + 1]
-                        for i in range(0, len(f_enc), 2)
-                    }
-                rows.append((
-                    _Row(_s(key),
-                         None if not _s(dist) else float(_s(dist))),
-                    fields,
-                ))
-        schema = _build_schema(expected.payload)
-        return agg.aggregate_rows(
-            schema, spec, rows, score_field,
-            _KnnStub(knn_k) if knn_k >= 0 else None,
+        timeout_s = (
+            spec.timeout_ms / 1000.0 if spec.timeout_ms
+            else int(config.get("search.timeout-ms")) / 1000.0
         )
+        partial_ok = bool(
+            config.get("search.enable-partial-results")
+            or config.get("search.prefer-partial-results")
+        )
+        last_err: Optional[Exception] = None
+        # same retry-on-MISMATCH / partial-results policy as ft_search
+        # (the reference routes FT.AGGREGATE through the same fanout
+        # machinery as FT.SEARCH)
+        for _attempt in range(3):
+            if _attempt:
+                fresh = _decode_entries(
+                    self.conns[0].cmd("_META.PULL")
+                ).get(spec.index_name)
+                if fresh is not None and fresh.payload is not None:
+                    expected = fresh
+            futures = [
+                self._pool.submit(
+                    c.cmd, "_PART.SEARCH",
+                    str(expected.version), str(expected.fingerprint),
+                    *search_argv,
+                )
+                for c in self._search_targets(spec.index_name)
+            ]
+            rows, score_field, knn_k = [], None, -1
+            failures: List[Exception] = []
+            for fut in futures:
+                try:
+                    _total, kk, sf, enc_rows = fut.result(timeout=timeout_s)
+                except (ReplyError, OSError, EOFError, TimeoutError) as exc:
+                    failures.append(exc)
+                    continue
+                if _s(sf):
+                    score_field = _s(sf)
+                if int(kk) >= 0:
+                    knn_k = int(kk)
+                for key, dist, f_enc in enc_rows:
+                    fields = None
+                    if f_enc is not None:
+                        fields = {
+                            _s(f_enc[i]): f_enc[i + 1]
+                            for i in range(0, len(f_enc), 2)
+                        }
+                    rows.append((
+                        _Row(_s(key),
+                             None if not _s(dist) else float(_s(dist))),
+                        fields,
+                    ))
+            mismatches = sum(
+                1 for f in failures
+                if isinstance(f, ReplyError) and f.code == "MISMATCH"
+            )
+            if not failures or partial_ok:
+                if failures:
+                    STATS.incr("partial_results")
+                schema = _build_schema(expected.payload)
+                return agg.aggregate_rows(
+                    schema, spec, rows, score_field,
+                    _KnnStub(knn_k) if knn_k >= 0 else None,
+                )
+            last_err = failures[0]
+            if mismatches:
+                STATS.incr("fanout_retries")
+                blob = self.conns[0].cmd("_META.PULL")
+                extras = [c for reps in self.replica_conns for c in reps]
+                for c in self.conns[1:] + extras:
+                    try:
+                        c.cmd("_META.PUSH", _s(blob))
+                    except (OSError, ReplyError):
+                        pass
+                time.sleep(0.02)
+                continue
+            break  # hard failures don't retry without partial_ok
+        raise last_err  # type: ignore[misc]
 
     # -- info fanout ----------------------------------------------------------------
     def ft_info(self, name, mode: str = "CLUSTER") -> list:

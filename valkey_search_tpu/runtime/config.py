@@ -225,6 +225,10 @@ _num("search.max-memory-bytes", 0, 0, 1 << 62)
 # unknown there).
 REGISTRY.register(Entry("search.emulate-release", "", "", "string"))
 _enum("search.log-level", "notice", ["debug", "verbose", "notice", "warning"])
+# connection authentication: when set, AUTH/HELLO AUTH must present this
+# password (the reference delegates authentication to valkey-server; this
+# standalone stack has no server in front, so it carries its own gate)
+REGISTRY.register(Entry("search.requirepass", "", "", "string"))
 _bool("search.log-user-data", False)  # reference RedactIfNeeded gate
 
 

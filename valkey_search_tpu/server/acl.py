@@ -25,6 +25,17 @@ class AclUser:
     enabled: bool = True
     key_patterns: Tuple[str, ...] = ()
     allowed_categories: Tuple[str, ...] = ("search",)
+    # sha-less plain passwords (redis ACL `>pw` rule); empty + nopass=False
+    # means the user cannot be AUTH'd into at all
+    passwords: Tuple[str, ...] = ()
+    nopass: bool = False
+
+    def check_password(self, password: str) -> bool:
+        if not self.enabled:
+            return False
+        if self.nopass:
+            return True
+        return password in self.passwords
 
     def covers_prefix(self, prefix: str) -> bool:
         for pat in self.key_patterns:
@@ -68,6 +79,15 @@ class AclManager:
                     patterns.append(rule[1:])
                 elif rule.startswith("%RW~") or rule.startswith("%R~"):
                     patterns.append(rule.split("~", 1)[1])
+                elif rule.startswith(">"):
+                    user.passwords = user.passwords + (rule[1:],)
+                    user.nopass = False
+                elif rule == "nopass":
+                    user.nopass = True
+                    user.passwords = ()
+                elif rule == "resetpass":
+                    user.nopass = False
+                    user.passwords = ()
                 else:
                     raise AclError(f"unsupported ACL rule {rule!r}")
             user.key_patterns = tuple(patterns)

@@ -176,30 +176,9 @@ class Engine:
         """JSON.SET equivalent (reference JsonAttributeDataType fetches via
         JSON.GET, attribute_data_type.h:114-117). Path `$` replaces the
         document; nested paths update in place."""
-        import json as _json
-
-        from valkey_search_tpu.schema.attribute_data_type import resolve_json_path
-
         self._deny_oom()
-        raw = value.decode() if isinstance(value, bytes) else str(value)
-        new_val = _json.loads(raw)
         with self._lock:
-            if path in ("$", "."):
-                doc = new_val
-            else:
-                cur_raw = self.keyspace.get(key, {}).get("$")
-                doc = _json.loads(cur_raw) if cur_raw else {}
-                parts = path.lstrip("$").lstrip(".").split(".")
-                parent = doc
-                for p in parts[:-1]:
-                    nxt = parent.get(p) if isinstance(parent, dict) else None
-                    if not isinstance(nxt, (dict, list)):
-                        nxt = {}
-                        parent[p] = nxt
-                    parent = nxt
-                parent[parts[-1]] = new_val
-            snapshot = {"$": _json.dumps(doc)}
-            self.keyspace[key] = snapshot
+            snapshot = _apply_json(self, key, path, value)
         self._notify(key, snapshot, kind="JSON")
         return "OK"
 
@@ -539,12 +518,51 @@ class Engine:
             ) from exc
 
 
+def _apply_json(eng: "Engine", key: str, path: str, value: Value) -> Dict[str, Value]:
+    """Apply a JSON.SET to the keyspace (caller holds eng._lock); returns
+    the new {"$": raw} snapshot for notification."""
+    import json as _json
+
+    raw = value.decode() if isinstance(value, bytes) else str(value)
+    new_val = _json.loads(raw)
+    if path in ("$", "."):
+        doc = new_val
+    else:
+        cur_raw = eng.keyspace.get(key, {}).get("$")
+        doc = _json.loads(cur_raw) if cur_raw else {}
+        parts = path.lstrip("$").lstrip(".").split(".")
+        parent = doc
+        for p in parts[:-1]:
+            nxt = parent.get(p) if isinstance(parent, dict) else None
+            if not isinstance(nxt, (dict, list)):
+                nxt = {}
+                parent[p] = nxt
+            parent = nxt
+        parent[parts[-1]] = new_val
+    snapshot = {"$": _json.dumps(doc)}
+    eng.keyspace[key] = snapshot
+    return snapshot
+
+
 class Transaction:
-    """Queued keyspace writes applied atomically on exec()."""
+    """Queued keyspace writes applied atomically on exec().
+
+    Two usage modes:
+    - deferred (hset/delete/json_set + exec): all writes apply at exec()
+      under the engine lock — the embedded-API transaction.
+    - in-order (hset_now/delete_now/json_set_now + flush_notifications):
+      the RESP MULTI/EXEC path applies each keyspace write at its queue
+      position (redis executes queued commands strictly in order, so
+      reads inside the transaction see earlier writes) while the *index*
+      notifications still commit as one ordered mutation group
+      (reference EnqueueMultiMutation, index_schema.cc:834). The caller
+      must hold engine._lock for the whole transaction.
+    """
 
     def __init__(self, engine: Engine):
         self._engine = engine
         self._ops: List[tuple] = []
+        self._notifications: List[tuple] = []  # (schema, key, fields|None)
         self._done = False
 
     def hset(self, key: str, mapping: Dict[str, Value]) -> "Transaction":
@@ -563,53 +581,40 @@ class Transaction:
         self._ops.clear()
         self._done = True
 
-    def exec(self) -> int:
-        """Apply all queued writes under the engine lock; index mutations
-        land as one ordered group."""
-        if self._done:
-            raise CommandError("transaction already finished")
-        self._done = True
+    # -- in-order application (RESP MULTI/EXEC; caller holds eng._lock) ----
+    def hset_now(self, key: str, mapping: Dict[str, Value]) -> int:
         eng = self._engine
-        from valkey_search_tpu.schema.ingestion import Mutation
+        doc = eng.keyspace.setdefault(key, {})
+        added = sum(1 for f in mapping if f not in doc)
+        doc.update(mapping)
+        self._collect(key, dict(doc), "HASH")
+        return added
 
-        notifications: List[tuple] = []  # (schema, key, fields-or-None)
-        with eng._lock:
-            for op, key, arg in self._ops:
-                if op == "hset":
-                    doc = eng.keyspace.setdefault(key, {})
-                    doc.update(arg)
-                    snapshot = dict(doc)
-                    kind = "HASH"
-                elif op == "json":
-                    import json as _json
+    def delete_now(self, key: str) -> int:
+        eng = self._engine
+        existed = eng.keyspace.pop(key, None) is not None
+        eng._expiry.pop(key, None)
+        if existed:
+            self._collect(key, None, None)
+        return int(existed)
 
-                    path, value = arg
-                    raw = value.decode() if isinstance(value, bytes) else str(value)
-                    if path in ("$", "."):
-                        doc_obj = _json.loads(raw)
-                    else:
-                        cur = eng.keyspace.get(key, {}).get("$")
-                        doc_obj = _json.loads(cur) if cur else {}
-                        parts = path.lstrip("$").lstrip(".").split(".")
-                        parent = doc_obj
-                        for p in parts[:-1]:
-                            nxt = parent.get(p) if isinstance(parent, dict) else None
-                            if not isinstance(nxt, (dict, list)):
-                                nxt = {}
-                                parent[p] = nxt
-                            parent = nxt
-                        parent[parts[-1]] = _json.loads(raw)
-                    snapshot = {"$": _json.dumps(doc_obj)}
-                    eng.keyspace[key] = snapshot
-                    kind = "JSON"
-                else:  # del
-                    eng.keyspace.pop(key, None)
-                    snapshot = None
-                    kind = None
-                for schema in eng.manager.subscribed(key):
-                    if snapshot is not None and schema.on != kind:
-                        continue
-                    notifications.append((schema, key, snapshot))
+    def json_set_now(self, key: str, path: str, value: Value) -> str:
+        snapshot = _apply_json(self._engine, key, path, value)
+        self._collect(key, snapshot, "JSON")
+        return "OK"
+
+    def _collect(self, key: str, snapshot, kind) -> None:
+        for schema in self._engine.manager.subscribed(key):
+            if snapshot is not None and schema.on != kind:
+                continue
+            self._notifications.append((schema, key, snapshot))
+
+    def flush_notifications(self) -> None:
+        """Commit the collected index notifications as one ordered group."""
+        eng = self._engine
+        notifications, self._notifications = self._notifications, []
+        if not notifications:
+            return
         if eng._sync_ingest:
             for schema, key, fields in notifications:
                 if fields is None:
@@ -617,11 +622,32 @@ class Transaction:
                 else:
                     schema.upsert(key, fields)
         else:
+            from valkey_search_tpu.schema.ingestion import Mutation
+
             eng._queue().enqueue_multi([
                 Mutation(schema, key, fields)
                 for schema, key, fields in notifications
             ])
-        return len(self._ops)
+
+    def exec(self) -> int:
+        """Apply all queued writes under the engine lock; index mutations
+        land as one ordered group."""
+        if self._done:
+            raise CommandError("transaction already finished")
+        self._done = True
+        eng = self._engine
+        n_ops = len(self._ops)
+        with eng._lock:
+            for op, key, arg in self._ops:
+                if op == "hset":
+                    self.hset_now(key, arg)
+                elif op == "json":
+                    self.json_set_now(key, *arg)
+                else:  # del
+                    self.delete_now(key)
+            self._ops = []
+            self.flush_notifications()
+        return n_ops
 
 
 def _s(v: Value) -> str:

@@ -233,8 +233,10 @@ class _Handler(socketserver.StreamRequestHandler):
         self.connection.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self.proto = 2
         self.user = "default"
+        self.authenticated = False
         self.multi_queue: Optional[List[List[bytes]]] = None
         self.multi_error = False
+        self._in_exec = False
 
     def handle(self):
         srv: RespServer = self.server.resp_server  # type: ignore[attr-defined]
@@ -268,12 +270,33 @@ class _Handler(socketserver.StreamRequestHandler):
     def _dispatch(self, srv: "RespServer", argv: List[bytes]) -> bool:
         cmd = _s(argv[0]).upper()
 
+        # connection authentication gate: with search.requirepass set,
+        # everything except the handshake commands requires a successful
+        # AUTH first (standalone stack — no valkey-server in front to do
+        # this; reference delegates it, src/acl.cc)
+        if not self.authenticated and cmd not in (
+            "AUTH", "HELLO", "QUIT", "RESET",
+        ):
+            if str(config.get("search.requirepass")):
+                self._reply(RespError(
+                    "Authentication required.", code="NOAUTH"
+                ))
+                return False
+
         # MULTI/EXEC state machine (reference: valkey-server's MULTI wraps
         # module commands; ingestion keeps ordered groups per EXEC —
         # index_schema.cc:834 EnqueueMultiMutation)
         if self.multi_queue is not None and cmd not in (
             "EXEC", "DISCARD", "MULTI", "RESET", "QUIT",
         ):
+            # queue-time validation (redis: unknown/invalid commands abort
+            # the whole transaction at EXEC with -EXECABORT)
+            if cmd not in _COMMANDS and cmd not in srv.extra_commands:
+                self.multi_error = True
+                self._reply(RespError(
+                    f"unknown command {cmd!r}, with args beginning with: "
+                ))
+                return False
             self.multi_queue.append(argv)
             self._reply(SimpleString("QUEUED"))
             return False
@@ -327,7 +350,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 while i < len(rest):
                     opt = _s(rest[i]).upper()
                     if opt == "AUTH" and i + 2 < len(rest):
-                        self.user = _s(rest[i + 1])
+                        self._authenticate(
+                            engine, _s(rest[i + 1]), _s(rest[i + 2])
+                        )
                         i += 3
                     elif opt == "SETNAME" and i + 1 < len(rest):
                         i += 2
@@ -343,12 +368,11 @@ class _Handler(socketserver.StreamRequestHandler):
                 "modules": [],
             }
         if cmd == "AUTH":
-            # username+password form selects the ACL user; passwords are not
-            # checked (the reference delegates authentication to valkey-server
-            # and only enforces key-prefix ACL per user, src/acl.h:36)
-            if len(rest) == 2:
-                self.user = _s(rest[0])
-            elif len(rest) != 1:
+            if len(rest) == 1:
+                self._authenticate(engine, "default", _s(rest[0]))
+            elif len(rest) == 2:
+                self._authenticate(engine, _s(rest[0]), _s(rest[1]))
+            else:
                 raise RespError("wrong number of arguments for 'auth' command")
             return SimpleString("OK")
         if cmd == "SELECT":
@@ -361,6 +385,7 @@ class _Handler(socketserver.StreamRequestHandler):
             self.multi_queue = None
             self.multi_error = False
             self.user = "default"
+            self.authenticated = False
             return SimpleString("RESET")
         if cmd == "CLIENT":
             sub = _s(rest[0]).upper() if rest else ""
@@ -395,11 +420,18 @@ class _Handler(socketserver.StreamRequestHandler):
             if self.multi_queue is None:
                 raise RespError("DISCARD without MULTI")
             self.multi_queue = None
+            self.multi_error = False
             return SimpleString("OK")
         if cmd == "EXEC":
             if self.multi_queue is None:
                 raise RespError("EXEC without MULTI")
             queued, self.multi_queue = self.multi_queue, None
+            if self.multi_error:
+                self.multi_error = False
+                raise RespError(
+                    "Transaction discarded because of previous errors.",
+                    code="EXECABORT",
+                )
             return self._exec_multi(srv, queued)
         if cmd == "CONFIG":
             return self._config_cmd(rest)
@@ -427,62 +459,130 @@ class _Handler(socketserver.StreamRequestHandler):
             threading.Thread(target=srv.close, daemon=True).start()
             return SimpleString("OK")
 
-        if cmd == "FT.SEARCH" and srv.async_search:
+        if cmd == "FT.SEARCH" and srv.async_search and not self._in_exec:
             # route through the reader pool so concurrent connections'
-            # KNN queries coalesce into one device launch
+            # KNN queries coalesce into one device launch (inside EXEC the
+            # engine lock is held — run inline to avoid self-deadlock)
             fut = engine.ft_search_async(*argv[1:], user=self.user)
             return _ok(fut.result(timeout=srv.search_timeout))
-        result = engine.execute(*argv, user=self.user)
         if cmd in _WRITE_COMMANDS and srv.write_observer is not None:
             # replication stream hook: each replica indexes its own copy
             # of the write stream (docs/topics/search.md "Index
-            # Replication" — index content itself is never replicated)
-            srv.write_observer(argv)
-        return _ok(result)
+            # Replication" — index content itself is never replicated).
+            # Apply + log under the engine lock so the stream order equals
+            # the apply order (the observer appends to an ordered log and
+            # must not block; forwarding happens on a dedicated thread).
+            with engine._lock:
+                result = engine.execute(*argv, user=self.user)
+                srv.write_observer(argv)
+            return _ok(result)
+        return _ok(engine.execute(*argv, user=self.user))
+
+    def _authenticate(self, engine: Engine, user: str, password: str) -> None:
+        """Verify credentials before switching the connection's ACL user.
+
+        The reference delegates authentication to valkey-server; this
+        standalone stack verifies against search.requirepass (default
+        user) or the ACL user's `>password` rules. With no credential
+        store configured, AUTH is refused outright — the per-user
+        key-prefix ACL must not be switchable by an unverified client.
+        """
+        requirepass = str(config.get("search.requirepass"))
+        if user == "default":
+            if not requirepass:
+                raise RespError(
+                    "Client sent AUTH, but no password is set. Did you mean "
+                    "AUTH <username> <password>?"
+                )
+            if password != requirepass:
+                raise RespError(
+                    "invalid username-password pair or user is disabled.",
+                    code="WRONGPASS",
+                )
+        else:
+            try:
+                acl_user = engine.acl.getuser(user)
+            except Exception:
+                acl_user = None
+            if acl_user is None or not acl_user.check_password(password):
+                raise RespError(
+                    "invalid username-password pair or user is disabled.",
+                    code="WRONGPASS",
+                )
+        self.user = user
+        self.authenticated = True
 
     def _exec_multi(self, srv: "RespServer", queued: List[List[bytes]]) -> list:
-        """Apply queued commands atomically under the engine lock; queued
-        keyspace writes land as one ordered mutation group (reference
-        EnqueueMultiMutation, index_schema.cc:834)."""
+        """Execute queued commands strictly in queue order (redis MULTI
+        semantics: a read after a write in the same transaction sees the
+        write). Keyspace writes apply at their queue position but their
+        *index* notifications commit at the end as one ordered mutation
+        group (reference EnqueueMultiMutation, index_schema.cc:834).
+        Writes pass the same cluster slot routing as outside MULTI
+        (srv.key_router → -MOVED) and replicate in apply order."""
         engine = srv.engine
         results: list = []
-        group = engine.multi()
-        flushes: List[tuple] = []  # (position, argv) of non-write commands
-        wrote = False
-        for argv in queued:
-            cmd = _s(argv[0]).upper()
-            if cmd == "HSET" and len(argv) >= 4 and len(argv) % 2 == 0:
-                mapping = {
-                    _s(argv[i]): argv[i + 1] for i in range(2, len(argv), 2)
-                }
-                group.hset(_s(argv[1]), mapping)
-                results.append(len(mapping))
-                wrote = True
-            elif cmd == "DEL" and len(argv) >= 2:
-                for k in argv[1:]:
-                    group.delete(_s(k))
-                results.append(len(argv) - 1)
-                wrote = True
-            else:
-                flushes.append((len(results), argv))
-                results.append(None)
-        if wrote:
-            group.exec()
-            if srv.write_observer is not None:
-                # replicate the transaction's writes in order (the
-                # reference's replicas receive MULTI'd writes through the
-                # same replication stream as plain ones)
+        txn = engine.multi()
+        repl: List[List[bytes]] = []
+        self._in_exec = True
+        try:
+            with engine._lock:
                 for argv in queued:
-                    if _s(argv[0]).upper() in _WRITE_COMMANDS:
+                    cmd = _s(argv[0]).upper()
+                    try:
+                        results.append(
+                            self._exec_one(srv, txn, cmd, argv, repl)
+                        )
+                    except RespError as exc:
+                        results.append(exc)
+                    except OutOfMemoryError as exc:
+                        results.append(RespError(str(exc), code="OOM"))
+                    except Exception as exc:
+                        msg = exc.args[0] if exc.args else str(exc)
+                        results.append(RespError(str(msg)))
+                txn.flush_notifications()
+                if repl and srv.write_observer is not None:
+                    # replicate the transaction's writes in apply order
+                    # through the same ordered stream as plain writes
+                    for argv in repl:
                         srv.write_observer(argv)
-        for pos, argv in flushes:
-            try:
-                results[pos] = _ok(
-                    self._run(srv, _s(argv[0]).upper(), argv)
-                )
-            except Exception as exc:  # transactions report per-command errors
-                results[pos] = RespError(str(exc))
+        finally:
+            self._in_exec = False
         return results
+
+    def _exec_one(self, srv: "RespServer", txn, cmd: str,
+                  argv: List[bytes], repl: List[List[bytes]]):
+        """One queued command inside EXEC (engine lock held)."""
+        engine = srv.engine
+        rest = argv[1:]
+        if cmd == "HSET" and len(rest) >= 3 and len(rest) % 2 == 1:
+            key = _s(rest[0])
+            self._route_key(srv, key)
+            engine._deny_oom()
+            mapping = {
+                _s(rest[i]): rest[i + 1] for i in range(1, len(rest), 2)
+            }
+            added = txn.hset_now(key, mapping)
+            repl.append(argv)
+            return added
+        if cmd == "DEL" and rest:
+            for k in rest:
+                self._route_key(srv, _s(k))
+            n = sum(txn.delete_now(_s(k)) for k in rest)
+            repl.append(argv)
+            return n
+        if cmd == "JSON.SET" and len(rest) == 3:
+            key = _s(rest[0])
+            self._route_key(srv, key)
+            engine._deny_oom()
+            txn.json_set_now(key, _s(rest[1]), rest[2])
+            repl.append(argv)
+            return SimpleString("OK")
+        return _ok(self._run(srv, cmd, argv))
+
+    def _route_key(self, srv: "RespServer", key: str) -> None:
+        if srv.key_router is not None:
+            srv.key_router(key)  # raises -MOVED when this node doesn't own it
 
     def _config_cmd(self, rest: List[bytes]) -> Any:
         if not rest:
@@ -549,8 +649,9 @@ _WRITE_COMMANDS = {
 
 _COMMANDS = [
     "PING", "ECHO", "HELLO", "AUTH", "SELECT", "QUIT", "RESET", "CLIENT",
-    "COMMAND", "DBSIZE", "FLUSHALL", "MULTI", "EXEC", "DISCARD", "CONFIG",
-    "INFO", "HSET", "HGETALL", "DEL", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
+    "COMMAND", "DBSIZE", "FLUSHALL", "FLUSHDB", "MULTI", "EXEC", "DISCARD",
+    "CONFIG", "INFO", "SAVE", "BGSAVE", "SHUTDOWN",
+    "HSET", "HGETALL", "DEL", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
     "JSON.SET", "JSON.GET", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
     "FT.AGGREGATE", "FT.INFO", "FT._LIST", "FT._DEBUG",
 ]
@@ -587,9 +688,14 @@ class RespServer:
         # name → fn(rest_argv: List[bytes]) -> reply; lets the cluster
         # transport (and tests) extend the command surface per server
         self.extra_commands = {}
-        # called with the raw argv after each successful keyspace write
-        # (replication stream hook for the cluster transport)
+        # called with the raw argv after each successful keyspace write,
+        # UNDER the engine lock (replication stream hook for the cluster
+        # transport — must be fast: append to an ordered log, not a send)
         self.write_observer = None
+        # cluster slot routing hook: fn(key) raises -MOVED when this node
+        # doesn't own the key's slot (set by cluster NodeServer; applied
+        # to writes inside MULTI/EXEC too)
+        self.key_router = None
         self.async_search = async_search
         self.search_timeout = search_timeout
         self._server: Optional[_ThreadingTCPServer] = None
