@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as Spec
 
 from valkey_search_tpu.ops import distance as dist_ops
@@ -151,7 +151,7 @@ def sharded_flat_topk(
             Spec(SHARD_AXIS),        # versions
         ),
         out_specs=(Spec(), Spec(), Spec()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(corpus, queries, invalid_arg, filter_arg, shard_versions)
 
@@ -217,7 +217,7 @@ def sharded_hnsw_search(
             Spec(SHARD_AXIS),
         ),
         out_specs=(Spec(), Spec(), Spec()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(tuple(leaves), queries, filter_masks, shard_versions)
 
@@ -256,7 +256,7 @@ def replicated_sharded_flat_topk(
         mesh=mesh,
         in_specs=(Spec(SHARD_AXIS, None), Spec(REPLICA_AXIS, None)),
         out_specs=(Spec(REPLICA_AXIS, None), Spec(REPLICA_AXIS, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(corpus, queries)
 
@@ -291,6 +291,6 @@ def sharded_batch_update(
         mesh=mesh,
         in_specs=(Spec(SHARD_AXIS, None), Spec(), Spec()),
         out_specs=Spec(SHARD_AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(corpus, row_ids, new_vecs)
