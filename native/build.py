@@ -9,7 +9,7 @@ import sys
 
 NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 BUILD_DIR = os.path.join(NATIVE_DIR, "build")
-SOURCES = ["hnsw_builder.cpp", "text_core.cpp"]
+SOURCES = ["hnsw_builder.cpp", "text_core.cpp", "text_index.cpp"]
 LIB_NAME = "libvstpu_native.so"
 
 CXX_FLAGS = [

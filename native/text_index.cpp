@@ -1,0 +1,423 @@
+// Native full-text dictionary: word -> postings (doc -> positions+masks),
+// stem tree, per-doc token store — the ingest/query hot path of the text
+// engine (reference: src/indexes/text/{text_index,posting}.{h,cc} — rax +
+// C++ postings; the Python tier keeps only the radix trees for structure
+// walks, updated from this module's word-birth/death events).
+//
+// Thread-safety: every entry point locks the index mutex; ctypes releases
+// the GIL around calls, so writer threads indexing different engines (or
+// shards) run truly parallel (reference writer pool, P2).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+extern "C" int lexer_tokenize(void* h, const char* text, int len, char* out,
+                              int out_cap);
+
+namespace {
+
+using std::string;
+
+struct Posting {
+  // doc -> (pos, field-mask) pairs; positions collide across fields (each
+  // field's positions restart at 0), so masks OR per (doc, pos).
+  std::unordered_map<int32_t, std::vector<std::pair<int32_t, uint64_t>>> docs;
+  std::unordered_map<int32_t, uint64_t> agg;  // doc -> OR of all masks
+  int64_t position_count = 0;
+
+  void add(int32_t doc, int32_t pos, uint64_t bit) {
+    auto& v = docs[doc];
+    for (auto& pm : v) {
+      if (pm.first == pos) {
+        pm.second |= bit;
+        agg[doc] |= bit;
+        return;
+      }
+    }
+    v.emplace_back(pos, bit);
+    ++position_count;
+    agg[doc] |= bit;
+  }
+
+  // drop one field's contribution for a doc; true if doc fully gone
+  void remove_field(int32_t doc, uint64_t bit) {
+    auto it = docs.find(doc);
+    if (it == docs.end()) return;
+    auto& v = it->second;
+    uint64_t new_agg = 0;
+    size_t w = 0;
+    for (size_t i = 0; i < v.size(); ++i) {
+      uint64_t m = v[i].second & ~bit;
+      if (m) {
+        v[w++] = {v[i].first, m};
+        new_agg |= m;
+      } else {
+        --position_count;
+      }
+    }
+    v.resize(w);
+    if (v.empty()) {
+      docs.erase(it);
+      agg.erase(doc);
+    } else {
+      agg[doc] = new_agg;
+    }
+  }
+
+  bool empty() const { return docs.empty(); }
+};
+
+struct TextIndex {
+  void* lexer = nullptr;  // borrowed lexer handle (lexer_create owner frees)
+  std::mutex mu;
+  std::unordered_map<string, int32_t> word_ids;
+  std::vector<string> word_names;
+  std::vector<std::unique_ptr<Posting>> postings;  // by word id
+  // stem id -> {word id -> refcount}; stems interned in the same table
+  std::unordered_map<int32_t, std::unordered_map<int32_t, int32_t>> stems;
+  // word id -> its stem id (set when first linked; stem(word) is a pure
+  // function so the mapping never changes while the word is alive)
+  std::unordered_map<int32_t, int32_t> stem_of;
+  // (doc << 6 | field bit index) -> token word-ids in position order
+  std::unordered_map<int64_t, std::vector<int32_t>> doc_tokens;
+  std::vector<char> tokbuf;
+
+  // Ids are never recycled: an id may outlive its posting (a dropped
+  // word can still be a live stem, and doc_tokens/stems reference ids) —
+  // the string table grows with the all-time vocabulary, which is modest.
+  int32_t intern(const string& w) {
+    auto it = word_ids.find(w);
+    if (it != word_ids.end()) return it->second;
+    int32_t id = (int32_t)word_names.size();
+    word_names.push_back(w);
+    postings.emplace_back(nullptr);
+    word_ids.emplace(w, id);
+    return id;
+  }
+
+  int32_t lookup(const char* w) const {
+    auto it = word_ids.find(w);
+    return it == word_ids.end() ? -1 : it->second;
+  }
+
+  void stem_link(int32_t stem_id, int32_t word_id, int delta) {
+    auto& bag = stems[stem_id];
+    int32_t n = (bag.count(word_id) ? bag[word_id] : 0) + delta;
+    if (n > 0) {
+      bag[word_id] = n;
+    } else {
+      bag.erase(word_id);
+      if (bag.empty()) stems.erase(stem_id);
+    }
+  }
+};
+
+// event blob writer: '+word\0' new dictionary word, '-word\0' dropped word,
+// first byte is the result code ('A' added / 'M' modified / 'R' removed /
+// 'S' skipped). Returns false when out of space.
+struct EventOut {
+  char* out;
+  int cap;
+  int w = 0;
+  bool put(char tag, const string& word) {
+    int need = 1 + (int)word.size() + 1;
+    if (w + need > cap) return false;
+    out[w++] = tag;
+    std::memcpy(out + w, word.data(), word.size());
+    w += (int)word.size();
+    out[w++] = '\0';
+    return true;
+  }
+  bool code(char c) {
+    if (w + 1 > cap) return false;
+    out[w++] = c;
+    return true;
+  }
+};
+}  // namespace
+
+extern "C" {
+
+void* tix_create(void* lexer) {
+  auto* ix = new TextIndex();
+  ix->lexer = lexer;
+  ix->tokbuf.resize(1 << 16);
+  return ix;
+}
+
+void tix_free(void* h) { delete (TextIndex*)h; }
+
+// Index one field of one document. Tokenizes with the shared lexer,
+// replaces the doc's previous tokens for this field, maintains postings +
+// stem links, and writes the event blob (result code + word birth/death
+// events) into out. Returns bytes written into out, or -1 when out (or the
+// internal token buffer) is too small.
+static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
+                          int nostem, const char* blob, int n, char* out,
+                          int out_cap) {
+  EventOut ev{out, out_cap};
+  const int64_t key = ((int64_t)doc << 6) | bit_index;
+  const bool existed = ix->doc_tokens.count(key) > 0;
+  if (!ev.code(existed ? 'M' : 'A')) return -1;
+
+  // remove previous tokens of this field (including their stem links)
+  {
+    auto it = ix->doc_tokens.find(key);
+    if (it != ix->doc_tokens.end()) {
+      const uint64_t bit = 1ull << bit_index;
+      std::unordered_set<int32_t> uniq(it->second.begin(), it->second.end());
+      if (!nostem) {
+        for (int32_t wid : uniq) {
+          // stems are only linked when stem != word; the link recorded
+          // the interned stem id at index time (stem_of)
+          auto sit = ix->stem_of.find(wid);
+          if (sit != ix->stem_of.end())
+            ix->stem_link(sit->second, wid, -1);
+        }
+      }
+      for (int32_t wid : uniq) {
+        Posting* p = ix->postings[wid].get();
+        if (!p) continue;
+        p->remove_field(doc, bit);
+        if (p->empty()) {
+          if (!ev.put('-', ix->word_names[wid])) return -1;
+          ix->postings[wid] = nullptr;
+        }
+      }
+      ix->doc_tokens.erase(it);
+    }
+  }
+
+  // walk token blob: token '\0' stem '\0' (stem empty when same)
+  const uint64_t bit = 1ull << bit_index;
+  std::vector<int32_t> toks;
+  std::unordered_set<int32_t> linked;
+  const char* p = blob;
+  const char* end = p + n;
+  int32_t pos = 0;
+  while (p < end) {
+    string word(p);
+    p += word.size() + 1;
+    string stem(p);
+    p += stem.size() + 1;
+    int32_t wid = ix->intern(word);
+    if (!ix->postings[wid]) {
+      // word (re)enters the dictionary — Python mirrors it into the
+      // radix/suffix trees on this event
+      ix->postings[wid] = std::make_unique<Posting>();
+      if (!ev.put('+', word)) return -1;
+    }
+    ix->postings[wid]->add(doc, pos, bit);
+    if (!nostem && !stem.empty() && stem != word &&
+        linked.insert(wid).second) {
+      // link once per unique word per call (Python stem_map is a set of
+      // words per stem)
+      int32_t sid = ix->intern(stem);
+      ix->stem_of[wid] = sid;
+      ix->stem_link(sid, wid, +1);
+    }
+    toks.push_back(wid);
+    ++pos;
+  }
+  ix->doc_tokens.emplace(key, std::move(toks));
+  return ev.w;
+}
+
+// Tokenize with the shared lexer (ASCII path), then index.
+int tix_update_field(void* h, int32_t doc, int bit_index, int nostem,
+                     const char* text, int len, char* out, int out_cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  if ((size_t)(len * 2 + 64) > ix->tokbuf.size())
+    ix->tokbuf.resize((size_t)len * 2 + 64);
+  int n = lexer_tokenize(ix->lexer, text, len, ix->tokbuf.data(),
+                         (int)ix->tokbuf.size());
+  if (n < 0) return -1;
+  return tix_index_blob(ix, doc, bit_index, nostem, ix->tokbuf.data(), n,
+                        out, out_cap);
+}
+
+// Index pre-tokenized text (word '\0' stem '\0' pairs) — the non-ASCII
+// fallback where Python runs its own tokenizer with identical semantics.
+int tix_update_field_tokens(void* h, int32_t doc, int bit_index, int nostem,
+                            const char* blob, int blob_len, char* out,
+                            int out_cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  return tix_index_blob(ix, doc, bit_index, nostem, blob, blob_len, out,
+                        out_cap);
+}
+
+int tix_remove_field(void* h, int32_t doc, int bit_index, char* out,
+                     int out_cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  EventOut ev{out, out_cap};
+  const int64_t key = ((int64_t)doc << 6) | bit_index;
+  auto it = ix->doc_tokens.find(key);
+  if (it == ix->doc_tokens.end()) {
+    if (!ev.code('S')) return -1;
+    return ev.w;
+  }
+  if (!ev.code('R')) return -1;
+  const uint64_t bit = 1ull << bit_index;
+  std::unordered_set<int32_t> uniq(it->second.begin(), it->second.end());
+  for (int32_t wid : uniq) {
+    auto sit = ix->stem_of.find(wid);
+    if (sit != ix->stem_of.end()) ix->stem_link(sit->second, wid, -1);
+    Posting* p = ix->postings[wid].get();
+    if (!p) continue;
+    p->remove_field(doc, bit);
+    if (p->empty()) {
+      if (!ev.put('-', ix->word_names[wid])) return -1;
+      ix->postings[wid] = nullptr;
+    }
+  }
+  ix->doc_tokens.erase(it);
+  return ev.w;
+}
+
+// Union of doc ids over words (null-separated blob), filtered by mask.
+// Writes sorted unique ids into out; returns the count, or -(needed) when
+// cap is too small (caller retries with a bigger buffer).
+int64_t tix_docs_union(void* h, const char* words, int n_words, uint64_t mask,
+                       int64_t* out, int64_t cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  std::vector<int64_t> ids;
+  const char* p = words;
+  for (int i = 0; i < n_words; ++i) {
+    string w(p);
+    p += w.size() + 1;
+    auto it = ix->word_ids.find(w);
+    if (it == ix->word_ids.end()) continue;
+    Posting* post = ix->postings[it->second].get();
+    if (!post) continue;
+    for (const auto& [doc, agg] : post->agg)
+      if (agg & mask) ids.push_back(doc);
+  }
+  std::sort(ids.begin(), ids.end());
+  ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+  if ((int64_t)ids.size() > cap) return -(int64_t)ids.size();
+  std::memcpy(out, ids.data(), ids.size() * sizeof(int64_t));
+  return (int64_t)ids.size();
+}
+
+int tix_contains(void* h, const char* word, int32_t doc, uint64_t mask) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  int32_t id = ix->lookup(word);
+  if (id < 0 || !ix->postings[id]) return 0;
+  auto it = ix->postings[id]->agg.find(doc);
+  return it != ix->postings[id]->agg.end() && (it->second & mask) ? 1 : 0;
+}
+
+// Sorted positions of word in doc under mask; returns count or -(needed).
+int tix_positions(void* h, const char* word, int32_t doc, uint64_t mask,
+                  int32_t* out, int cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  int32_t id = ix->lookup(word);
+  if (id < 0 || !ix->postings[id]) return 0;
+  auto it = ix->postings[id]->docs.find(doc);
+  if (it == ix->postings[id]->docs.end()) return 0;
+  std::vector<int32_t> ps;
+  for (const auto& [pos, m] : it->second)
+    if (m & mask) ps.push_back(pos);
+  std::sort(ps.begin(), ps.end());
+  if ((int)ps.size() > cap) return -(int)ps.size();
+  std::memcpy(out, ps.data(), ps.size() * sizeof(int32_t));
+  return (int)ps.size();
+}
+
+int32_t tix_key_count(void* h, const char* word) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  int32_t id = ix->lookup(word);
+  return (id >= 0 && ix->postings[id])
+             ? (int32_t)ix->postings[id]->docs.size()
+             : 0;
+}
+
+int64_t tix_position_count(void* h, const char* word) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  int32_t id = ix->lookup(word);
+  return (id >= 0 && ix->postings[id]) ? ix->postings[id]->position_count : 0;
+}
+
+// Parent words of a stem (the stem tree), null-separated into out.
+int tix_stem_parents(void* h, const char* stem, char* out, int cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  auto sit = ix->word_ids.find(stem);
+  if (sit == ix->word_ids.end()) return 0;
+  auto bag = ix->stems.find(sit->second);
+  if (bag == ix->stems.end()) return 0;
+  int w = 0;
+  for (const auto& [wid, cnt] : bag->second) {
+    (void)cnt;
+    const string& word = ix->word_names[wid];
+    if (w + (int)word.size() + 1 > cap) return -1;
+    std::memcpy(out + w, word.data(), word.size());
+    w += (int)word.size();
+    out[w++] = '\0';
+  }
+  return w;
+}
+
+int32_t tix_doc_count(void* h) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  std::unordered_set<int64_t> docs;
+  for (const auto& [k, v] : ix->doc_tokens) {
+    (void)v;
+    docs.insert(k >> 6);
+  }
+  return (int32_t)docs.size();
+}
+
+int32_t tix_stem_count(void* h) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  return (int32_t)ix->stems.size();
+}
+
+int64_t tix_total_positions(void* h) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  int64_t total = 0;
+  for (const auto& p : ix->postings)
+    if (p) total += p->position_count;
+  return total;
+}
+
+// Rough resident bytes for the memory-accounting INFO pool (reference
+// text_index.h:50-55 MemoryPools / malloc interposition).
+int64_t tix_bytes(void* h) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  int64_t b = 0;
+  for (const auto& up : ix->postings) {
+    if (!up) continue;
+    b += (int64_t)up->docs.size() * 48;
+    b += up->position_count * 16;
+    b += (int64_t)up->agg.size() * 24;
+  }
+  for (const auto& [k, v] : ix->doc_tokens) {
+    (void)k;
+    b += 32 + (int64_t)v.size() * 4;
+  }
+  for (const auto& [k, w] : ix->word_ids) b += 48 + (int64_t)k.size();
+  (void)0;
+  return b;
+}
+
+}  // extern "C"

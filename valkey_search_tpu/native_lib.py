@@ -424,3 +424,189 @@ class NativeLexer:
             (parts[i].decode(), parts[i + 1].decode())
             for i in range(0, len(parts), 2)
         ]
+
+
+class NativeTextIndex:
+    """ctypes wrapper over native/text_index.cpp — dictionary, postings,
+    stem tree, and per-doc token store in C++ (reference: rax + C++
+    postings, src/indexes/text/{text_index,posting}.cc). One call per
+    (doc, field) on ingest; union/positions queries return numpy arrays.
+
+    The wrapper shares the NativeLexer's handle so tokenization happens
+    inside the same C call as the posting update."""
+
+    def __init__(self, native_lexer: "NativeLexer"):
+        self._lexer = native_lexer  # keep alive: C side borrows its handle
+        self._lib = load()
+        if not hasattr(self._lib, "_tix_ready"):
+            L = self._lib
+            L.tix_create.restype = ct.c_void_p
+            L.tix_create.argtypes = [ct.c_void_p]
+            L.tix_free.argtypes = [ct.c_void_p]
+            L.tix_update_field.restype = ct.c_int
+            L.tix_update_field.argtypes = [
+                ct.c_void_p, ct.c_int32, ct.c_int, ct.c_int,
+                ct.c_char_p, ct.c_int, ct.c_char_p, ct.c_int,
+            ]
+            L.tix_update_field_tokens.restype = ct.c_int
+            L.tix_update_field_tokens.argtypes = [
+                ct.c_void_p, ct.c_int32, ct.c_int, ct.c_int,
+                ct.c_char_p, ct.c_int, ct.c_char_p, ct.c_int,
+            ]
+            L.tix_remove_field.restype = ct.c_int
+            L.tix_remove_field.argtypes = [
+                ct.c_void_p, ct.c_int32, ct.c_int, ct.c_char_p, ct.c_int,
+            ]
+            L.tix_docs_union.restype = ct.c_int64
+            L.tix_docs_union.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.c_int, ct.c_uint64,
+                ct.POINTER(ct.c_int64), ct.c_int64,
+            ]
+            L.tix_contains.restype = ct.c_int
+            L.tix_contains.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.c_int32, ct.c_uint64,
+            ]
+            L.tix_positions.restype = ct.c_int
+            L.tix_positions.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.c_int32, ct.c_uint64,
+                ct.POINTER(ct.c_int32), ct.c_int,
+            ]
+            L.tix_key_count.restype = ct.c_int32
+            L.tix_key_count.argtypes = [ct.c_void_p, ct.c_char_p]
+            L.tix_position_count.restype = ct.c_int64
+            L.tix_position_count.argtypes = [ct.c_void_p, ct.c_char_p]
+            L.tix_stem_parents.restype = ct.c_int
+            L.tix_stem_parents.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.c_char_p, ct.c_int,
+            ]
+            L.tix_stem_count.restype = ct.c_int32
+            L.tix_stem_count.argtypes = [ct.c_void_p]
+            L.tix_doc_count.restype = ct.c_int32
+            L.tix_doc_count.argtypes = [ct.c_void_p]
+            L.tix_total_positions.restype = ct.c_int64
+            L.tix_total_positions.argtypes = [ct.c_void_p]
+            L.tix_bytes.restype = ct.c_int64
+            L.tix_bytes.argtypes = [ct.c_void_p]
+            L._tix_ready = True
+        self._h = self._lib.tix_create(native_lexer._h)
+        self._ev = ct.create_string_buffer(1 << 16)
+        self._ids = np.empty(1 << 16, np.int64)
+        self._pos = np.empty(1 << 12, np.int32)
+        self._lock = threading.Lock()
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.tix_free(h)
+            self._h = None
+
+    def _events(self, n: int):
+        raw = self._ev.raw[1:n]
+        code = self._ev.raw[0:1].decode()
+        added, removed = [], []
+        for part in raw.split(b"\x00")[:-1] if raw else []:
+            if part[:1] == b"+":
+                added.append(part[1:].decode())
+            elif part[:1] == b"-":
+                removed.append(part[1:].decode())
+        return code, added, removed
+
+    def update_field(self, doc: int, bit_index: int, no_stem: bool,
+                     text: str):
+        """Returns (code 'A'|'M', new_words, dead_words); None when the
+        text is non-ASCII (caller tokenizes in Python and retries via
+        update_field_tokens)."""
+        if not text.isascii():
+            return None
+        raw = text.encode()
+        with self._lock:
+            while True:
+                n = self._lib.tix_update_field(
+                    self._h, doc, bit_index, int(no_stem), raw, len(raw),
+                    self._ev, len(self._ev),
+                )
+                if n >= 0:
+                    return self._events(n)
+                self._ev = ct.create_string_buffer(len(self._ev) * 4)
+
+    def update_field_tokens(self, doc: int, bit_index: int, no_stem: bool,
+                            pairs):
+        """pairs: [(word, stem_or_empty), ...] from the Python tokenizer."""
+        blob = b"".join(
+            w.encode() + b"\x00" + s.encode() + b"\x00" for w, s in pairs
+        )
+        with self._lock:
+            while True:
+                n = self._lib.tix_update_field_tokens(
+                    self._h, doc, bit_index, int(no_stem), blob, len(blob),
+                    self._ev, len(self._ev),
+                )
+                if n >= 0:
+                    return self._events(n)
+                self._ev = ct.create_string_buffer(len(self._ev) * 4)
+
+    def remove_field(self, doc: int, bit_index: int):
+        with self._lock:
+            while True:
+                n = self._lib.tix_remove_field(
+                    self._h, doc, bit_index, self._ev, len(self._ev)
+                )
+                if n >= 0:
+                    return self._events(n)
+                self._ev = ct.create_string_buffer(len(self._ev) * 4)
+
+    def docs_union(self, words, mask: int) -> np.ndarray:
+        """Sorted unique doc ids where any word matches mask."""
+        blob = b"".join(w.encode() + b"\x00" for w in words)
+        with self._lock:
+            while True:
+                n = self._lib.tix_docs_union(
+                    self._h, blob, len(words), mask & 0xFFFFFFFFFFFFFFFF,
+                    self._ids.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                    len(self._ids),
+                )
+                if n >= 0:
+                    return self._ids[:n].copy()
+                self._ids = np.empty(max(-n, len(self._ids) * 2), np.int64)
+
+    def contains(self, word: str, doc: int, mask: int) -> bool:
+        return bool(self._lib.tix_contains(
+            self._h, word.encode(), doc, mask & 0xFFFFFFFFFFFFFFFF
+        ))
+
+    def positions(self, word: str, doc: int, mask: int):
+        with self._lock:
+            while True:
+                n = self._lib.tix_positions(
+                    self._h, word.encode(), doc, mask & 0xFFFFFFFFFFFFFFFF,
+                    self._pos.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                    len(self._pos),
+                )
+                if n >= 0:
+                    return self._pos[:n].tolist()
+                self._pos = np.empty(max(-n, len(self._pos) * 2), np.int32)
+
+    def key_count(self, word: str) -> int:
+        return int(self._lib.tix_key_count(self._h, word.encode()))
+
+    def position_count(self, word: str) -> int:
+        return int(self._lib.tix_position_count(self._h, word.encode()))
+
+    def stem_parents(self, stem: str):
+        buf = ct.create_string_buffer(1 << 14)
+        n = self._lib.tix_stem_parents(self._h, stem.encode(), buf, len(buf))
+        if n <= 0:
+            return []
+        return [p.decode() for p in buf.raw[:n].split(b"\x00")[:-1]]
+
+    def stem_count(self) -> int:
+        return int(self._lib.tix_stem_count(self._h))
+
+    def doc_count(self) -> int:
+        return int(self._lib.tix_doc_count(self._h))
+
+    def total_positions(self) -> int:
+        return int(self._lib.tix_total_positions(self._h))
+
+    def bytes_used(self) -> int:
+        return int(self._lib.tix_bytes(self._h))

@@ -67,6 +67,11 @@ class SearchResponse:
     partial: bool = False
     predicate: Optional[P.Predicate] = None
     knn: Optional[qparser.KnnClause] = None
+    # schema.mutation_epoch at snapshot time: content resolution skips
+    # per-row re-verification when the epoch is unchanged (reference
+    # PerformKeyContentionCheck compares per-key sequence numbers,
+    # index_schema.cc:1917 — an unchanged epoch proves no key changed)
+    epoch: int = -1
 
 
 def execute_search(schema, sp: SearchParameters, token=None) -> SearchResponse:
@@ -89,6 +94,7 @@ def execute_search(schema, sp: SearchParameters, token=None) -> SearchResponse:
         resp = _search_non_vector(schema, ctx, pred, sp, token)
     resp.predicate = pred
     resp.knn = knn
+    resp.epoch = getattr(schema, "mutation_epoch", -1)
     STATS.sampler("query_execution", 1).observe_usec(
         (time.perf_counter() - t0) * 1e6
     )
@@ -152,6 +158,12 @@ def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
     queries never touch the device — host posting sets are the fetchers;
     device masks exist to fuse predicates into the vector kernels."""
     cap_results = int(config.get("search.max-non-vector-search-results-fetched"))
+    if sp.sortby is None:
+        # LIMIT-aware cap (reference trims to LIMIT x buffer-multiplier
+        # before the main-thread content fetch, search.cc:744-779);
+        # SORTBY needs the full window since sort keys come from content
+        mult = max(1, int(config.get("search.search-result-buffer-multiplier")))
+        cap_results = min(cap_results, (sp.limit_offset + sp.limit_num) * mult)
     docs = sorted(pred.host_ids(ctx))
     total = len(docs)
     docs = docs[:cap_results]

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple, Union
 
 from valkey_search_tpu.query import predicate as P
+from valkey_search_tpu.runtime import config
 from valkey_search_tpu.runtime.metrics import STATS
 from valkey_search_tpu.query.search import (
     Neighbor,
@@ -150,7 +151,7 @@ def _sort_key(value) -> Tuple:
 
 
 def resolve_content(
-    engine, schema, resp: SearchResponse
+    engine, schema, resp: SearchResponse, no_content: bool = False
 ) -> List[Tuple[Neighbor, Optional[Dict[str, Value]]]]:
     """Fetch current document contents and re-verify the predicate, dropping
     keys whose value changed since the snapshot search ran
@@ -164,6 +165,28 @@ def resolve_content(
     ctx = P.EvalContext(schema)
     out = []
     queue = getattr(engine, "_ingestion", None) if engine is not None else None
+    if (
+        resp.epoch >= 0
+        and resp.epoch == getattr(schema, "mutation_epoch", -2)
+        and (queue is None or not queue.pending())
+    ):
+        # nothing mutated since the snapshot: every result key is provably
+        # current (epoch check replaces the reference's per-key sequence
+        # comparison, index_schema.cc:1917) — except passive TTL expiry,
+        # which bumps no epoch until touched, so each key still gets the
+        # lazy-expiry probe. NOCONTENT skips the field fetch.
+        fast: List[Tuple[Neighbor, Optional[Dict[str, Value]]]] = []
+        for nb in resp.neighbors:
+            if engine is not None and engine._expire_if_due(nb.key):
+                continue
+            if engine is not None and not no_content:
+                fields = engine.hgetall(nb.key)
+                if not fields:
+                    continue  # deleted/expired since snapshot
+                fast.append((nb, fields))
+            else:
+                fast.append((nb, None))
+        return fast
     park_deadline = _time.monotonic() + 0.25
     for nb in resp.neighbors:
         if queue is not None and queue.pending_for_key(schema, nb.key):
@@ -193,6 +216,17 @@ def run_ft_search(engine, schema, sp: SearchParameters) -> list:
     from valkey_search_tpu.server import externalizer
 
     resp = execute_search(schema, sp)
+    if resp.knn is None and sp.sortby is None:
+        # trim to LIMIT x buffer-multiplier BEFORE content resolution
+        # (reference SearchResult::TrimResults, search.cc:744-779: the
+        # multiplier leaves headroom for rows dropped by re-verification;
+        # resolving thousands of rows to answer LIMIT 0 10 is the
+        # round-1 text-QPS bottleneck). SORTBY keeps the full window —
+        # sort keys come from document content.
+        mult = max(1, int(config.get("search.search-result-buffer-multiplier")))
+        cap = (sp.limit_offset + sp.limit_num) * mult
+        if len(resp.neighbors) > cap:
+            resp.neighbors = resp.neighbors[:cap]
     if externalizer.index_serves_return_fields(schema, sp, resp):
         # RETURN fields served straight from index state — no keyspace
         # fetch (reference MaybeAddIndexedContent, search.cc:497)
@@ -201,7 +235,7 @@ def run_ft_search(engine, schema, sp: SearchParameters) -> list:
             for nb in resp.neighbors
         ]
     else:
-        rows = resolve_content(engine, schema, resp)
+        rows = resolve_content(engine, schema, resp, no_content=sp.no_content)
         augment_json_sortby(schema, sp, rows)
     return shape_reply(rows, resp, sp)
 

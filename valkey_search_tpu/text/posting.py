@@ -18,11 +18,17 @@ MAX_TEXT_FIELDS = 64  # reference FieldMask is uint64 (posting.h:52)
 
 
 class Postings:
-    __slots__ = ("_docs", "_position_count")
+    __slots__ = ("_docs", "_doc_mask", "_position_count", "_cache")
 
     def __init__(self):
         self._docs: Dict[int, Dict[int, int]] = {}  # doc -> {position -> field mask}
+        # aggregate OR of all position masks per doc: lets docs()/contains()
+        # answer without iterating positions (the query hot path)
+        self._doc_mask: Dict[int, int] = {}
         self._position_count = 0
+        # lazily-built numpy view (sorted doc ids + aggregate masks);
+        # invalidated on mutation — the vectorized query fast path
+        self._cache = None
 
     def is_empty(self) -> bool:
         return not self._docs
@@ -41,6 +47,8 @@ class Postings:
             self._position_count += 1
         else:
             pm[position] = prev | field_bit
+        self._doc_mask[doc] = self._doc_mask.get(doc, 0) | field_bit
+        self._cache = None
 
     def remove_field(self, doc: int, field_bit: int) -> None:
         """Drop one field's positions for a doc (re-index of that field)."""
@@ -48,10 +56,12 @@ class Postings:
         if pm is None:
             return
         dead = []
+        agg = 0
         for pos, mask in pm.items():
             mask &= ~field_bit
             if mask:
                 pm[pos] = mask
+                agg |= mask
             else:
                 dead.append(pos)
         for pos in dead:
@@ -59,26 +69,50 @@ class Postings:
             self._position_count -= 1
         if not pm:
             del self._docs[doc]
+            del self._doc_mask[doc]
+        else:
+            self._doc_mask[doc] = agg
+        self._cache = None
 
     def remove_doc(self, doc: int) -> None:
         pm = self._docs.pop(doc, None)
         if pm:
             self._position_count -= len(pm)
+            self._doc_mask.pop(doc, None)
+            self._cache = None
+
+    def arrays(self):
+        """(doc_ids int64[], agg_masks int64[]) — built lazily, cached until
+        the next mutation. The vectorized replacement for per-position
+        Python iteration on the query path."""
+        import numpy as np
+
+        c = self._cache
+        if c is None:
+            ids = np.fromiter(self._doc_mask.keys(), np.int64,
+                              len(self._doc_mask))
+            masks = np.fromiter(self._doc_mask.values(), np.int64,
+                                len(self._doc_mask))
+            c = self._cache = (ids, masks)
+        return c
+
+    def docs_array(self, field_mask: int = ~0):
+        """Doc ids (unsorted) where the word appears in any field of
+        field_mask, as a numpy int64 array."""
+        ids, masks = self.arrays()
+        if field_mask == ~0 or not len(ids):
+            return ids
+        return ids[(masks & field_mask) != 0]
 
     def docs(self, field_mask: int = ~0) -> Iterator[int]:
         """Docs where this word appears in any field of field_mask
         (KeyIterator.ContainsFields, posting.h:118)."""
-        for doc, pm in self._docs.items():
-            for mask in pm.values():
-                if mask & field_mask:
-                    yield doc
-                    break
+        for doc, mask in self._doc_mask.items():
+            if mask & field_mask:
+                yield doc
 
     def contains(self, doc: int, field_mask: int = ~0) -> bool:
-        pm = self._docs.get(doc)
-        if pm is None:
-            return False
-        return any(mask & field_mask for mask in pm.values())
+        return bool(self._doc_mask.get(doc, 0) & field_mask)
 
     def positions(self, doc: int, field_mask: int = ~0) -> List[int]:
         """Sorted positions of this word in doc restricted to field_mask."""

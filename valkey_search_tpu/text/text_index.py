@@ -64,6 +64,38 @@ class FieldInfo:
         return 1 << self.bit_index
 
 
+class _NativePosting:
+    """Postings view over the native index for one word — same read API as
+    posting.Postings; mutation happens inside native update/remove calls."""
+
+    __slots__ = ("_nt", "_word")
+
+    def __init__(self, nt, word: str):
+        self._nt = nt
+        self._word = word
+
+    def key_count(self) -> int:
+        return self._nt.key_count(self._word)
+
+    def position_count(self) -> int:
+        return self._nt.position_count(self._word)
+
+    def is_empty(self) -> bool:
+        return self.key_count() == 0
+
+    def docs_array(self, field_mask: int = ~0):
+        return self._nt.docs_union([self._word], field_mask)
+
+    def docs(self, field_mask: int = ~0):
+        return iter(self.docs_array(field_mask).tolist())
+
+    def contains(self, doc: int, field_mask: int = ~0) -> bool:
+        return self._nt.contains(self._word, doc, field_mask)
+
+    def positions(self, doc: int, field_mask: int = ~0) -> List[int]:
+        return self._nt.positions(self._word, doc, field_mask)
+
+
 class TextEngine:
     """One per IndexSchema; owns the dictionary shared by all TEXT fields."""
 
@@ -85,12 +117,66 @@ class TextEngine:
             min_stem_size=self.options.min_stem_size,
         )
         self.fields: Dict[str, FieldInfo] = {}
-        self.dictionary = RadixTree()          # word -> Postings
+        self.dictionary = RadixTree()          # word -> Postings (walks)
+        # O(1) exact-lookup mirror of the dictionary: the radix tree serves
+        # structure walks (prefix/fuzzy/count); per-token get/insert on the
+        # ingest hot path goes through a plain dict (reference: rax lookup
+        # is O(len) C — a Python char-walk is ~7us/token, the dict ~60ns)
+        self._words: Dict[str, Postings] = {}
         self.suffix = RadixTree()              # reversed word -> set(words)
-        self.stems = RadixTree()               # stem -> {word: refcount}
+        self._stems: Dict[str, Dict[str, int]] = {}  # stem -> {word: refcount}
         self._doc_tokens: Dict[int, Dict[str, List[str]]] = {}  # doc -> alias -> tokens
         self._lock = threading.RLock()
         self.revision = 0
+        # cross-query matcher cache: (kind, term, field) -> sorted doc-id
+        # numpy array, valid for the revision it was built at (reference
+        # analog: none — rax walks are cheap in C; here wildcard expansion
+        # + posting unions are the 1-core hot path, so repeated matchers
+        # must not re-walk the tree)
+        self._matcher_cache: Dict[tuple, tuple] = {}
+        self._matcher_cache_cap = 512
+        # native C++ dictionary/postings/stems (native/text_index.cpp):
+        # one C call per (doc, field) on ingest, numpy unions on query.
+        # None -> pure-Python structures (identical semantics).
+        self._nt = self._make_native()
+
+    def _make_native(self):
+        try:
+            native = self.lexer._native_lexer()
+            if native is None:
+                return None
+            from valkey_search_tpu.native_lib import NativeTextIndex
+
+            return NativeTextIndex(native)
+        except Exception:
+            return None
+
+    def _apply_word_events(self, added, removed) -> None:
+        """Mirror native word birth/death into the Python radix/suffix
+        trees (which serve prefix/fuzzy/suffix walks)."""
+        if not added and not removed:
+            return
+        any_suffix = self._any_suffix_trie()
+        for word in added:
+            p = _NativePosting(self._nt, word)
+            self._words[word] = p
+            self.dictionary.insert(word, p)
+            if any_suffix:
+                rev = word[::-1]
+                bag = self.suffix.get(rev)
+                if bag is None:
+                    self.suffix.insert(rev, {word})
+                else:
+                    bag.add(word)
+        for word in removed:
+            self._words.pop(word, None)
+            self.dictionary.remove(word)
+            rev = word[::-1]
+            bag = self.suffix.get(rev)
+            if bag is not None:
+                bag.discard(word)
+                if not bag:
+                    self.suffix.remove(rev)
 
     # -- field registry --------------------------------------------------------
     def register_field(
@@ -135,6 +221,23 @@ class TextEngine:
         engine lock — the atomic-commit equivalent of CommitKeyData)."""
         fi = self.fields[alias]
         doc = self.schema.interner.intern(key)
+        if self._nt is not None:
+            with self._lock:
+                self.revision += 1
+                res = self._nt.update_field(doc, fi.bit_index, fi.no_stem, text)
+                if res is None:  # non-ASCII: tokenize in Python, index in C
+                    pairs = []
+                    for w in self.lexer.tokenize(
+                        text, stemming_enabled=not fi.no_stem
+                    ):
+                        st = "" if fi.no_stem else self.lexer.stem(w)
+                        pairs.append((w, "" if st == w else st))
+                    res = self._nt.update_field_tokens(
+                        doc, fi.bit_index, fi.no_stem, pairs
+                    )
+                code, added, removed = res
+                self._apply_word_events(added, removed)
+            return RecordResult.MODIFIED if code == "M" else RecordResult.ADDED
         stem_map: Dict[str, Set[str]] = {}
         tokens = self.lexer.tokenize(
             text, stemming_enabled=not fi.no_stem, stem_map=stem_map
@@ -155,6 +258,14 @@ class TextEngine:
         doc = self.schema.interner.lookup(key)
         if doc is None:
             return RecordResult.SKIPPED
+        if self._nt is not None:
+            fi = self.fields[alias]
+            with self._lock:
+                self.revision += 1
+                code, _added, removed = self._nt.remove_field(doc, fi.bit_index)
+                self._apply_word_events([], removed)
+            return (RecordResult.REMOVED if code == "R"
+                    else RecordResult.SKIPPED)
         with self._lock:
             self.revision += 1
             if alias not in self._doc_tokens.get(doc, {}):
@@ -165,9 +276,10 @@ class TextEngine:
             return RecordResult.REMOVED
 
     def _index_word(self, word: str, doc: int, pos: int, fi: FieldInfo) -> None:
-        postings = self.dictionary.get(word)
+        postings = self._words.get(word)
         if postings is None:
             postings = Postings()
+            self._words[word] = postings
             self.dictionary.insert(word, postings)
             if self._any_suffix_trie():
                 rev = word[::-1]
@@ -184,7 +296,7 @@ class TextEngine:
         if not old:
             return
         for word in set(old):
-            postings = self.dictionary.get(word)
+            postings = self._words.get(word)
             if postings is None:
                 continue
             postings.remove_field(doc, fi.bit)
@@ -197,6 +309,7 @@ class TextEngine:
                     self._stem_link(st, word, -1)
 
     def _drop_word(self, word: str) -> None:
+        self._words.pop(word, None)
         self.dictionary.remove(word)
         rev = word[::-1]
         bag = self.suffix.get(rev)
@@ -206,19 +319,19 @@ class TextEngine:
                 self.suffix.remove(rev)
 
     def _stem_link(self, st: str, word: str, delta: int) -> None:
-        bag = self.stems.get(st)
+        bag = self._stems.get(st)
         if bag is None:
             if delta <= 0:
                 return
             bag = {}
-            self.stems.insert(st, bag)
+            self._stems[st] = bag
         n = bag.get(word, 0) + delta
         if n > 0:
             bag[word] = n
         else:
             bag.pop(word, None)
             if not bag:
-                self.stems.remove(st)
+                del self._stems[st]
 
     # -- matcher resolution ------------------------------------------------------
     def expand_words(self, pred) -> List[str]:
@@ -276,17 +389,20 @@ class TextEngine:
         word, st = self.lexer.query_term(term, stemming_enabled=not no_stem)
         if self.lexer.is_stop_word(word):
             return []
-        words = {word} if word in self.dictionary else set()
+        words = {word} if word in self._words else set()
         if not no_stem:
             # run ~ running ~ runs: the query stem's parent words, plus the
             # stem itself if indexed (reference stem tree, text_index.h).
-            bag = self.stems.get(st)
-            if bag:
-                words.update(bag.keys())
-            if st in self.dictionary:
+            if self._nt is not None:
+                words.update(self._nt.stem_parents(st))
+            else:
+                bag = self._stems.get(st)
+                if bag:
+                    words.update(bag.keys())
+            if st in self._words:
                 words.add(st)
             # query word may itself be a parent of the stem of indexed words
-            if st != word and word in self.dictionary:
+            if st != word and word in self._words:
                 words.add(word)
         return sorted(words)
 
@@ -309,6 +425,17 @@ class TextEngine:
         document rules: 'office#home' == "office home"); escaped punctuation
         stays in-word (r'degree\\%cold' matches the single indexed token
         'degree%cold'), mirroring ingest-side escape handling."""
+        cached = getattr(pred, "_effective_cache", None)
+        if cached is not None and cached[0] is self:
+            return cached[1]
+        eff = self._effective_uncached(pred)
+        try:
+            pred._effective_cache = (self, eff)
+        except AttributeError:
+            pass
+        return eff
+
+    def _effective_uncached(self, pred):
         import dataclasses as _dc
 
         if pred.match == "term":
@@ -324,7 +451,7 @@ class TextEngine:
         return pred
 
     def fetch_ids(self, pred) -> EntriesFetcher:
-        return EntriesFetcher(sorted(self._doc_set(self._effective(pred))))
+        return EntriesFetcher(self._doc_ids_sorted(self._effective(pred)))
 
     def estimate(self, pred) -> int:
         pred = self._effective(pred)
@@ -348,19 +475,53 @@ class TextEngine:
         return total
 
     def _postings_count(self, word: str, mask: int = ALL_FIELDS_MASK) -> int:
-        p = self.dictionary.get(word)
+        p = self._words.get(word)
         return p.key_count() if p is not None else 0
 
     def _doc_set(self, pred) -> Set[int]:
         mask = self.field_mask(pred.field)
         if pred.match == "phrase":
             return self._phrase_docs(pred, mask)
-        docs: Set[int] = set()
-        for w in self.expand_words(pred):
-            p = self.dictionary.get(w)
-            if p is not None:
-                docs.update(p.docs(mask))
-        return docs
+        return set(self._doc_ids_sorted(pred).tolist())
+
+    def _doc_ids_sorted(self, pred) -> "np.ndarray":
+        """Sorted unique doc-id array for one matcher — the vectorized
+        union over expanded words, memoized across queries per engine
+        revision (wide wildcard expansions dominate the 1-core text QPS;
+        re-walking the tree per query or per result row is the round-1
+        127-qps prefix bottleneck)."""
+        if pred.match == "phrase":
+            mask = self.field_mask(pred.field)
+            return np.fromiter(
+                sorted(self._phrase_docs(pred, mask)), np.int64
+            )
+        key = (pred.match, pred.term, pred.field,
+               getattr(pred, "distance", 0))
+        with self._lock:
+            hit = self._matcher_cache.get(key)
+            if hit is not None and hit[0] == self.revision:
+                return hit[1]
+        mask = self.field_mask(pred.field)
+        words = self.expand_words(pred)
+        if self._nt is not None:
+            ids = self._nt.docs_union(words, mask)  # one C call, sorted
+        else:
+            arrays = []
+            for w in words:
+                p = self._words.get(w)
+                if p is not None:
+                    a = p.docs_array(mask)
+                    if len(a):
+                        arrays.append(a)
+            if arrays:
+                ids = np.unique(np.concatenate(arrays))
+            else:
+                ids = np.empty(0, np.int64)
+        with self._lock:
+            if len(self._matcher_cache) >= self._matcher_cache_cap:
+                self._matcher_cache.clear()  # revision-keyed: safe to drop
+            self._matcher_cache[key] = (self.revision, ids)
+        return ids
 
     def _phrase_docs(self, pred, mask: int) -> Set[int]:
         groups = self._phrase_word_groups(pred)
@@ -371,7 +532,7 @@ class TextEngine:
         for g in groups:
             docs: Set[int] = set()
             for w in g:
-                p = self.dictionary.get(w)
+                p = self._words.get(w)
                 if p is not None:
                     docs.update(p.docs(mask))
             cand = docs if cand is None else (cand & docs)
@@ -408,7 +569,7 @@ class TextEngine:
         for g in groups:
             merged: Set[int] = set()
             for w in g:
-                p = self.dictionary.get(w)
+                p = self._words.get(w)
                 if p is not None:
                     merged.update(p.positions(doc, mask))
             if not merged:
@@ -447,28 +608,30 @@ class TextEngine:
     def doc_matches(self, pred, doc: int) -> bool:
         orig = pred
         pred = self._effective(pred)
-        mask = self.field_mask(pred.field)
         if pred.match != "phrase":
             # Content re-verification calls this once per result row
             # (reference ProcessNeighborsForReply re-evaluates the
             # predicate per key); re-expanding a prefix/fuzzy pattern over
             # the radix tree per row turns wide prefixes into O(rows *
-            # expansion) — memoize the matching doc set per (engine
-            # revision, predicate) instead.
+            # expansion) — memoize the sorted doc-id array per (engine
+            # revision, predicate) and answer by binary search.
             cache = getattr(orig, "_docset_cache", None)
             if cache is None or cache[0] is not self or cache[1] != self.revision:
-                cache = (self, self.revision, self._doc_set(pred))
+                cache = (self, self.revision, self._doc_ids_sorted(pred))
                 try:
                     orig._docset_cache = cache
                 except AttributeError:
-                    return doc in cache[2]
-            return doc in cache[2]
+                    pass
+            ids = cache[2]
+            i = int(np.searchsorted(ids, doc))
+            return i < len(ids) and int(ids[i]) == doc
+        mask = self.field_mask(pred.field)
         groups = self._phrase_word_groups(pred)
         if not groups:
             return False
         for g in groups:
             if not any(
-                (p := self.dictionary.get(w)) is not None
+                (p := self._words.get(w)) is not None
                 and p.contains(doc, mask)
                 for w in g
             ):
@@ -485,19 +648,20 @@ class TextEngine:
         import jax.numpy as jnp
 
         host = np.zeros(cap, bool)
-        for doc in self._doc_set(self._effective(pred)):
-            if doc < cap:
-                host[doc] = True
+        ids = self._doc_ids_sorted(self._effective(pred))
+        host[ids[ids < cap]] = True
         return jnp.asarray(host)
 
     # -- stats -------------------------------------------------------------------
     def stats(self) -> Dict[str, int]:
         with self._lock:
             return {
-                "distinct_words": len(self.dictionary),
+                "distinct_words": len(self._words),
                 "suffix_entries": len(self.suffix),
-                "stem_entries": len(self.stems),
-                "docs_with_text": len(self._doc_tokens),
+                "stem_entries": (self._nt.stem_count() if self._nt is not None
+                                 else len(self._stems)),
+                "docs_with_text": (self._nt.doc_count() if self._nt is not None
+                                   else len(self._doc_tokens)),
             }
 
 
