@@ -21,8 +21,11 @@
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <memory>
+#include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -71,6 +74,27 @@ using MaxHeap =
     std::priority_queue<std::pair<float, int32_t>,
                         std::vector<std::pair<float, int32_t>>, PairGreater>;
 
+// Reusable visited set with epoch stamps: search_layer used to allocate
+// (and zero) a cap-sized byte array per call — at 100k+ nodes that memset
+// dominates insert cost. One buffer per thread, O(1) reset per search
+// (hnswlib's VisitedListPool plays the same role, visited_list_pool.h).
+struct VisitedBuf {
+  std::vector<uint32_t> stamp;
+  uint32_t epoch = 0;
+  void begin(size_t cap) {
+    if (stamp.size() < cap) stamp.resize(cap, 0);
+    if (++epoch == 0) {
+      std::fill(stamp.begin(), stamp.end(), 0u);
+      epoch = 1;
+    }
+  }
+  bool test_set(int32_t i) {
+    if (stamp[i] == epoch) return true;
+    stamp[i] = epoch;
+    return false;
+  }
+};
+
 // ---------------------------------------------------------------------------
 // index
 // ---------------------------------------------------------------------------
@@ -106,11 +130,36 @@ struct HnswIndex {
   std::vector<uint8_t> dirty_flag;
   bool upper_dirty = false;
 
+  // -- concurrency (multi-threaded batch insert, reference hnswlib
+  //    per-label link locks hnswalg.h:1260-1270) ---------------------------
+  static constexpr int kStripes = 2048;
+  std::unique_ptr<std::mutex[]> stripes =
+      std::make_unique<std::mutex[]>(kStripes);
+  std::mutex& stripe(int32_t n) { return stripes[n & (kStripes - 1)]; }
+  std::mutex entry_mu;   // entry/max_level updates
+  std::mutex dirty_mu;   // dirty_list appends (uncontended single-thread)
+  VisitedBuf vb_main;    // visited buffer for single-threaded callers
+
   void mark_dirty(int32_t n) {
+    std::lock_guard<std::mutex> g(dirty_mu);
     if ((size_t)n < dirty_flag.size() && !dirty_flag[n]) {
       dirty_flag[n] = 1;
       dirty_list.push_back(n);
     }
+  }
+
+  // copy a node's adjacency row into buf; under the stripe lock when
+  // `locked` (concurrent build mutates rows in place)
+  int copy_links(int32_t n, int level, int32_t* buf, bool locked) {
+    if (locked) {
+      std::lock_guard<std::mutex> g(stripe(n));
+      const int deg = degree(n, level);
+      std::memcpy(buf, links_at(n, level), sizeof(int32_t) * deg);
+      return deg;
+    }
+    const int deg = degree(n, level);
+    std::memcpy(buf, links_at(n, level), sizeof(int32_t) * deg);
+    return deg;
   }
 
   const float* vec(int32_t n) const { return vectors.data() + (size_t)n * dim; }
@@ -173,27 +222,30 @@ struct HnswIndex {
   // Greedy descent at one level: move to the best-improving neighbor until
   // local minimum (reference hnswalg.h searchKnn upper-layer loop).
   int32_t greedy_descend(const float* q, int32_t start, int level,
-                         float* out_d) {
+                         float* out_d, bool locked = false) {
     int32_t cur = start;
     float cur_d = dist(q, vec(cur));
-    ++dist_comps;
+    uint64_t dc = 1, hp = 0;
+    int32_t lbuf[512];
     bool changed = true;
     while (changed) {
       changed = false;
-      const int32_t* l = links_at(cur, level);
-      const int deg = degree(cur, level);
+      const int deg = copy_links(cur, level, lbuf, locked);
+      for (int i = 0; i < deg; ++i) __builtin_prefetch(vec(lbuf[i]));
       for (int i = 0; i < deg; ++i) {
-        const int32_t nb = l[i];
+        const int32_t nb = lbuf[i];
         const float d = dist(q, vec(nb));
-        ++dist_comps;
+        ++dc;
         if (d < cur_d) {
           cur_d = d;
           cur = nb;
           changed = true;
         }
       }
-      ++hops;
+      ++hp;
     }
+    dist_comps += dc;  // batched: one (racy-in-mt, instrumentation-only)
+    hops += hp;        // update per walk instead of per edge
     *out_d = cur_d;
     return cur;
   }
@@ -202,14 +254,18 @@ struct HnswIndex {
   // searchBaseLayerST). Returns a max-heap of up to ef (dist, node).
   // skip_deleted: exclude tombstoned nodes from results (still traversed).
   MaxHeap search_layer(const float* q, int32_t entry_node, int level, int ef,
-                       bool skip_deleted) {
+                       bool skip_deleted, VisitedBuf* vbp = nullptr,
+                       bool locked = false) {
     MaxHeap top;       // results, bounded ef
     MinHeap cands;     // expansion frontier
-    std::vector<uint8_t> visited(cap, 0);
+    VisitedBuf& vb = vbp ? *vbp : vb_main;
+    vb.begin(cap);
+    uint64_t dc = 0, hp = 0;
+    int32_t lbuf[512];
 
     const float d0 = dist(q, vec(entry_node));
-    ++dist_comps;
-    visited[entry_node] = 1;
+    ++dc;
+    vb.test_set(entry_node);
     float lower_bound;
     if (!skip_deleted || !deleted[entry_node]) {
       top.emplace(d0, entry_node);
@@ -223,15 +279,15 @@ struct HnswIndex {
       auto [cd, cn] = cands.top();
       if (cd > lower_bound && top.size() >= (size_t)ef) break;
       cands.pop();
-      ++hops;
-      const int32_t* l = links_at(cn, level);
-      const int deg = degree(cn, level);
-      for (int i = 0; i < deg; ++i) {
-        const int32_t nb = l[i];
-        if (visited[nb]) continue;
-        visited[nb] = 1;
+      ++hp;
+      const int deg = copy_links(cn, level, lbuf, locked);
+      for (int i = 0; i < deg; ++i)  // hide DRAM latency on the random
+        __builtin_prefetch(vec(lbuf[i]));  // vector reads (hnswlib does
+      for (int i = 0; i < deg; ++i) {      // the same with _mm_prefetch)
+        const int32_t nb = lbuf[i];
+        if (nb < 0 || vb.test_set(nb)) continue;
         const float d = dist(q, vec(nb));
-        ++dist_comps;
+        ++dc;
         if (top.size() < (size_t)ef || d < lower_bound) {
           cands.emplace(d, nb);
           if (!skip_deleted || !deleted[nb]) {
@@ -242,6 +298,8 @@ struct HnswIndex {
         }
       }
     }
+    dist_comps += dc;
+    hops += hp;
     return top;
   }
 
@@ -267,12 +325,22 @@ struct HnswIndex {
     }
   }
 
-  void connect(int32_t node, int level, const std::vector<int32_t>& nbrs) {
-    set_links(node, level, nbrs);
+  void connect(int32_t node, int level, const std::vector<int32_t>& nbrs,
+               bool locked = false) {
+    if (locked) {
+      std::lock_guard<std::mutex> g(stripe(node));
+      set_links(node, level, nbrs);
+    } else {
+      set_links(node, level, nbrs);
+    }
     const int capd = degree_cap(level);
     std::vector<std::pair<float, int32_t>> merged;
     std::vector<int32_t> pruned;
     for (int32_t nb : nbrs) {
+      // per-neighbor critical section (one stripe at a time — no nested
+      // locks, so no deadlock): append or overflow-re-select in place
+      std::unique_lock<std::mutex> g;
+      if (locked) g = std::unique_lock<std::mutex>(stripe(nb));
       int32_t* l = links_at(nb, level);
       int deg = degree(nb, level);
       if (deg < capd) {
@@ -425,6 +493,97 @@ struct HnswIndex {
     return node;
   }
 
+  // One preassigned node's insertion under the concurrent-build protocol:
+  // adjacency reads/writes go through the stripe locks, entry/max_level
+  // through entry_mu (reference: thread-safe addPoint with per-label
+  // locks + global lock, hnswalg.h:1260-1270).
+  void insert_prepared(int32_t node, VisitedBuf* vb) {
+    const float* v = vec(node);
+    const int level = levels[node];
+    int32_t cur;
+    int start_level;
+    {
+      std::lock_guard<std::mutex> g(entry_mu);
+      cur = entry;
+      start_level = max_level;
+    }
+    if (cur < 0 || cur == node) return;  // seeded first node
+
+    if (level < start_level) {
+      float cd;
+      for (int lc = start_level; lc > level; --lc)
+        cur = greedy_descend(v, cur, lc, &cd, /*locked=*/true);
+    }
+    for (int lc = std::min(level, start_level); lc >= 0; --lc) {
+      MaxHeap top = search_layer(v, cur, lc, ef_construction,
+                                 /*skip_deleted=*/false, vb,
+                                 /*locked=*/true);
+      std::vector<std::pair<float, int32_t>> cands;
+      while (!top.empty()) {
+        cands.push_back(top.top());
+        top.pop();
+      }
+      std::vector<int32_t> sel;
+      select_neighbors(cands, M, &sel);
+      connect(node, lc, sel, /*locked=*/true);
+      if (!sel.empty()) cur = sel[0];
+    }
+    {
+      std::lock_guard<std::mutex> g(entry_mu);
+      if (level > max_level) {
+        max_level = level;
+        entry = node;
+        upper_dirty = true;
+      }
+    }
+  }
+
+  // Parallel batch insert: slots, vectors, and levels are assigned
+  // up-front under a single thread (capacity grows once — no relocation
+  // races), then n_threads workers drain the batch concurrently.
+  void add_batch_mt(const float* vecs, int32_t n, int n_threads,
+                    int32_t* out_nodes) {
+    ensure_cap((size_t)count + (size_t)n, 10240);
+    const int32_t start = count;
+    for (int32_t i = 0; i < n; ++i) {
+      const int32_t node = start + i;
+      std::memcpy(vectors.data() + (size_t)node * dim, vecs + (size_t)i * dim,
+                  sizeof(float) * dim);
+      const int level = random_level();
+      levels[node] = level;
+      if (level > 0) upper[node].assign((size_t)level * M, -1);
+      mark_dirty(node);
+      if (out_nodes) out_nodes[i] = node;
+    }
+    count += n;
+    int32_t first = 0;
+    if (entry < 0) {  // seed the graph with the batch's first node
+      entry = start;
+      max_level = levels[start];
+      upper_dirty = true;
+      first = 1;
+    }
+    if (n - first <= 0) return;
+    n_threads = std::max(1, n_threads);
+    std::atomic<int32_t> next{first};
+    auto worker = [&]() {
+      VisitedBuf vb;
+      for (;;) {
+        const int32_t i = next.fetch_add(1);
+        if (i >= n) break;
+        insert_prepared(start + i, &vb);
+      }
+    };
+    if (n_threads == 1) {
+      worker();
+    } else {
+      std::vector<std::thread> ts;
+      ts.reserve(n_threads);
+      for (int t = 0; t < n_threads; ++t) ts.emplace_back(worker);
+      for (auto& t : ts) t.join();
+    }
+  }
+
   // Bulk construction from a device-built pruned KNN graph (vectorized
   // M2 path, SURVEY.md §7): the TPU computes every node's exact top-k
   // neighbors and runs the select heuristic across all nodes in
@@ -571,6 +730,11 @@ void hnsw_free(void* p) { delete (HnswIndex*)p; }
 
 int32_t hnsw_add(void* p, const float* vec) {
   return ((HnswIndex*)p)->add(vec);
+}
+
+void hnsw_add_batch_mt(void* p, const float* vecs, int32_t n, int n_threads,
+                       int32_t* out_nodes) {
+  ((HnswIndex*)p)->add_batch_mt(vecs, n, n_threads, out_nodes);
 }
 
 void hnsw_add_batch(void* p, const float* vecs, int32_t n, int32_t* out_nodes) {

@@ -137,3 +137,62 @@ def test_device_seeded_build_matches_host_quality(rng):
         assert idx_d.builder.count == n + 1
     finally:
         config.set_config("search.hnsw-build-mode", "auto")
+
+
+def test_concurrent_batch_build_matches_single_thread_quality():
+    """4-thread build (oversubscribed on this 1-core box — the point is
+    the locking protocol, not wall-clock) must produce a graph of the
+    same search quality as the sequential build (reference: thread-safe
+    addPoint with per-label locks, hnswalg.h:1260-1270)."""
+    import numpy as np
+
+    from valkey_search_tpu.native_lib import HnswBuilder
+
+    rng = np.random.default_rng(11)
+    n, d = 6000, 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((100, d)).astype(np.float32)
+    gt = []
+    for q in queries:
+        dd = ((corpus - q) ** 2).sum(1)
+        gt.append(set(np.argpartition(dd, 10)[:10].tolist()))
+
+    def recall(b):
+        hits = 0
+        for i, q in enumerate(queries):
+            _, ids = b.search(q, 10, ef=80)
+            hits += len(set(ids.tolist()) & gt[i])
+        return hits / (10 * len(queries))
+
+    b1 = HnswBuilder(dim=d, m=16, ef_construction=80, seed=3)
+    b1.add_batch(corpus, threads=1)
+    b4 = HnswBuilder(dim=d, m=16, ef_construction=80, seed=3)
+    b4.add_batch(corpus, threads=4)
+    r1, r4 = recall(b1), recall(b4)
+    assert b4.count == n
+    assert r4 >= r1 - 0.03, (r1, r4)
+    # graph structurally sane: every node reachable enough to be found
+    _, ids = b4.search(corpus[123], 1, ef=50)
+    assert ids[0] == 123
+
+
+def test_concurrent_incremental_batches():
+    """MT batches interleaved with single inserts and deletes stay
+    consistent (mirrors the writer-pool usage pattern)."""
+    import numpy as np
+
+    from valkey_search_tpu.native_lib import HnswBuilder
+
+    rng = np.random.default_rng(12)
+    d = 16
+    b = HnswBuilder(dim=d, m=8, ef_construction=40, seed=5)
+    a = rng.standard_normal((500, d)).astype(np.float32)
+    b.add_batch(a, threads=3)
+    for v in rng.standard_normal((20, d)).astype(np.float32):
+        b.add(v)
+    c = rng.standard_normal((500, d)).astype(np.float32)
+    b.add_batch(c, threads=3)
+    assert b.count == 1020
+    b.mark_deleted(7, True)
+    _, ids = b.search(a[7], 3, ef=40)
+    assert 7 not in ids.tolist()

@@ -163,7 +163,12 @@ class HnswVectorIndex(VectorIndexBase):
                 else:
                     nodes = self._add_batch_device_seeded(ins)
             else:
-                nodes = self.builder.add_batch(ins)
+                threads = int(config.get("search.native-build-threads"))
+                if threads == 0:
+                    import os as _os
+
+                    threads = _os.cpu_count() or 1
+                nodes = self.builder.add_batch(ins, threads=threads)
             self.store.ensure_capacity(int(nodes.max()) + 1)
             self._ensure_node_arrays()
             st = self.store

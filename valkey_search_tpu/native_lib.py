@@ -65,6 +65,10 @@ def load() -> ct.CDLL:
             ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int32,
             ct.POINTER(ct.c_int32),
         ]
+        lib.hnsw_add_batch_mt.argtypes = [
+            ct.c_void_p, ct.POINTER(ct.c_float), ct.c_int32, ct.c_int,
+            ct.POINTER(ct.c_int32),
+        ]
         lib.hnsw_mark_deleted.argtypes = [ct.c_void_p, ct.c_int32, ct.c_int]
         lib.hnsw_search.restype = ct.c_int
         lib.hnsw_search.argtypes = [
@@ -165,13 +169,23 @@ class HnswBuilder:
         with self._lock:
             return int(self._lib.hnsw_add(self._h, _fptr(vec)))
 
-    def add_batch(self, vecs: np.ndarray) -> np.ndarray:
+    def add_batch(self, vecs: np.ndarray, threads: int = 1) -> np.ndarray:
+        """Batch insert. threads > 1 builds concurrently (per-node striped
+        locks + global entry lock — reference thread-safe addPoint,
+        hnswalg.h:1260-1270); the C call releases the GIL, so worker
+        threads scale on real cores."""
         vecs = np.ascontiguousarray(vecs, np.float32)
         out = np.empty(vecs.shape[0], np.int32)
         with self._lock:
-            self._lib.hnsw_add_batch(
-                self._h, _fptr(vecs), vecs.shape[0], _iptr(out)
-            )
+            if threads > 1:
+                self._lib.hnsw_add_batch_mt(
+                    self._h, _fptr(vecs), vecs.shape[0], int(threads),
+                    _iptr(out)
+                )
+            else:
+                self._lib.hnsw_add_batch(
+                    self._h, _fptr(vecs), vecs.shape[0], _iptr(out)
+                )
         return out
 
     def add_batch_seeded(self, vecs: np.ndarray,

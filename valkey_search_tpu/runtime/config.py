@@ -186,6 +186,10 @@ _enum("search.scan-kernel", "auto", ["auto", "pallas", "xla"])
 _bool("search.skip-corrupted-internal-update-entries", False)
 REGISTRY.register(Entry("search.checkpoint-path", "", "", "string"))
 _enum("search.hnsw-build-mode", "auto", ["auto", "device", "host"])
+# host-build worker threads (reference writer pool builds HNSW
+# concurrently, valkey_search.cc:1165-1168 + per-label locks
+# hnswalg.h:1260-1270); 0 = one per physical core
+_num("search.native-build-threads", 1, 0, 256)
 _num("search.hnsw-build-batch", 4096, lo=256, hi=65536)
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for
 # the coarse pass (exact fp32 rescore of 4k candidates restores recall:
