@@ -870,6 +870,24 @@ int hnsw_search(void* p, const float* q, int k, int ef, int32_t* out_ids,
 }
 
 int32_t hnsw_count(void* p) { return ((HnswIndex*)p)->count; }
+
+// Resident bytes of the builder's graph state (vectors + links + aux) for
+// the engine's memory accounting (reference counts every module byte via
+// malloc interposition, vmsdk memory_allocation_overrides.h).
+int64_t hnsw_bytes(void* p) {
+  auto* ix = (HnswIndex*)p;
+  int64_t b = 0;
+  b += (int64_t)ix->vectors.capacity() * sizeof(float);
+  b += (int64_t)ix->links0.capacity() * sizeof(int32_t);
+  b += (int64_t)ix->nlinks0.capacity() * sizeof(int32_t);
+  b += (int64_t)ix->levels.capacity() * sizeof(int32_t);
+  b += (int64_t)ix->deleted.capacity();
+  b += (int64_t)ix->dirty_flag.capacity();
+  b += (int64_t)ix->dirty_list.capacity() * sizeof(int32_t);
+  for (const auto& u : ix->upper)
+    b += (int64_t)u.capacity() * sizeof(int32_t) + (u.empty() ? 0 : 24);
+  return b;
+}
 int32_t hnsw_entry(void* p) { return ((HnswIndex*)p)->entry; }
 int hnsw_max_level(void* p) { return ((HnswIndex*)p)->max_level; }
 uint64_t hnsw_dist_comps(void* p) { return ((HnswIndex*)p)->dist_comps; }

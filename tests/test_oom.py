@@ -57,3 +57,45 @@ def test_unlimited_by_default():
     e = Engine()
     assert int(config.get("search.max-memory-bytes")) == 0
     e.hset("x", {"f": "v"})  # no cap, no error
+
+
+def test_text_dominated_memory_counted():
+    """Round-1 gap: text postings/trees were invisible to the OOM gauge.
+    A text-heavy corpus must move the gauge and trip DENYOOM."""
+    e = Engine()
+    e.execute("FT.CREATE", "txt", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "body", "TEXT")
+    base = e.used_memory_bytes()
+    for i in range(300):
+        e.hset(f"k:{i}", {"body": " ".join(f"word{i}x{j}" for j in range(30))})
+    used = e.used_memory_bytes()
+    pools = e.memory_pools()
+    assert pools["text"] > 0
+    # text must dominate this workload's growth
+    assert pools["text"] > (used - base) * 0.3
+    config.set_config("search.max-memory-bytes", max(1, used - 1))
+    with pytest.raises(OutOfMemoryError):
+        e.hset("k:new", {"body": "straw camel back"})
+    schema = e.manager.get("txt")
+    assert schema.paused_by_oom
+    # OOM pause releases after the cap is raised (pause/resume cycle)
+    config.set_config("search.max-memory-bytes", used * 10)
+    e.hset("k:new", {"body": "fits again"})
+    assert not schema.paused_by_oom
+
+
+def test_memory_pools_in_info():
+    e = Engine()
+    e.execute("FT.CREATE", "p", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG", "n", "NUMERIC")
+    e.hset("k:1", {"t": "x,y", "n": "4"})
+    info = e.info(include_dev=True)
+    # INFO renders SI-bytes strings ("426B", "1.2KiB"); presence + raw
+    # pool values are the contract
+    for pool in ("vector", "tag", "numeric", "text", "interner",
+                 "keyspace"):
+        assert f"search_memory_pool_{pool}_bytes" in info
+    pools = e.memory_pools()
+    assert pools["tag"] > 0 and pools["numeric"] > 0
+    assert pools["keyspace"] > 0
+    assert e.used_memory_bytes() == sum(pools.values())

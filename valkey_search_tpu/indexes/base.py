@@ -23,6 +23,10 @@ class RecordResult(enum.Enum):
                               # (Redisearch compat: index_schema.cc:729)
 
 
+_SET_ENTRY_BYTES = 32   # rough CPython set-slot cost per int element
+_DICT_ENTRY_BYTES = 72  # rough CPython dict-entry cost (key+value+slot)
+
+
 class EntriesFetcher:
     """Iterator over the internal ids matching one predicate leaf.
 
@@ -65,6 +69,13 @@ class IndexBase:
 
     def tracked_keys(self) -> Set[str]:
         raise NotImplementedError
+
+    def memory_bytes(self) -> int:
+        """Rough resident bytes of this index's host structures (the
+        engine's DENYOOM accounting — reference counts every module byte
+        through malloc interposition, memory_allocation_overrides.h;
+        here each structure self-reports an estimate)."""
+        return 0
 
     def tracks(self, key: str) -> bool:
         """O(1) membership (hot write path: tracked_keys() copies)."""

@@ -60,6 +60,17 @@ class NumericIndex(IndexBase):
         self._lock = threading.RLock()
         self.epoch = 0
 
+    def memory_bytes(self) -> int:
+        with self._lock:
+            b = self._column.nbytes + 72 * (
+                len(self._values) + len(self._tracked) + len(self._untracked)
+            )
+            if self._sorted is not None:
+                b += self._sorted.nbytes
+            if self._sorted_docs is not None:
+                b += self._sorted_docs.nbytes
+            return b
+
     # -- mutation ------------------------------------------------------------
     def add_record(self, key: str, value) -> RecordResult:
         v = _parse_number(value)

@@ -67,6 +67,16 @@ class TagIndex(IndexBase):
         self._sorted_cache: Optional[List[str]] = None
         self.epoch = 0
 
+    def memory_bytes(self) -> int:
+        with self._lock:
+            b = 0
+            for tag, docs in self._postings.items():
+                b += 64 + len(tag) + 32 * len(docs)
+            for _doc, tags in self._doc_tags.items():
+                b += 64 + 48 * len(tags)
+            b += 72 * (len(self._tracked) + len(self._untracked))
+            return b
+
     # -- mutation ------------------------------------------------------------
     def add_record(self, key: str, value: str) -> RecordResult:
         # hash values arrive as raw bytes over the wire; tags are text

@@ -96,6 +96,11 @@ class HostVectorStore:
     def capacity(self) -> int:
         return self.vectors.shape[0]
 
+    def memory_bytes(self) -> int:
+        return (self.vectors.nbytes + self.norms_sq.nbytes
+                + self.magnitudes.nbytes + self.present.nbytes
+                + 32 * len(self._dirty))
+
     def ensure_capacity(self, needed: int) -> None:
         with self._lock:
             if needed <= self.capacity:
@@ -231,6 +236,16 @@ class HostVectorStore:
 
 
 class VectorIndexBase(IndexBase):
+    def memory_bytes(self) -> int:
+        b = self.store.memory_bytes() + 72 * len(getattr(self, '_tracked', ()))
+        nd = getattr(self, '_node_doc', None)
+        if nd is not None and hasattr(nd, 'nbytes'):
+            b += nd.nbytes
+        builder = getattr(self, 'builder', None)
+        if builder is not None:
+            b += builder.memory_bytes()  # native graph (hnsw_bytes)
+        return b
+
     """Common add/remove/modify plumbing for flat and HNSW vector indexes."""
 
     mutation_weight = 10.0  # vectors dominate ingest cost (index_base.h weight)

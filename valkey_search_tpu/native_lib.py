@@ -80,6 +80,8 @@ def load() -> ct.CDLL:
             getattr(lib, name).argtypes = [ct.c_void_p]
         lib.hnsw_max_level.restype = ct.c_int
         lib.hnsw_max_level.argtypes = [ct.c_void_p]
+        lib.hnsw_bytes.restype = ct.c_int64
+        lib.hnsw_bytes.argtypes = [ct.c_void_p]
         for name in ("hnsw_dist_comps", "hnsw_hops"):
             getattr(lib, name).restype = ct.c_uint64
             getattr(lib, name).argtypes = [ct.c_void_p]
@@ -299,6 +301,9 @@ class HnswBuilder:
     @property
     def dist_comps(self) -> int:
         return int(self._lib.hnsw_dist_comps(self._h))
+
+    def memory_bytes(self) -> int:
+        return int(self._lib.hnsw_bytes(self._h))
 
     # -- graph export for device upload / checkpoint -------------------------
     def export_uppers(self):

@@ -206,6 +206,17 @@ def register_engine_fields(engine, registry: InfoRegistry) -> None:
         ),
         si_bytes=True,
     )
+    # per-subsystem memory pools (reference text_index.h:50-55 MemoryPools
+    # + the malloc-interposition used-memory gauge)
+    R.field("search_used_memory_bytes",
+            lambda: engine.used_memory_bytes(), si_bytes=True)
+    for _pool in ("vector", "tag", "numeric", "text", "interner",
+                  "keyspace"):
+        R.field(
+            f"search_memory_pool_{_pool}_bytes",
+            (lambda p: lambda: engine.memory_pools().get(p, 0))(_pool),
+            si_bytes=True,
+        )
     R.field(
         "search_backfills_in_progress",
         lambda: sum(

@@ -267,6 +267,27 @@ class IndexSchema:
     def doc_keys(self, docs: Sequence[int]) -> List[Optional[str]]:
         return [self.interner.key_of(int(d)) for d in docs]
 
+    def memory_pools(self) -> Dict[str, int]:
+        """Per-subsystem resident bytes (reference text_index.h:50-55
+        MemoryPools + malloc-interposition accounting): vector stores +
+        graphs, tag/numeric structures, text dictionary/postings/trees,
+        and the key interner."""
+        pools = {"vector": 0, "tag": 0, "numeric": 0, "text": 0,
+                 "interner": 0}
+        with self._lock:
+            for a in self.attributes.values():
+                if a.kind in ("HNSW", "FLAT"):
+                    pools["vector"] += a.index.memory_bytes()
+                elif a.kind == "TAG":
+                    pools["tag"] += a.index.memory_bytes()
+                elif a.kind == "NUMERIC":
+                    pools["numeric"] += a.index.memory_bytes()
+            eng = getattr(self, "text_engine", None)
+            if eng is not None:
+                pools["text"] = eng.bytes_used()
+            pools["interner"] = self.interner.memory_bytes()
+        return pools
+
     def stats(self) -> Dict[str, object]:
         with self._lock:
             return {

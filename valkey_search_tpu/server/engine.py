@@ -50,25 +50,52 @@ class Engine:
         self._expiry: Dict[str, float] = {}  # key → unix deadline
 
     # ------------------------------------------------------------------ data
-    def used_memory_bytes(self) -> int:
-        """Approximate engine footprint: device vector stores + keyspace
-        payloads (reference counts every module byte through malloc
-        interposition, memory_allocation_overrides.h; here the two
-        dominating pools are summed)."""
-        total = 0
+    def memory_pools(self) -> Dict[str, int]:
+        """Per-subsystem resident bytes (reference malloc interposition
+        counts every module byte, memory_allocation_overrides.h, plus
+        per-text-component MemoryPools, text_index.h:50-55): every index
+        structure self-reports, the keyspace is walked."""
+        pools = {"vector": 0, "tag": 0, "numeric": 0, "text": 0,
+                 "interner": 0, "keyspace": 0}
         for schema in self.manager.all_schemas():
-            for a in schema.vector_attributes():
-                total += a.index.store.vectors.nbytes
+            for name, b in schema.memory_pools().items():
+                pools[name] = pools.get(name, 0) + b
+        ks = 0
         with self._lock:
             for key, fields in self.keyspace.items():
-                total += len(key)
+                ks += 64 + len(key)
                 for f, v in fields.items():
-                    total += len(f) + (len(v) if isinstance(v, (str, bytes)) else 8)
+                    ks += 72 + len(f) + (
+                        len(v) if isinstance(v, (str, bytes)) else 8
+                    )
+        pools["keyspace"] = ks
+        return pools
+
+    def used_memory_bytes(self) -> int:
+        """Total engine footprint across every pool — the DENYOOM gauge.
+        Round-1 counted only vector stores + keyspace, so the OOM guard
+        under-fired exactly when text/graph structures dominated."""
+        total = sum(self.memory_pools().values())
+        self._mem_cached = total
+        self._mem_writes_since = 0
         return total
+
+    def _used_memory_cached(self, cap: int) -> int:
+        """Memory gauge for the per-write OOM gate: a full pool walk per
+        HSET would be O(engine); recompute when the last reading is
+        anywhere near the cap (>= cap/2) or every 256 writes, else trust
+        the cached value (the reference's interposition counter is O(1)
+        by construction — this is the amortized equivalent)."""
+        cached = getattr(self, "_mem_cached", None)
+        writes = getattr(self, "_mem_writes_since", 0) + 1
+        self._mem_writes_since = writes
+        if cached is None or cached >= cap // 2 or writes >= 256:
+            return self.used_memory_bytes()
+        return cached
 
     def _deny_oom(self) -> None:
         cap = int(config.get("search.max-memory-bytes"))
-        if cap and self.used_memory_bytes() >= cap:
+        if cap and self._used_memory_cached(cap) >= cap:
             STATS.incr("oom_rejections")
             for schema in self.manager.all_schemas():
                 schema.paused_by_oom = True

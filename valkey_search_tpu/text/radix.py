@@ -32,6 +32,19 @@ class RadixTree:
     def __init__(self):
         self._root = _Node()
 
+    def memory_bytes(self) -> int:
+        """Rough resident bytes (nodes + edge labels) for the engine's
+        memory accounting."""
+        total = 0
+        stack = [self._root]
+        while stack:
+            node = stack.pop()
+            total += 120  # node object + children dict overhead
+            for _first, (label, child) in node.children.items():
+                total += 60 + 2 * len(label)
+                stack.append(child)
+        return total
+
     def __len__(self) -> int:
         return self._root.count
 

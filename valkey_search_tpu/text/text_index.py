@@ -652,6 +652,24 @@ class TextEngine:
         host[ids[ids < cap]] = True
         return jnp.asarray(host)
 
+    def bytes_used(self) -> int:
+        """Resident bytes of the text structures (dictionary/postings/
+        stems from the native index when present, else a Python-side
+        estimate) + the radix trees — the text MemoryPool of the engine's
+        accounting (reference text_index.h:50-55 MemoryPools)."""
+        with self._lock:
+            b = self.dictionary.memory_bytes() + self.suffix.memory_bytes()
+            if self._nt is not None:
+                return b + self._nt.bytes_used()
+            for word, p in self._words.items():
+                b += 80 + 2 * len(word)
+                b += 72 * p.key_count() + 24 * p.position_count()
+            for st, bag in self._stems.items():
+                b += 80 + 2 * len(st) + 72 * len(bag)
+            for _doc, fields in self._doc_tokens.items():
+                b += 64 + sum(64 + 8 * len(t) for t in fields.values())
+            return b
+
     # -- stats -------------------------------------------------------------------
     def stats(self) -> Dict[str, int]:
         with self._lock:

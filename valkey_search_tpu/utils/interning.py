@@ -26,6 +26,12 @@ class KeyInterner:
         self._lock = threading.RLock()
         self.epoch = 0  # bumped per id-space change (valid-mask cache key)
 
+    def memory_bytes(self) -> int:
+        with self._lock:
+            return sum(
+                120 + 2 * len(k) for k in self._key_to_id
+            ) + 8 * len(self._id_to_key)
+
     def intern(self, key: str) -> int:
         """Return the doc id for key, allocating one if new."""
         with self._lock:
