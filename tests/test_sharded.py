@@ -111,3 +111,107 @@ def test_sharded_two_stage_matches_exact(rng):
     # tiny shards: coarse covers everything → identical ids
     assert np.array_equal(np.asarray(ie), np.asarray(it))
     assert np.allclose(np.asarray(de), np.asarray(dt), atol=1e-4)
+
+
+def test_mesh_version_mismatch_retries_then_converges(rng):
+    """Divergent shard versions must trip the mesh consistency check and
+    retry against a fresh snapshot (reference: FAILED_PRECONDITION on
+    fingerprint mismatch -> coordinator retry, server.h:60-65)."""
+    mesh = pm.make_mesh(8)
+    corpus = jnp.asarray(rng.standard_normal((8 * 256, 16)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    calls = {"n": 0}
+
+    def snapshot():
+        calls["n"] += 1
+        if calls["n"] == 1:  # shard 5 lags one version behind
+            versions = jnp.asarray([2, 2, 2, 2, 2, 1, 2, 2], jnp.int32)
+        else:  # converged on refresh
+            versions = jnp.full(8, 2, jnp.int32)
+        return corpus, versions, None
+
+    d, i, partial = pm.consistent_sharded_topk(mesh, snapshot, q, k=5)
+    assert calls["n"] == 2 and not partial
+    dd = ((np.asarray(q)[:, None, :] - np.asarray(corpus)[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(i), np.argsort(dd, 1)[:, :5])
+
+
+def test_mesh_version_mismatch_exhausts_retries(rng):
+    mesh = pm.make_mesh(4)
+    corpus = jnp.asarray(rng.standard_normal((4 * 128, 8)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+
+    def snapshot():  # never converges
+        return corpus, jnp.asarray([1, 2, 1, 1], jnp.int32), None
+
+    with pytest.raises(pm.MeshConsistencyError, match="did not converge"):
+        pm.consistent_sharded_topk(mesh, snapshot, q, k=3, max_retries=3)
+
+
+def test_mesh_killed_shard_partial_results(rng):
+    """A dead shard's rows drop out of the merge; partial_ok returns the
+    surviving shards' results flagged partial, first-error policy raises
+    (reference fanout.cc:177-221)."""
+    mesh = pm.make_mesh(8)
+    n, d_dim = 8 * 256, 16
+    corpus_np = rng.standard_normal((n, d_dim)).astype(np.float32)
+    q_np = corpus_np[:4] + 0.01  # queries near shard-0 rows
+    corpus = jnp.asarray(corpus_np)
+    q = jnp.asarray(q_np)
+
+    def snapshot():
+        return corpus, jnp.full(8, 7, jnp.int32), None
+
+    # shard 0 dead: its rows (the true nearest) must not appear
+    d, i, partial = pm.consistent_sharded_topk(
+        mesh, snapshot, q, k=5, partial_ok=True, dead_shards=[0],
+    )
+    assert partial
+    rows = n // 8
+    ids = np.asarray(i)
+    assert (ids >= rows).all(), "dead shard's rows leaked into results"
+    # exact check vs brute force over the surviving shards
+    dd = ((q_np[:, None, :] - corpus_np[None]) ** 2).sum(-1)
+    dd[:, :rows] = np.inf
+    np.testing.assert_array_equal(ids, np.argsort(dd, 1)[:, :5])
+
+    with pytest.raises(pm.MeshConsistencyError, match="partial results"):
+        pm.consistent_sharded_topk(
+            mesh, snapshot, q, k=5, partial_ok=False, dead_shards=[0],
+        )
+
+
+@pytest.mark.slow
+def test_mesh_large_sharded_tier(rng):
+    """Wide-corpus tier on the 8-device virtual mesh: 1M rows x 32d
+    sharded, mismatch injection + killed shard against the same data
+    (VERDICT r1 #4 scale story; real 10M+ runs ride the TPU bench)."""
+    mesh = pm.make_mesh(8)
+    n, d_dim = 1 << 20, 32
+    corpus_np = rng.standard_normal((n, d_dim)).astype(np.float32)
+    corpus = jnp.asarray(corpus_np)
+    q_np = rng.standard_normal((8, d_dim)).astype(np.float32)
+    q = jnp.asarray(q_np)
+    calls = {"n": 0}
+
+    def snapshot():
+        calls["n"] += 1
+        v = np.full(8, 3, np.int32)
+        if calls["n"] == 1:
+            v[3] = 2  # stale shard on the first attempt
+        return corpus, jnp.asarray(v), None
+
+    d, i, partial = pm.consistent_sharded_topk(mesh, snapshot, q, k=10)
+    assert calls["n"] == 2 and not partial
+    dd = ((q_np[:, None, :] - corpus_np[None]) ** 2).sum(-1)
+    want = np.argsort(dd, 1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+    d2, i2, partial2 = pm.consistent_sharded_topk(
+        mesh, snapshot, q, k=10, partial_ok=True, dead_shards=[1, 6],
+    )
+    assert partial2
+    rows = n // 8
+    ids2 = np.asarray(i2)
+    for s in (1, 6):
+        assert not (((ids2 >= s * rows) & (ids2 < (s + 1) * rows)).any())

@@ -16,6 +16,7 @@ import pytest
 
 from valkey_search_tpu.cluster.transport import (
     ClusterClient,
+    ConsistencyError,
     NodeServer,
     ReplyError,
     RespConnection,
@@ -643,3 +644,182 @@ def test_replica_full_sync_during_write_storm():
         primary.close()
         pc.close()
         wc.close()
+
+
+# ---------------------------------------------------------------------------
+# Cluster failure drills (VERDICT r1 #9; reference fanout.cc:177-221
+# partial-results policy, integration/test_fanout_base.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_node_kill_mid_fanout_partial_results():
+    """A REAL process kill (SIGKILL, not a controlled variable) mid-query:
+    with partial results enabled the fanout returns the surviving shards'
+    rows; without it the query surfaces the failure."""
+    import signal
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs, ports = [], []
+    try:
+        ranges = assign_slot_ranges(3)
+        for i in range(3):
+            p = subprocess.Popen(
+                [sys.executable, "-m", "valkey_search_tpu.cluster.transport",
+                 "--node-id", f"f{i}", "--port", "0",
+                 "--slots", f"{ranges[i][0]}:{ranges[i][1]}"],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                env=env, text=True,
+            )
+            procs.append(p)
+            line = p.stdout.readline().strip()
+            assert line.startswith("READY "), line
+            ports.append(int(line.split()[1]))
+        client = ClusterClient([f"127.0.0.1:{pt}" for pt in ports])
+        assert client.execute(
+            "FT.CREATE", "idx", "ON", "HASH", "SCHEMA", "tags", "TAG",
+        ) == "OK"
+        for i in range(60):
+            client.execute("HSET", f"fk{i}", "tags", "x")
+        total = client.execute("FT.SEARCH", "idx", "@tags:{x}", "NOCONTENT")[0]
+        assert total == 60
+
+        procs[2].send_signal(signal.SIGKILL)
+        procs[2].wait(timeout=10)
+
+        config.set_config("search.enable-partial-results", "yes")
+        try:
+            reply = client.execute("FT.SEARCH", "idx", "@tags:{x}", "NOCONTENT")
+            # partial: the two surviving shards' docs only
+            assert 0 < reply[0] < 60
+        finally:
+            config.set_config("search.enable-partial-results", "no")
+        with pytest.raises((ReplyError, OSError, EOFError, ConsistencyError)):
+            client.execute("FT.SEARCH", "idx", "@tags:{x}", "NOCONTENT")
+        client.close()
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+def test_slot_migration_moved_during_write_storm():
+    """Reshard n0's whole range to n1 while writers hammer its keys: the
+    drained node answers -MOVED, writers follow the redirect (client
+    refreshes its slot map), and no write is lost across the handoff."""
+    import threading as _t
+
+    from valkey_search_tpu.cluster.node import key_slot
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    n0 = NodeServer("m0", port=0).start()
+    n1 = NodeServer("m1", port=0).start()
+    half = 8192
+    n0.slots = (0, half)
+    n1.slots = (half, 16384)
+    n0._peer_slots[f"127.0.0.1:{n1.port}"] = (half, 16384)
+    n1._peer_slots[f"127.0.0.1:{n0.port}"] = (0, half)
+    client = ClusterClient([f"127.0.0.1:{n0.port}", f"127.0.0.1:{n1.port}"])
+    try:
+        client.execute("FT.CREATE", "mig", "ON", "HASH", "SCHEMA", "t", "TAG")
+        # keys owned by n0 before the migration
+        mig_keys = [k for k in (f"migk{i}" for i in range(4000))
+                    if key_slot(k) < half][:120]
+        assert len(mig_keys) >= 60
+        stop = _t.Event()
+        errors: list = []
+        written: list = []
+
+        def writer(keys):
+            i = 0
+            while not stop.is_set():
+                k = keys[i % len(keys)]
+                try:
+                    client.execute("HSET", k, "t", f"v{i}")
+                    written.append((k, f"v{i}"))
+                except Exception as exc:  # no write may fail permanently
+                    errors.append(exc)
+                i += 1
+
+        t = _t.Thread(target=writer, args=(mig_keys,))
+        moved0 = STATS.get("moved_redirects")
+        t.start()
+        time.sleep(0.15)
+        # --- reshard. Handoff order matters: flip ownership FIRST (the
+        # old owner freezes — every new write answers -MOVED and lands on
+        # n1), THEN copy the frozen keyspace without clobbering keys the
+        # redirected writers already re-wrote on n1 (same
+        # stale-snapshot-overwrite hazard as replica full sync).
+        n1.slots = (0, 16384)
+        n0.slots = (16384, 16384)  # drained: owns nothing
+        n0._peer_slots[f"127.0.0.1:{n1.port}"] = (0, 16384)
+        n1._peer_slots.pop(f"127.0.0.1:{n0.port}", None)
+        with n0.engine._lock:
+            snapshot = {k: dict(v) for k, v in n0.engine.keyspace.items()}
+        for k, fields in snapshot.items():
+            with n1.engine._lock:
+                if k not in n1.engine.keyspace:
+                    n1.engine.hset(k, fields)
+        time.sleep(0.3)  # storm continues against the new owner
+        stop.set()
+        t.join()
+        assert not errors, errors[:3]
+        assert STATS.get("moved_redirects") > moved0  # redirects happened
+        # the last write per key landed on the new owner
+        last = {}
+        for k, v in written:
+            last[k] = v
+        missing = [
+            k for k, v in list(last.items())[:60]
+            if _txt(n1.engine.hgetall(k).get("t", b"")) != v
+        ]
+        assert not missing, missing[:5]
+        client.close()
+    finally:
+        n0.close()
+        n1.close()
+
+
+def test_replica_failover_promotion():
+    """Kill the primary; the replica — whose engine indexed its own copy
+    of the write stream — is promoted and serves reads AND writes for
+    the slot range with no data loss."""
+    primary = NodeServer("fp", port=0).start()
+    pc = RespConnection(("127.0.0.1", primary.port))
+    pc.cmd("FT.CREATE", "fo", "ON", "HASH", "SCHEMA", "t", "TAG")
+    for i in range(50):
+        pc.cmd("HSET", f"fok{i}", "t", "alive")
+    replica = NodeServer("fr", port=0, gossip_interval_s=0.05).start()
+    replica.become_replica_of(f"127.0.0.1:{primary.port}")
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline and (
+            "fo" not in replica.engine.ft_list()
+            or len(replica.engine.keyspace) < 50
+        ):
+            time.sleep(0.02)
+        assert len(replica.engine.keyspace) == 50
+
+        # hard failover: primary dies
+        primary.close()
+        replica.promote_to_primary()
+
+        rc = RespConnection(("127.0.0.1", replica.port))
+        # promoted node serves reads with the full dataset...
+        reply = rc.cmd("FT.SEARCH", "fo", "@t:{alive}", "NOCONTENT")
+        assert reply[0] == 50
+        # ...and accepts writes for its slots
+        rc.cmd("HSET", "fok_new", "t", "alive")
+        reply = rc.cmd("FT.SEARCH", "fo", "@t:{alive}", "NOCONTENT")
+        assert reply[0] == 51
+        rc.close()
+    finally:
+        replica.close()
+        pc.close()

@@ -290,6 +290,24 @@ class NodeServer:
     def port(self) -> int:
         return self.resp.port
 
+    def promote_to_primary(self, dead_peer: str = "") -> None:
+        """Failover: this replica keeps serving its slot range as the new
+        primary. Its engine already holds the full dataset (each replica
+        indexes its own copy of the write stream — index content is never
+        replicated, docs/topics/search.md \"Index Replication\"), so
+        promotion is a control-plane change: stop gossiping to the dead
+        primary and accept writes (slot ownership was adopted at
+        become_replica_of time)."""
+        if dead_peer:
+            self.peers = [p for p in self.peers if p != dead_peer]
+            self._peer_slots.pop(dead_peer, None)
+            conn = self._peer_conns.pop(dead_peer, None)
+            if conn is not None:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+
     def become_replica_of(self, primary_addr: str) -> None:
         """Attach to a primary: adopt its slots, gossip with it, and
         receive an initial full sync + the ongoing write stream."""
@@ -786,6 +804,31 @@ class ClusterClient:
         raise ConsistencyError(f"slot {slot} unowned")
 
     # -- keyspace ----------------------------------------------------------------
+    def _keyspace_cmd(self, key: str, *argv):
+        """Slot-routed command following -MOVED redirects (valkey cluster
+        client semantics: a redirect means ownership moved — refresh the
+        slot map and retry against the answering owner)."""
+        for _attempt in range(4):
+            try:
+                return self._conn_for_key(key).cmd(*argv)
+            except ReplyError as exc:
+                if exc.code != "MOVED":
+                    raise
+                STATS.incr("moved_redirects")
+                # -MOVED <slot> <host:port>: prefer the named owner, else
+                # re-snapshot ownership from every node
+                parts = str(exc).split()
+                target = parts[2] if len(parts) >= 3 else ""
+                if ":" in target and not target.startswith("unknown"):
+                    host, port_s = target.rsplit(":", 1)
+                    for i, c in enumerate(self.conns):
+                        if c.addr == (host, int(port_s)):
+                            lo, hi, _nid = c.cmd("_SLOTS.GET")
+                            self.slot_ranges[i] = (int(lo), int(hi))
+                            break
+                self.refresh_slots()
+        return self._conn_for_key(key).cmd(*argv)
+
     def execute(self, *argv):
         """Slot-routed single-key commands + cluster FT.* dispatch."""
         cmd = _s(argv[0]).upper()
@@ -793,9 +836,9 @@ class ClusterClient:
                    "EXPIRE", "PEXPIRE", "TTL", "PERSIST"):
             if cmd == "DEL" and len(argv) > 2:
                 return sum(
-                    self._conn_for_key(_s(k)).cmd("DEL", k) for k in argv[1:]
+                    self._keyspace_cmd(_s(k), "DEL", k) for k in argv[1:]
                 )
-            return self._conn_for_key(_s(argv[1])).cmd(*argv)
+            return self._keyspace_cmd(_s(argv[1]), *argv)
         if cmd == "FT.CREATE":
             return self.ft_create(*argv[1:])
         if cmd == "FT.DROPINDEX":

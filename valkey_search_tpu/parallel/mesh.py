@@ -294,3 +294,77 @@ def sharded_batch_update(
         check_vma=False,
     )
     return jax.jit(fn)(corpus, row_ids, new_vecs)
+
+
+class MeshConsistencyError(RuntimeError):
+    """Shard versions disagreed on every attempt (the mesh analog of the
+    coordinator giving up on FAILED_PRECONDITION retries)."""
+
+
+def consistent_sharded_topk(
+    mesh: Mesh,
+    snapshot_fn,
+    queries: jnp.ndarray,
+    k: int,
+    metric: str = "l2",
+    max_retries: int = 3,
+    partial_ok: bool = False,
+    dead_shards=None,
+):
+    """Sharded exact top-k with the coordinator's consistency protocol.
+
+    ``snapshot_fn() -> (corpus, shard_versions, invalid_or_None)`` supplies
+    a (possibly refreshed) snapshot per attempt. The device program returns
+    the (min, max) shard-version pair over ICI; min != max is the mesh
+    analog of the reference's per-RPC fingerprint check
+    (FAILED_PRECONDITION, server.h:60-65) and triggers a retry against a
+    fresh snapshot — the same loop the gRPC coordinator runs
+    (fanout.cc retry on mismatch).
+
+    ``dead_shards``: iterable of shard indices considered failed. Their
+    rows are masked out of the result; with partial_ok the reply is
+    (dists, ids, partial=True) — reference partial-results policy,
+    fanout.cc:177-221 — otherwise MeshConsistencyError is raised, like
+    the first-error policy.
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+    dead = sorted(set(int(s) for s in (dead_shards or ())))
+    if dead and not partial_ok:
+        raise MeshConsistencyError(
+            f"shards {dead} unavailable and partial results disabled"
+        )
+    last = None
+    for _attempt in range(max_retries):
+        corpus, versions, invalid = snapshot_fn()
+        rows = corpus.shape[0] // n_shards
+        if dead:
+            import numpy as _np
+
+            inv = (
+                _np.asarray(invalid).copy()
+                if invalid is not None
+                else _np.zeros(corpus.shape[0], bool)
+            )
+            for s in dead:
+                inv[s * rows:(s + 1) * rows] = True
+            invalid = jnp.asarray(inv)
+            # a dead shard can't vote on the version check either
+            versions = jnp.asarray(
+                _np.where(
+                    _np.isin(_np.arange(n_shards), dead),
+                    int(_np.asarray(versions).max(initial=0)),
+                    _np.asarray(versions),
+                ).astype(_np.int32)
+            )
+        d, i, vmm = sharded_flat_topk(
+            mesh, corpus, queries, k=k, metric=metric,
+            invalid=invalid, shard_versions=versions,
+        )
+        vmm = jax.device_get(vmm)
+        if int(vmm[0]) == int(vmm[1]):
+            return d, i, bool(dead)
+        last = (int(vmm[0]), int(vmm[1]))
+    raise MeshConsistencyError(
+        f"shard versions did not converge after {max_retries} attempts "
+        f"(min/max {last})"
+    )
