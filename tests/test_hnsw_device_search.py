@@ -181,3 +181,90 @@ def test_incremental_graph_publish(rng):
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
     # deleted key never returned
     assert (docs1 != idx.interner.intern("k23")).all()
+
+
+def test_aos_traversal_recall_parity(rng):
+    """The AoS int8 fast-path traversal must match the SoA kernel's
+    recall against brute force (int8 walk + exact fp32 rescore)."""
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.ops import hnsw_search as hs
+    from valkey_search_tpu.runtime import config
+    import jax.numpy as jnp
+
+    n, d = 4000, 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswVectorIndex(dim=d, m=16, ef_construction=100, seed=3)
+    idx.bulk_load([f"k{i}" for i in range(n)], corpus)
+    graph = idx.device_graph()
+    aos = hs.build_aos_tables(graph)
+    queries = rng.standard_normal((32, d)).astype(np.float32)
+
+    gt = []
+    for q in queries:
+        dd = ((corpus - q) ** 2).sum(1)
+        gt.append(set(np.argpartition(dd, 10)[:10].tolist()))
+
+    d_aos, i_aos = hs.hnsw_search_batch_aos(
+        graph, aos, jnp.asarray(queries), k=10, ef=100,
+    )
+    d_soa, i_soa = hs.hnsw_search_batch(
+        graph, jnp.asarray(queries), k=10, ef=100, metric="l2",
+        precision="highest",
+    )
+    def recall(ids):
+        ids = np.asarray(ids)
+        # node id == corpus row (bulk_load order)
+        return np.mean([
+            len(set(ids[b].tolist()) & gt[b]) / 10
+            for b in range(len(queries))
+        ])
+    r_aos, r_soa = recall(i_aos), recall(i_soa)
+    assert r_aos >= 0.95, r_aos
+    assert r_aos >= r_soa - 0.05, (r_aos, r_soa)
+    # distances are exact fp32 after the rescore
+    row = np.asarray(i_aos)[0, 0]
+    want = float(((corpus[row] - queries[0]) ** 2).sum())
+    assert abs(float(np.asarray(d_aos)[0, 0]) - want) < 1e-2
+
+
+def test_aos_path_routed_and_budget_gated(rng):
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.runtime import config
+
+    n, d = 1500, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswVectorIndex(dim=d, m=8, ef_construction=60, seed=1)
+    idx.bulk_load([f"k{i}" for i in range(n)], corpus)
+    config.set_config("search.hnsw-scan-threshold", 0)  # force traversal
+    try:
+        dists, docs = idx.search_batch(corpus[:4], k=5, ef=60)
+        assert docs[0, 0] == idx.interner.lookup("k0")
+        assert idx._aos_tables is not None  # fast path built the mirror
+        # budget too small -> falls back to the SoA kernel
+        idx._aos_tables = None
+        idx._aos_for_epoch = -1
+        config.set_config("search.hnsw-aos-budget-bytes", 1)
+        d2, docs2 = idx.search_batch(corpus[:4], k=5, ef=60)
+        assert idx._aos_tables is None
+        assert docs2[0, 0] == docs[0, 0]
+    finally:
+        config.REGISTRY.reset_all()
+
+
+def test_aos_traversal_excludes_deleted(rng):
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.runtime import config
+
+    n, d = 1200, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswVectorIndex(dim=d, m=8, ef_construction=60, seed=2)
+    idx.bulk_load([f"k{i}" for i in range(n)], corpus)
+    idx.remove_record("k7")
+    config.set_config("search.hnsw-scan-threshold", 0)
+    try:
+        _, docs = idx.search_batch(corpus[7:8], k=3, ef=60)
+        assert idx.interner.lookup("k7") is None or (
+            idx.interner.lookup("k7") not in docs[0].tolist()
+        )
+    finally:
+        config.REGISTRY.reset_all()

@@ -81,6 +81,8 @@ class HnswVectorIndex(VectorIndexBase):
         self._deleted = np.zeros(self.store.capacity, bool)
         self._graph_dirty = True
         self._device_graph: Optional[hs_ops.HnswDeviceGraph] = None
+        self._aos_tables = None  # AoS traversal mirror (budget-gated)
+        self._aos_for_epoch = -1
         self._graph_lock = threading.Lock()
 
     # -- record mutation (overrides doc==row base behavior) ------------------
@@ -393,24 +395,45 @@ class HnswVectorIndex(VectorIndexBase):
         )
         graph = self.device_graph()
         filtered = filter_mask is not None
-        if not filtered:
-            # dummy mask keeps the jit signature stable across calls
-            filter_mask = jnp.zeros((1,), bool)
-        d, ids = hs_ops.hnsw_search_batch(
-            graph,
-            jnp.asarray(queries),
-            k=k,
-            ef=ef,
-            metric=self.metric,
-            filter_mask=filter_mask,
-            filtered=filtered,
-            precision=config.get("search.distance-precision"),
-        )
+        aos = None if filtered else self._aos_mirror(graph)
+        if aos is not None:
+            # fast path: AoS int8 neighbor blocks + exact fp32 rescore
+            d, ids = hs_ops.hnsw_search_batch_aos(
+                graph, aos, jnp.asarray(queries), k=k, ef=ef,
+                metric=self.metric,
+            )
+        else:
+            if not filtered:
+                # dummy mask keeps the jit signature stable across calls
+                filter_mask = jnp.zeros((1,), bool)
+            d, ids = hs_ops.hnsw_search_batch(
+                graph,
+                jnp.asarray(queries),
+                k=k,
+                ef=ef,
+                metric=self.metric,
+                filter_mask=filter_mask,
+                filtered=filtered,
+                precision=config.get("search.distance-precision"),
+            )
         d = np.asarray(d)[:b]
         nodes = np.asarray(ids)[:b]
         docs = np.where(nodes >= 0, self._node_doc[np.maximum(nodes, 0)], -1)
         STATS.incr("hnsw_searches", b)
         return d, docs.astype(np.int32)
+
+    def _aos_mirror(self, graph):
+        """Budget-gated AoS traversal mirror, rebuilt per publish epoch
+        (ops/hnsw_search.py HnswAosTables)."""
+        budget = int(config.get("search.hnsw-aos-budget-bytes"))
+        cap, m0 = graph.links0.shape
+        if budget == 0 or cap * m0 * self.dim > budget:
+            return None
+        epoch = self.store.epoch
+        if self._aos_tables is None or self._aos_for_epoch != epoch:
+            self._aos_tables = hs_ops.build_aos_tables(graph)
+            self._aos_for_epoch = epoch
+        return self._aos_tables
 
     def exact_search_batch(
         self,

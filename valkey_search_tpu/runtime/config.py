@@ -190,6 +190,11 @@ _enum("search.hnsw-build-mode", "auto", ["auto", "device", "host"])
 # concurrently, valkey_search.cc:1165-1168 + per-label locks
 # hnswalg.h:1260-1270); 0 = one per physical core
 _num("search.native-build-threads", 1, 0, 256)
+# AoS int8 neighbor-block mirror for fast graph traversal: replicates
+# each vector once per in-edge (~M0 x corpus bytes at int8), so it is
+# budget-gated; graphs over budget fall back to the SoA traversal (and
+# usually to the exact scan via hnsw-scan-threshold anyway). 0 disables.
+_num("search.hnsw-aos-budget-bytes", 1 << 30, 0, 1 << 40)
 _num("search.hnsw-build-batch", 4096, lo=256, hi=65536)
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for
 # the coarse pass (exact fp32 rescore of 4k candidates restores recall:
