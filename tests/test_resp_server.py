@@ -402,3 +402,22 @@ def test_auth_acl_user_password(server, client):
             "FT.CREATE", "other", "PREFIX", "1", "secret:",
             "SCHEMA", "t", "TAG",
         )
+
+
+def test_acl_command_surface(server, client):
+    assert client.cmd("ACL", "WHOAMI") == b"default"
+    assert client.cmd(
+        "ACL", "SETUSER", "bob", "on", ">pw1", "~doc:*"
+    ) == "OK"
+    users = client.cmd("ACL", "LIST")
+    assert any(b"bob" in u for u in users)
+    gu = client.cmd("ACL", "GETUSER", "bob")
+    assert b"keys" in gu
+    # the new user authenticates and is prefix-limited
+    assert client.cmd("AUTH", "bob", "pw1") == "OK"
+    assert client.cmd("ACL", "WHOAMI") == b"bob"
+    with pytest.raises(ReplyError, match="ACL|lacks"):
+        client.cmd("FT.CREATE", "other", "PREFIX", "1", "x:",
+                   "SCHEMA", "t", "TAG")
+    client.cmd("RESET")
+    assert client.cmd("ACL", "DELUSER", "bob") == 1

@@ -433,6 +433,8 @@ class _Handler(socketserver.StreamRequestHandler):
                     code="EXECABORT",
                 )
             return self._exec_multi(srv, queued)
+        if cmd == "ACL":
+            return self._acl_cmd(engine, rest)
         if cmd == "CONFIG":
             return self._config_cmd(rest)
         if cmd == "INFO":
@@ -584,6 +586,57 @@ class _Handler(socketserver.StreamRequestHandler):
         if srv.key_router is not None:
             srv.key_router(key)  # raises -MOVED when this node doesn't own it
 
+    def _acl_cmd(self, engine: Engine, rest: List[bytes]) -> Any:
+        """ACL SETUSER/GETUSER/DELUSER/LIST/WHOAMI/CAT — the user registry
+        behind the per-user key-prefix checks every FT.* command runs
+        (reference AclPrefixCheck, src/acl.h:36-43; user management itself
+        lives in valkey-server, so this standalone stack carries the
+        minimal redis-compatible surface)."""
+        if not rest:
+            raise RespError("wrong number of arguments for 'acl' command")
+        sub = _s(rest[0]).upper()
+        if sub == "WHOAMI":
+            return self.user
+        if sub == "LIST":
+            with engine.acl._lock:
+                users = list(engine.acl._users.values())
+            return [
+                "user %s %s %s" % (
+                    u.name, "on" if u.enabled else "off",
+                    " ".join(f"~{p}" for p in u.key_patterns) or "resetkeys",
+                )
+                for u in users
+            ]
+        if sub == "CAT":
+            return ["search"]
+        if sub == "SETUSER":
+            if len(rest) < 2:
+                raise RespError("ACL SETUSER needs a username")
+            engine.acl.setuser(_s(rest[1]), *[_s(r) for r in rest[2:]])
+            return SimpleString("OK")
+        if sub == "GETUSER":
+            if len(rest) != 2:
+                raise RespError("ACL GETUSER needs a username")
+            u = engine.acl.getuser(_s(rest[1]))
+            return [
+                "flags", ["on" if u.enabled else "off"] +
+                (["nopass"] if u.nopass else []),
+                "passwords", [f"<{len(u.passwords)} set>"] if u.passwords else [],
+                "keys", [f"~{p}" for p in u.key_patterns],
+            ]
+        if sub == "DELUSER":
+            if len(rest) < 2:
+                raise RespError("ACL DELUSER needs a username")
+            n = 0
+            for name in rest[1:]:
+                try:
+                    engine.acl.deluser(_s(name))
+                    n += 1
+                except Exception:
+                    pass
+            return n
+        raise RespError(f"Unknown ACL subcommand {sub!r}")
+
     def _config_cmd(self, rest: List[bytes]) -> Any:
         if not rest:
             raise RespError("wrong number of arguments for 'config' command")
@@ -650,6 +703,7 @@ _WRITE_COMMANDS = {
 _COMMANDS = [
     "PING", "ECHO", "HELLO", "AUTH", "SELECT", "QUIT", "RESET", "CLIENT",
     "COMMAND", "DBSIZE", "FLUSHALL", "FLUSHDB", "MULTI", "EXEC", "DISCARD",
+    "ACL",
     "CONFIG", "INFO", "SAVE", "BGSAVE", "SHUTDOWN",
     "HSET", "HGETALL", "DEL", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
     "JSON.SET", "JSON.GET", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
