@@ -43,7 +43,8 @@ K = 10
 # tunnel adds ~60ms fixed per round trip on this dev harness, plus slow
 # D2H); launches are pipelined so transport overlaps compute. 65536
 # measured ~35% faster than 16384 end-to-end at identical recall.
-BATCH = 2048 if QUICK else 65536
+BATCH = int(os.environ.get("VSTPU_BENCH_BATCH",
+                            "2048" if QUICK else "65536"))
 HNSW_N = min(N, int(os.environ.get("VSTPU_BENCH_HNSW_N", str(N))))
 
 
@@ -462,7 +463,8 @@ def main():
 
     # ---- GloVe-shape cosine datum (BASELINE.md #3) ------------------------
     if not QUICK and os.environ.get("VSTPU_BENCH_COSINE", "1") == "1":
-        GN, GD = 1_183_514, 100
+        GN = int(os.environ.get("VSTPU_BENCH_COSINE_N", "1183514"))
+        GD = 100
         log(f"cosine corpus {GN} x {GD} (GloVe-shape, angular)")
         rngc = np.random.default_rng(23)
         gcent = rngc.standard_normal((512, GD)).astype(np.float32)
@@ -505,15 +507,17 @@ def main():
     # AoS mirror would need ~41GB); multi-chip sharding extends linearly
     # (parallel/mesh.py, validated on the virtual mesh).
     if not QUICK and os.environ.get("VSTPU_BENCH_10M", "1") == "1":
-        BN = 10_000_000
+        BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
         log(f"10M-scale corpus {BN} x {D} (int8 coarse + fp32 rescore)")
         rngb = np.random.default_rng(29)
         bcorp = np.empty((BN, D), np.float32)
-        for i0 in range(0, BN, 1_000_000):
-            a = rngb.integers(0, n_centers, 1_000_000)
-            bcorp[i0:i0 + 1_000_000] = np.clip(
+        step = min(1_000_000, BN)
+        for i0 in range(0, BN, step):
+            m = min(step, BN - i0)
+            a = rngb.integers(0, n_centers, m)
+            bcorp[i0:i0 + m] = np.clip(
                 centers[a]
-                + rngb.standard_normal((1_000_000, D)).astype(np.float32) * 20,
+                + rngb.standard_normal((m, D)).astype(np.float32) * 20,
                 0, 255)
         big = FlatVectorIndex(dim=D, metric="l2")
         t0 = time.perf_counter()

@@ -99,3 +99,55 @@ def test_memory_pools_in_info():
     assert pools["tag"] > 0 and pools["numeric"] > 0
     assert pools["keyspace"] > 0
     assert e.used_memory_bytes() == sum(pools.values())
+
+
+def test_allkeys_random_eviction_removes_from_indexes():
+    """maxmemory-policy allkeys-random: at the cap, writes evict keys
+    instead of failing, and evicted keys leave every index (reference
+    integration/test_eviction.py)."""
+    e = Engine()
+    e.execute("FT.CREATE", "ev", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG", "n", "NUMERIC")
+    for i in range(200):
+        e.hset(f"k:{i}", {"t": "x" * 50, "n": str(i)})
+    used = e.used_memory_bytes()
+    config.set_config("search.maxmemory-policy", "allkeys-random")
+    config.set_config("search.max-memory-bytes", int(used * 0.8))
+    before = len(e.keyspace)
+    e.hset("k:new", {"t": "fits", "n": "1"})  # triggers eviction, no raise
+    assert len(e.keyspace) < before
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    assert STATS.get("keys_evicted") > 0
+    # index consistency: every search result still exists in the keyspace
+    r = e.execute("FT.SEARCH", "ev", "@n:[0 1000]", "NOCONTENT",
+                  "LIMIT", "0", "500")
+    keys = [k.decode() if isinstance(k, bytes) else k for k in r[1:]]
+    for k in keys:
+        assert e.hgetall(k), k
+    # total reflects evictions
+    assert r[0] <= len(e.keyspace)
+
+
+def test_volatile_ttl_eviction_prefers_expiring_keys():
+    e = Engine()
+    e.execute("FT.CREATE", "vt", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG")
+    for i in range(100):
+        e.hset(f"k:{i}", {"t": "y" * 80})
+    # only the first 30 carry TTLs
+    for i in range(30):
+        e.expire(f"k:{i}", 10_000 + i)
+    used = e.used_memory_bytes()
+    config.set_config("search.maxmemory-policy", "volatile-ttl")
+    config.set_config("search.max-memory-bytes", int(used * 0.95))
+    e.hset("k:new", {"t": "z"})
+    # evicted keys must come from the TTL'd set (soonest first)
+    assert "k:0" not in e.keyspace
+    assert "k:99" in e.keyspace
+    # when no volatile keys remain and still over cap, DENYOOM fires
+    for i in range(30):
+        e.persist(f"k:{i}")
+    config.set_config("search.max-memory-bytes", 1)
+    with pytest.raises(OutOfMemoryError):
+        e.hset("k:boom", {"t": "w"})

@@ -228,6 +228,12 @@ _num("search.replication-lag-ms", 0, 0, 60_000, flags=Flag.DEV)
 # memory guard (reference: DENYOOM command flag + backfill pause-on-OOM,
 # index_schema.h:475 paused_by_oom; 0 = unlimited)
 _num("search.max-memory-bytes", 0, 0, 1 << 62)
+# what to do at the cap (valkey maxmemory-policy analog; reference
+# integration/test_eviction.py covers eviction-driven index removal):
+# noeviction = DENYOOM writes; allkeys-random = evict any key;
+# volatile-ttl = evict soonest-expiring key with a TTL, else DENYOOM
+_enum("search.maxmemory-policy", "noeviction",
+      ["noeviction", "allkeys-random", "volatile-ttl"])
 # Redisearch compatibility pinning (reference search.emulate-release,
 # module_config.h VALKEY_SEARCH_COMPATIBILITY_FIX; '' = native behavior).
 # When set, dialect divergences emulate Redisearch (e.g. concat() is

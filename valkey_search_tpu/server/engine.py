@@ -96,6 +96,13 @@ class Engine:
     def _deny_oom(self) -> None:
         cap = int(config.get("search.max-memory-bytes"))
         if cap and self._used_memory_cached(cap) >= cap:
+            # eviction first (valkey maxmemory-policy; reference
+            # integration/test_eviction.py — evicted keys leave every
+            # index through the normal delete notification path)
+            if self._evict_until_under(cap) and self.used_memory_bytes() < cap:
+                for schema in self.manager.all_schemas():
+                    schema.paused_by_oom = False
+                return
             STATS.incr("oom_rejections")
             for schema in self.manager.all_schemas():
                 schema.paused_by_oom = True
@@ -105,6 +112,38 @@ class Engine:
         for schema in self.manager.all_schemas():
             if getattr(schema, "paused_by_oom", False):
                 schema.paused_by_oom = False
+
+    def _evict_until_under(self, cap: int, max_evictions: int = 10_000) -> int:
+        """Evict keys per search.maxmemory-policy until under the cap.
+        Deletion rides the keyspace-notification path, so evicted keys
+        are removed from every index (tag/numeric/text postings, vector
+        rows) exactly like an explicit DEL."""
+        policy = str(config.get("search.maxmemory-policy"))
+        if policy == "noeviction":
+            return 0
+        import random
+
+        evicted = 0
+        while evicted < max_evictions:
+            batch = []
+            with self._lock:
+                if policy == "volatile-ttl":
+                    # soonest-expiring keys that carry a TTL
+                    cands = sorted(self._expiry.items(), key=lambda kv: kv[1])
+                    batch = [k for k, _dl in cands[:32]]
+                else:  # allkeys-random
+                    keys = list(self.keyspace.keys())
+                    random.shuffle(keys)
+                    batch = keys[:32]
+            if not batch:
+                break
+            for k in batch:
+                self.delete(k)
+                evicted += 1
+                STATS.incr("keys_evicted")
+            if self.used_memory_bytes() < cap:
+                break
+        return evicted
 
     def hset(self, key: str, mapping: Dict[str, Value]) -> int:
         """HSET equivalent; triggers keyspace notification → index update
