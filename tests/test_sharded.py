@@ -215,3 +215,33 @@ def test_mesh_large_sharded_tier(rng):
     ids2 = np.asarray(i2)
     for s in (1, 6):
         assert not (((ids2 >= s * rows) & (ids2 < (s + 1) * rows)).any())
+
+
+def test_dim_sharded_tp_topk_matches_brute_force(rng):
+    """Dimension-axis (tensor-parallel) sharding: partial dots + psum
+    over ICI == exact distances (SURVEY §5.7 extension)."""
+    mesh = pm.make_mesh(8)
+    n, d = 512, 8 * 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    dists, ids = pm.dim_sharded_flat_topk(
+        mesh, jnp.asarray(corpus), jnp.asarray(q), k=5,
+    )
+    dd = ((q[:, None, :] - corpus[None]) ** 2).sum(-1)
+    want = np.argsort(dd, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(ids), want)
+    np.testing.assert_allclose(
+        np.asarray(dists), np.sort(dd, axis=1)[:, :5], rtol=1e-4, atol=1e-3,
+    )
+
+
+def test_dim_sharded_tp_cosine(rng):
+    mesh = pm.make_mesh(4)
+    n, d = 256, 4 * 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = corpus[:3]
+    dists, ids = pm.dim_sharded_flat_topk(
+        mesh, jnp.asarray(corpus), jnp.asarray(q), k=1, metric="cosine",
+    )
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], [0, 1, 2])

@@ -368,3 +368,47 @@ def consistent_sharded_topk(
         f"shard versions did not converge after {max_retries} attempts "
         f"(min/max {last})"
     )
+
+
+def dim_sharded_flat_topk(
+    mesh: Mesh,
+    corpus: jnp.ndarray,     # [N, D] sharded on axis 1 (dimension/TP axis)
+    queries: jnp.ndarray,    # [B, D] sharded on axis 1 to match
+    k: int,
+    metric: str = "l2",
+):
+    """TP-style exact k-NN: the *dimension* axis is split across the mesh
+    (SURVEY §5.7 — the legitimate tensor-parallel extension for very
+    high-d embeddings whose corpus rows exceed one device's HBM).
+
+    Each device computes partial dot products / partial squared norms
+    over its dimension slice; one `psum` over ICI reduces them to full
+    distances, and the top-k runs replicated. Communication is O(B·N)
+    scores — independent of D — so the layout pays off when D is large
+    enough that row-sharding would thrash HBM.
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+    d_total = corpus.shape[1]
+    assert d_total % n_shards == 0, "D must divide the mesh"
+
+    def local(corpus_l, queries_l):
+        # partial Gram terms on the local dimension slice
+        dots = jnp.einsum("bd,nd->bn", queries_l, corpus_l)
+        dots = jax.lax.psum(dots, SHARD_AXIS)
+        if metric == "l2":
+            c_sq = jax.lax.psum(jnp.sum(corpus_l * corpus_l, axis=1), SHARD_AXIS)
+            q_sq = jax.lax.psum(jnp.sum(queries_l * queries_l, axis=1), SHARD_AXIS)
+            scores = q_sq[:, None] + c_sq[None, :] - 2.0 * dots
+        else:  # ip / cosine (pre-normalized rows)
+            scores = 1.0 - dots
+        neg, ids = jax.lax.top_k(-scores, k)
+        return -neg, ids
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(Spec(None, SHARD_AXIS), Spec(None, SHARD_AXIS)),
+        out_specs=(Spec(), Spec()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(corpus, queries)
