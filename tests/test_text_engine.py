@@ -238,3 +238,76 @@ def test_ft_search_text_and_numeric(text_eng):
 def test_ft_search_negate_text(text_eng):
     r = text_eng.execute("FT.SEARCH", "docs", "-crash", "NOCONTENT")
     assert _keys(r) == {"b:3"}
+
+
+def test_native_vs_python_text_engines_agree():
+    """Differential check: the C++ text index (native/text_index.cpp) and
+    the pure-Python structures must give identical answers for every
+    matcher kind across a randomized workload with updates + deletes."""
+    import numpy as np
+
+    from valkey_search_tpu.query.predicate import TextPredicate
+    from valkey_search_tpu.schema.index_schema import IndexSchema
+    from valkey_search_tpu.server.ft_create import parse_ft_create
+
+    rng = np.random.default_rng(77)
+    vocab = ["running", "runner", "jumped", "jumping", "quick", "quickly",
+             "form", "formal", "formality", "zebra", "apple", "apply",
+             "banana", "band", "bandit"]
+
+    def make_schema():
+        schema, _ = parse_ft_create(
+            ["dx", "ON", "HASH", "PREFIX", "1", "d:",
+             "SCHEMA", "a", "TEXT", "b", "TEXT", "NOSTEM"]
+        )
+        return schema
+
+    s_native = make_schema()
+    s_py = make_schema()
+    assert s_native.text_engine._nt is not None, "native index unavailable"
+    # force the fallback on the second engine
+    s_py.text_engine._nt = None
+
+    ops = []
+    for i in range(300):
+        doc = f"d:{rng.integers(0, 60)}"
+        if rng.random() < 0.15:
+            ops.append(("del", doc))
+        else:
+            words_a = " ".join(rng.choice(vocab, rng.integers(1, 6)))
+            words_b = " ".join(rng.choice(vocab, rng.integers(1, 4)))
+            ops.append(("up", doc, {"a": words_a, "b": words_b}))
+    for op in ops:
+        for s in (s_native, s_py):
+            if op[0] == "del":
+                s.delete(op[1])
+            else:
+                s.upsert(op[1], op[2])
+
+    preds = []
+    for w in ("run", "running", "form", "quick", "zebra", "missing"):
+        preds.append(TextPredicate(w))
+        preds.append(TextPredicate(w, field="a"))
+        preds.append(TextPredicate(w, field="b"))
+    for p in ("ru", "form", "ba", "q"):
+        preds.append(TextPredicate(p, match="prefix"))
+    preds.append(TextPredicate("ning", match="suffix"))
+    preds.append(TextPredicate("an", match="infix"))
+    preds.append(TextPredicate("runing", match="fuzzy", distance=1))
+    preds.append(TextPredicate("", match="phrase",
+                               phrase=("quick", "jumped")))
+
+    for pred in preds:
+        e_n, e_p = s_native.text_engine, s_py.text_engine
+        got = set(int(x) for x in e_n._doc_ids_sorted(e_n._effective(pred)))
+        want = set(int(x) for x in e_p._doc_ids_sorted(
+            e_p._effective(pred)))
+        assert got == want, (pred.match, pred.term, got ^ want)
+        assert e_n.estimate(pred) == e_p.estimate(pred), (
+            pred.match, pred.term)
+        for doc in list(got)[:5]:
+            assert e_n.doc_matches(pred, doc)
+    # stats agreement on the structural counters
+    st_n, st_p = s_native.text_engine.stats(), s_py.text_engine.stats()
+    for key in ("distinct_words", "docs_with_text", "stem_entries"):
+        assert st_n[key] == st_p[key], (key, st_n[key], st_p[key])
