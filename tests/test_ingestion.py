@@ -157,3 +157,38 @@ def test_contended_query_parks_on_mutation():
     finally:
         PAUSEPOINTS.resume("ingest.before_apply")
         e.drain()
+
+
+def test_multi_writer_text_ingest_consistency():
+    """4 writer threads (search.writer-threads) drain the mutation queue
+    into the native text index concurrently (the C calls release the GIL;
+    per-index mutex serializes structure writes). Final state must equal
+    a sequential ingest."""
+    from valkey_search_tpu.query.predicate import TextPredicate
+    from valkey_search_tpu.runtime import config
+    from valkey_search_tpu.server.engine import Engine
+
+    config.set_config("search.writer-threads", 4)
+    try:
+        e = Engine(sync_ingest=False)
+        e.execute("FT.CREATE", "mw", "ON", "HASH", "PREFIX", "1", "w:",
+                  "SCHEMA", "body", "TEXT")
+        docs = {
+            f"w:{i}": f"word{i % 37} common shared token{i % 11}"
+            for i in range(500)
+        }
+        for k, body in docs.items():
+            e.hset(k, {"body": body})
+        e.drain()
+        schema = e.manager.get("mw")
+        eng = schema.text_engine
+        common = eng._doc_ids_sorted(TextPredicate("common"))
+        assert len(common) == 500
+        for i in range(37):
+            ids = eng._doc_ids_sorted(TextPredicate(f"word{i}"))
+            want = sum(1 for k in docs if int(k[2:]) % 37 == i)
+            assert len(ids) == want, (i, len(ids), want)
+        st = eng.stats()
+        assert st["docs_with_text"] == 500
+    finally:
+        config.REGISTRY.reset_all()
