@@ -215,3 +215,28 @@ def test_match_all_non_vector(vec_eng):
     e, _ = vec_eng
     res = e.ft_search("idx", "*", "NOCONTENT", "LIMIT", "0", "1000")
     assert res[0] == 300
+
+
+def test_copy_indexes_destination():
+    """COPY must index the destination like a fresh write (reference
+    integration/test_copy.py)."""
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.execute("FT.CREATE", "ci", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG")
+    e.hset("k:src", {"t": "gold"})
+    assert e.execute("COPY", "k:src", "k:dst") == 1
+    r = e.execute("FT.SEARCH", "ci", "@t:{gold}", "NOCONTENT")
+    assert r[0] == 2 and {x if isinstance(x, str) else x.decode()
+                          for x in r[1:]} == {"k:src", "k:dst"}
+    # no-replace refuses; REPLACE overwrites and reindexes
+    e.hset("k:other", {"t": "silver"})
+    assert e.execute("COPY", "k:other", "k:dst") == 0
+    assert e.execute("COPY", "k:other", "k:dst", "REPLACE") == 1
+    r = e.execute("FT.SEARCH", "ci", "@t:{gold}", "NOCONTENT")
+    assert r[0] == 1
+    r = e.execute("FT.SEARCH", "ci", "@t:{silver}", "NOCONTENT")
+    assert r[0] == 2
+    # missing source
+    assert e.execute("COPY", "k:ghost", "k:x") == 0

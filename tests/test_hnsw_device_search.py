@@ -268,3 +268,71 @@ def test_aos_traversal_excludes_deleted(rng):
         )
     finally:
         config.REGISTRY.reset_all()
+
+
+def test_vacuum_reclaims_tombstones_and_preserves_results(rng):
+    """Churned index: vacuum rebuilds without tombstones, keeps doc ids
+    stable, and search results are unchanged (reference
+    allow_replace_deleted + reclaimable-memory coverage)."""
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.runtime import config
+
+    n, d = 1200, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswVectorIndex(dim=d, m=8, ef_construction=50, seed=9)
+    for i in range(n):
+        idx.add_record(f"k{i}", corpus[i])
+    # churn: delete a third, re-add half of those with new vectors
+    for i in range(0, n, 3):
+        idx.remove_record(f"k{i}")
+    for i in range(0, n, 6):
+        corpus[i] = rng.standard_normal(d).astype(np.float32)
+        idx.add_record(f"k{i}", corpus[i])
+    live_keys = {f"k{i}" for i in range(n)} - {
+        f"k{i}" for i in range(0, n, 3) if i % 6 != 0
+    }
+    before_nodes = idx.builder.count
+    assert idx.deleted_count() > 0
+    assert idx.reclaimable_bytes() > 0
+    config.set_config("search.hnsw-scan-threshold", 0)  # force traversal
+    try:
+        d_before, docs_before = idx.search_batch(corpus[:8], k=5, ef=60)
+        reclaimed = idx.vacuum(force=True)
+        assert reclaimed > 0
+        assert idx.builder.count == len(live_keys)
+        assert idx.deleted_count() == 0
+        assert idx.reclaimable_bytes() == 0
+        d_after, docs_after = idx.search_batch(corpus[:8], k=5, ef=60)
+        # self-lookup still exact for live keys, doc ids preserved
+        for b in (1, 2, 4, 5):  # k1,k2,k4,k5 live
+            assert docs_after[b, 0] == idx.interner.lookup(f"k{b}")
+        # distances agree with pre-vacuum results (same live set)
+        np.testing.assert_allclose(
+            np.asarray(d_after), np.asarray(d_before), rtol=1e-3, atol=1e-4,
+        )
+    finally:
+        config.REGISTRY.reset_all()
+
+
+def test_cron_auto_vacuum(rng):
+    from valkey_search_tpu.runtime import config
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.execute("FT.CREATE", "vac", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "emb", "VECTOR", "HNSW", "6",
+              "TYPE", "FLOAT32", "DIM", "8", "DISTANCE_METRIC", "L2")
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    for i in range(40):
+        e.hset(f"k:{i}", {"emb": vecs[i].tobytes()})
+    for i in range(0, 40, 2):
+        e.delete(f"k:{i}")  # 50% tombstones
+    idx = e.manager.get("vac").attributes["emb"].index
+    assert idx.deleted_count() == 20
+    stats = e.cron()
+    assert stats.get("vacuumed", 0) >= 20
+    assert idx.deleted_count() == 0
+    r = e.execute("FT.SEARCH", "vac", "*=>[KNN 3 @emb $q]",
+                  "PARAMS", "2", "q", vecs[1].tobytes(), "NOCONTENT")
+    keys = [x if isinstance(x, str) else x.decode() for x in r[1:]]
+    assert "k:1" in keys

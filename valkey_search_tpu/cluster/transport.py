@@ -212,7 +212,7 @@ class NodeServer:
             **{
                 c: self._keyspace_interceptor(c)
                 for c in ("HSET", "DEL", "HGETALL", "JSON.SET", "JSON.GET",
-                          "EXPIRE", "PEXPIRE", "TTL", "PERSIST")
+                          "EXPIRE", "PEXPIRE", "TTL", "PERSIST", "COPY")
             },
             # replicated metadata-update command (reference
             # ft_internal_update.cc:55 — the AOF/replica path for cluster
@@ -371,12 +371,16 @@ class NodeServer:
         """Slot-checked keyspace command: execute locally when this node
         owns the key's slot, else -MOVED to the owner (best-known from
         gossip)."""
-        writes = {"HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST"}
+        writes = {"HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE",
+                  "PERSIST", "COPY"}
 
         def run(rest: List[bytes]):
             if not rest:
                 raise RespError(f"wrong number of arguments for {cmd}")
             self._check_slot(_s(rest[0]))
+            if cmd == "COPY" and len(rest) >= 2:
+                # cluster COPY: destination must hash to an owned slot too
+                self._check_slot(_s(rest[1]))
             from valkey_search_tpu.server.resp import _ok
 
             if cmd in writes and self.resp.write_observer is not None:

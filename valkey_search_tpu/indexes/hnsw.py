@@ -85,6 +85,79 @@ class HnswVectorIndex(VectorIndexBase):
         self._aos_for_epoch = -1
         self._graph_lock = threading.Lock()
 
+    # -- deleted-slot reclamation -------------------------------------------
+    def deleted_count(self) -> int:
+        with self._lock:
+            return self.builder.count - len(self._doc_node)
+
+    def reclaimable_bytes(self) -> int:
+        """Bytes held by tombstoned graph slots (reference
+        reclaimable-memory gauge, integration/test_reclaimable_memory.py).
+        Tombstones keep their vector row + link rows until vacuum()."""
+        n_del = self.deleted_count()
+        if n_del <= 0 or self.builder.count == 0:
+            return 0
+        per_node = self.builder.memory_bytes() / max(1, self.builder.count)
+        return int(n_del * (per_node + self.dim * 4))  # + store row
+
+    def vacuum(self, force: bool = False) -> int:
+        """Rebuild the graph from live vectors, dropping tombstones.
+
+        The reference reuses deleted slots in place (hnswlib
+        allow_replace_deleted + markDelete); a TPU-first engine rebuilds
+        instead — bulk construction is fast (device-seeded or
+        multi-threaded host build), the rebuilt graph has no tombstone
+        drag on traversal, and the device mirror republishes compactly.
+        Triggered by cron when the deleted fraction exceeds
+        search.hnsw-vacuum-deleted-ratio (0 disables). Returns reclaimed
+        slot count."""
+        with self._lock:
+            total = self.builder.count
+            n_del = total - len(self._doc_node)
+            if total == 0 or n_del == 0:
+                return 0
+            ratio = float(config.get("search.hnsw-vacuum-deleted-ratio"))
+            if not force and (ratio <= 0 or n_del / total < ratio):
+                return 0
+            pairs = sorted(self._doc_node.items(), key=lambda kv: kv[1])
+            docs = np.asarray([d for d, _ in pairs], np.int64)
+            nodes = np.asarray([n for _, n in pairs], np.int64)
+            vecs = self.store.vectors[nodes].copy()
+            if self.metric == "cosine":
+                # store rows are normalized; rebuild from originals
+                vecs = vecs * self.store.magnitudes[nodes][:, None]
+            seed = getattr(self.builder, "seed", 0x5EED)
+            self.builder = HnswBuilder(
+                self.dim, metric=self.metric, m=self.m,
+                ef_construction=self.ef_construction, seed=seed,
+            )
+            self.store = type(self.store)(
+                self.dim, self.metric,
+                int(config.get("search.hnsw-block-size")), growth="pow2",
+            )
+            self._doc_node = {}
+            self._node_doc = np.full(self.store.capacity, -1, np.int32)
+            self._deleted = np.zeros(self.store.capacity, bool)
+            if len(vecs):
+                threads = int(config.get("search.native-build-threads"))
+                if threads == 0:
+                    import os as _os
+
+                    threads = _os.cpu_count() or 1
+                new_nodes = self.builder.add_batch(vecs, threads=max(1, threads))
+                self.store.ensure_capacity(int(new_nodes.max()) + 1)
+                self._ensure_node_arrays()
+                for row, doc, v in zip(new_nodes, docs, vecs):
+                    self.store.set_row(int(row), v)
+                    self._node_doc[int(row)] = int(doc)
+                    self._doc_node[int(doc)] = int(row)
+            self._graph_dirty = True
+            self._device_graph = None
+            self._aos_tables = None
+            STATS.incr("hnsw_vacuums")
+            STATS.incr("hnsw_slots_reclaimed", n_del)
+            return n_del
+
     # -- record mutation (overrides doc==row base behavior) ------------------
     def add_record(self, key: str, value) -> RecordResult:
         try:

@@ -195,6 +195,11 @@ _num("search.native-build-threads", 1, 0, 256)
 # budget-gated; graphs over budget fall back to the SoA traversal (and
 # usually to the exact scan via hnsw-scan-threshold anyway). 0 disables.
 _num("search.hnsw-aos-budget-bytes", 1 << 30, 0, 1 << 40)
+# cron-triggered graph rebuild when this fraction of slots are
+# tombstones (reference: hnswlib allow_replace_deleted reuses slots in
+# place; here the rebuild is cheap and produces a tombstone-free graph).
+# 0 disables auto-vacuum (explicit FT._DEBUG / vacuum() still works).
+_num("search.hnsw-vacuum-deleted-ratio", 0.5, 0.0, 1.0)
 _num("search.hnsw-build-batch", 4096, lo=256, hi=65536)
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for
 # the coarse pass (exact fp32 rescore of 4k candidates restores recall:

@@ -206,6 +206,15 @@ def register_engine_fields(engine, registry: InfoRegistry) -> None:
         ),
         si_bytes=True,
     )
+    R.field(
+        "search_reclaimable_memory_bytes",
+        lambda: sum(
+            getattr(a.index, "reclaimable_bytes", lambda: 0)()
+            for s in engine.manager.all_schemas()
+            for a in s.vector_attributes()
+        ),
+        si_bytes=True,
+    )
     # per-subsystem memory pools (reference text_index.h:50-55 MemoryPools
     # + the malloc-interposition used-memory gauge)
     R.field("search_used_memory_bytes",

@@ -262,6 +262,24 @@ class Engine:
         val = resolve_json_path(_json.loads(raw), path)
         return None if val is None else _json.dumps(val)
 
+    def copy(self, src: str, dst: str, replace: bool = False) -> int:
+        """COPY equivalent (reference integration test_copy.py: the copy
+        must be indexed like any other write). Returns 1 on copy, 0 when
+        src is missing or dst exists without REPLACE."""
+        self._deny_oom()
+        with self._lock:
+            doc = self.keyspace.get(src)
+            if doc is None:
+                return 0
+            if dst in self.keyspace and not replace:
+                return 0
+            snapshot = dict(doc)
+            self.keyspace[dst] = snapshot
+            self._expiry.pop(dst, None)  # valkey COPY drops dst TTL
+        kind = "JSON" if set(snapshot) == {"$"} else "HASH"
+        self._notify(dst, snapshot, kind=kind)
+        return 1
+
     def flushall(self) -> None:
         with self._lock:
             keys = list(self.keyspace)
@@ -355,6 +373,13 @@ class Engine:
                     schema, snapshot
                 )
         stats["expired"] = self.sweep_expired()
+        # tombstone reclamation (cron-driven vacuum; reference reuses
+        # deleted hnswlib slots in place — see HnswVectorIndex.vacuum)
+        for schema in self.manager.all_schemas():
+            for a in schema.vector_attributes():
+                vac = getattr(a.index, "vacuum", None)
+                if vac is not None:
+                    stats["vacuumed"] = stats.get("vacuumed", 0) + vac()
         # thread CPU sampling rides the cron like the reference's
         # ThreadMonitor (sampled on server cron)
         try:
@@ -569,6 +594,11 @@ class Engine:
                 return self.ttl(_s(rest[0]))
             if cmd == "PERSIST":
                 return self.persist(_s(rest[0]))
+            if cmd == "COPY":
+                if len(rest) < 2:
+                    raise CommandError("COPY source destination [REPLACE]")
+                replace = any(_s(a).upper() == "REPLACE" for a in rest[2:])
+                return self.copy(_s(rest[0]), _s(rest[1]), replace)
             fn = table.get(cmd)
             if fn is None:
                 raise CommandError(f"unknown command {cmd!r}")

@@ -697,7 +697,7 @@ def _format_info(engine: Engine, args: List[str]) -> str:
 
 
 _WRITE_COMMANDS = {
-    "HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST",
+    "HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST", "COPY",
 }
 
 _COMMANDS = [
@@ -706,7 +706,7 @@ _COMMANDS = [
     "ACL",
     "CONFIG", "INFO", "SAVE", "BGSAVE", "SHUTDOWN",
     "HSET", "HGETALL", "DEL", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
-    "JSON.SET", "JSON.GET", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
+    "JSON.SET", "JSON.GET", "COPY", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
     "FT.AGGREGATE", "FT.INFO", "FT._LIST", "FT._DEBUG",
 ]
 
