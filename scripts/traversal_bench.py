@@ -56,6 +56,11 @@ def main():
         if kind == "aos":
             f = lambda qv: hs.hnsw_search_batch_aos(
                 graph, aos, qv, k=k, ef=ef, expand_per_iter=e_exp)
+        elif kind == "seed":
+            stride = max(1, n // 8192)
+            f = lambda qv: hs.hnsw_search_batch_aos(
+                graph, aos, qv, k=k, ef=ef, expand_per_iter=e_exp,
+                seed_stride=stride)
         else:
             f = lambda qv: hs.hnsw_search_batch(
                 graph, qv, k=k, ef=ef, metric="l2", precision="high",
@@ -82,6 +87,8 @@ def main():
     for b in (256, 1024):
         for e_exp in (4, 8, 16):
             run("aos", b, e_exp)
+    for e_exp in (4, 8, 16):
+        run("seed", 1024, e_exp)
     run("soa", 1024, 4)
 
 

@@ -336,3 +336,37 @@ def test_cron_auto_vacuum(rng):
                   "PARAMS", "2", "q", vecs[1].tobytes(), "NOCONTENT")
     keys = [x if isinstance(x, str) else x.decode() for x in r[1:]]
     assert "k:1" in keys
+
+
+def test_scan_seeded_traversal_recall(rng):
+    """Seeded mode: subsample-scan beam init + graph refinement must hold
+    recall@10 >= pure traversal on the same graph."""
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.ops import hnsw_search as hs
+    import jax.numpy as jnp
+
+    n, d = 4000, 32
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswVectorIndex(dim=d, m=16, ef_construction=100, seed=5)
+    idx.bulk_load([f"k{i}" for i in range(n)], corpus)
+    graph = idx.device_graph()
+    aos = hs.build_aos_tables(graph)
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+    gt = []
+    for q in queries:
+        dd = ((corpus - q) ** 2).sum(1)
+        gt.append(set(np.argpartition(dd, 10)[:10].tolist()))
+
+    def recall(ids):
+        ids = np.asarray(ids)
+        return np.mean([
+            len(set(ids[b].tolist()) & gt[b]) / 10 for b in range(16)
+        ])
+
+    _, i_pure = hs.hnsw_search_batch_aos(
+        graph, aos, jnp.asarray(queries), k=10, ef=100)
+    _, i_seed = hs.hnsw_search_batch_aos(
+        graph, aos, jnp.asarray(queries), k=10, ef=100, seed_stride=16)
+    r_pure, r_seed = recall(i_pure), recall(i_seed)
+    assert r_seed >= 0.95, r_seed
+    assert r_seed >= r_pure - 0.03, (r_pure, r_seed)

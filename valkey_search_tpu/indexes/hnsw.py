@@ -474,6 +474,9 @@ class HnswVectorIndex(VectorIndexBase):
             d, ids = hs_ops.hnsw_search_batch_aos(
                 graph, aos, jnp.asarray(queries), k=k, ef=ef,
                 metric=self.metric,
+                seed_stride=int(
+                    config.get("search.hnsw-traversal-seed-stride")
+                ),
             )
         else:
             if not filtered:

@@ -293,7 +293,9 @@ def build_aos_tables(graph: HnswDeviceGraph) -> HnswAosTables:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric", "expand_per_iter", "max_iters"),
+    static_argnames=(
+        "k", "ef", "metric", "expand_per_iter", "max_iters", "seed_stride",
+    ),
 )
 def hnsw_search_batch_aos(
     graph: HnswDeviceGraph,
@@ -304,6 +306,7 @@ def hnsw_search_batch_aos(
     metric: str = "l2",
     expand_per_iter: int = 8,
     max_iters: Optional[int] = None,
+    seed_stride: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fast-path batched traversal (unfiltered; deleted handled at the
     final rescore): AoS int8 neighbor blocks + bf16 elementwise scoring +
@@ -323,11 +326,35 @@ def hnsw_search_batch_aos(
     m0 = graph.links0.shape[1]
     e_exp = max(1, min(expand_per_iter, ef))
     if max_iters is None:
-        # ~2-4x ef expansions covers hnswlib's termination point
-        max_iters = (4 * ef + 32 + e_exp - 1) // e_exp
+        # ~2-4x ef expansions covers hnswlib's termination point; a
+        # scan-seeded beam starts near-converged and needs far fewer
+        factor = 2 if seed_stride else 4
+        max_iters = (factor * ef + 32 + e_exp - 1) // e_exp
 
     qbf = queries.astype(jnp.bfloat16)
     scale_bf = aos.scale.astype(jnp.bfloat16)
+
+    seed_d = seed_i = None
+    if seed_stride:
+        # scan-seeded initialization: one MXU pass over a strided corpus
+        # subsample fills the beam with ef already-good candidates; the
+        # graph walk then only has to pull in their true neighborhoods
+        # (the hierarchy descent is skipped — the subsample plays the
+        # upper layers' role of long-range routing)
+        sub = aos.q_vectors[::seed_stride].astype(jnp.bfloat16) * scale_bf
+        dots = (qbf @ sub.T).astype(jnp.float32)        # [B, S] on the MXU
+        if metric == "l2":
+            s_sq = jnp.sum(sub.astype(jnp.float32) ** 2, axis=1)
+            q_sq = jnp.sum(queries * queries, axis=1)
+            sd = q_sq[:, None] + s_sq[None, :] - 2.0 * dots
+        else:
+            sd = 1.0 - dots
+        sub_ids = (
+            jnp.arange(sub.shape[0], dtype=jnp.int32) * seed_stride
+        )
+        neg, pos = jax.lax.top_k(-sd, min(ef, sub.shape[0]))
+        seed_d = -neg
+        seed_i = sub_ids[pos]
 
     # --- upper-layer descent (tiny graphs; SoA fp32 as before) ----------
     cur = jnp.full((b,), graph.entry, jnp.int32)
@@ -335,13 +362,14 @@ def hnsw_search_batch_aos(
     cur_d = jnp.sum((evec - queries) ** 2, axis=-1) if metric == "l2" else (
         1.0 - jnp.sum(evec * queries, axis=-1)
     )
-    for id2row, links in zip(
-        reversed(graph.upper_id2row), reversed(graph.upper_links)
-    ):
-        cur, cur_d = _descend_level(
-            queries, graph.vectors, id2row, links, cur, cur_d, metric,
-            "default",
-        )
+    if seed_d is None:
+        for id2row, links in zip(
+            reversed(graph.upper_id2row), reversed(graph.upper_links)
+        ):
+            cur, cur_d = _descend_level(
+                queries, graph.vectors, id2row, links, cur, cur_d, metric,
+                "default",
+            )
 
     # --- layer-0 beam (int8-domain distances) ---------------------------
     # distances tracked in the quantized domain; absolute values differ
@@ -355,8 +383,13 @@ def hnsw_search_batch_aos(
             nd = 1.0 - jnp.sum(v * qbf[:, None, None, :], axis=-1)
         return nd.reshape(b, -1).astype(jnp.float32)
 
-    beam_d = jnp.full((b, ef), INF, jnp.float32).at[:, 0].set(cur_d)
-    beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur)
+    if seed_d is not None:
+        s = seed_d.shape[1]
+        beam_d = jnp.full((b, ef), INF, jnp.float32).at[:, :s].set(seed_d)
+        beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, :s].set(seed_i)
+    else:
+        beam_d = jnp.full((b, ef), INF, jnp.float32).at[:, 0].set(cur_d)
+        beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur)
     beam_e = jnp.zeros((b, ef), bool)
 
     def cond(state):

@@ -200,6 +200,11 @@ _num("search.hnsw-aos-budget-bytes", 1 << 30, 0, 1 << 40)
 # place; here the rebuild is cheap and produces a tombstone-free graph).
 # 0 disables auto-vacuum (explicit FT._DEBUG / vacuum() still works).
 _num("search.hnsw-vacuum-deleted-ratio", 0.5, 0.0, 1.0)
+# scan-seeded traversal: a strided-subsample MXU pass initializes the
+# beam with ef good candidates before the graph walk refines them (the
+# subsample plays the upper layers' long-range-routing role). 0 = pure
+# entry-point descent (hnswlib-faithful); N = subsample stride.
+_num("search.hnsw-traversal-seed-stride", 0, 0, 1_000_000)
 _num("search.hnsw-build-batch", 4096, lo=256, hi=65536)
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for
 # the coarse pass (exact fp32 rescore of 4k candidates restores recall:
