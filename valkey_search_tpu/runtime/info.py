@@ -133,6 +133,8 @@ def _register_builtin_fields() -> None:
     R.counter("search_hybrid_queries_prefilter", "hybrid_prefilter")
     R.counter("search_hybrid_queries_inline", "hybrid_inline")
     R.counter("search_query_errors", "query_errors")
+    R.counter("search_aggregate_queries", "aggregate_queries")
+    R.counter("search_aggregate_errors", "aggregate_errors")
     R.counter("search_query_timeouts", "query_timeouts")
     R.counter("search_partial_results", "partial_results", dev=True)
     _sampler_fields("search_vector", "vector_search_usec")

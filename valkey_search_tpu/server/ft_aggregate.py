@@ -409,7 +409,14 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
 
 
 def run_ft_aggregate(engine, args: List[Value]) -> list:
-    spec = parse_ft_aggregate(args)
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    try:
+        spec = parse_ft_aggregate(args)
+    except Exception:
+        STATS.incr("aggregate_errors")
+        raise
+    STATS.incr("aggregate_queries")
 
     # ---- step 1: query ----------------------------------------------------
     schema = engine.manager.get(spec.index_name)
