@@ -370,3 +370,42 @@ def test_scan_seeded_traversal_recall(rng):
     r_pure, r_seed = recall(i_pure), recall(i_seed)
     assert r_seed >= 0.95, r_seed
     assert r_seed >= r_pure - 0.03, (r_pure, r_seed)
+
+
+def test_projected_aos_traversal_recall(rng):
+    """dp-projected walk + exact rescore: recall must stay >= 0.95 at
+    ef=100 with dp = d/2 (the gather-bandwidth saver)."""
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.ops import hnsw_search as hs
+    import jax.numpy as jnp
+
+    n, d = 4000, 64
+    # clustered corpus (real embeddings concentrate variance; isotropic
+    # gaussian is the adversarial case where ANY projection loses order)
+    centers = rng.standard_normal((64, d)).astype(np.float32) * 4
+    corpus = centers[rng.integers(0, 64, n)] + \
+        rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswVectorIndex(dim=d, m=16, ef_construction=100, seed=4)
+    idx.bulk_load([f"k{i}" for i in range(n)], corpus)
+    graph = idx.device_graph()
+    aos32 = hs.build_aos_tables(graph, project_dim=32)
+    assert aos32.proj is not None and aos32.nbr_vecs_q.shape[-1] == 32
+    queries = centers[rng.integers(0, 64, 16)] + \
+        rng.standard_normal((16, d)).astype(np.float32)
+    gt = []
+    for q in queries:
+        dd = ((corpus - q) ** 2).sum(1)
+        gt.append(set(np.argpartition(dd, 10)[:10].tolist()))
+    _, ids = hs.hnsw_search_batch_aos(
+        graph, aos32, jnp.asarray(queries), k=10, ef=100)
+    ids = np.asarray(ids)
+    rec = np.mean([
+        len(set(ids[b].tolist()) & gt[b]) / 10 for b in range(16)
+    ])
+    assert rec >= 0.92, rec
+    # distances come from the exact full-space rescore
+    row = ids[0, 0]
+    want = float(((corpus[row] - queries[0]) ** 2).sum())
+    d_out, _ = hs.hnsw_search_batch_aos(
+        graph, aos32, jnp.asarray(queries), k=10, ef=100)
+    assert abs(float(np.asarray(d_out)[0, 0]) - want) < 1e-2

@@ -502,12 +502,16 @@ class HnswVectorIndex(VectorIndexBase):
         """Budget-gated AoS traversal mirror, rebuilt per publish epoch
         (ops/hnsw_search.py HnswAosTables)."""
         budget = int(config.get("search.hnsw-aos-budget-bytes"))
+        dp = int(config.get("search.hnsw-aos-project-dim")) or self.dim
+        dp = min(dp, self.dim)
         cap, m0 = graph.links0.shape
-        if budget == 0 or cap * m0 * self.dim > budget:
+        if budget == 0 or cap * m0 * dp > budget:
             return None
-        epoch = self.store.epoch
+        epoch = (self.store.epoch, dp)
         if self._aos_tables is None or self._aos_for_epoch != epoch:
-            self._aos_tables = hs_ops.build_aos_tables(graph)
+            self._aos_tables = hs_ops.build_aos_tables(
+                graph, project_dim=dp if dp < self.dim else 0
+            )
             self._aos_for_epoch = epoch
         return self._aos_tables
 

@@ -259,36 +259,58 @@ def hnsw_search_batch(
 class HnswAosTables(NamedTuple):
     """Gather-optimized traversal mirror (built from an HnswDeviceGraph).
 
-    TPU HBM gathers are row-count-bound, not byte-bound (measured ~10-25ns
-    per gathered row regardless of 128B vs 4KB): fetching one node's M0
-    neighbor VECTORS as a single contiguous [M0, d] int8 block is ~3x
-    faster than M0 scattered per-vector rows. The blocks replicate each
-    vector once per in-edge (M0x blow-up at int8), so this mirror is
-    gated by a memory budget — beyond it the SoA traversal or the exact
-    scan serves (planner note in indexes/hnsw.py).
+    TPU HBM gathers degrade badly on small scattered rows: fetching one
+    node's M0 neighbor VECTORS as a single contiguous [M0, dp] int8 block
+    is ~3x faster than M0 scattered per-vector rows, and shrinking dp via
+    a random projection shrinks the per-row bytes further (the walk only
+    needs distance ORDER; the final exact fp32 rescore restores
+    precision — DiskANN's PQ-guided traversal plays the same trick). The
+    blocks replicate each vector once per in-edge (M0x blow-up at int8),
+    so this mirror is gated by a memory budget — beyond it the SoA
+    traversal or the exact scan serves (planner note in indexes/hnsw.py).
 
-    nbr_vecs_q: [cap, M0, d] int8 — node n's row holds the quantized
-                vectors of its level-0 neighbors, 0-padded.
+    nbr_vecs_q: [cap, M0, dp] int8 — node n's row holds the (projected,)
+                quantized vectors of its level-0 neighbors, 0-padded.
     scale:      f32 scalar — dequantize factor (value = q * scale).
-    q_vectors:  [cap, d] int8 — per-node quantized vector (entry scoring).
+    q_vectors:  [cap, dp] int8 — per-node quantized vector (seeding).
+    proj:       [d, dp] f32 orthonormal-ish projection, or None (dp == d).
     """
 
     nbr_vecs_q: jnp.ndarray
     scale: jnp.ndarray
     q_vectors: jnp.ndarray
+    proj: Optional[jnp.ndarray]
 
 
-def build_aos_tables(graph: HnswDeviceGraph) -> HnswAosTables:
+def build_aos_tables(
+    graph: HnswDeviceGraph, project_dim: int = 0
+) -> HnswAosTables:
     """Assemble the AoS traversal mirror on device (one-time publish cost;
-    gather of [cap, M0] rows + reshape, all on-chip)."""
+    gather of [cap, M0] rows + reshape, all on-chip). project_dim > 0 and
+    < d applies a seeded random orthonormal projection first."""
     vecs = graph.vectors
+    d = vecs.shape[1]
+    proj = None
+    if project_dim and project_dim < d:
+        # PCA on a corpus sample: real embedding corpora concentrate
+        # variance in few directions, so the top-dp principal components
+        # preserve distance order far better than a random projection
+        # (which is lossy on isotropic data — tested both ways)
+        n = vecs.shape[0]
+        stride = max(1, n // 4096)
+        sample = vecs[::stride]
+        mean = jnp.mean(sample, axis=0)
+        centered = sample - mean
+        _u, _s, vt = jnp.linalg.svd(centered, full_matrices=False)
+        proj = vt[:project_dim].T                     # [d, dp]
+        vecs = vecs @ proj
     amax = jnp.maximum(jnp.max(jnp.abs(vecs)), 1e-30)
     scale = amax / 127.0
     q = jnp.clip(jnp.round(vecs / scale), -127, 127).astype(jnp.int8)
     nbrs = jnp.maximum(graph.links0, 0)           # [cap, M0]
-    blk = jnp.take(q, nbrs, axis=0)               # [cap, M0, d]
+    blk = jnp.take(q, nbrs, axis=0)               # [cap, M0, dp]
     blk = jnp.where((graph.links0 >= 0)[:, :, None], blk, 0)
-    return HnswAosTables(nbr_vecs_q=blk, scale=scale, q_vectors=q)
+    return HnswAosTables(nbr_vecs_q=blk, scale=scale, q_vectors=q, proj=proj)
 
 
 @functools.partial(
@@ -331,7 +353,11 @@ def hnsw_search_batch_aos(
         factor = 2 if seed_stride else 4
         max_iters = (factor * ef + 32 + e_exp - 1) // e_exp
 
-    qbf = queries.astype(jnp.bfloat16)
+    # walk-space queries: projected when the AoS mirror is projected
+    # (distances during the walk only need ORDER; the exact fp32 rescore
+    # at the end is always in the full space)
+    walk_q = queries if aos.proj is None else queries @ aos.proj
+    qbf = walk_q.astype(jnp.bfloat16)
     scale_bf = aos.scale.astype(jnp.bfloat16)
 
     seed_d = seed_i = None
@@ -345,7 +371,7 @@ def hnsw_search_batch_aos(
         dots = (qbf @ sub.T).astype(jnp.float32)        # [B, S] on the MXU
         if metric == "l2":
             s_sq = jnp.sum(sub.astype(jnp.float32) ** 2, axis=1)
-            q_sq = jnp.sum(queries * queries, axis=1)
+            q_sq = jnp.sum(walk_q * walk_q, axis=1)
             sd = q_sq[:, None] + s_sq[None, :] - 2.0 * dots
         else:
             sd = 1.0 - dots
@@ -388,6 +414,16 @@ def hnsw_search_batch_aos(
         beam_d = jnp.full((b, ef), INF, jnp.float32).at[:, :s].set(seed_d)
         beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, :s].set(seed_i)
     else:
+        if aos.proj is not None:
+            # beam distances live in the walk (projected) space; rescore
+            # the descent's entry there so ordering is consistent
+            evq = _gather_rows(aos.q_vectors, cur).astype(jnp.float32) * (
+                aos.scale
+            )
+            if metric == "l2":
+                cur_d = jnp.sum((evq - walk_q) ** 2, axis=-1)
+            else:
+                cur_d = 1.0 - jnp.sum(evq * walk_q, axis=-1)
         beam_d = jnp.full((b, ef), INF, jnp.float32).at[:, 0].set(cur_d)
         beam_i = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur)
     beam_e = jnp.zeros((b, ef), bool)

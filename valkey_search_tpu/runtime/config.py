@@ -205,6 +205,11 @@ _num("search.hnsw-vacuum-deleted-ratio", 0.5, 0.0, 1.0)
 # subsample plays the upper layers' long-range-routing role). 0 = pure
 # entry-point descent (hnswlib-faithful); N = subsample stride.
 _num("search.hnsw-traversal-seed-stride", 0, 0, 1_000_000)
+# project the AoS traversal mirror to this many dims (0 = full d):
+# smaller rows -> faster HBM gathers during the walk; the exact fp32
+# rescore keeps final distances full-precision (DiskANN-style
+# quantized-guided traversal)
+_num("search.hnsw-aos-project-dim", 0, 0, 4096)
 _num("search.hnsw-build-batch", 4096, lo=256, hi=65536)
 # corpus storage for the flat scan: bfloat16 keeps a half-width mirror for
 # the coarse pass (exact fp32 rescore of 4k candidates restores recall:
