@@ -962,10 +962,11 @@ class ClusterClient:
             ]
             rows, totals, score_field, knn_k = [], [], None, -1
             failures: List[Exception] = []
+            timeout_s = int(config.get("search.timeout-ms")) / 1000.0
             for fut in futures:
                 try:
-                    total, kk, sf, enc_rows = fut.result()
-                except (ReplyError, OSError, EOFError) as exc:
+                    total, kk, sf, enc_rows = fut.result(timeout=timeout_s)
+                except (ReplyError, OSError, EOFError, TimeoutError) as exc:
                     failures.append(exc)
                     continue
                 totals.append(int(total))
