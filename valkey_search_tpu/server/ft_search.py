@@ -114,8 +114,11 @@ def parse_ft_search_args(args: List[Value]) -> SearchParameters:
         elif tok == "DIALECT":
             if i + 1 >= len(args):
                 raise FTSearchError("DIALECT needs a value")
-            if _s(args[i + 1]) != "2":
-                raise FTSearchError("only DIALECT 2 is supported")
+            if _s(args[i + 1]) not in ("2", "3", "4"):
+                # reference range (ft_search_parser.cc): DIALECT in [2, 4]
+                raise FTSearchError(
+                    "DIALECT requires a non negative integer >=2 and <= 4"
+                )
             i += 2
         elif tok in ("ALLSHARDS", "SOMESHARDS", "CONSISTENT", "INCONSISTENT",
                      "VERBATIM", "INORDER"):
