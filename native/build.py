@@ -32,18 +32,29 @@ def _source_hash() -> str:
     return h.hexdigest()[:16]
 
 
-def lib_path() -> str:
-    """Return the path to the built shared library, building if stale."""
+def lib_path(sanitize: str = "") -> str:
+    """Return the path to the built shared library, building if stale.
+
+    sanitize="thread" builds a TSan-instrumented variant (the CI analog
+    of the reference's TSan unit workflows, SURVEY §5.2) — load it with
+    LD_PRELOAD=libtsan.so in a fresh process.
+    """
     os.makedirs(BUILD_DIR, exist_ok=True)
-    tag = _source_hash()
-    lib = os.path.join(BUILD_DIR, LIB_NAME)
-    stamp = os.path.join(BUILD_DIR, "source.hash")
+    tag = _source_hash() + (f"-{sanitize}" if sanitize else "")
+    name = LIB_NAME if not sanitize else LIB_NAME.replace(
+        ".so", f"_{sanitize}.so")
+    lib = os.path.join(BUILD_DIR, name)
+    stamp = os.path.join(BUILD_DIR, f"source.hash.{sanitize or 'plain'}")
     if os.path.exists(lib) and os.path.exists(stamp):
         with open(stamp) as f:
             if f.read().strip() == tag:
                 return lib
     srcs = [os.path.join(NATIVE_DIR, s) for s in SOURCES]
-    cmd = ["g++", *CXX_FLAGS, "-o", lib, *srcs]
+    flags = list(CXX_FLAGS)
+    if sanitize:
+        flags = [f for f in flags if f != "-fno-exceptions"]
+        flags += [f"-fsanitize={sanitize}", "-O1", "-g"]
+    cmd = ["g++", *flags, "-o", lib, *srcs]
     subprocess.run(cmd, check=True)
     with open(stamp, "w") as f:
         f.write(tag)

@@ -109,8 +109,10 @@ struct HnswIndex {
   int32_t count = 0;
   int32_t entry = -1;
   int max_level = -1;
-  uint64_t hops = 0;                // instrumentation (hnswalg.h metric_hops)
-  uint64_t dist_comps = 0;          // metric_distance_computations
+  // instrumentation (hnswalg.h metric_hops / metric_distance_computations);
+  // relaxed atomics: concurrent inserts batch their adds per walk
+  std::atomic<uint64_t> hops{0};
+  std::atomic<uint64_t> dist_comps{0};
 
   std::vector<float> vectors;       // [cap * dim]
   std::vector<int32_t> links0;      // [cap * M0], -1 padded
@@ -128,7 +130,7 @@ struct HnswIndex {
   // upper structures are tiny and re-export whole when touched)
   std::vector<int32_t> dirty_list;
   std::vector<uint8_t> dirty_flag;
-  bool upper_dirty = false;
+  std::atomic<bool> upper_dirty{false};
 
   // -- concurrency (multi-threaded batch insert, reference hnswlib
   //    per-label link locks hnswalg.h:1260-1270) ---------------------------
@@ -244,8 +246,8 @@ struct HnswIndex {
       }
       ++hp;
     }
-    dist_comps += dc;  // batched: one (racy-in-mt, instrumentation-only)
-    hops += hp;        // update per walk instead of per edge
+    dist_comps.fetch_add(dc, std::memory_order_relaxed);
+    hops.fetch_add(hp, std::memory_order_relaxed);
     *out_d = cur_d;
     return cur;
   }
@@ -298,8 +300,8 @@ struct HnswIndex {
         }
       }
     }
-    dist_comps += dc;
-    hops += hp;
+    dist_comps.fetch_add(dc, std::memory_order_relaxed);
+    hops.fetch_add(hp, std::memory_order_relaxed);
     return top;
   }
 
@@ -315,7 +317,7 @@ struct HnswIndex {
       bool keep = true;
       for (int32_t sel : *out) {
         const float dns = dist(vec(n), vec(sel));
-        ++dist_comps;
+        dist_comps.fetch_add(1, std::memory_order_relaxed);
         if (dns < dq) {
           keep = false;
           break;
@@ -356,11 +358,11 @@ struct HnswIndex {
       // overflow: re-select nb's neighbor list including the new node
       merged.clear();
       const float dn = dist(vec(nb), vec(node));
-      ++dist_comps;
+      dist_comps.fetch_add(1, std::memory_order_relaxed);
       merged.emplace_back(dn, node);
       for (int i = 0; i < deg; ++i) {
         merged.emplace_back(dist(vec(nb), vec(l[i])), l[i]);
-        ++dist_comps;
+        dist_comps.fetch_add(1, std::memory_order_relaxed);
       }
       select_neighbors(merged, capd, &pruned);
       set_links(nb, level, pruned);
@@ -422,7 +424,7 @@ struct HnswIndex {
       const int32_t s = seeds[i];
       if (s < 0 || s >= node) continue;  // invalid / not yet inserted / self
       cands.emplace_back(dist(v, vec(s)), s);
-      ++dist_comps;
+      dist_comps.fetch_add(1, std::memory_order_relaxed);
     }
     if (cands.empty()) {
       // degenerate (first nodes of an empty index): classic beam
@@ -636,10 +638,10 @@ struct HnswIndex {
         }
         merged.clear();
         merged.emplace_back(dist(vec(v), vec(u)), u);
-        ++dist_comps;
+        dist_comps.fetch_add(1, std::memory_order_relaxed);
         for (int j = 0; j < dv; ++j) {
           merged.emplace_back(dist(vec(v), vec(lv[j])), lv[j]);
-          ++dist_comps;
+          dist_comps.fetch_add(1, std::memory_order_relaxed);
         }
         select_neighbors(merged, M0, &pruned);
         set_links(v, 0, pruned);
