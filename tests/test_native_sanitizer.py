@@ -113,3 +113,33 @@ def test_native_layer_under_tsan():
     )
     assert p.returncode != 66, f"TSan race detected:\n{p.stderr[-4000:]}"
     assert "STRESS-OK" in p.stdout, (p.returncode, p.stderr[-4000:])
+
+
+@pytest.mark.slow
+def test_native_layer_under_asan():
+    """ASan build (heap overflow / UAF detector) over the same stress —
+    the reference's ASan workflows analog (unittests-asan.yml)."""
+    sys.path.insert(0, os.path.join(REPO, "native"))
+    import importlib
+
+    build = importlib.import_module("build")
+    try:
+        lib = build.lib_path(sanitize="address")
+    except Exception as exc:
+        pytest.skip(f"asan build unavailable: {exc}")
+    libasan = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = libasan
+    env["ASAN_OPTIONS"] = (
+        "detect_leaks=0:abort_on_error=0:exitcode=77:halt_on_error=1"
+    )
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run(
+        [sys.executable, "-c", STRESS, lib],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert p.returncode != 77, f"ASan error:\n{p.stderr[-4000:]}"
+    assert "STRESS-OK" in p.stdout, (p.returncode, p.stderr[-4000:])
