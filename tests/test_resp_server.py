@@ -421,3 +421,33 @@ def test_acl_command_surface(server, client):
                    "SCHEMA", "t", "TAG")
     client.cmd("RESET")
     assert client.cmd("ACL", "DELUSER", "bob") == 1
+
+
+def test_basic_keyspace_command_surface(server, client):
+    client.cmd("HSET", "h1", "a", "1", "b", "2")
+    assert client.cmd("EXISTS", "h1", "ghost") == 1
+    assert client.cmd("TYPE", "h1") == b"hash"
+    assert client.cmd("TYPE", "ghost") == b"none"
+    assert client.cmd("HGET", "h1", "a") == b"1"
+    assert client.cmd("HGET", "h1", "zz") is None
+    assert client.cmd("HMGET", "h1", "a", "zz", "b") == [b"1", None, b"2"]
+    assert client.cmd("HDEL", "h1", "b") == 1
+    assert client.cmd("HGETALL", "h1") == [b"a", b"1"]
+    client.cmd("HSET", "h2", "x", "1")
+    keys = client.cmd("KEYS", "h*")
+    assert sorted(keys) == [b"h1", b"h2"]
+    # SCAN paging covers the whole keyspace
+    seen = set()
+    cursor = b"0"
+    while True:
+        cursor, page = client.cmd("SCAN", cursor, "COUNT", "1")
+        seen.update(page)
+        if cursor == b"0":
+            break
+    assert seen == {b"h1", b"h2"}
+    # HDEL of the last field deletes the key and deindexes it
+    client.cmd("FT.CREATE", "ks", "ON", "HASH", "SCHEMA", "a", "TAG")
+    client.cmd("HSET", "h3", "a", "tagged")
+    assert client.cmd("FT.SEARCH", "ks", "@a:{tagged}", "NOCONTENT")[0] >= 1
+    client.cmd("HDEL", "h3", "a")
+    assert client.cmd("EXISTS", "h3") == 0

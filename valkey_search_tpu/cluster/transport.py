@@ -211,7 +211,8 @@ class NodeServer:
             # clients can drive nodes directly
             **{
                 c: self._keyspace_interceptor(c)
-                for c in ("HSET", "DEL", "HGETALL", "JSON.SET", "JSON.GET",
+                for c in ("HSET", "DEL", "HGETALL", "HGET", "HMGET", "HDEL",
+                          "EXISTS", "TYPE", "JSON.SET", "JSON.GET",
                           "EXPIRE", "PEXPIRE", "TTL", "PERSIST", "COPY")
             },
             # replicated metadata-update command (reference
@@ -371,7 +372,7 @@ class NodeServer:
         """Slot-checked keyspace command: execute locally when this node
         owns the key's slot, else -MOVED to the owner (best-known from
         gossip)."""
-        writes = {"HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE",
+        writes = {"HSET", "HDEL", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE",
                   "PERSIST", "COPY"}
 
         def run(rest: List[bytes]):

@@ -599,6 +599,70 @@ class Engine:
                     raise CommandError("COPY source destination [REPLACE]")
                 replace = any(_s(a).upper() == "REPLACE" for a in rest[2:])
                 return self.copy(_s(rest[0]), _s(rest[1]), replace)
+            if cmd == "EXISTS":
+                with self._lock:
+                    return sum(1 for k in rest if _s(k) in self.keyspace)
+            if cmd == "TYPE":
+                with self._lock:
+                    doc = self.keyspace.get(_s(rest[0]))
+                if doc is None:
+                    return "none"
+                return "ReJSON-RL" if set(doc) == {"$"} else "hash"
+            if cmd == "HGET":
+                if len(rest) != 2:
+                    raise CommandError("HGET key field")
+                self._expire_if_due(_s(rest[0]))
+                with self._lock:
+                    return self.keyspace.get(_s(rest[0]), {}).get(_s(rest[1]))
+            if cmd == "HMGET":
+                if len(rest) < 2:
+                    raise CommandError("HMGET key field [field ...]")
+                self._expire_if_due(_s(rest[0]))
+                with self._lock:
+                    doc = self.keyspace.get(_s(rest[0]), {})
+                    return [doc.get(_s(f)) for f in rest[1:]]
+            if cmd == "HDEL":
+                if len(rest) < 2:
+                    raise CommandError("HDEL key field [field ...]")
+                return self.hdel(_s(rest[0]), *[_s(f) for f in rest[1:]])
+            if cmd == "KEYS":
+                import fnmatch as _fn
+
+                pat = _s(rest[0]) if rest else "*"
+                with self._lock:
+                    return [
+                        k for k in self.keyspace
+                        if _fn.fnmatchcase(k, pat)
+                    ]
+            if cmd == "SCAN":
+                # cursor semantics over a sorted key snapshot (valkey's
+                # SCAN guarantees are looser; sorted-order paging gives
+                # the same complete-iteration property for a stable set)
+                import fnmatch as _fn
+
+                cursor = int(_s(rest[0])) if rest else 0
+                pat, count = "*", 10
+                i = 1
+                while i < len(rest):
+                    opt = _s(rest[i]).upper()
+                    if opt == "MATCH" and i + 1 < len(rest):
+                        pat = _s(rest[i + 1])
+                        i += 2
+                    elif opt == "COUNT" and i + 1 < len(rest):
+                        count = max(1, int(_s(rest[i + 1])))
+                        i += 2
+                    elif opt == "TYPE" and i + 1 < len(rest):
+                        i += 2  # single logical type: accepted, no-op
+                    else:
+                        raise CommandError(f"bad SCAN option {opt!r}")
+                with self._lock:
+                    keys = sorted(self.keyspace)
+                page = keys[cursor:cursor + count]
+                nxt = cursor + count
+                if nxt >= len(keys):
+                    nxt = 0
+                return [str(nxt),
+                        [k for k in page if _fn.fnmatchcase(k, pat)]]
             fn = table.get(cmd)
             if fn is None:
                 raise CommandError(f"unknown command {cmd!r}")

@@ -697,7 +697,8 @@ def _format_info(engine: Engine, args: List[str]) -> str:
 
 
 _WRITE_COMMANDS = {
-    "HSET", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST", "COPY",
+    "HSET", "HDEL", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST",
+    "COPY",
 }
 
 _COMMANDS = [
@@ -705,7 +706,8 @@ _COMMANDS = [
     "COMMAND", "DBSIZE", "FLUSHALL", "FLUSHDB", "MULTI", "EXEC", "DISCARD",
     "ACL",
     "CONFIG", "INFO", "SAVE", "BGSAVE", "SHUTDOWN",
-    "HSET", "HGETALL", "DEL", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
+    "HSET", "HGETALL", "HGET", "HMGET", "HDEL", "DEL", "EXISTS", "TYPE",
+    "KEYS", "SCAN", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
     "JSON.SET", "JSON.GET", "COPY", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
     "FT.AGGREGATE", "FT.INFO", "FT._LIST", "FT._DEBUG",
 ]
