@@ -136,3 +136,35 @@ def test_json_roundtrip_persistence(jeng, tmp_path):
     assert r[1] == "j:7"
     assert e2.execute("FT.SEARCH", "jidx", "@color:{blue}", "NOCONTENT",
                       "LIMIT", "0", "50")[0] == 10
+
+
+def test_json_wildcard_tag_arrays():
+    """`$.tags[*]` / nested `$.items[*].color` multi-value TAG paths
+    (Redisearch JSON array semantics)."""
+    import json as _json
+
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.execute("FT.CREATE", "jw", "ON", "JSON", "PREFIX", "1", "j:",
+              "SCHEMA", "$.tags[*]", "AS", "tags", "TAG",
+              "$.items[*].color", "AS", "color", "TAG")
+    e.json_set("j:1", "$", _json.dumps({
+        "tags": ["red", "sale"],
+        "items": [{"color": "blue"}, {"color": "green"}],
+    }))
+    e.json_set("j:2", "$", _json.dumps({
+        "tags": ["sale"], "items": [{"color": "blue"}],
+    }))
+    r = e.execute("FT.SEARCH", "jw", "@tags:{red}", "NOCONTENT")
+    assert r[0] == 1 and _s(r[1]) == "j:1"
+    r = e.execute("FT.SEARCH", "jw", "@tags:{sale}", "NOCONTENT")
+    assert r[0] == 2
+    r = e.execute("FT.SEARCH", "jw", "@color:{green}", "NOCONTENT")
+    assert r[0] == 1 and _s(r[1]) == "j:1"
+    r = e.execute("FT.SEARCH", "jw", "@color:{blue}", "NOCONTENT")
+    assert r[0] == 2
+
+
+def _s(v):
+    return v.decode() if isinstance(v, bytes) else v

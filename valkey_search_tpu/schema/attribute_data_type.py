@@ -25,7 +25,7 @@ class HashDataType:
         return fields.get(identifier)
 
 
-_PATH_TOKEN = re.compile(r"\.([^.\[\]]+)|\[(\d+)\]")
+_PATH_TOKEN = re.compile(r"\.([^.\[\]]+)|\[(\d+|\*)\]")
 
 
 def resolve_json_path(obj: Any, path: str):
@@ -49,6 +49,20 @@ def resolve_json_path(obj: Any, path: str):
             if not isinstance(cur, dict) or field not in cur:
                 return None
             cur = cur[field]
+        elif idx == "*":
+            # wildcard (Redisearch `$.tags[*]`): map the remaining path
+            # over the array, collecting resolved elements
+            if not isinstance(cur, list):
+                return None
+            rest = path[m.end():]
+            if not rest:
+                return list(cur)
+            out = []
+            for el in cur:
+                sub = resolve_json_path(el, "$" + rest)
+                if sub is not None:
+                    out.append(sub)
+            return out or None
         else:
             i = int(idx)
             if not isinstance(cur, list) or i >= len(cur):
