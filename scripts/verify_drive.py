@@ -1,0 +1,161 @@
+"""End-to-end drive of the engine's argv surface on the real TPU.
+
+Covers the verify-skill flows: HNSW+TAG+NUMERIC schema, HSET ingest, pure
+KNN, hybrid filter, non-vector + SORTBY, mutation visibility, FT.INFO,
+recall vs numpy ground truth, and typed error probes. Exits 0 iff every
+check passes and the backend is the real chip (pass --allow-cpu to relax
+for smoke runs).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+if "--allow-cpu" in sys.argv:
+    # the axon sitecustomize sets the jax_platforms *config* (which beats
+    # the env var), so pin the config explicitly before anything runs
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from valkey_search_tpu.runtime import jaxinit  # noqa: E402
+
+jaxinit.init()
+
+import jax  # noqa: E402
+
+from valkey_search_tpu.server import Engine  # noqa: E402
+from valkey_search_tpu.server.engine import CommandError  # noqa: E402
+
+checks = []
+
+
+def check(name, ok, detail=""):
+    checks.append((name, bool(ok)))
+    print(f"[drive] {'ok ' if ok else 'FAIL'} {name} {detail}", flush=True)
+
+
+def main():
+    allow_cpu = "--allow-cpu" in sys.argv
+    backend = jax.default_backend()
+    print(f"[drive] backend={backend} devices={jax.devices()}", flush=True)
+    if backend != "tpu" and not allow_cpu:
+        print("[drive] FATAL: not on the real chip", flush=True)
+        sys.exit(2)
+
+    rng = np.random.default_rng(3)
+    d = 32
+    n = 3000
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+
+    e = Engine()
+    t0 = time.perf_counter()
+    e.execute(
+        "FT.CREATE", "idx", "ON", "HASH", "PREFIX", "1", "doc:",
+        "SCHEMA", "v", "VECTOR", "HNSW", "12", "TYPE", "FLOAT32",
+        "DIM", str(d), "DISTANCE_METRIC", "L2", "M", "8",
+        "EF_CONSTRUCTION", "80", "EF_RUNTIME", "60",
+        "tag", "TAG", "num", "NUMERIC",
+    )
+    for i in range(n):
+        e.execute(
+            "HSET", f"doc:{i}", "v", corpus[i].tobytes(),
+            "tag", "red" if i % 3 == 0 else "blue", "num", str(i),
+        )
+    print(f"[drive] ingest {n} docs in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    # --- pure KNN + recall vs numpy ground truth -------------------------
+    k = 10
+    q = corpus[17] + rng.standard_normal(d).astype(np.float32) * 0.05
+    t0 = time.perf_counter()
+    r = e.execute("FT.SEARCH", "idx", f"*=>[KNN {k} @v $q]",
+                  "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    knn_s = time.perf_counter() - t0
+    got = {str(x) for x in r[1:]}
+    dd = np.einsum("ij,ij->i", corpus - q, corpus - q)
+    gt = {f"doc:{i}" for i in np.argsort(dd)[:k]}
+    rec = len(got & gt) / k
+    check("knn_recall>=0.9", rec >= 0.9, f"recall={rec:.2f} ({knn_s*1e3:.0f}ms first)")
+
+    # --- hybrid filter ---------------------------------------------------
+    r = e.execute(
+        "FT.SEARCH", "idx", f"(@tag:{{red}} @num:[0 1500])=>[KNN {k} @v $q]",
+        "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    ids = [int(str(x).split(":")[1]) for x in r[1:]]
+    check("hybrid_filter", r[0] >= 1 and
+          all(i % 3 == 0 and i <= 1500 for i in ids), f"n={r[0]}")
+
+    # --- non-vector + SORTBY --------------------------------------------
+    r = e.execute("FT.SEARCH", "idx", "@num:[100 110]",
+                  "SORTBY", "num", "DESC", "NOCONTENT")
+    ids = [int(str(x).split(":")[1]) for x in r[1:]]
+    check("sortby_desc", ids == sorted(ids, reverse=True) and r[0] == 11,
+          f"ids={ids[:4]}..")
+
+    # --- mutation visibility --------------------------------------------
+    far = (corpus[0] + 100.0).astype(np.float32)
+    e.execute("HSET", "doc:17", "v", far.tobytes(), "tag", "red", "num", "17")
+    r = e.execute("FT.SEARCH", "idx", f"*=>[KNN {k} @v $q]",
+                  "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    got = {str(x) for x in r[1:]}
+    check("update_visible", "doc:17" not in got)
+    e.execute("DEL", "doc:42")
+    r = e.execute("FT.SEARCH", "idx", f"*=>[KNN {n} @v $q]"[:200],
+                  "PARAMS", "2", "q", q.tobytes(), "NOCONTENT", "LIMIT", "0",
+                  str(n))
+    got = {str(x) for x in r[1:]}
+    check("delete_visible", "doc:42" not in got)
+
+    # --- FT.INFO ---------------------------------------------------------
+    info = e.execute("FT.INFO", "idx")
+    imap = {str(info[i]): info[i + 1] for i in range(0, len(info) - 1, 2)}
+    check("ft_info_docs", int(imap.get("num_docs", 0)) == n - 1,
+          f"num_docs={imap.get('num_docs')}")
+
+    # --- FT.AGGREGATE ----------------------------------------------------
+    r = e.execute("FT.AGGREGATE", "idx", "@num:[0 99]",
+                  "GROUPBY", "1", "@tag", "REDUCE", "COUNT", "0", "AS", "c")
+    rows = r[1:]
+    total = 0
+    for row in rows:
+        m = {str(row[i]): row[i + 1] for i in range(0, len(row) - 1, 2)}
+        total += int(m.get("c", 0))
+    # doc:42 was deleted above, so [0,99] holds 99 docs
+    check("aggregate_groupby", total == 99 and len(rows) == 2,
+          f"rows={len(rows)} total={total}")
+
+    # --- error probes ----------------------------------------------------
+    def expect_err(name, *argv):
+        try:
+            e.execute(*argv)
+            check(name, False, "no error raised")
+        except (CommandError, ValueError, KeyError) as exc:
+            check(name, True, type(exc).__name__)
+
+    expect_err("err_unknown_index", "FT.SEARCH", "nope", "*")
+    expect_err("err_unterminated_brace", "FT.SEARCH", "idx", "@tag:{red")
+    expect_err("err_missing_params", "FT.SEARCH", "idx", "*=>[KNN 3 @v $q]")
+    expect_err("err_wrong_dim", "FT.SEARCH", "idx", "*=>[KNN 3 @v $q]",
+               "PARAMS", "2", "q", b"\x00" * 8)
+    expect_err("err_knn_nonvector", "FT.SEARCH", "idx", "*=>[KNN 3 @num $q]",
+               "PARAMS", "2", "q", q.tobytes())
+    expect_err("err_dup_index", "FT.CREATE", "idx", "SCHEMA", "x", "TAG")
+
+    bad = [nm for nm, ok in checks if not ok]
+    print(f"[drive] {len(checks)-len(bad)}/{len(checks)} checks passed",
+          flush=True)
+    if bad:
+        print(f"[drive] FAILED: {bad}", flush=True)
+        sys.exit(1)
+    print("[drive] ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,32 @@ def test_sortby_numeric_field(vec_eng):
     assert prices == sorted(prices, reverse=True)
 
 
+def test_sortby_nocontent_still_sorts(vec_eng):
+    # NOCONTENT must not starve SORTBY of its key: the sort field comes
+    # from document content (reference sorts resolved rows before shaping)
+    e, _ = vec_eng
+    res = e.ft_search(
+        "idx", "@price:[10 15]", "SORTBY", "price", "DESC", "NOCONTENT",
+    )
+    ids = [int(k.split(":")[1]) for k in res[1:]]
+    assert ids == sorted(ids, reverse=True) and len(ids) == 6
+
+
+def test_aggregate_groupby_implicit_load(vec_eng):
+    # GROUPBY/REDUCE properties resolve from document content without an
+    # explicit LOAD (reference registers every parsed @field and fills it
+    # in CreateRecordsFromNeighbors)
+    e, _ = vec_eng
+    res = e.execute(
+        "FT.AGGREGATE", "idx", "@price:[0 29]",
+        "GROUPBY", "1", "@color", "REDUCE", "SUM", "1", "@price", "AS", "s",
+    )
+    rows = {tuple(r[:2]): dict(zip(r[::2], r[1::2])) for r in res[1:]}
+    assert res[0] == 3  # red/green/blue from i%3
+    total = sum(float(m["s"]) for m in rows.values())
+    assert total == sum(range(30))
+
+
 def test_return_fields_with_as(vec_eng):
     e, _ = vec_eng
     res = e.ft_search(

@@ -678,3 +678,25 @@ class Expression:
 
     def eval(self, record: Dict[str, Value], params: Optional[Dict] = None) -> Value:
         return self.root.eval(record, params or {})
+
+    def identifiers(self) -> List[str]:
+        """Document properties referenced by this expression. The aggregate
+        pipeline implicitly resolves these from record contents (reference
+        registers every parsed @field in record_indexes_by_alias_,
+        ft_aggregate_parser.cc:265-270, and CreateRecordsFromNeighbors
+        populates exactly the registered fields, ft_aggregate.cc:272+)."""
+        out: List[str] = []
+
+        def walk(node):
+            if isinstance(node, FieldRef):
+                out.append(node.name)
+            for attr in ("child", "left", "right"):
+                c = getattr(node, attr, None)
+                if isinstance(c, Node):
+                    walk(c)
+            for c in getattr(node, "args", ()) or ():
+                if isinstance(c, Node):
+                    walk(c)
+
+        walk(self.root)
+        return out

@@ -241,13 +241,22 @@ class And(Predicate):
             m = m & c.device_mask(ctx)
         return m
 
+    # when the next conjunct's posting is much larger than the running
+    # result, probing each surviving doc (hash lookups) beats materializing
+    # the big set and intersecting (reference iterator-style conjunction:
+    # the smallest fetcher drives and the rest answer ContainsKey)
+    _PROBE_FACTOR = 4
+
     def host_ids(self, ctx):
         kids = sorted(self.children, key=lambda c: c.estimate(ctx))
         out = kids[0].host_ids(ctx)
         for c in kids[1:]:
             if not out:
                 break
-            out &= c.host_ids(ctx)
+            if c.estimate(ctx) > self._PROBE_FACTOR * len(out):
+                out = {d for d in out if c.matches(ctx, d)}
+            else:
+                out &= c.host_ids(ctx)
         return out
 
     def matches(self, ctx, doc):

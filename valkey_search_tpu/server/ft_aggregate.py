@@ -279,7 +279,7 @@ class AggregateSpec:
     fanout as FT.SEARCH, ft_aggregate.cc:462 / commands.cc:172)."""
 
     __slots__ = ("index_name", "query", "params", "load_fields",
-                 "load_all", "stages", "timeout_ms")
+                 "load_all", "stages", "timeout_ms", "implicit_fields")
 
 
 def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
@@ -292,6 +292,17 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
     load_all = False
     stages: List[_Stage] = []
     timeout_ms = None
+    # properties referenced anywhere in the pipeline are implicitly
+    # resolved from document contents — the reference registers every
+    # parsed @field (GROUPBY keys, reducer args, APPLY/FILTER/SORTBY
+    # expressions) in record_indexes_by_alias_ and populates exactly those
+    # (ft_aggregate.cc CreateRecordsFromNeighbors); LOAD only adds extras
+    implicit: List[str] = []
+
+    def note(names: List[str]) -> None:
+        for nm in names:
+            if nm not in implicit:
+                implicit.append(nm)
 
     i = 2
     while i < len(args):
@@ -334,10 +345,13 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
             expr = _compile(_s(args[i + 1]))
             if i + 2 >= len(args) or _s(args[i + 2]).upper() != "AS":
                 raise FTAggregateError("APPLY requires AS <field>")
+            note(expr.identifiers())
             stages.append(_Apply(expr, _s(args[i + 3])))
             i += 4
         elif tok == "FILTER":
-            stages.append(_Filter(_compile(_s(args[i + 1]))))
+            fexpr = _compile(_s(args[i + 1]))
+            note(fexpr.identifiers())
+            stages.append(_Filter(fexpr))
             i += 2
         elif tok == "LIMIT":
             stages.append(_Limit(int(_s(args[i + 1])), int(_s(args[i + 2]))))
@@ -349,6 +363,7 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
             consumed = 0
             while consumed < n:
                 expr = _compile(_s(args[i]))
+                note(expr.identifiers())
                 i += 1
                 consumed += 1
                 desc = False
@@ -372,6 +387,7 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
                 if not f.startswith("@"):
                     raise FTAggregateError("GROUPBY fields must start with '@'")
                 fields.append(f[1:])
+            note(fields)
             i += 2 + n
             reducers: List[_Reducer] = []
             while i < len(args) and _s(args[i]).upper() == "REDUCE":
@@ -386,6 +402,8 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
                     )
                 arg_texts = [_s(a) for a in args[i + 3 : i + 3 + cnt]]
                 exprs = [_compile(t) for t in arg_texts]
+                for ex in exprs:
+                    note(ex.identifiers())
                 i += 3 + cnt
                 if i < len(args) and _s(args[i]).upper() == "AS":
                     alias = _s(args[i + 1])
@@ -405,6 +423,7 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
     spec.load_all = load_all
     spec.stages = stages
     spec.timeout_ms = timeout_ms
+    spec.implicit_fields = implicit
     return spec
 
 
@@ -476,6 +495,20 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
                     rec[fname] = _coerce(v)
                 elif score_field and fname == score_field:
                     rec[score_field] = nb.distance
+        # pipeline-referenced properties resolve implicitly from the doc
+        # (reference CreateRecordsFromNeighbors fills every registered
+        # record index from attribute_contents; LOAD only adds extras).
+        # Under ON JSON + LOAD *, attribute_contents is the single raw '$'
+        # blob with no per-attribute extraction, so pipeline fields stay
+        # unresolved and expressions over them error (oracle behavior).
+        json_load_all = load_all and schema.on == "JSON"
+        for fname in spec.implicit_fields:
+            if fname in rec or fname == "__key":
+                continue
+            v = fields.get(fname) if json_load_all else fetch_field(
+                fields, fname)
+            if v is not None:
+                rec[fname] = _coerce(v)
         if score_field is not None and nb.distance is not None:
             rec.setdefault(score_field, nb.distance)
         records.append(rec)

@@ -238,7 +238,13 @@ def run_ft_search(engine, schema, sp: SearchParameters) -> list:
             for nb in resp.neighbors
         ]
     else:
-        rows = resolve_content(engine, schema, resp, no_content=sp.no_content)
+        # SORTBY must fetch content even under NOCONTENT — the sort key
+        # comes from the document (reference sorts resolved rows before
+        # shaping, ft_search.cc:189-250; NOCONTENT only affects the reply)
+        rows = resolve_content(
+            engine, schema, resp,
+            no_content=sp.no_content and sp.sortby is None,
+        )
         augment_json_sortby(schema, sp, rows)
     return shape_reply(rows, resp, sp)
 
