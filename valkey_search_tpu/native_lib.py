@@ -438,7 +438,7 @@ class NativeLexer:
             )
             if n < 0:
                 return None
-            parts = self._buf.raw[:n].split(b"\x00")[:-1]
+            parts = self._buf[:n].split(b"\x00")[:-1]
         return [
             (parts[i].decode(), parts[i + 1].decode())
             for i in range(0, len(parts), 2)
@@ -508,6 +508,7 @@ class NativeTextIndex:
             L.tix_bytes.argtypes = [ct.c_void_p]
             L._tix_ready = True
         self._h = self._lib.tix_create(native_lexer._h)
+        self._fn_update = self._lib.tix_update_field
         self._ev = ct.create_string_buffer(1 << 16)
         self._ids = np.empty(1 << 16, np.int64)
         self._pos = np.empty(1 << 12, np.int32)
@@ -520,10 +521,13 @@ class NativeTextIndex:
             self._h = None
 
     def _events(self, n: int):
-        raw = self._ev.raw[1:n]
-        code = self._ev.raw[0:1].decode()
+        # slice the ctypes array directly — Array.__getitem__ with a slice
+        # copies only n bytes (``.raw`` would memcpy the whole 64KiB buffer
+        # per call, which dominated the single-doc ingest profile)
+        buf = self._ev[:n]
+        code = chr(buf[0]) if n else "A"
         added, removed = [], []
-        for part in raw.split(b"\x00")[:-1] if raw else []:
+        for part in buf[1:].split(b"\x00")[:-1] if n > 1 else []:
             if part[:1] == b"+":
                 added.append(part[1:].decode())
             elif part[:1] == b"-":
@@ -538,9 +542,10 @@ class NativeTextIndex:
         if not text.isascii():
             return None
         raw = text.encode()
+        fn = self._fn_update
         with self._lock:
             while True:
-                n = self._lib.tix_update_field(
+                n = fn(
                     self._h, doc, bit_index, int(no_stem), raw, len(raw),
                     self._ev, len(self._ev),
                 )
