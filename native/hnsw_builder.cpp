@@ -36,12 +36,37 @@ using std::size_t;
 using std::uint64_t;
 
 // ---------------------------------------------------------------------------
-// distance kernels (fp32; autovectorized by -O3 -march=native)
+// distance kernels. NOTE: a naive `acc += t*t` loop does NOT vectorize
+// under strict FP (the compiler may not reassociate the float reduction),
+// leaving a ~4-cycle loop-carried dependency per element — it measured 5x
+// slower than the explicit-SIMD form below at d=128. GCC vector extensions
+// give wide lanes with programmer-specified association (reference analog:
+// simsimd's hand-vectorized kernels, vectorize with the same trick).
 // ---------------------------------------------------------------------------
 
+typedef float vf8 __attribute__((vector_size(32), aligned(4)));
+
+static inline float vf8_hsum(vf8 v) {
+  float s = 0.f;
+  for (int i = 0; i < 8; ++i) s += v[i];
+  return s;
+}
+
 static inline float l2_sq(const float* a, const float* b, int d) {
-  float acc = 0.f;
-  for (int i = 0; i < d; ++i) {
+  vf8 acc0 = {0}, acc1 = {0};
+  int i = 0;
+  for (; i + 16 <= d; i += 16) {
+    vf8 x0, y0, x1, y1;
+    std::memcpy(&x0, a + i, 32);
+    std::memcpy(&y0, b + i, 32);
+    std::memcpy(&x1, a + i + 8, 32);
+    std::memcpy(&y1, b + i + 8, 32);
+    const vf8 t0 = x0 - y0, t1 = x1 - y1;
+    acc0 += t0 * t0;
+    acc1 += t1 * t1;
+  }
+  float acc = vf8_hsum(acc0 + acc1);
+  for (; i < d; ++i) {
     const float t = a[i] - b[i];
     acc += t * t;
   }
@@ -49,8 +74,19 @@ static inline float l2_sq(const float* a, const float* b, int d) {
 }
 
 static inline float ip_dist(const float* a, const float* b, int d) {
-  float acc = 0.f;
-  for (int i = 0; i < d; ++i) acc += a[i] * b[i];
+  vf8 acc0 = {0}, acc1 = {0};
+  int i = 0;
+  for (; i + 16 <= d; i += 16) {
+    vf8 x0, y0, x1, y1;
+    std::memcpy(&x0, a + i, 32);
+    std::memcpy(&y0, b + i, 32);
+    std::memcpy(&x1, a + i + 8, 32);
+    std::memcpy(&y1, b + i + 8, 32);
+    acc0 += x0 * y0;
+    acc1 += x1 * y1;
+  }
+  float acc = vf8_hsum(acc0 + acc1);
+  for (; i < d; ++i) acc += a[i] * b[i];
   return 1.f - acc;
 }
 
