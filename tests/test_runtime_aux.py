@@ -99,6 +99,35 @@ def test_ft_debug_inspection_commands():
     assert "search.hnsw-block-size" in cd
 
 
+def test_ft_debug_textinfo_showinfo_help():
+    e = Engine()
+    e.execute("FT.CREATE", "i", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "title", "TEXT")
+    e.hset("k:1", {"title": "hello helping worlds"})
+    e.hset("k:2", {"title": "hello again"})
+    # PREFIX walk: both 'hello' and the stemmed-stored 'helping'
+    rows = e.execute("FT._DEBUG", "TEXTINFO", "i", "PREFIX", "hel")
+    words = {r[0]: r[1] for r in rows}
+    assert words["hello"] == 2 and "helping" in words
+    rows = e.execute("FT._DEBUG", "TEXTINFO", "i", "PREFIX", "hello",
+                     "WITHKEYS", "WITHPOSITIONS")
+    (w, cnt, keys), = [r for r in rows if r[0] == "hello"]
+    assert cnt == 2 and [k for k, _ in keys] == ["k:1", "k:2"]
+    assert keys[0][1] == [0]  # 'hello' at position 0 in k:1
+    # SUFFIX walk over the reversed-word trie
+    rows = e.execute("FT._DEBUG", "TEXTINFO", "i", "SUFFIX", "lo")
+    assert any(r[0] == "hello" for r in rows)
+    # STEM: 'helping' stems to 'help'
+    st = e.execute("FT._DEBUG", "TEXTINFO", "i", "STEM", "help")
+    sd = dict(zip(st[::2], st[1::2]))
+    assert "helping" in sd.get("help", [])
+    info = e.execute("FT._DEBUG", "SHOW_INFO")
+    idict = dict(zip(info[::2], info[1::2]))
+    assert "search_number_of_indexes" in idict or len(idict) > 10
+    hp = e.execute("FT._DEBUG", "HELP")
+    assert "FT._DEBUG SHOW_INFO" in hp
+
+
 # -- ACL -------------------------------------------------------------------------
 
 def test_acl_prefix_coverage_rules():

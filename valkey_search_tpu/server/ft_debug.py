@@ -159,4 +159,100 @@ def run_ft_debug(engine, args: List[str]) -> object:
         dbg.reset_all()
         return "OK"
 
+    if sub == "SHOW_INFO":
+        # flat dump of every INFO field (reference info_field::ShowInfo,
+        # ft_debug.cc:360-361): dev fields included
+        out = []
+        for k, v in sorted(engine.info(include_dev=None).items()):
+            out += [k, v]
+        return out
+
+    if sub == "TEXTINFO":
+        # reference IndexSchema::TextInfoCmd (textinfocmd.cc:81-130):
+        # PREFIX/SUFFIX/STEM word-iterator dumps over the schema text index
+        if len(rest) < 3:
+            raise FTDebugError(
+                "TEXTINFO <index> PREFIX|SUFFIX|STEM <word> "
+                "[WITHKEYS] [WITHPOSITIONS]")
+        schema = engine.manager.get(rest[0])
+        te = getattr(schema, "text_engine", None)
+        if te is None:
+            raise FTDebugError(f"index {rest[0]!r} has no TEXT attributes")
+        op = rest[1].upper()
+        word = rest[2]
+        with_keys = any(a.upper() == "WITHKEYS" for a in rest[3:])
+        with_pos = any(a.upper() == "WITHPOSITIONS" for a in rest[3:])
+
+        def dump_word(w):
+            p = te._words.get(w)
+            if p is None:
+                return [w, 0]
+            row = [w, p.key_count()]
+            if with_keys:
+                keys = []
+                for doc in sorted(p.docs()):
+                    key = schema.interner.key_of(int(doc))
+                    if key is None:
+                        continue
+                    if with_pos:
+                        keys.append([key, p.positions(int(doc))])
+                    else:
+                        keys.append(key)
+                row.append(keys)
+            return row
+
+        if op == "PREFIX":
+            with te._lock:
+                return [dump_word(w) for w, _ in te.dictionary.items(word)]
+        if op == "SUFFIX":
+            if not te._any_suffix_trie():
+                raise FTDebugError("Suffix is not enabled")
+            with te._lock:
+                out = []
+                for _rev, bag in te.suffix.items(word[::-1]):
+                    for w in sorted(bag):
+                        out.append(dump_word(w))
+                return out
+        if op == "STEM":
+            with te._lock:
+                if te._nt is not None:
+                    # native stem table: exact-stem parent lookup
+                    parents = te._nt.stem_parents(word)
+                    return [word, sorted(parents)] if parents else []
+                out = []
+                for st in sorted(te._stems):
+                    if not st.startswith(word):
+                        continue
+                    out += [st, sorted(te._stems[st])]
+                return out
+        raise FTDebugError(f"unknown TEXTINFO op {op!r}")
+
+    if sub == "HELP":
+        help_text = [
+            ("FT._DEBUG SHOW_INFO", "Show Info Variable Information"),
+            ("FT._DEBUG CONTROLLED_VARIABLE SET <variable> <value>",
+             "Set a controlled variable"),
+            ("FT._DEBUG CONTROLLED_VARIABLE GET <variable>",
+             "Get a controlled variable"),
+            ("FT._DEBUG CONTROLLED_VARIABLE LIST",
+             "list all controlled variables and their values"),
+            ("FT._DEBUG PAUSEPOINT [ SET | RESET | TEST | LIST] <pausepoint>",
+             "control pause points"),
+            ("FT._DEBUG TEXTINFO <index> ...",
+             "show info about schema-level text"),
+            ("FT._DEBUG STRING_POOL_STATS", "Show InternStringPool Stats"),
+            ("FT._DEBUG SHOW_METADATA",
+             "list internal metadata manager table namespace"),
+            ("FT._DEBUG SHOW_INDEX", "list internal index schema tables"),
+            ("FT._DEBUG METRICS", "List metrics"),
+            ("FT._DEBUG CONFIG", "List config entries with values"),
+            ("FT._DEBUG TEST_COUNTER [GET <name>]", "test counters"),
+            ("FT._DEBUG PROFILE START <dir> | STOP", "XLA trace capture"),
+            ("FT._DEBUG RESET", "reset all debug controls"),
+        ]
+        out = []
+        for cmd, desc in help_text:
+            out += [cmd, desc]
+        return out
+
     raise FTDebugError(f"unknown FT._DEBUG subcommand {sub!r}")
