@@ -131,6 +131,42 @@ def main():
     check("aggregate_groupby", total == 99 and len(rows) == 2,
           f"rows={len(rows)} total={total}")
 
+    # --- multi-DB over the wire surface ----------------------------------
+    from valkey_search_tpu.server.resp import RespServer
+
+    srv = RespServer(e, port=0).start()
+    try:
+        import socket as _socket
+
+        s = _socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        f = s.makefile("rwb")
+
+        def wire(*argv):
+            out = b"*%d\r\n" % len(argv)
+            for a in argv:
+                b = a if isinstance(a, bytes) else str(a).encode()
+                out += b"$%d\r\n%s\r\n" % (len(b), b)
+            f.write(out)
+            f.flush()
+            line = f.readline()
+            if line[:1] == b"$":
+                n = int(line[1:])
+                return f.read(n + 2)[:-2] if n >= 0 else None
+            return line[1:-2]
+
+        wire("SELECT", "1")
+        wire("HSET", "mk", "f", "one")
+        v1 = wire("HGET", "mk", "f")
+        wire("SELECT", "0")
+        v0 = wire("EXISTS", "mk")
+        wire("SWAPDB", "0", "1")
+        v2 = wire("HGET", "mk", "f")
+        check("multidb_select_swapdb",
+              v1 == b"one" and v0 == b"0" and v2 == b"one")
+        f.close(); s.close()
+    finally:
+        srv.close()
+
     # --- error probes ----------------------------------------------------
     def expect_err(name, *argv):
         try:

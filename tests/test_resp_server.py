@@ -451,3 +451,71 @@ def test_basic_keyspace_command_surface(server, client):
     assert client.cmd("FT.SEARCH", "ks", "@a:{tagged}", "NOCONTENT")[0] >= 1
     client.cmd("HDEL", "h3", "a")
     assert client.cmd("EXISTS", "h3") == 0
+
+
+def test_multidb_select_isolation_and_swapdb(server, client):
+    """Logical DBs: SELECT isolates keyspaces AND index schemas (reference
+    integration/test_multidb_search.py, per-db schema registry
+    schema_manager.h GetIndexSchema(db_num, ...)); SWAPDB swaps content."""
+    client.cmd("HSET", "k", "f", "zero")
+    assert client.cmd("SELECT", "1") == "OK"
+    assert client.cmd("EXISTS", "k") == 0
+    client.cmd("HSET", "k", "f", "one")
+    client.cmd("FT.CREATE", "idx1", "ON", "HASH",
+               "SCHEMA", "f", "TAG")
+    r = client.cmd("FT.SEARCH", "idx1", "@f:{one}", "NOCONTENT")
+    assert r[0] == 1
+    # index is invisible from db 0
+    assert client.cmd("SELECT", "0") == "OK"
+    with pytest.raises(ReplyError, match="not found"):
+        client.cmd("FT.SEARCH", "idx1", "@f:{one}", "NOCONTENT")
+    assert client.cmd("HGET", "k", "f") == b"zero"
+    # SWAPDB 0 1: the connection stays on db 0 but sees db 1's data
+    assert client.cmd("SWAPDB", "0", "1") == "OK"
+    assert client.cmd("HGET", "k", "f") == b"one"
+    r = client.cmd("FT.SEARCH", "idx1", "@f:{one}", "NOCONTENT")
+    assert r[0] == 1
+    # out-of-range / bad args
+    with pytest.raises(ReplyError, match="out of range"):
+        client.cmd("SELECT", "16")
+    with pytest.raises(ReplyError):
+        client.cmd("SELECT", "x")
+    # RESET returns to db 0
+    client.cmd("SELECT", "1")
+    assert client.cmd("RESET") == "RESET"
+    assert client.cmd("HGET", "k", "f") == b"one"  # post-swap db 0
+
+
+def test_multidb_rejected_in_cluster_mode(server, client):
+    server.key_router = lambda key: None  # cluster hook installed
+    try:
+        with pytest.raises(ReplyError, match="cluster"):
+            client.cmd("SELECT", "2")
+        with pytest.raises(ReplyError, match="cluster"):
+            client.cmd("SWAPDB", "0", "1")
+        assert client.cmd("SELECT", "0") == "OK"
+    finally:
+        server.key_router = None
+
+
+def test_multidb_save_restore(server, client, tmp_path):
+    path = str(tmp_path / "dump.vstpu")
+    client.cmd("HSET", "a", "f", "db0")
+    client.cmd("SELECT", "3")
+    client.cmd("FT.CREATE", "i3", "ON", "HASH", "SCHEMA", "f", "TAG")
+    client.cmd("HSET", "b", "f", "db3")
+    assert client.cmd("SAVE", path) == "OK"
+
+    srv2 = RespServer(Engine(), port=0)
+    srv2.load_all(path)
+    srv2.start()
+    try:
+        c2 = RespClient(srv2.port)
+        assert c2.cmd("HGET", "a", "f") == b"db0"
+        assert c2.cmd("EXISTS", "b") == 0
+        c2.cmd("SELECT", "3")
+        assert c2.cmd("HGET", "b", "f") == b"db3"
+        assert c2.cmd("FT.SEARCH", "i3", "@f:{db3}", "NOCONTENT")[0] == 1
+        c2.close()
+    finally:
+        srv2.close()

@@ -234,6 +234,7 @@ class _Handler(socketserver.StreamRequestHandler):
         self.proto = 2
         self.user = "default"
         self.authenticated = False
+        self.db = 0
         self.multi_queue: Optional[List[List[bytes]]] = None
         self.multi_error = False
         self._in_exec = False
@@ -320,7 +321,7 @@ class _Handler(socketserver.StreamRequestHandler):
         return False
 
     def _run(self, srv: "RespServer", cmd: str, argv: List[bytes]) -> Any:
-        engine = srv.engine
+        engine = srv.engine if self.db == 0 else srv.engine_for(self.db)
         rest = argv[1:]
 
         # extension commands (cluster transport registers _PART.*/_META.*
@@ -376,16 +377,40 @@ class _Handler(socketserver.StreamRequestHandler):
                 raise RespError("wrong number of arguments for 'auth' command")
             return SimpleString("OK")
         if cmd == "SELECT":
+            # standalone supports the full logical-DB range with one Engine
+            # per db (reference: per-db schema registries, schema_manager.h
+            # GetIndexSchema(db_num, ...), integration/test_multidb_search);
+            # cluster mode only allows db 0 (valkey cluster semantics)
             if len(rest) != 1 or not _s(rest[0]).lstrip("-").isdigit():
                 raise RespError("value is not an integer or out of range")
-            if _s(rest[0]) != "0":
+            n = int(_s(rest[0]))
+            if n != 0 and (srv.key_router is not None
+                           or srv.write_observer is not None):
+                raise RespError("SELECT is not allowed in cluster mode")
+            if not 0 <= n < srv.databases:
                 raise RespError("DB index is out of range")
+            self.db = n
+            return SimpleString("OK")
+        if cmd == "SWAPDB":
+            if len(rest) != 2:
+                raise RespError(
+                    "wrong number of arguments for 'swapdb' command")
+            if srv.key_router is not None or srv.write_observer is not None:
+                raise RespError("SWAPDB is not allowed in cluster mode")
+            try:
+                a, b = int(_s(rest[0])), int(_s(rest[1]))
+            except ValueError:
+                raise RespError("invalid first DB index")
+            if not (0 <= a < srv.databases and 0 <= b < srv.databases):
+                raise RespError("DB index is out of range")
+            srv.swap_dbs(a, b)
             return SimpleString("OK")
         if cmd == "RESET":
             self.multi_queue = None
             self.multi_error = False
             self.user = "default"
             self.authenticated = False
+            self.db = 0
             return SimpleString("RESET")
         if cmd == "CLIENT":
             sub = _s(rest[0]).upper() if rest else ""
@@ -407,7 +432,11 @@ class _Handler(socketserver.StreamRequestHandler):
         if cmd == "DBSIZE":
             with engine._lock:
                 return len(engine.keyspace)
-        if cmd == "FLUSHALL" or cmd == "FLUSHDB":
+        if cmd == "FLUSHALL":
+            for eng in srv.all_engines():
+                eng.flushall()
+            return SimpleString("OK")
+        if cmd == "FLUSHDB":
             engine.flushall()
             return SimpleString("OK")
         if cmd == "MULTI":
@@ -449,10 +478,10 @@ class _Handler(socketserver.StreamRequestHandler):
                     "or pass one: SAVE /path/file.vstpu)"
                 )
             if cmd == "SAVE":
-                engine.save(path)
+                srv.save_all(path)
                 return SimpleString("OK")
             t = threading.Thread(
-                target=lambda: engine.save(path), daemon=True,
+                target=lambda: srv.save_all(path), daemon=True,
                 name="bgsave",
             )
             t.start()
@@ -522,7 +551,7 @@ class _Handler(socketserver.StreamRequestHandler):
         group (reference EnqueueMultiMutation, index_schema.cc:834).
         Writes pass the same cluster slot routing as outside MULTI
         (srv.key_router → -MOVED) and replicate in apply order."""
-        engine = srv.engine
+        engine = srv.engine if self.db == 0 else srv.engine_for(self.db)
         results: list = []
         txn = engine.multi()
         repl: List[List[bytes]] = []
@@ -555,7 +584,7 @@ class _Handler(socketserver.StreamRequestHandler):
     def _exec_one(self, srv: "RespServer", txn, cmd: str,
                   argv: List[bytes], repl: List[List[bytes]]):
         """One queued command inside EXEC (engine lock held)."""
-        engine = srv.engine
+        engine = srv.engine if self.db == 0 else srv.engine_for(self.db)
         rest = argv[1:]
         if cmd == "HSET" and len(rest) >= 3 and len(rest) % 2 == 1:
             key = _s(rest[0])
@@ -705,7 +734,7 @@ _COMMANDS = [
     "PING", "ECHO", "HELLO", "AUTH", "SELECT", "QUIT", "RESET", "CLIENT",
     "COMMAND", "DBSIZE", "FLUSHALL", "FLUSHDB", "MULTI", "EXEC", "DISCARD",
     "ACL",
-    "CONFIG", "INFO", "SAVE", "BGSAVE", "SHUTDOWN",
+    "CONFIG", "INFO", "SAVE", "BGSAVE", "SHUTDOWN", "SWAPDB",
     "HSET", "HGETALL", "HGET", "HMGET", "HDEL", "DEL", "EXISTS", "TYPE",
     "KEYS", "SCAN", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
     "JSON.SET", "JSON.GET", "COPY", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
@@ -739,6 +768,11 @@ class RespServer:
         search_timeout: float = 60.0,
     ):
         self.engine = engine if engine is not None else Engine()
+        # logical databases (standalone): db → Engine, created lazily on
+        # SELECT; db 0 is self.engine. Cluster mode restricts to db 0.
+        self.engines = {0: self.engine}
+        self._db_lock = threading.Lock()
+        self.databases = 16
         self.host = host
         self._requested_port = port
         # name → fn(rest_argv: List[bytes]) -> reply; lets the cluster
@@ -762,6 +796,59 @@ class RespServer:
     def port(self) -> int:
         assert self._server is not None, "server not started"
         return self._server.server_address[1]
+
+    # -- logical databases --------------------------------------------------
+    def engine_for(self, db: int) -> Engine:
+        with self._db_lock:
+            eng = self.engines.get(db)
+            if eng is None:
+                eng = self.engines[db] = Engine()
+            return eng
+
+    def all_engines(self) -> List[Engine]:
+        with self._db_lock:
+            return [self.engines[d] for d in sorted(self.engines)]
+
+    def swap_dbs(self, a: int, b: int) -> None:
+        """SWAPDB: every connection selecting db a now sees b's data and
+        vice versa (redis semantics — the swap is of the db content, which
+        here means swapping the Engine objects)."""
+        if a == b:
+            return
+        with self._db_lock:
+            ea = self.engines.get(a) or Engine()
+            eb = self.engines.get(b) or Engine()
+            self.engines[a], self.engines[b] = eb, ea
+            if 0 in (a, b):
+                self.engine = self.engines[0]
+
+    def save_all(self, path: str) -> None:
+        """Checkpoint every non-empty db: db 0 at ``path``, db N at
+        ``path.dbN`` (one chunked file per logical database)."""
+        for db, eng in sorted(self.engines.items()):
+            with eng._lock:
+                empty = not eng.keyspace and not eng.manager.all_schemas()
+            if db == 0:
+                eng.save(path)
+            elif not empty:
+                eng.save(f"{path}.db{db}")
+
+    def load_all(self, path: str) -> None:
+        """Restore a save_all checkpoint set (db 0 + any path.dbN files)."""
+        import os as _os
+        import re as _re
+
+        from valkey_search_tpu.persistence.checkpoint import load_engine
+
+        if _os.path.exists(path):
+            load_engine(path, engine=self.engine)
+        base = _os.path.basename(path)
+        d = _os.path.dirname(path) or "."
+        for fn in _os.listdir(d):
+            m = _re.fullmatch(_re.escape(base) + r"\.db(\d+)", fn)
+            if m:
+                load_engine(_os.path.join(d, fn),
+                            engine=self.engine_for(int(m.group(1))))
 
     def start(self) -> "RespServer":
         self._server = _ThreadingTCPServer(
