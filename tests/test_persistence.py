@@ -189,3 +189,93 @@ def test_chunk_format_large_array_roundtrip(tmp_path, rng):
         (meta, arrays), = list(r.sections())
     assert np.array_equal(arrays[0], big)
     assert arrays[1].tolist() == list(range(7))
+
+
+def test_round_trip_json_schema(tmp_path, rng):
+    """ON JSON schemas round-trip: JSONPath attrs, tag arrays, vector field
+    (reference: RDB carries the full index_schema proto incl. the
+    attribute data type, index_schema.cc SaveIndex/LoadIndex)."""
+    import json
+
+    from valkey_search_tpu.persistence.checkpoint import (
+        load_engine,
+        save_engine,
+    )
+
+    e = Engine()
+    e.execute(
+        "FT.CREATE", "j", "ON", "JSON", "PREFIX", "1", "j:",
+        "SCHEMA",
+        "$.v", "AS", "v", "VECTOR", "FLAT", "6",
+        "TYPE", "FLOAT32", "DIM", "8", "DISTANCE_METRIC", "COSINE",
+        "$.tags[*]", "AS", "t", "TAG",
+        "$.score", "AS", "s", "NUMERIC",
+    )
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    for i, v in enumerate(vecs):
+        e.execute("JSON.SET", f"j:{i}", "$", json.dumps({
+            "v": [float(x) for x in v],
+            "tags": ["a", "b"] if i % 2 else ["c"],
+            "score": i,
+        }))
+    path = str(tmp_path / "j.vstpu")
+    save_engine(e, path)
+    e2 = load_engine(path)
+
+    q = vecs[7].tobytes()
+    for eng in (e, e2):
+        r = eng.execute("FT.SEARCH", "j", "(@t:{c})=>[KNN 5 @v $q]",
+                        "PARAMS", "2", "q", q, "NOCONTENT")
+        assert r == e.execute("FT.SEARCH", "j", "(@t:{c})=>[KNN 5 @v $q]",
+                              "PARAMS", "2", "q", q, "NOCONTENT")
+    assert (e2.execute("FT.SEARCH", "j", "@s:[10 12]", "NOCONTENT")[0]
+            == 3)
+    # restored engine keeps indexing new JSON docs
+    e2.execute("JSON.SET", "j:new", "$", json.dumps({
+        "v": [float(x) for x in vecs[0]], "tags": ["zz"], "score": 999}))
+    assert e2.execute("FT.SEARCH", "j", "@t:{zz}", "NOCONTENT")[0] == 1
+
+
+def test_round_trip_text_suffix_and_fuzzy(tmp_path):
+    """TEXT internals (suffix trie, stems, positions) rebuild on load:
+    suffix/fuzzy/phrase queries agree before and after."""
+    from valkey_search_tpu.persistence.checkpoint import (
+        load_engine,
+        save_engine,
+    )
+
+    e = Engine()
+    e.execute("FT.CREATE", "t", "ON", "HASH", "PREFIX", "1", "d:",
+              "SCHEMA", "body", "TEXT", "WITHSUFFIXTRIE")
+    docs = ["the running dogs", "a dog runs fast", "cats sleeping soundly",
+            "fastest runner wins", "sound of silence"]
+    for i, b in enumerate(docs):
+        e.hset(f"d:{i}", {"body": b})
+    path = str(tmp_path / "t.vstpu")
+    save_engine(e, path)
+    e2 = load_engine(path)
+    for q in ("run*", "*ing", "%dogz%", '"dog runs"', "@body:fast"):
+        assert (e.execute("FT.SEARCH", "t", q, "NOCONTENT")
+                == e2.execute("FT.SEARCH", "t", q, "NOCONTENT")), q
+
+
+def test_round_trip_preserves_ttl(tmp_path):
+    """Keys carrying a TTL keep it across save/restore (reference RDB
+    stores expiry; volatile keys must still expire after load)."""
+    import time
+
+    from valkey_search_tpu.persistence.checkpoint import (
+        load_engine,
+        save_engine,
+    )
+
+    e = Engine()
+    e.hset("k1", {"f": "v"})
+    e.hset("k2", {"f": "v"})
+    e.execute("EXPIRE", "k1", "100")
+    path = str(tmp_path / "ttl.vstpu")
+    save_engine(e, path)
+    e2 = load_engine(path)
+    ttl = int(e2.execute("TTL", "k1"))
+    assert 1 <= ttl <= 100
+    assert int(e2.execute("TTL", "k2")) == -1

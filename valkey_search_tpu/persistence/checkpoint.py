@@ -260,6 +260,18 @@ def save_engine(engine, path: str) -> Dict[str, int]:
     with ChunkWriter(path) as w:
         w.section({"type": "engine", "num_schemas": len(schemas)})
         w.section({"type": "keyspace"}, [_encode_keyspace(engine.keyspace)])
+        expiry = dict(getattr(engine, "_expiry", {}))
+        if expiry:
+            # volatile keys keep their absolute unix deadline across a
+            # restore (reference: RDB stores absolute expiry ms per key)
+            ekeys = list(expiry)
+            w.section(
+                {"type": "expiry", "count": len(ekeys)},
+                [
+                    _pack_keys(ekeys),
+                    np.asarray([expiry[k] for k in ekeys], np.float64),
+                ],
+            )
         for schema in schemas:
             interner_items = list(schema.interner.items())
             w.section(
@@ -327,6 +339,11 @@ def load_engine(
                 continue
             if t == "keyspace":
                 keyspace = _decode_keyspace(arrays[0])
+            elif t == "expiry":
+                ekeys = _unpack_keys(arrays[0], meta["count"])
+                engine._expiry.update(
+                    {k: float(dl) for k, dl in zip(ekeys, arrays[1])}
+                )
             elif t == "schema":
                 schema = _build_schema(meta["definition"])
                 keys = _unpack_keys(arrays[0], meta["interner_count"])
