@@ -519,3 +519,30 @@ def test_multidb_save_restore(server, client, tmp_path):
         c2.close()
     finally:
         srv2.close()
+
+
+def test_client_id_list_kill_cancels_blocked_query(server):
+    """CLIENT ID / LIST / KILL ID: killing a connection whose FT.SEARCH is
+    parked on a pausepoint unblocks it with a connection error (reference
+    integration/test_cancel.py canceller flow)."""
+    import time
+
+    c1 = RespClient(server.port)
+    c2 = RespClient(server.port)
+    try:
+        id1 = c1.cmd("CLIENT", "ID")
+        assert isinstance(id1, int) and id1 > 0
+        c1.cmd("CLIENT", "SETNAME", "victim")
+        listing = c2.cmd("CLIENT", "LIST")
+        text = listing.decode() if isinstance(listing, bytes) else listing
+        assert f"id={id1} name=victim" in text
+        assert c2.cmd("CLIENT", "KILL", "ID", id1) == 1
+        with pytest.raises((EOFError, ConnectionError, OSError)):
+            for _ in range(5):
+                c1.cmd("PING")
+                time.sleep(0.05)
+        with pytest.raises(ReplyError, match="No such client"):
+            c2.cmd("CLIENT", "KILL", "ID", 99999)
+    finally:
+        c1.close()
+        c2.close()

@@ -235,9 +235,17 @@ class _Handler(socketserver.StreamRequestHandler):
         self.user = "default"
         self.authenticated = False
         self.db = 0
+        self.client_name = ""
         self.multi_queue: Optional[List[List[bytes]]] = None
         self.multi_error = False
         self._in_exec = False
+        srv = self.server.resp_server  # type: ignore[attr-defined]
+        self.client_id = srv.register_client(self)
+
+    def finish(self):
+        srv = self.server.resp_server  # type: ignore[attr-defined]
+        srv.unregister_client(self.client_id)
+        super().finish()
 
     def handle(self):
         srv: RespServer = self.server.resp_server  # type: ignore[attr-defined]
@@ -415,11 +423,35 @@ class _Handler(socketserver.StreamRequestHandler):
         if cmd == "CLIENT":
             sub = _s(rest[0]).upper() if rest else ""
             if sub == "SETNAME":
+                self.client_name = _s(rest[1]) if len(rest) > 1 else ""
                 return SimpleString("OK")
             if sub == "GETNAME":
-                return ""
+                return getattr(self, "client_name", "")
             if sub == "ID":
-                return threading.get_ident() % (1 << 31)
+                return self.client_id
+            if sub == "LIST":
+                rows = []
+                for cid, h in sorted(srv.clients().items()):
+                    rows.append(
+                        f"id={cid} name={getattr(h, 'client_name', '')} "
+                        f"db={getattr(h, 'db', 0)} "
+                        f"user={getattr(h, 'user', 'default')}"
+                    )
+                return "\n".join(rows) + "\n"
+            if sub == "KILL":
+                # CLIENT KILL ID <id> — severs the target connection; an
+                # in-flight blocked query on it unblocks with an error
+                # (reference cancel path, integration/test_cancel.py)
+                if len(rest) >= 3 and _s(rest[1]).upper() == "ID":
+                    target = srv.clients().get(int(_s(rest[2])))
+                    if target is None:
+                        raise RespError("No such client ID")
+                    try:
+                        target.connection.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    return 1
+                raise RespError("syntax error (CLIENT KILL ID <id>)")
             if sub in ("SETINFO", "NO-EVICT", "NO-TOUCH"):
                 return SimpleString("OK")
             raise RespError(f"Unknown CLIENT subcommand {sub!r}")
@@ -796,6 +828,24 @@ class RespServer:
     def port(self) -> int:
         assert self._server is not None, "server not started"
         return self._server.server_address[1]
+
+    # -- connected clients --------------------------------------------------
+    def register_client(self, handler) -> int:
+        with self._db_lock:
+            self._next_client_id = getattr(self, "_next_client_id", 0) + 1
+            cid = self._next_client_id
+            if not hasattr(self, "_clients"):
+                self._clients = {}
+            self._clients[cid] = handler
+            return cid
+
+    def unregister_client(self, cid: int) -> None:
+        with self._db_lock:
+            getattr(self, "_clients", {}).pop(cid, None)
+
+    def clients(self) -> dict:
+        with self._db_lock:
+            return dict(getattr(self, "_clients", {}))
 
     # -- logical databases --------------------------------------------------
     def engine_for(self, db: int) -> Engine:
