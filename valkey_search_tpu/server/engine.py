@@ -506,7 +506,14 @@ class Engine:
             "state", "ready",
         ]
         eng = getattr(schema, "text_engine", None)
-        if eng is not None:  # text sections (index_schema.cc:1194-1280)
+        if eng is None:
+            # reference emits the text counters unconditionally, 0 when the
+            # schema has no text index (index_schema.cc:1230-1237)
+            i_hif = out.index("hash_indexing_failures")
+            out[i_hif:i_hif] = [
+                "total_term_occurrences", 0, "num_terms", 0,
+            ]
+        else:  # text sections (index_schema.cc:1194-1280)
             tstats = eng.stats()
             out += [
                 "num_terms", tstats["distinct_words"],
