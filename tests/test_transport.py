@@ -280,6 +280,20 @@ def test_aggregate_fanout(trio):
     ]
     counts = {r["tags"]: int(r["cnt"]) for r in rows}
     assert counts == {"even": 15, "odd": 15}
+    # same pipeline WITHOUT LOAD: GROUPBY keys resolve implicitly from
+    # document content across the fanout too (reference registers every
+    # parsed @field, CreateRecordsFromNeighbors)
+    reply = client.execute(
+        "FT.AGGREGATE", "idx", "*",
+        "GROUPBY", "1", "@tags", "REDUCE", "COUNT", "0", "AS", "cnt",
+    )
+    assert reply[0] == 2
+    rows = [
+        {_txt(r[i]): _txt(r[i + 1]) for i in range(0, len(r), 2)}
+        for r in reply[1:]
+    ]
+    assert {r["tags"]: int(r["cnt"]) for r in rows} == {
+        "even": 15, "odd": 15}
 
 
 def test_socket_replica_read_scaling():

@@ -875,7 +875,9 @@ class RespServer:
     def save_all(self, path: str) -> None:
         """Checkpoint every non-empty db: db 0 at ``path``, db N at
         ``path.dbN`` (one chunked file per logical database)."""
-        for db, eng in sorted(self.engines.items()):
+        with self._db_lock:
+            snapshot = sorted(self.engines.items())
+        for db, eng in snapshot:
             with eng._lock:
                 empty = not eng.keyspace and not eng.manager.all_schemas()
             if db == 0:
