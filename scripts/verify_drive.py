@@ -131,6 +131,28 @@ def main():
     check("aggregate_groupby", total == 99 and len(rows) == 2,
           f"rows={len(rows)} total={total}")
 
+    # --- full-text flow ---------------------------------------------------
+    e.execute("FT.CREATE", "txt", "ON", "HASH", "PREFIX", "1", "b:",
+              "SCHEMA", "body", "TEXT", "WITHSUFFIXTRIE", "cat", "TAG")
+    bodies = ["the quick brown fox", "quick search engines running",
+              "a lazy dog sleeps", "search engine optimization",
+              "foxes run quickly"]
+    for i, t in enumerate(bodies):
+        e.execute("HSET", f"b:{i}", "body", t, "cat",
+                  "a" if i % 2 == 0 else "b")
+    r = e.execute("FT.SEARCH", "txt", "@body:quick", "NOCONTENT")
+    got = {str(x) for x in r[1:]}
+    # 'quickly' stems to 'quick' — stemmed match pulls in b:4
+    check("text_term_stem", got == {"b:0", "b:1", "b:4"}, f"got={sorted(got)}")
+    r = e.execute("FT.SEARCH", "txt", '"search engine"', "NOCONTENT")
+    check("text_phrase", {str(x) for x in r[1:]} == {"b:1", "b:3"})
+    r = e.execute("FT.SEARCH", "txt", "@body:fox*", "NOCONTENT")
+    check("text_prefix", {str(x) for x in r[1:]} == {"b:0", "b:4"})
+    r = e.execute("FT.SEARCH", "txt", "@body:%foz%", "NOCONTENT")
+    check("text_fuzzy", "b:0" in {str(x) for x in r[1:]})
+    r = e.execute("FT.SEARCH", "txt", "(@cat:{a} @body:fox*)", "NOCONTENT")
+    check("text_hybrid_tag", {str(x) for x in r[1:]} == {"b:0", "b:4"})
+
     # --- multi-DB over the wire surface ----------------------------------
     from valkey_search_tpu.server.resp import RespServer
 
