@@ -139,6 +139,9 @@ struct HnswIndex {
   int dim = 0;
   int metric = 0;  // 0 = l2 (squared), 1 = ip (1 - dot; cosine after normalize)
   int M = 16;
+  // hard ceiling on any level's degree: M0 = 2*M and FT.CREATE caps M at
+  // 512 — stack link buffers are sized to this, never to the default M0
+  static constexpr int kMaxDegree = 1024;
   int M0 = 32;  // level-0 max degree = 2*M (hnswlib maxM0_)
   int ef_construction = 200;
   size_t cap = 0;
@@ -188,14 +191,17 @@ struct HnswIndex {
 
   // copy a node's adjacency row into buf; under the stripe lock when
   // `locked` (concurrent build mutates rows in place)
-  int copy_links(int32_t n, int level, int32_t* buf, bool locked) {
+  // cap: caller's buffer capacity in elements — degree can reach
+  // M0 = 2*M (FT.CREATE allows M up to 512, so up to 1024 links).
+  int copy_links(int32_t n, int level, int32_t* buf, bool locked,
+                 int buf_cap = kMaxDegree) {
     if (locked) {
       std::lock_guard<std::mutex> g(stripe(n));
-      const int deg = degree(n, level);
+      const int deg = std::min(degree(n, level), buf_cap);
       std::memcpy(buf, links_at(n, level), sizeof(int32_t) * deg);
       return deg;
     }
-    const int deg = degree(n, level);
+    const int deg = std::min(degree(n, level), buf_cap);
     std::memcpy(buf, links_at(n, level), sizeof(int32_t) * deg);
     return deg;
   }
@@ -264,7 +270,7 @@ struct HnswIndex {
     int32_t cur = start;
     float cur_d = dist(q, vec(cur));
     uint64_t dc = 1, hp = 0;
-    int32_t lbuf[512];
+    int32_t lbuf[kMaxDegree];
     bool changed = true;
     while (changed) {
       changed = false;
@@ -299,7 +305,7 @@ struct HnswIndex {
     VisitedBuf& vb = vbp ? *vbp : vb_main;
     vb.begin(cap);
     uint64_t dc = 0, hp = 0;
-    int32_t lbuf[512];
+    int32_t lbuf[kMaxDegree];
 
     const float d0 = dist(q, vec(entry_node));
     ++dc;

@@ -107,6 +107,8 @@ struct TextIndex {
     return it == word_ids.end() ? -1 : it->second;
   }
 
+  string last_events;  // EventOut scratch (see tix_last_events)
+
   void stem_link(int32_t stem_id, int32_t word_id, int delta) {
     auto& bag = stems[stem_id];
     int32_t n = (bag.count(word_id) ? bag[word_id] : 0) + delta;
@@ -121,24 +123,27 @@ struct TextIndex {
 
 // event blob writer: '+word\0' new dictionary word, '-word\0' dropped word,
 // first byte is the result code ('A' added / 'M' modified / 'R' removed /
-// 'S' skipped). Returns false when out of space.
+// 'S' skipped). Events accumulate in a heap string owned by the index so a
+// caller whose buffer is too small can fetch them afterwards via
+// tix_last_events — the mutation must NOT be re-executed on retry (the
+// first execution already created the postings, so a re-run would emit no
+// '+word' births and the Python dictionary mirror would silently miss
+// those words forever).
 struct EventOut {
-  char* out;
-  int cap;
-  int w = 0;
-  bool put(char tag, const string& word) {
-    int need = 1 + (int)word.size() + 1;
-    if (w + need > cap) return false;
-    out[w++] = tag;
-    std::memcpy(out + w, word.data(), word.size());
-    w += (int)word.size();
-    out[w++] = '\0';
-    return true;
+  string& buf;
+  explicit EventOut(string& b) : buf(b) { buf.clear(); }
+  void put(char tag, const string& word) {
+    buf += tag;
+    buf += word;
+    buf += '\0';
   }
-  bool code(char c) {
-    if (w + 1 > cap) return false;
-    out[w++] = c;
-    return true;
+  void code(char c) { buf += c; }
+  // copy into the caller's buffer; -(needed) when it does not fit
+  int finish(char* out, int out_cap) const {
+    const int n = (int)buf.size();
+    if (n > out_cap) return -n;
+    std::memcpy(out, buf.data(), n);
+    return n;
   }
 };
 }  // namespace
@@ -162,10 +167,10 @@ void tix_free(void* h) { delete (TextIndex*)h; }
 static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
                           int nostem, const char* blob, int n, char* out,
                           int out_cap) {
-  EventOut ev{out, out_cap};
+  EventOut ev(ix->last_events);
   const int64_t key = ((int64_t)doc << 6) | bit_index;
   const bool existed = ix->doc_tokens.count(key) > 0;
-  if (!ev.code(existed ? 'M' : 'A')) return -1;
+  ev.code(existed ? 'M' : 'A');
 
   // remove previous tokens of this field (including their stem links)
   {
@@ -187,7 +192,7 @@ static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
         if (!p) continue;
         p->remove_field(doc, bit);
         if (p->empty()) {
-          if (!ev.put('-', ix->word_names[wid])) return -1;
+          ev.put('-', ix->word_names[wid]);
           ix->postings[wid] = nullptr;
         }
       }
@@ -212,7 +217,7 @@ static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
       // word (re)enters the dictionary — Python mirrors it into the
       // radix/suffix trees on this event
       ix->postings[wid] = std::make_unique<Posting>();
-      if (!ev.put('+', word)) return -1;
+      ev.put('+', word);
     }
     ix->postings[wid]->add(doc, pos, bit);
     if (!nostem && !stem.empty() && stem != word &&
@@ -227,7 +232,7 @@ static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
     ++pos;
   }
   ix->doc_tokens.emplace(key, std::move(toks));
-  return ev.w;
+  return ev.finish(out, out_cap);
 }
 
 // Tokenize with the shared lexer (ASCII path), then index.
@@ -239,7 +244,15 @@ int tix_update_field(void* h, int32_t doc, int bit_index, int nostem,
     ix->tokbuf.resize((size_t)len * 2 + 64);
   int n = lexer_tokenize(ix->lexer, text, len, ix->tokbuf.data(),
                          (int)ix->tokbuf.size());
-  if (n < 0) return -1;
+  while (n < 0 && ix->tokbuf.size() < (1u << 26)) {
+    // token output (word\0stem\0 pairs) outgrew the heuristic bound —
+    // grow here so the caller never has to distinguish this from an
+    // event-buffer overflow (whose retry must NOT re-run the mutation)
+    ix->tokbuf.resize(ix->tokbuf.size() * 2);
+    n = lexer_tokenize(ix->lexer, text, len, ix->tokbuf.data(),
+                       (int)ix->tokbuf.size());
+  }
+  if (n < 0) return INT32_MIN;
   return tix_index_blob(ix, doc, bit_index, nostem, ix->tokbuf.data(), n,
                         out, out_cap);
 }
@@ -259,14 +272,14 @@ int tix_remove_field(void* h, int32_t doc, int bit_index, char* out,
                      int out_cap) {
   auto* ix = (TextIndex*)h;
   std::lock_guard<std::mutex> g(ix->mu);
-  EventOut ev{out, out_cap};
+  EventOut ev(ix->last_events);
   const int64_t key = ((int64_t)doc << 6) | bit_index;
   auto it = ix->doc_tokens.find(key);
   if (it == ix->doc_tokens.end()) {
-    if (!ev.code('S')) return -1;
-    return ev.w;
+    ev.code('S');
+    return ev.finish(out, out_cap);
   }
-  if (!ev.code('R')) return -1;
+  ev.code('R');
   const uint64_t bit = 1ull << bit_index;
   std::unordered_set<int32_t> uniq(it->second.begin(), it->second.end());
   for (int32_t wid : uniq) {
@@ -276,12 +289,24 @@ int tix_remove_field(void* h, int32_t doc, int bit_index, char* out,
     if (!p) continue;
     p->remove_field(doc, bit);
     if (p->empty()) {
-      if (!ev.put('-', ix->word_names[wid])) return -1;
+      ev.put('-', ix->word_names[wid]);
       ix->postings[wid] = nullptr;
     }
   }
   ix->doc_tokens.erase(it);
-  return ev.w;
+  return ev.finish(out, out_cap);
+}
+
+// Fetch the event blob of the LAST mutating call (update/remove) — used
+// when that call returned -(needed) because the caller's buffer was too
+// small. Returns bytes written or -(needed) if still too small.
+int tix_last_events(void* h, char* out, int out_cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  const int n = (int)ix->last_events.size();
+  if (n > out_cap) return -n;
+  std::memcpy(out, ix->last_events.data(), n);
+  return n;
 }
 
 // Union of doc ids over words (null-separated blob), filtered by mask.
@@ -361,11 +386,18 @@ int tix_stem_parents(void* h, const char* stem, char* out, int cap) {
   if (sit == ix->word_ids.end()) return 0;
   auto bag = ix->stems.find(sit->second);
   if (bag == ix->stems.end()) return 0;
+  // pre-size: -(needed) when the caller's buffer is too small (read-only
+  // query, so a grown retry is safe — unlike the mutating calls above)
+  int need = 0;
+  for (const auto& [wid, cnt] : bag->second) {
+    (void)cnt;
+    need += (int)ix->word_names[wid].size() + 1;
+  }
+  if (need > cap) return -need;
   int w = 0;
   for (const auto& [wid, cnt] : bag->second) {
     (void)cnt;
     const string& word = ix->word_names[wid];
-    if (w + (int)word.size() + 1 > cap) return -1;
     std::memcpy(out + w, word.data(), word.size());
     w += (int)word.size();
     out[w++] = '\0';

@@ -65,3 +65,37 @@ def test_write_after_expiry_reindexes(eng):
     eng.hset("k:1", {"t": "b"})
     assert eng.execute("TTL", "k:1") == -1  # new key, no ttl
     assert eng.execute("FT.SEARCH", "i", "@t:{b}", "NOCONTENT") == [1, "k:1"]
+
+
+def test_copy_carries_source_ttl():
+    """valkey COPY propagates the source expire (db.c copyCommand →
+    setExpire); an expired source must not copy at all."""
+    import time
+
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.hset("src", {"f": "v"})
+    e.expire("src", 50)
+    assert e.copy("src", "dst") == 1
+    assert 1 <= e.ttl("dst") <= 50
+    # logically expired source: COPY sees nothing
+    e.hset("gone", {"f": "v"})
+    e._expiry["gone"] = time.time() - 1
+    assert e.copy("gone", "dst2") == 0
+
+
+def test_exists_type_keys_scan_hide_expired():
+    import time
+
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.hset("k1", {"f": "v"})
+    e.hset("k2", {"f": "v"})
+    e._expiry["k1"] = time.time() - 1  # logically expired, no cron yet
+    assert e.execute("EXISTS", "k1") == 0
+    assert e.execute("TYPE", "k1") == "none"
+    assert e.execute("KEYS", "*") == ["k2"]
+    cur, page = e.execute("SCAN", "0", "COUNT", "100")
+    assert page == ["k2"]

@@ -200,6 +200,13 @@ def test_config_get_set(server, client):
     # glob pattern
     reply = client.cmd("CONFIG", "GET", "search.*threads*")
     assert len(reply) >= 4
+    # the registry is process-global: restore the default so later tests
+    # (cluster fanout bounds futures by search.timeout-ms) keep their
+    # normal budget — leaking 50ms made test_fanout_knn_recall flaky
+    from valkey_search_tpu.runtime import config as _cfg
+
+    client.cmd("CONFIG", "SET", "search.timeout-ms",
+               str(_cfg.REGISTRY._entries["search.timeout-ms"].default))
 
 
 def test_info_sections(server, client):

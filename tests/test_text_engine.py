@@ -311,3 +311,30 @@ def test_native_vs_python_text_engines_agree():
     st_n, st_p = s_native.text_engine.stats(), s_py.text_engine.stats()
     for key in ("distinct_words", "docs_with_text", "stem_entries"):
         assert st_n[key] == st_p[key], (key, st_n[key], st_p[key])
+
+
+def test_event_buffer_overflow_keeps_dictionary_mirror():
+    """A single doc introducing more new unique words than the 64KiB
+    native event buffer holds: the retry must FETCH the recorded events
+    (tix_last_events), not re-execute — a re-run emits no '+word' births
+    for postings created by the first pass, silently desyncing the
+    radix/suffix mirrors (code-review r2 finding)."""
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.execute("FT.CREATE", "big", "ON", "HASH", "PREFIX", "1", "bg:",
+              "SCHEMA", "body", "TEXT")
+    words = [f"zqword{i:06d}" for i in range(7000)]  # ~13 bytes/event
+    e.hset("bg:1", {"body": " ".join(words)})
+    schema = e.manager.get("big")
+    te = schema.text_engine
+    # every word must exist in the python dictionary mirror
+    assert len(te._words) >= 7000
+    # prefix query resolves through the radix tree
+    r = e.ft_search("big", "@body:zqword00*", "NOCONTENT")
+    assert r[0] == 1 and str(r[1]) == "bg:1"
+    # update shrinking the doc must emit the deaths too
+    e.hset("bg:1", {"body": "zqword000001 alone"})
+    r = e.ft_search("big", "@body:zqword00345*", "NOCONTENT")
+    assert r[0] == 0
+    assert "zqword003450" not in te._words

@@ -444,6 +444,7 @@ class NodeServer:
             conn.cmd("_META.PUSH", self._cmd_meta_pull([]))
         except (OSError, ReplyError):
             pass
+        sync_failed = False
         for key, fields in snapshot.items():
             argv = ["HSET", key]
             for f, v in fields.items():
@@ -451,16 +452,29 @@ class NodeServer:
             try:
                 conn.cmd(*argv)
             except (OSError, ReplyError):
+                sync_failed = True
                 break
-        # flush writes that raced the snapshot replay, then go live
-        with rep.lock:
-            while rep.backlog:
-                _seq, argv = rep.backlog.popleft()
-                try:
-                    conn.cmd(*argv)
-                except (OSError, EOFError, ReplyError):
-                    break
-            rep.ready = True
+        # flush writes that raced the snapshot replay, then go live. A
+        # send failure anywhere in the sync must NOT mark the replica
+        # ready — a ready replica that missed backlog entries diverges
+        # silently forever; drop the registration instead so the replica
+        # re-registers and gets a fresh full sync.
+        if not sync_failed:
+            with rep.lock:
+                while rep.backlog:
+                    _seq, argv = rep.backlog.popleft()
+                    try:
+                        conn.cmd(*argv)
+                    except (OSError, EOFError, ReplyError):
+                        sync_failed = True
+                        break
+                if not sync_failed:
+                    rep.ready = True
+        if sync_failed:
+            with self._repl_lock:
+                if self._replica_conns.get(addr) is rep:
+                    self._replica_conns.pop(addr)
+            raise ValueError("full sync aborted: replica link failed")
         return SimpleString("OK")
 
     def _forward_write(self, argv: List[bytes]) -> None:
@@ -497,7 +511,7 @@ class NodeServer:
                 seq, argv = self._repl_log.popleft()
             with self._repl_lock:
                 reps = list(self._replica_conns.items())
-            dead: List[str] = []
+            dead: List[tuple] = []
             for addr, rep in reps:
                 if seq <= rep.min_seq:
                     continue  # already contained in this replica's snapshot
@@ -509,15 +523,19 @@ class NodeServer:
                         rep.conn.cmd(*argv)
                     except (OSError, EOFError, ReplyError):
                         # dead replica: drop it; it re-registers on restart
-                        dead.append(addr)
-            for addr in dead:
+                        dead.append((addr, rep))
+            for addr, failed_rep in dead:
                 with self._repl_lock:
-                    rep = self._replica_conns.pop(addr, None)
-                if rep is not None:
-                    try:
-                        rep.conn.close()
-                    except OSError:
-                        pass
+                    # pop only OUR dead registration — the replica may
+                    # have re-registered under the same address already,
+                    # and removing the fresh entry would silently stop
+                    # its replication
+                    if self._replica_conns.get(addr) is failed_rep:
+                        self._replica_conns.pop(addr)
+                try:
+                    failed_rep.conn.close()
+                except OSError:
+                    pass
 
     # -- metadata apply (index create/drop landed via gossip or local) --------
     def _apply(self, name: str, payload: Optional[Dict]) -> None:

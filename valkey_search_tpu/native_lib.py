@@ -476,6 +476,10 @@ class NativeTextIndex:
             L.tix_remove_field.argtypes = [
                 ct.c_void_p, ct.c_int32, ct.c_int, ct.c_char_p, ct.c_int,
             ]
+            L.tix_last_events.restype = ct.c_int
+            L.tix_last_events.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.c_int,
+            ]
             L.tix_docs_union.restype = ct.c_int64
             L.tix_docs_union.argtypes = [
                 ct.c_void_p, ct.c_char_p, ct.c_int, ct.c_uint64,
@@ -534,24 +538,37 @@ class NativeTextIndex:
                 removed.append(part[1:].decode())
         return code, added, removed
 
+    _TOKENIZE_FAILED = -(2**31)  # INT32_MIN sentinel from tix_update_field
+
+    def _finish_events(self, n: int):
+        """Resolve a mutating call's return: n >= 0 is the event-blob
+        size; n < 0 is -(needed) — the mutation ALREADY ran, so grow the
+        buffer and fetch the recorded events via tix_last_events instead
+        of re-executing (a re-run would emit no '+word' births for
+        postings created by the first run, silently desyncing the Python
+        dictionary mirror)."""
+        while n < 0:
+            self._ev = ct.create_string_buffer(max(-n + 64, len(self._ev)))
+            n = self._lib.tix_last_events(self._h, self._ev, len(self._ev))
+        return self._events(n)
+
     def update_field(self, doc: int, bit_index: int, no_stem: bool,
                      text: str):
         """Returns (code 'A'|'M', new_words, dead_words); None when the
-        text is non-ASCII (caller tokenizes in Python and retries via
-        update_field_tokens)."""
+        text is non-ASCII or untokenizable natively (caller tokenizes in
+        Python and retries via update_field_tokens)."""
         if not text.isascii():
             return None
         raw = text.encode()
         fn = self._fn_update
         with self._lock:
-            while True:
-                n = fn(
-                    self._h, doc, bit_index, int(no_stem), raw, len(raw),
-                    self._ev, len(self._ev),
-                )
-                if n >= 0:
-                    return self._events(n)
-                self._ev = ct.create_string_buffer(len(self._ev) * 4)
+            n = fn(
+                self._h, doc, bit_index, int(no_stem), raw, len(raw),
+                self._ev, len(self._ev),
+            )
+            if n == self._TOKENIZE_FAILED:
+                return None
+            return self._finish_events(n)
 
     def update_field_tokens(self, doc: int, bit_index: int, no_stem: bool,
                             pairs):
@@ -560,24 +577,18 @@ class NativeTextIndex:
             w.encode() + b"\x00" + s.encode() + b"\x00" for w, s in pairs
         )
         with self._lock:
-            while True:
-                n = self._lib.tix_update_field_tokens(
-                    self._h, doc, bit_index, int(no_stem), blob, len(blob),
-                    self._ev, len(self._ev),
-                )
-                if n >= 0:
-                    return self._events(n)
-                self._ev = ct.create_string_buffer(len(self._ev) * 4)
+            n = self._lib.tix_update_field_tokens(
+                self._h, doc, bit_index, int(no_stem), blob, len(blob),
+                self._ev, len(self._ev),
+            )
+            return self._finish_events(n)
 
     def remove_field(self, doc: int, bit_index: int):
         with self._lock:
-            while True:
-                n = self._lib.tix_remove_field(
-                    self._h, doc, bit_index, self._ev, len(self._ev)
-                )
-                if n >= 0:
-                    return self._events(n)
-                self._ev = ct.create_string_buffer(len(self._ev) * 4)
+            n = self._lib.tix_remove_field(
+                self._h, doc, bit_index, self._ev, len(self._ev)
+            )
+            return self._finish_events(n)
 
     def docs_union(self, words, mask: int) -> np.ndarray:
         """Sorted unique doc ids where any word matches mask."""
@@ -619,9 +630,13 @@ class NativeTextIndex:
     def stem_parents(self, stem: str):
         buf = ct.create_string_buffer(1 << 14)
         n = self._lib.tix_stem_parents(self._h, stem.encode(), buf, len(buf))
+        if n < 0:  # -(needed): large stem family — grow and retry
+            buf = ct.create_string_buffer(-n + 64)
+            n = self._lib.tix_stem_parents(
+                self._h, stem.encode(), buf, len(buf))
         if n <= 0:
             return []
-        return [p.decode() for p in buf.raw[:n].split(b"\x00")[:-1]]
+        return [p.decode() for p in buf[:n].split(b"\x00")[:-1]]
 
     def stem_count(self) -> int:
         return int(self._lib.tix_stem_count(self._h))

@@ -255,7 +255,21 @@ def _restore_vector_attr(schema, meta: Dict, arrays: List[np.ndarray]) -> None:
 # -- top level --------------------------------------------------------------------
 
 def save_engine(engine, path: str) -> Dict[str, int]:
-    """Write a full checkpoint. Returns summary counters."""
+    """Write a full checkpoint. Returns summary counters.
+
+    Runs under the engine lock: every keyspace write path holds it, so
+    the serialized state is a consistent point-in-time snapshot and the
+    dict iterations below cannot race a concurrent HSET/DEL (redis SAVE
+    blocks writes the same way; BGSAVE here is a thread, not a fork, so
+    it briefly stalls writers instead of COW-sharing pages)."""
+    lock = getattr(engine, "_lock", None)
+    if lock is not None:
+        with lock:
+            return _save_engine_locked(engine, path)
+    return _save_engine_locked(engine, path)
+
+
+def _save_engine_locked(engine, path: str) -> Dict[str, int]:
     schemas = engine.manager.all_schemas()
     with ChunkWriter(path) as w:
         w.section({"type": "engine", "num_schemas": len(schemas)})

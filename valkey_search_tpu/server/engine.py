@@ -267,6 +267,8 @@ class Engine:
         must be indexed like any other write). Returns 1 on copy, 0 when
         src is missing or dst exists without REPLACE."""
         self._deny_oom()
+        if self._expire_if_due(src):  # logically-expired src must not copy
+            return 0
         with self._lock:
             doc = self.keyspace.get(src)
             if doc is None:
@@ -275,7 +277,13 @@ class Engine:
                 return 0
             snapshot = dict(doc)
             self.keyspace[dst] = snapshot
-            self._expiry.pop(dst, None)  # valkey COPY drops dst TTL
+            # valkey COPY carries the source expire to the copy
+            # (db.c copyCommand → setExpire with the source deadline)
+            src_dl = self._expiry.get(src)
+            if src_dl is not None:
+                self._expiry[dst] = src_dl
+            else:
+                self._expiry.pop(dst, None)
         kind = "JSON" if set(snapshot) == {"$"} else "HASH"
         self._notify(dst, snapshot, kind=kind)
         return 1
@@ -607,9 +615,14 @@ class Engine:
                 replace = any(_s(a).upper() == "REPLACE" for a in rest[2:])
                 return self.copy(_s(rest[0]), _s(rest[1]), replace)
             if cmd == "EXISTS":
+                # lazy-expiry probe first: a logically expired key must
+                # read as absent even before the cron sweep touches it
+                for k in rest:
+                    self._expire_if_due(_s(k))
                 with self._lock:
                     return sum(1 for k in rest if _s(k) in self.keyspace)
             if cmd == "TYPE":
+                self._expire_if_due(_s(rest[0]))
                 with self._lock:
                     doc = self.keyspace.get(_s(rest[0]))
                 if doc is None:
@@ -634,13 +647,20 @@ class Engine:
                 return self.hdel(_s(rest[0]), *[_s(f) for f in rest[1:]])
             if cmd == "KEYS":
                 import fnmatch as _fn
+                import time as _time
 
                 pat = _s(rest[0]) if rest else "*"
+                now = _time.time()
                 with self._lock:
-                    return [
-                        k for k in self.keyspace
-                        if _fn.fnmatchcase(k, pat)
-                    ]
+                    out, due = [], []
+                    for k in self.keyspace:
+                        if self._expiry.get(k, now + 1) <= now:
+                            due.append(k)  # logically expired: hidden
+                        elif _fn.fnmatchcase(k, pat):
+                            out.append(k)
+                for k in due:
+                    self._expire_if_due(k)
+                return out
             if cmd == "SCAN":
                 # cursor semantics over a sorted key snapshot (valkey's
                 # SCAN guarantees are looser; sorted-order paging gives
@@ -662,14 +682,26 @@ class Engine:
                         i += 2  # single logical type: accepted, no-op
                     else:
                         raise CommandError(f"bad SCAN option {opt!r}")
+                import time as _time
+
+                now = _time.time()
                 with self._lock:
                     keys = sorted(self.keyspace)
                 page = keys[cursor:cursor + count]
                 nxt = cursor + count
                 if nxt >= len(keys):
                     nxt = 0
-                return [str(nxt),
-                        [k for k in page if _fn.fnmatchcase(k, pat)]]
+                out = []
+                for k in page:
+                    if not _fn.fnmatchcase(k, pat):
+                        continue
+                    with self._lock:
+                        due = self._expiry.get(k, now + 1) <= now
+                    if due:
+                        self._expire_if_due(k)  # hidden + reaped lazily
+                    else:
+                        out.append(k)
+                return [str(nxt), out]
             fn = table.get(cmd)
             if fn is None:
                 raise CommandError(f"unknown command {cmd!r}")

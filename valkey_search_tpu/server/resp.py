@@ -875,8 +875,12 @@ class RespServer:
     def save_all(self, path: str) -> None:
         """Checkpoint every non-empty db: db 0 at ``path``, db N at
         ``path.dbN`` (one chunked file per logical database)."""
+        import os as _os
+        import re as _re
+
         with self._db_lock:
             snapshot = sorted(self.engines.items())
+        saved = set()
         for db, eng in snapshot:
             with eng._lock:
                 empty = not eng.keyspace and not eng.manager.all_schemas()
@@ -884,6 +888,22 @@ class RespServer:
                 eng.save(path)
             elif not empty:
                 eng.save(f"{path}.db{db}")
+                saved.add(db)
+        # remove stale .dbN files from earlier saves (an emptied/flushed
+        # db must not resurrect on the next load_all)
+        base = _os.path.basename(path)
+        d = _os.path.dirname(path) or "."
+        try:
+            listing = _os.listdir(d)
+        except OSError:
+            listing = []
+        for fn in listing:
+            m = _re.fullmatch(_re.escape(base) + r"\.db(\d+)", fn)
+            if m and int(m.group(1)) not in saved:
+                try:
+                    _os.remove(_os.path.join(d, fn))
+                except OSError:
+                    pass
 
     def load_all(self, path: str) -> None:
         """Restore a save_all checkpoint set (db 0 + any path.dbN files)."""

@@ -501,6 +501,10 @@ class TextEngine:
             hit = self._matcher_cache.get(key)
             if hit is not None and hit[0] == self.revision:
                 return hit[1]
+            # capture the revision BEFORE computing: a concurrent write
+            # during the (unlocked) union below must invalidate this
+            # entry, not get stamped onto stale results
+            rev = self.revision
         mask = self.field_mask(pred.field)
         words = self.expand_words(pred)
         if self._nt is not None:
@@ -518,9 +522,10 @@ class TextEngine:
             else:
                 ids = np.empty(0, np.int64)
         with self._lock:
-            if len(self._matcher_cache) >= self._matcher_cache_cap:
-                self._matcher_cache.clear()  # revision-keyed: safe to drop
-            self._matcher_cache[key] = (self.revision, ids)
+            if self.revision == rev:
+                if len(self._matcher_cache) >= self._matcher_cache_cap:
+                    self._matcher_cache.clear()  # revision-keyed: droppable
+                self._matcher_cache[key] = (rev, ids)
         return ids
 
     def _phrase_docs(self, pred, mask: int) -> Set[int]:
