@@ -221,6 +221,24 @@ class HnswVectorIndex(VectorIndexBase):
         """
         vectors = np.ascontiguousarray(vectors, np.float32)
         with self._lock:
+            # replace semantics (mirror add_record): drop intra-batch
+            # duplicates (last occurrence wins) and tombstone the previous
+            # node of any already-tracked key — otherwise the stale node
+            # stays live in the graph mapped to the same doc and searches
+            # can return the key at its OLD vector's distance (r2 review)
+            last = {k: i for i, k in enumerate(keys)}
+            if len(last) != len(keys):
+                order = sorted(last.values())
+                keys = [keys[i] for i in order]
+                vectors = vectors[order]
+            for k in keys:
+                doc = self._tracked.get(k)
+                if doc is None:
+                    continue
+                old = self._doc_node.pop(doc, None)
+                if old is not None:
+                    self.builder.mark_deleted(old)
+                    self._deleted[old] = True
             ins = vectors
             if self.metric == "cosine":
                 mags = np.linalg.norm(vectors, axis=1, keepdims=True)

@@ -158,8 +158,15 @@ class TagIndex(IndexBase):
             import bisect
 
             lo = bisect.bisect_left(tags, prefix)
-            hi = bisect.bisect_left(tags, prefix + "￿")
-            return tags[lo:hi]
+            # walk until the prefix no longer holds — a sentinel upper
+            # bound like prefix+'￿' sorts BELOW supplementary-plane
+            # continuations (e.g. emoji) and would drop them (r2 review)
+            out = []
+            for t in tags[lo:]:
+                if not t.startswith(prefix):
+                    break
+                out.append(t)
+            return out
         return [p] if p in self._postings else []
 
     def _sorted_tags(self) -> List[str]:

@@ -375,6 +375,12 @@ def hnsw_search_batch_aos(
             sd = q_sq[:, None] + s_sq[None, :] - 2.0 * dots
         else:
             sd = 1.0 - dots
+        # capacity slack rows (pow2 growth) and tombstones are marked
+        # deleted in the published graph — excluding them here keeps fake
+        # zero-vector entries out of the beam, whose finite distances
+        # would tighten the termination bound early and displace real
+        # candidates (r2 review finding)
+        sd = jnp.where(graph.deleted[::seed_stride][None, :], INF, sd)
         sub_ids = (
             jnp.arange(sub.shape[0], dtype=jnp.int32) * seed_stride
         )

@@ -156,6 +156,11 @@ class ShardedHnswIndex(IndexBase):
     def remove_record(self, key: str) -> RecordResult:
         r = self.shards[self.shard_of(key)].remove_record(key)
         if r is RecordResult.REMOVED:
+            if self._owns_interner:
+                # sub-shards share our interner (so they never release);
+                # without this the doc-id space grows forever under
+                # add/remove churn (r2 review finding)
+                self.interner.release(key)
             with self._lock:
                 self._stacked = None
         return r
@@ -212,34 +217,42 @@ class ShardedHnswIndex(IndexBase):
         if self.metric == "cosine":
             mags = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = queries / np.maximum(mags, 1e-30)
-        stacked, versions, node_docs = self._publish()
         ef = max(ef or self.ef_runtime, k)
         fmasks = None
         if filter_mask is not None:
             fmasks = jnp.broadcast_to(
                 filter_mask[None, :], (self.n_shards,) + filter_mask.shape
             )
-        d, gids, vminmax = pm.sharded_hnsw_search(
-            self.mesh,
-            stacked,
-            jnp.asarray(queries),
-            k=k,
-            ef=ef,
-            metric=self.metric,
-            filter_masks=fmasks,
-            shard_versions=versions,
-            precision=config.get("search.distance-precision"),
-        )
-        vmm = np.asarray(vminmax)
-        if vmm[0] != vmm[1] and not bool(
-            config.get("search.prefer-partial-results")
-        ):
-            # snapshot version spread across shards → retry once on a fresh
-            # publish (the reference's FAILED_PRECONDITION + retry loop)
+        # consistency: per-shard store epochs are INDEPENDENT counters, so
+        # comparing them to each other is meaningless (a single-shard write
+        # would look like permanent divergence and retry forever — r2
+        # review finding). The check that matches the reference's
+        # FAILED_PRECONDITION semantics: did any shard's epoch move between
+        # the publish we searched and now? Bounded retry on a fresh
+        # publish, then accept (partial-results stance).
+        for _attempt in range(3):
+            stacked, versions, node_docs = self._publish()
+            d, gids, _vminmax = pm.sharded_hnsw_search(
+                self.mesh,
+                stacked,
+                jnp.asarray(queries),
+                k=k,
+                ef=ef,
+                metric=self.metric,
+                filter_masks=fmasks,
+                shard_versions=versions,
+                precision=config.get("search.distance-precision"),
+            )
+            current = np.asarray(
+                [s.store.epoch for s in self.shards], np.int32
+            )
+            if np.array_equal(np.asarray(versions), current) or bool(
+                config.get("search.prefer-partial-results")
+            ):
+                break
             STATS.incr("fanout_version_retries")
             with self._lock:
                 self._stacked = None
-            return self.search_batch(queries, k, ef, filter_mask)
         d = np.asarray(d)
         gids = np.asarray(gids)
         node_cap = stacked.vectors.shape[1]

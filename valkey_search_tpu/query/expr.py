@@ -535,7 +535,13 @@ class _Lexer:
                     self.pos += 1
                 self.pos += 1
             self.tok = "num"
-            self.val = float(t[start : self.pos])
+            lit = t[start : self.pos]
+            try:
+                self.val = float(lit)
+            except ValueError:
+                # '3e', '1..2' — must surface as an expression syntax
+                # error, not a bare ValueError bypassing the typed reply
+                raise ExprError(f"bad numeric literal {lit!r}")
             return
         if c in "@$":
             self.pos += 1

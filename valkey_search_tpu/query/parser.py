@@ -309,7 +309,7 @@ class FilterParser:
         while self._peek() == "%":
             self.pos += 1
             lead += 1
-        word = self._read_term_chars()
+        word, escaped = self._read_term_chars_tracked()
         trail = 0
         while self._peek() == "%":
             self.pos += 1
@@ -320,9 +320,25 @@ class FilterParser:
             self._error("fuzzy distance too large")
         if not word:
             self._error("empty fuzzy term")
+        # same escape/special-char treatment as bare terms (r2 review:
+        # fuzzy silently dropped escape markers, so %a\\-b% tokenized
+        # differently from the equivalent term and unescaped '@'/'$'
+        # slipped through validation); whole-token $param still resolves
+        is_param_ref = word.startswith("$") and 0 not in escaped
+        for i, ch in enumerate(word):
+            if i in escaped:
+                continue
+            if ch in "@;" or (ch == "$" and not (is_param_ref and i == 0)):
+                self._error(f"unescaped special character {ch!r} in term")
+        if is_param_ref:
+            word = self._subst(word)
+        else:
+            word = "".join(
+                ("\\" + c) if i in escaped else c for i, c in enumerate(word)
+            )
         self._count_term()
         return P.TextPredicate(
-            term=self._subst(word), field=field, match="fuzzy", distance=lead
+            term=word, field=field, match="fuzzy", distance=lead
         )
 
     def _read_term_chars(self) -> str:
