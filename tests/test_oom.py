@@ -151,3 +151,77 @@ def test_volatile_ttl_eviction_prefers_expiring_keys():
     config.set_config("search.max-memory-bytes", 1)
     with pytest.raises(OutOfMemoryError):
         e.hset("k:boom", {"t": "w"})
+
+
+def test_allkeys_lru_evicts_least_recently_accessed():
+    """allkeys-lru: cold keys go first; recently-read keys survive
+    (valkey evict.c approximated LRU via sampling)."""
+    e = Engine()
+    e.execute("FT.CREATE", "lr", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG")
+    for i in range(120):
+        e.hset(f"k:{i}", {"t": "q" * 60})
+    hot = [f"k:{i}" for i in range(100, 120)]
+    for k in hot:          # refresh recency on the hot set
+        e.hgetall(k)
+    used = e.used_memory_bytes()
+    config.set_config("search.maxmemory-policy", "allkeys-lru")
+    config.set_config("search.max-memory-bytes", int(used * 0.9))
+    e.hset("k:new", {"t": "z"})
+    # every hot key survives; something cold was evicted
+    assert all(k in e.keyspace for k in hot)
+    assert len(e.keyspace) < 121
+
+
+def test_allkeys_lfu_evicts_least_frequent():
+    e = Engine()
+    e.execute("FT.CREATE", "lf", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG")
+    for i in range(120):
+        e.hset(f"k:{i}", {"t": "q" * 60})
+    hot = [f"k:{i}" for i in range(40, 60)]
+    for _ in range(5):     # drive the lfu counters up on the hot set
+        for k in hot:
+            e.hgetall(k)
+    used = e.used_memory_bytes()
+    config.set_config("search.maxmemory-policy", "allkeys-lfu")
+    config.set_config("search.max-memory-bytes", int(used * 0.9))
+    e.hset("k:new", {"t": "z"})
+    assert all(k in e.keyspace for k in hot)
+    assert len(e.keyspace) < 121
+
+
+def test_volatile_random_only_evicts_ttl_keys():
+    e = Engine()
+    e.execute("FT.CREATE", "vr", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG")
+    for i in range(100):
+        e.hset(f"k:{i}", {"t": "y" * 80})
+    for i in range(40):
+        e.expire(f"k:{i}", 10_000)
+    used = e.used_memory_bytes()
+    config.set_config("search.maxmemory-policy", "volatile-random")
+    config.set_config("search.max-memory-bytes", int(used * 0.95))
+    e.hset("k:new", {"t": "z"})
+    survivors = set(e.keyspace)
+    # all evictions came from the volatile set
+    assert {f"k:{i}" for i in range(40, 100)} <= survivors
+    assert len(survivors) < 101
+
+
+def test_volatile_lru_prefers_cold_volatile_keys():
+    e = Engine()
+    e.execute("FT.CREATE", "vl", "ON", "HASH", "PREFIX", "1", "k:",
+              "SCHEMA", "t", "TAG")
+    for i in range(100):
+        e.hset(f"k:{i}", {"t": "y" * 80})
+        e.expire(f"k:{i}", 10_000)
+    hot = [f"k:{i}" for i in range(80, 100)]
+    for k in hot:
+        e.hgetall(k)
+    used = e.used_memory_bytes()
+    config.set_config("search.maxmemory-policy", "volatile-lru")
+    config.set_config("search.max-memory-bytes", int(used * 0.9))
+    e.hset("k:new", {"t": "z"})
+    assert all(k in e.keyspace for k in hot)
+    assert len(e.keyspace) < 101

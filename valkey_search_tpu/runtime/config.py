@@ -245,10 +245,13 @@ _num("search.replication-lag-ms", 0, 0, 60_000, flags=Flag.DEV)
 _num("search.max-memory-bytes", 0, 0, 1 << 62)
 # what to do at the cap (valkey maxmemory-policy analog; reference
 # integration/test_eviction.py covers eviction-driven index removal):
-# noeviction = DENYOOM writes; allkeys-random = evict any key;
-# volatile-ttl = evict soonest-expiring key with a TTL, else DENYOOM
+# noeviction = DENYOOM writes; *-random = evict arbitrary keys;
+# volatile-ttl = soonest-expiring key; *-lru / *-lfu = approximated
+# least-recent / least-frequent via sampling (valkey evict.c pool);
+# volatile-* restrict candidates to keys carrying a TTL, else DENYOOM
 _enum("search.maxmemory-policy", "noeviction",
-      ["noeviction", "allkeys-random", "volatile-ttl"])
+      ["noeviction", "allkeys-random", "volatile-random", "volatile-ttl",
+       "allkeys-lru", "volatile-lru", "allkeys-lfu", "volatile-lfu"])
 # Redisearch compatibility pinning (reference search.emulate-release,
 # module_config.h VALKEY_SEARCH_COMPATIBILITY_FIX; '' = native behavior).
 # When set, dialect divergences emulate Redisearch (e.g. concat() is

@@ -48,6 +48,13 @@ class Engine:
         self._ingestion = None  # created lazily (schema.ingestion)
         self._acl = None        # created lazily (server.acl)
         self._expiry: Dict[str, float] = {}  # key → unix deadline
+        # approximated-LRU/LFU bookkeeping for the lru/lfu maxmemory
+        # policies (valkey evict.c: 24-bit lru clock / 8-bit saturating
+        # lfu counter per object; here a monotonic access sequence and a
+        # capped hit counter, sampled at eviction time)
+        self._access: Dict[str, int] = {}
+        self._freq: Dict[str, int] = {}
+        self._access_clock = 0
 
     # ------------------------------------------------------------------ data
     def memory_pools(self) -> Dict[str, int]:
@@ -131,10 +138,27 @@ class Engine:
                     # soonest-expiring keys that carry a TTL
                     cands = sorted(self._expiry.items(), key=lambda kv: kv[1])
                     batch = [k for k, _dl in cands[:32]]
-                else:  # allkeys-random
-                    keys = list(self.keyspace.keys())
-                    random.shuffle(keys)
-                    batch = keys[:32]
+                else:
+                    # volatile-* restricts candidates to keys with a TTL
+                    # (valkey evict.c: the volatile pool is db->expires)
+                    if policy.startswith("volatile"):
+                        pool = [k for k in self._expiry if k in self.keyspace]
+                    else:
+                        pool = list(self.keyspace.keys())
+                    if policy.endswith("random"):
+                        random.shuffle(pool)
+                        batch = pool[:32]
+                    else:
+                        # lru/lfu: approximated via sampling like valkey's
+                        # maxmemory-samples pool, not a full sort
+                        samples = (pool if len(pool) <= 160
+                                   else random.sample(pool, 160))
+                        if policy.endswith("lru"):
+                            samples.sort(key=lambda k: self._access.get(k, 0))
+                        else:  # *-lfu; ties broken by least-recent access
+                            samples.sort(key=lambda k: (
+                                self._freq.get(k, 0), self._access.get(k, 0)))
+                        batch = samples[:32]
             if not batch:
                 break
             for k in batch:
@@ -145,6 +169,15 @@ class Engine:
                 break
         return evicted
 
+    def _touch(self, key: str) -> None:
+        """Record an access for the lru/lfu eviction policies. Caller
+        holds the engine lock."""
+        self._access_clock += 1
+        self._access[key] = self._access_clock
+        f = self._freq.get(key, 0)
+        if f < 255:
+            self._freq[key] = f + 1
+
     def hset(self, key: str, mapping: Dict[str, Value]) -> int:
         """HSET equivalent; triggers keyspace notification → index update
         (reference OnKeyspaceNotification, index_schema.cc:560)."""
@@ -153,6 +186,7 @@ class Engine:
             doc = self.keyspace.setdefault(key, {})
             added = sum(1 for f in mapping if f not in doc)
             doc.update(mapping)
+            self._touch(key)
             snapshot = dict(doc)
         self._notify(key, snapshot)
         return added
@@ -182,6 +216,8 @@ class Engine:
         with self._lock:
             existed = self.keyspace.pop(key, None) is not None
             self._expiry.pop(key, None)
+            self._access.pop(key, None)
+            self._freq.pop(key, None)
         if existed:
             self._notify_delete(key)
         return int(existed)
@@ -189,7 +225,11 @@ class Engine:
     def hgetall(self, key: str) -> Dict[str, Value]:
         self._expire_if_due(key)
         with self._lock:
-            return dict(self.keyspace.get(key, {}))
+            doc = self.keyspace.get(key)
+            if doc is None:
+                return {}
+            self._touch(key)
+            return dict(doc)
 
     # ------------------------------------------------------------ TTL/expiry
     # Reference behavior: key expiry fires a keyspace event that removes the
@@ -277,6 +317,7 @@ class Engine:
                 return 0
             snapshot = dict(doc)
             self.keyspace[dst] = snapshot
+            self._touch(dst)
             # valkey COPY carries the source expire to the copy
             # (db.c copyCommand → setExpire with the source deadline)
             src_dl = self._expiry.get(src)
@@ -793,6 +834,8 @@ class Transaction:
         eng = self._engine
         existed = eng.keyspace.pop(key, None) is not None
         eng._expiry.pop(key, None)
+        eng._access.pop(key, None)
+        eng._freq.pop(key, None)
         if existed:
             self._collect(key, None, None)
         return int(existed)
