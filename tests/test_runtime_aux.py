@@ -243,3 +243,24 @@ def test_thread_cpu_monitor_samples_pools():
     e = Engine()
     fields = e.info(include_dev=True)
     assert "search_thread_pool_cpu_percent" in fields
+
+
+def test_ft_debug_reference_spelling_aliases():
+    """Reference subcommand names (ft_debug.cc) work verbatim:
+    SHOW_INDEXSCHEMAS, STRINGPOOLSTATS, LIST_METRICS, LIST_CONFIGS."""
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.execute("FT.CREATE", "dbg1", "ON", "HASH", "PREFIX", "1", "a:",
+              "SCHEMA", "t", "TAG")
+    e.execute("FT.CREATE", "dbg2", "ON", "HASH", "PREFIX", "1", "b:",
+              "SCHEMA", "n", "NUMERIC")
+    # SHOW_INDEXSCHEMAS: every schema listed as [name, stats] pairs
+    out = e.execute("FT._DEBUG", "SHOW_INDEXSCHEMAS")
+    names = out[0::2]
+    assert "dbg1" in names and "dbg2" in names
+    assert e.execute("FT._DEBUG", "STRINGPOOLSTATS")[0] == "interned_keys"
+    m = e.execute("FT._DEBUG", "LIST_METRICS", "APP", "NAMES_ONLY")
+    assert m and all(isinstance(x, str) for x in m)
+    c = e.execute("FT._DEBUG", "LIST_CONFIGS")
+    assert "search.maxmemory-policy" in c

@@ -33,6 +33,14 @@ def run_ft_debug(engine, args: List[str]) -> object:
             " METRICS | CONFIG | RESET"
         )
     sub = args[0].upper()
+    # reference spelling aliases (ft_debug.cc subcommand table) so scripts
+    # written against valkey-search work verbatim
+    sub = {
+        "SHOW_INDEXSCHEMAS": "SHOW_INDEX",
+        "STRINGPOOLSTATS": "STRING_POOL_STATS",
+        "LIST_METRICS": "METRICS",
+        "LIST_CONFIGS": "CONFIG",
+    }.get(sub, sub)
     rest = args[1:]
 
     if sub == "PAUSEPOINT":
@@ -90,17 +98,23 @@ def run_ft_debug(engine, args: List[str]) -> object:
         return out
 
     if sub == "SHOW_INDEX":
+        def _one(schema):
+            st = schema.stats()
+            out = []
+            for k, v in st.items():
+                out += [k, v]
+            if getattr(schema, "text_engine", None) is not None:
+                for k, v in schema.text_engine.stats().items():
+                    out += [f"text_{k}", v]
+            return out
+
         if not rest:
-            raise FTDebugError("SHOW_INDEX needs an index name")
-        schema = engine.manager.get(rest[0])
-        st = schema.stats()
-        out = []
-        for k, v in st.items():
-            out += [k, v]
-        if getattr(schema, "text_engine", None) is not None:
-            for k, v in schema.text_engine.stats().items():
-                out += [f"text_{k}", v]
-        return out
+            # reference SHOW_INDEXSCHEMAS: dump every schema's tables
+            out = []
+            for schema in engine.manager.all_schemas():
+                out += [schema.name, _one(schema)]
+            return out
+        return _one(engine.manager.get(rest[0]))
 
     if sub == "SHOW_METADATA":
         mm = getattr(engine, "metadata", None)
@@ -122,15 +136,21 @@ def run_ft_debug(engine, args: List[str]) -> object:
                 "keyspace_keys", len(engine.keyspace)]
 
     if sub == "METRICS":
+        # reference LIST_METRICS [APP|DEV] [NAMES_ONLY] (ft_debug.cc:333);
+        # all counters are exported either way, NAMES_ONLY drops values
+        opts = {t.upper() for t in rest}
+        names_only = "NAMES_ONLY" in opts
         out = []
         for k, v in sorted(STATS.snapshot().items()):
-            out += [k, v]
+            out += [k] if names_only else [k, v]
         return out
 
     if sub == "CONFIG":
+        # reference LIST_CONFIGS [VERBOSE] [APP|DEV|HIDDEN] (ft_debug.cc:335)
+        opts = {t.upper() for t in rest}
         out = []
         for k, v in sorted(config.REGISTRY.snapshot(include_hidden=True).items()):
-            out += [k, v]
+            out += [k] if "NAMES_ONLY" in opts else [k, v]
         return out
 
     if sub == "PROFILE":
