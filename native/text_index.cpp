@@ -26,52 +26,156 @@ namespace {
 using std::string;
 
 struct Posting {
-  // doc -> (pos, field-mask) pairs; positions collide across fields (each
-  // field's positions restart at 0), so masks OR per (doc, pos).
-  std::unordered_map<int32_t, std::vector<std::pair<int32_t, uint64_t>>> docs;
-  std::unordered_map<int32_t, uint64_t> agg;  // doc -> OR of all masks
+  // Packed flat postings (reference: posting.cc / flat_position_map.cc
+  // keep per-word compressed position maps; the round-1 design here —
+  // unordered_map<doc, vector<pair>> + a parallel agg map — cost ~136
+  // bytes per (doc,pos) in node/alloc overhead, ~5x the reference's
+  // published 6.6-8.2 B/word, docs/full-text/space-consumption.md:20-45).
+  //
+  // One entry = doc<<32 | pos<<8 | mask8, kept sorted by (doc, pos):
+  // 8 bytes per position, span lookups by binary search, and fresh docs
+  // (monotonically increasing ids — the ingest common case) append in
+  // O(1). Field bits >= 8 or positions >= 2^24 go to `wide`; a (doc,pos)
+  // lives in exactly ONE of base/wide (a wide add migrates any base
+  // entry), so counts stay exact and reads need no cross-dedup.
+  std::vector<uint64_t> base;
+  std::unordered_map<int32_t, std::vector<std::pair<int32_t, uint64_t>>> wide;
   int64_t position_count = 0;
+  int32_t doc_count = 0;  // distinct docs across base+wide
+
+  static uint64_t pack(int32_t doc, int32_t pos, uint64_t m8) {
+    return ((uint64_t)(uint32_t)doc << 32) | ((uint64_t)(uint32_t)pos << 8) |
+           m8;
+  }
+  static int32_t edoc(uint64_t e) { return (int32_t)(e >> 32); }
+  static int32_t epos(uint64_t e) { return (int32_t)((e >> 8) & 0xFFFFFF); }
+  static uint64_t emask(uint64_t e) { return e & 0xFF; }
+
+  // [lo, hi) span of doc in base
+  std::pair<size_t, size_t> span(int32_t doc) const {
+    const uint64_t k0 = pack(doc, 0, 0);
+    const uint64_t k1 = k0 + (1ull << 32);
+    auto lo = std::lower_bound(base.begin(), base.end(), k0);
+    auto hi = std::lower_bound(lo, base.end(), k1);
+    return {(size_t)(lo - base.begin()), (size_t)(hi - base.begin())};
+  }
+
+  bool in_wide(int32_t doc) const {
+    return !wide.empty() && wide.count(doc) > 0;
+  }
 
   void add(int32_t doc, int32_t pos, uint64_t bit) {
-    auto& v = docs[doc];
+    if (bit < 256 && (uint32_t)pos < (1u << 24)) {
+      // a mixed-mask (doc,pos) already migrated to wide keeps accruing there
+      if (!wide.empty()) {
+        auto wit = wide.find(doc);
+        if (wit != wide.end()) {
+          for (auto& pm : wit->second) {
+            if (pm.first == pos) {
+              pm.second |= bit;
+              return;
+            }
+          }
+        }
+      }
+      const uint64_t key = pack(doc, pos, 0);
+      if (base.empty() || key > (base.back() & ~0xFFull)) {
+        if ((base.empty() || edoc(base.back()) != doc) && !in_wide(doc))
+          ++doc_count;
+        base.push_back(key | bit);
+        ++position_count;
+        return;
+      }
+      auto it = std::lower_bound(base.begin(), base.end(), key);
+      if (it != base.end() && ((*it) & ~0xFFull) == key) {
+        *it |= bit;
+        return;
+      }
+      bool has_doc =
+          (it != base.end() && edoc(*it) == doc) ||
+          (it != base.begin() && edoc(*(it - 1)) == doc) || in_wide(doc);
+      if (!has_doc) ++doc_count;
+      base.insert(it, key | bit);
+      ++position_count;
+      return;
+    }
+    // wide path: high field bits or huge positions
+    auto [lo, hi] = span(doc);
+    bool had_doc = lo != hi || in_wide(doc);
+    auto& v = wide[doc];
     for (auto& pm : v) {
       if (pm.first == pos) {
         pm.second |= bit;
-        agg[doc] |= bit;
         return;
       }
     }
-    v.emplace_back(pos, bit);
-    ++position_count;
-    agg[doc] |= bit;
-  }
-
-  // drop one field's contribution for a doc; true if doc fully gone
-  void remove_field(int32_t doc, uint64_t bit) {
-    auto it = docs.find(doc);
-    if (it == docs.end()) return;
-    auto& v = it->second;
-    uint64_t new_agg = 0;
-    size_t w = 0;
-    for (size_t i = 0; i < v.size(); ++i) {
-      uint64_t m = v[i].second & ~bit;
-      if (m) {
-        v[w++] = {v[i].first, m};
-        new_agg |= m;
-      } else {
+    // migrate an existing base entry for this (doc,pos) so the pair has
+    // one home (keeps remove/read/count logic single-sourced)
+    uint64_t extra = 0;
+    if ((uint32_t)pos < (1u << 24)) {
+      const uint64_t key = pack(doc, pos, 0);
+      auto it = std::lower_bound(base.begin() + lo, base.begin() + hi, key);
+      if (it != base.begin() + hi && ((*it) & ~0xFFull) == key) {
+        extra = emask(*it);
+        base.erase(it);
         --position_count;
       }
     }
-    v.resize(w);
-    if (v.empty()) {
-      docs.erase(it);
-      agg.erase(doc);
-    } else {
-      agg[doc] = new_agg;
-    }
+    v.emplace_back(pos, bit | extra);
+    ++position_count;
+    if (!had_doc) ++doc_count;
   }
 
-  bool empty() const { return docs.empty(); }
+  // drop one field's contribution for a doc
+  void remove_field(int32_t doc, uint64_t bit) {
+    auto [lo, hi] = span(doc);
+    bool had_doc = lo != hi;
+    if (bit < 256 && lo != hi) {
+      size_t w = lo;
+      for (size_t i = lo; i < hi; ++i) {
+        const uint64_t m = emask(base[i]) & ~bit;
+        if (m) {
+          base[w++] = (base[i] & ~0xFFull) | m;
+        } else {
+          --position_count;
+        }
+      }
+      base.erase(base.begin() + w, base.begin() + hi);
+      hi = w;
+    }
+    auto wit = wide.find(doc);
+    if (wit != wide.end()) {
+      had_doc = true;
+      auto& v = wit->second;
+      size_t w = 0;
+      for (size_t i = 0; i < v.size(); ++i) {
+        const uint64_t m = v[i].second & ~bit;
+        if (m) {
+          v[w++] = {v[i].first, m};
+        } else {
+          --position_count;
+        }
+      }
+      v.resize(w);
+      if (v.empty()) wide.erase(wit);
+    }
+    if (had_doc && lo == hi && !in_wide(doc)) --doc_count;
+  }
+
+  // OR of all field masks for doc (the old agg-map lookup)
+  uint64_t doc_mask(int32_t doc) const {
+    uint64_t m = 0;
+    auto [lo, hi] = span(doc);
+    for (size_t i = lo; i < hi; ++i) m |= emask(base[i]);
+    if (!wide.empty()) {
+      auto wit = wide.find(doc);
+      if (wit != wide.end())
+        for (const auto& pm : wit->second) m |= pm.second;
+    }
+    return m;
+  }
+
+  bool empty() const { return base.empty() && wide.empty(); }
 };
 
 struct TextIndex {
@@ -86,7 +190,42 @@ struct TextIndex {
   // function so the mapping never changes while the word is alive)
   std::unordered_map<int32_t, int32_t> stem_of;
   // (doc << 6 | field bit index) -> token word-ids in position order
-  std::unordered_map<int64_t, std::vector<int32_t>> doc_tokens;
+  // The forward index exists only so a field update/removal can find the
+  // words whose postings reference it (reference: per-key text indexes,
+  // text_index.h) — order and multiplicity are irrelevant, so store the
+  // UNIQUE word-id set as sorted delta-varints (~1-2 B per distinct word
+  // per field instead of 4 B per token).
+  std::unordered_map<int64_t, std::vector<uint8_t>> doc_tokens;
+
+  static void encode_wids(const std::vector<int32_t>& sorted_uniq,
+                          std::vector<uint8_t>& out) {
+    uint32_t prev = 0;
+    for (int32_t id : sorted_uniq) {
+      uint32_t d = (uint32_t)id - prev;
+      prev = (uint32_t)id;
+      while (d >= 0x80) {
+        out.push_back((uint8_t)(d | 0x80));
+        d >>= 7;
+      }
+      out.push_back((uint8_t)d);
+    }
+  }
+  static void decode_wids(const std::vector<uint8_t>& in,
+                          std::vector<int32_t>& out) {
+    uint32_t prev = 0;
+    size_t i = 0;
+    while (i < in.size()) {
+      uint32_t d = 0;
+      int shift = 0;
+      while (in[i] & 0x80) {
+        d |= (uint32_t)(in[i++] & 0x7F) << shift;
+        shift += 7;
+      }
+      d |= (uint32_t)in[i++] << shift;
+      prev += d;
+      out.push_back((int32_t)prev);
+    }
+  }
   std::vector<char> tokbuf;
 
   // Ids are never recycled: an id may outlive its posting (a dropped
@@ -177,7 +316,8 @@ static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
     auto it = ix->doc_tokens.find(key);
     if (it != ix->doc_tokens.end()) {
       const uint64_t bit = 1ull << bit_index;
-      std::unordered_set<int32_t> uniq(it->second.begin(), it->second.end());
+      std::vector<int32_t> uniq;
+      TextIndex::decode_wids(it->second, uniq);
       if (!nostem) {
         for (int32_t wid : uniq) {
           // stems are only linked when stem != word; the link recorded
@@ -202,7 +342,7 @@ static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
 
   // walk token blob: token '\0' stem '\0' (stem empty when same)
   const uint64_t bit = 1ull << bit_index;
-  std::vector<int32_t> toks;
+  std::unordered_set<int32_t> seen;
   std::unordered_set<int32_t> linked;
   const char* p = blob;
   const char* end = p + n;
@@ -228,10 +368,15 @@ static int tix_index_blob(TextIndex* ix, int32_t doc, int bit_index,
       ix->stem_of[wid] = sid;
       ix->stem_link(sid, wid, +1);
     }
-    toks.push_back(wid);
+    seen.insert(wid);
     ++pos;
   }
-  ix->doc_tokens.emplace(key, std::move(toks));
+  std::vector<int32_t> uniq(seen.begin(), seen.end());
+  std::sort(uniq.begin(), uniq.end());
+  std::vector<uint8_t> enc;
+  TextIndex::encode_wids(uniq, enc);
+  enc.shrink_to_fit();
+  ix->doc_tokens.emplace(key, std::move(enc));
   return ev.finish(out, out_cap);
 }
 
@@ -281,7 +426,8 @@ int tix_remove_field(void* h, int32_t doc, int bit_index, char* out,
   }
   ev.code('R');
   const uint64_t bit = 1ull << bit_index;
-  std::unordered_set<int32_t> uniq(it->second.begin(), it->second.end());
+  std::vector<int32_t> uniq;
+  TextIndex::decode_wids(it->second, uniq);
   for (int32_t wid : uniq) {
     auto sit = ix->stem_of.find(wid);
     if (sit != ix->stem_of.end()) ix->stem_link(sit->second, wid, -1);
@@ -325,8 +471,21 @@ int64_t tix_docs_union(void* h, const char* words, int n_words, uint64_t mask,
     if (it == ix->word_ids.end()) continue;
     Posting* post = ix->postings[it->second].get();
     if (!post) continue;
-    for (const auto& [doc, agg] : post->agg)
-      if (agg & mask) ids.push_back(doc);
+    // base is (doc,pos)-sorted: one pass, emit each matching doc once
+    int64_t last = INT64_MIN;
+    for (uint64_t e : post->base) {
+      const int32_t doc = Posting::edoc(e);
+      if (doc != last && (Posting::emask(e) & mask)) {
+        ids.push_back(doc);
+        last = doc;
+      }
+    }
+    for (const auto& [doc, v] : post->wide)
+      for (const auto& pm : v)
+        if (pm.second & mask) {
+          ids.push_back(doc);
+          break;
+        }
   }
   std::sort(ids.begin(), ids.end());
   ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
@@ -340,8 +499,7 @@ int tix_contains(void* h, const char* word, int32_t doc, uint64_t mask) {
   std::lock_guard<std::mutex> g(ix->mu);
   int32_t id = ix->lookup(word);
   if (id < 0 || !ix->postings[id]) return 0;
-  auto it = ix->postings[id]->agg.find(doc);
-  return it != ix->postings[id]->agg.end() && (it->second & mask) ? 1 : 0;
+  return (ix->postings[id]->doc_mask(doc) & mask) ? 1 : 0;
 }
 
 // Sorted positions of word in doc under mask; returns count or -(needed).
@@ -351,11 +509,18 @@ int tix_positions(void* h, const char* word, int32_t doc, uint64_t mask,
   std::lock_guard<std::mutex> g(ix->mu);
   int32_t id = ix->lookup(word);
   if (id < 0 || !ix->postings[id]) return 0;
-  auto it = ix->postings[id]->docs.find(doc);
-  if (it == ix->postings[id]->docs.end()) return 0;
+  Posting* post = ix->postings[id].get();
   std::vector<int32_t> ps;
-  for (const auto& [pos, m] : it->second)
-    if (m & mask) ps.push_back(pos);
+  auto [lo, hi] = post->span(doc);
+  for (size_t i = lo; i < hi; ++i)  // span is already pos-sorted
+    if (Posting::emask(post->base[i]) & mask)
+      ps.push_back(Posting::epos(post->base[i]));
+  if (!post->wide.empty()) {
+    auto wit = post->wide.find(doc);
+    if (wit != post->wide.end())
+      for (const auto& [pos, m] : wit->second)
+        if (m & mask) ps.push_back(pos);
+  }
   std::sort(ps.begin(), ps.end());
   if ((int)ps.size() > cap) return -(int)ps.size();
   std::memcpy(out, ps.data(), ps.size() * sizeof(int32_t));
@@ -366,9 +531,7 @@ int32_t tix_key_count(void* h, const char* word) {
   auto* ix = (TextIndex*)h;
   std::lock_guard<std::mutex> g(ix->mu);
   int32_t id = ix->lookup(word);
-  return (id >= 0 && ix->postings[id])
-             ? (int32_t)ix->postings[id]->docs.size()
-             : 0;
+  return (id >= 0 && ix->postings[id]) ? ix->postings[id]->doc_count : 0;
 }
 
 int64_t tix_position_count(void* h, const char* word) {
@@ -439,13 +602,16 @@ int64_t tix_bytes(void* h) {
   int64_t b = 0;
   for (const auto& up : ix->postings) {
     if (!up) continue;
-    b += (int64_t)up->docs.size() * 48;
-    b += up->position_count * 16;
-    b += (int64_t)up->agg.size() * 24;
+    b += 40;                                  // Posting object + vector hdr
+    b += (int64_t)up->base.capacity() * 8;    // packed entries
+    for (const auto& [d, v] : up->wide) {
+      (void)d;
+      b += 72 + (int64_t)v.capacity() * 16;   // rare wide nodes
+    }
   }
   for (const auto& [k, v] : ix->doc_tokens) {
     (void)k;
-    b += 32 + (int64_t)v.size() * 4;
+    b += 64 + (int64_t)v.capacity();  // map node + varint blob
   }
   for (const auto& [k, w] : ix->word_ids) b += 48 + (int64_t)k.size();
   (void)0;
