@@ -59,6 +59,20 @@ class Predicate:
     def matches(self, ctx: EvalContext, doc: int) -> bool:
         raise NotImplementedError
 
+    def matches_content(self, ctx: EvalContext, fields, doc: int):
+        """Re-evaluate against the *fetched record content* instead of the
+        index — the revalidation the reference runs on reply keys that have
+        an in-flight mutation, so a blocked/backed-up mutation queue can
+        never leak stale matches (ProcessNeighborsForReply /
+        predicate re-evaluation, src/indexes/index_base.h EvaluateFilter).
+
+        Tri-state: True/False = evaluated against content; None = the
+        content is unparseable for this predicate (the reference drops such
+        keys without recording a revalidation). Predicates with no
+        content-only evaluation (text matchers need positional postings)
+        fall back to the index-side check."""
+        return self.matches(ctx, doc)
+
     def to_dict(self) -> Dict:
         raise NotImplementedError
 
@@ -113,6 +127,33 @@ class TagPredicate(Predicate):
     def matches(self, ctx, doc):
         return self._index(ctx).doc_matches(doc, self.values)
 
+    def matches_content(self, ctx, fields, doc):
+        from valkey_search_tpu.indexes.tag import parse_tags
+
+        attr = ctx.attribute(self.field)
+        raw = ctx.schema.data_type.fetch(fields, attr.identifier)
+        if raw is None:
+            return False  # field absent from the new content
+        if isinstance(raw, (bytes, bytearray)):
+            try:
+                raw = bytes(raw).decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if not isinstance(raw, str):
+            return None
+        idx = self._index(ctx)
+        tags = parse_tags(raw, idx.separator, idx.case_sensitive)
+        if not tags:
+            return False
+        for pat in self.values:
+            p = idx.normalize_query_tag(pat)
+            if p.endswith("*") and len(p) > 1:
+                if any(t.startswith(p[:-1]) for t in tags):
+                    return True
+            elif p in tags:
+                return True
+        return False
+
     def fetch_ids(self, ctx):
         return self._index(ctx).search(self.values)
 
@@ -158,6 +199,26 @@ class NumericPredicate(Predicate):
         v = idx.value_of(key)
         if v is None:
             return False
+        lo_ok = v > self.lo if self.lo_open else v >= self.lo
+        hi_ok = v < self.hi if self.hi_open else v <= self.hi
+        return lo_ok and hi_ok
+
+    def matches_content(self, ctx, fields, doc):
+        attr = ctx.attribute(self.field)
+        raw = ctx.schema.data_type.fetch(fields, attr.identifier)
+        if raw is None:
+            return False  # field absent from the new content
+        if isinstance(raw, (bytes, bytearray)):
+            try:
+                raw = bytes(raw).decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        try:
+            v = float(raw)
+        except (TypeError, ValueError):
+            return None  # unparseable numeric → invalid content
+        if v != v:
+            return None  # NaN never indexes
         lo_ok = v > self.lo if self.lo_open else v >= self.lo
         hi_ok = v < self.hi if self.hi_open else v <= self.hi
         return lo_ok and hi_ok
@@ -262,6 +323,16 @@ class And(Predicate):
     def matches(self, ctx, doc):
         return all(c.matches(ctx, doc) for c in self.children)
 
+    def matches_content(self, ctx, fields, doc):
+        out = True
+        for c in self.children:
+            r = c.matches_content(ctx, fields, doc)
+            if r is False:
+                return False
+            if r is None:
+                out = None  # invalid dominates unless a conjunct is False
+        return out
+
     def to_dict(self):
         return {"kind": "and", "children": [c.to_dict() for c in self.children]}
 
@@ -289,6 +360,16 @@ class Or(Predicate):
     def matches(self, ctx, doc):
         return any(c.matches(ctx, doc) for c in self.children)
 
+    def matches_content(self, ctx, fields, doc):
+        out = False
+        for c in self.children:
+            r = c.matches_content(ctx, fields, doc)
+            if r is True:
+                return True
+            if r is None:
+                out = None  # invalid dominates unless a disjunct is True
+        return out
+
     def to_dict(self):
         return {"kind": "or", "children": [c.to_dict() for c in self.children]}
 
@@ -313,6 +394,10 @@ class Negate(Predicate):
 
     def matches(self, ctx, doc):
         return not self.child.matches(ctx, doc)
+
+    def matches_content(self, ctx, fields, doc):
+        r = self.child.matches_content(ctx, fields, doc)
+        return None if r is None else (not r)
 
     def to_dict(self):
         return {"kind": "negate", "child": self.child.to_dict()}

@@ -165,6 +165,8 @@ def _register_builtin_fields() -> None:
     R.counter("search_single_slot_queries", "single_slot_queries", dev=True)
     R.counter("search_queries_parked_on_mutations",
               "queries_parked_on_mutations", dev=True)
+    R.counter("search_predicate_revalidation",
+              "predicate_revalidation", dev=True)
     R.counter("search_hnsw_graph_publishes", "hnsw_graph_publishes",
               dev=True)
     R.counter("search_hnsw_graph_incremental_publishes",

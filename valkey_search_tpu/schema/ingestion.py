@@ -94,12 +94,21 @@ class IngestionEngine:
 
     # -- worker side ---------------------------------------------------------
     def _run(self) -> None:
+        from valkey_search_tpu.runtime.debug import PAUSEPOINTS
+
         while True:
             with self._cv:
                 while not self._queue and not self._stop:
                     self._cv.wait()
                 if self._stop and not self._queue:
                     return
+            # reference-named gate that holds mutations IN the queue
+            # (ft_debug.cc block_mutation_queue: integration tests freeze
+            # the queue to probe in-flight revalidation, test_postfilter.py)
+            PAUSEPOINTS.test("block_mutation_queue")
+            with self._cv:
+                if not self._queue:
+                    continue  # drained (e.g. shutdown) while gated
                 _, m = self._queue.popitem(last=False)
                 self._inflight += 1
                 self._inflight_keys.add((id(m.schema), m.key))

@@ -192,11 +192,16 @@ def resolve_content(
         return fast
     park_deadline = _time.monotonic() + 0.25
     for nb in resp.neighbors:
+        still_pending = False
         if queue is not None and queue.pending_for_key(schema, nb.key):
             budget = park_deadline - _time.monotonic()
             if budget > 0:
                 queue.wait_for_key(schema, nb.key, budget)
                 STATS.incr("queries_parked_on_mutations")
+            # the queue is blocked/backed up past the park budget: the
+            # index rows for this key are stale, so the index-side check
+            # below would pass values the keyspace no longer holds
+            still_pending = queue.pending_for_key(schema, nb.key)
         fields = engine.hgetall(nb.key) if engine is not None else None
         if fields is not None and not fields:
             continue  # key deleted since snapshot
@@ -205,6 +210,19 @@ def resolve_content(
             and not isinstance(resp.predicate, P.MatchAll)
             and nb.doc >= 0
         ):
+            if still_pending and fields is not None:
+                # revalidate against the fetched content, not the stale
+                # index (reference ProcessNeighborsForReply re-evaluates
+                # the predicate on the record; unparseable new content
+                # drops the key without recording a revalidation)
+                r = resp.predicate.matches_content(ctx, fields, nb.doc)
+                if r is None:
+                    continue
+                STATS.incr("predicate_revalidation")
+                if not r:
+                    continue
+                out.append((nb, fields))
+                continue
             try:
                 if not resp.predicate.matches(ctx, nb.doc):
                     continue
