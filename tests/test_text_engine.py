@@ -338,3 +338,31 @@ def test_event_buffer_overflow_keeps_dictionary_mirror():
     r = e.ft_search("big", "@body:zqword00345*", "NOCONTENT")
     assert r[0] == 0
     assert "zqword003450" not in te._words
+
+
+def test_word_death_then_rebirth_in_one_update():
+    """Regression: a doc update that removes a word's LAST posting and
+    re-adds the same word in the new content emits '-word' then '+word'
+    in ONE native event blob; the mirror must apply removals before
+    additions or the word vanishes from the radix/suffix trees forever
+    (term, prefix, and suffix queries all went permanently empty, and
+    even brand-new docs containing the word never matched again)."""
+    e = Engine(sync_ingest=True)
+    e.execute("FT.CREATE", "idx", "SCHEMA", "content", "TEXT")
+    e.hset("doc:1", {"content": "hello world"})
+    assert e.ft_search("idx", "@content:hello", "NOCONTENT")[0] == 1
+    # 'hello' dies (doc:1 was its only posting) and is reborn at pos 1
+    e.hset("doc:1", {"content": "updated hello"})
+    assert e.ft_search("idx", "@content:hello", "NOCONTENT")[0] == 1
+    assert e.ft_search("idx", "@content:hel*", "NOCONTENT")[0] == 1
+    # the dictionary must keep serving the word for new docs too
+    e.hset("doc:2", {"content": "hello two"})
+    assert e.ft_search("idx", "@content:hello", "NOCONTENT")[0] == 2
+    # true death still removes it...
+    e.hset("doc:1", {"content": "bye"})
+    e.hset("doc:2", {"content": "gone"})
+    assert e.ft_search("idx", "@content:hello", "NOCONTENT")[0] == 0
+    # ...and a later rebirth resurrects it
+    e.hset("doc:1", {"content": "hello again"})
+    assert e.ft_search("idx", "@content:hello", "NOCONTENT")[0] == 1
+    assert e.ft_search("idx", "@content:*ello", "NOCONTENT")[0] == 1

@@ -79,6 +79,13 @@ def execute_search(schema, sp: SearchParameters, token=None) -> SearchResponse:
     from valkey_search_tpu.utils import cancel
 
     t0 = time.perf_counter()
+    # Snapshot the epoch BEFORE reading any index state: a mutation that
+    # applies mid-query (e.g. while the KNN program compiles) must make
+    # this response fail the content-resolution epoch fast-path, or a
+    # stale result computed from the pre-mutation postings would ship
+    # unverified (the reference's per-neighbor sequence numbers are
+    # likewise captured at snapshot time, index_schema.cc:1917).
+    epoch0 = getattr(schema, "mutation_epoch", -1)
     if token is None:
         token = cancel.from_timeout_ms(sp.timeout_ms)
     token.check()
@@ -94,7 +101,7 @@ def execute_search(schema, sp: SearchParameters, token=None) -> SearchResponse:
         resp = _search_non_vector(schema, ctx, pred, sp, token)
     resp.predicate = pred
     resp.knn = knn
-    resp.epoch = getattr(schema, "mutation_epoch", -1)
+    resp.epoch = epoch0
     STATS.sampler("query_execution", 1).observe_usec(
         (time.perf_counter() - t0) * 1e6
     )

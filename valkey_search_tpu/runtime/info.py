@@ -167,6 +167,10 @@ def _register_builtin_fields() -> None:
               "queries_parked_on_mutations", dev=True)
     R.counter("search_predicate_revalidation",
               "predicate_revalidation", dev=True)
+    # full-text in-flight blocking (reference valkey_search.cc:910-919:
+    # text_query_blocked_count / text_query_retry_count in the query section)
+    R.counter("search_text_query_blocked_count", "text_query_blocked")
+    R.counter("search_text_query_retry_count", "text_query_retry")
     R.counter("search_hnsw_graph_publishes", "hnsw_graph_publishes",
               dev=True)
     R.counter("search_hnsw_graph_incremental_publishes",

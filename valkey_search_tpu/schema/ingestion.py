@@ -117,6 +117,11 @@ class IngestionEngine:
             from valkey_search_tpu.runtime.debug import PAUSEPOINTS
 
             PAUSEPOINTS.test("ingest.before_apply")
+            # reference-named processing gate: the mutation is dequeued and
+            # tracked in-flight but not yet applied — text queries whose
+            # result keys hit this state park until it clears
+            # (integration/test_fulltext_inflight_blocking.py)
+            PAUSEPOINTS.test("mutation_processing")
             try:
                 if m.fields is None:
                     m.schema.delete(m.key)

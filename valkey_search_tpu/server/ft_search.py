@@ -232,22 +232,103 @@ def resolve_content(
     return out
 
 
+def _trim_results(resp: SearchResponse, sp: SearchParameters) -> None:
+    """Trim to LIMIT x buffer-multiplier BEFORE content resolution
+    (reference SearchResult::TrimResults, search.cc:744-779: the
+    multiplier leaves headroom for rows dropped by re-verification;
+    resolving thousands of rows to answer LIMIT 0 10 is the
+    round-1 text-QPS bottleneck). SORTBY keeps the full window —
+    sort keys come from document content."""
+    if resp.knn is not None or sp.sortby is not None:
+        return
+    mult = max(1, int(config.get("search.search-result-buffer-multiplier")))
+    cap = (sp.limit_offset + sp.limit_num) * mult
+    if len(resp.neighbors) > cap:
+        resp.neighbors = resp.neighbors[:cap]
+
+
+def _contains_text(pred) -> bool:
+    if isinstance(pred, P.TextPredicate):
+        return True
+    if any(_contains_text(c) for c in getattr(pred, "children", [])):
+        return True
+    child = getattr(pred, "child", None)
+    return child is not None and _contains_text(child)
+
+
+def _check_not_dropped(engine, schema, sp: SearchParameters) -> None:
+    """A parked query whose index was dropped errors instead of answering
+    (reference ResolveContent step 2 / IsMarkedDestructing,
+    content_resolution.cc:29-35; drilled by
+    integration/test_fulltext_inflight_blocking.py
+    test_dropindex_with_blocked_queries)."""
+    if engine is None:
+        return
+    try:
+        current = engine.manager.get(sp.index_name, getattr(engine, "db", 0))
+    except Exception:
+        current = None
+    if current is not schema:
+        raise FTSearchError(f"Index with name '{sp.index_name}' not found")
+
+
+def _block_on_text_contention(engine, schema, sp, resp) -> SearchResponse:
+    """Text queries park on in-flight mutations of their result keys, then
+    RE-EXECUTE against the settled index (reference ResolveContent step 3 →
+    PerformKeyContentionCheck, content_resolution.cc:37-48,
+    index_schema.cc:1917-1941: postings have no per-key content
+    revalidation, so instead of postfiltering the query moves onto the
+    mutation's waiting_queries list and reruns on completion).
+    text_query_blocked_cnt counts first-time parks per query;
+    text_query_retry_cnt counts every park (metrics.h:153-154)."""
+    import time as _time
+
+    queue = getattr(engine, "_ingestion", None) if engine is not None else None
+    if queue is None or resp.predicate is None:
+        return resp
+    if not _contains_text(resp.predicate):
+        return resp
+    timeout_ms = sp.timeout_ms or int(config.get("search.timeout-ms"))
+    deadline = _time.monotonic() + timeout_ms / 1000.0
+    blocked = False
+    while True:
+        contended = next(
+            (
+                nb.key
+                for nb in resp.neighbors
+                if queue.pending_for_key(schema, nb.key)
+            ),
+            None,
+        )
+        if contended is None:
+            return resp
+        if not blocked:
+            STATS.incr("text_query_blocked")
+            blocked = True
+        STATS.incr("text_query_retry")
+        # park in bounded slices so FT.DROPINDEX and the deadline are
+        # noticed promptly (the reference's waiting_queries re-dispatch is
+        # event-driven; slices approximate it without an engine-wide hook)
+        while queue.pending_for_key(schema, contended):
+            budget = deadline - _time.monotonic()
+            if budget <= 0:
+                # degrade: fall through to postfilter revalidation rather
+                # than blocking past the query timeout
+                return resp
+            _check_not_dropped(engine, schema, sp)
+            queue.wait_for_key(schema, contended, min(0.05, budget))
+        _check_not_dropped(engine, schema, sp)
+        resp = execute_search(schema, sp)
+        _trim_results(resp, sp)
+
+
 def run_ft_search(engine, schema, sp: SearchParameters) -> list:
     """Execute and shape the reply: [count, key, [field, value, ...], ...]."""
     from valkey_search_tpu.server import externalizer
 
     resp = execute_search(schema, sp)
-    if resp.knn is None and sp.sortby is None:
-        # trim to LIMIT x buffer-multiplier BEFORE content resolution
-        # (reference SearchResult::TrimResults, search.cc:744-779: the
-        # multiplier leaves headroom for rows dropped by re-verification;
-        # resolving thousands of rows to answer LIMIT 0 10 is the
-        # round-1 text-QPS bottleneck). SORTBY keeps the full window —
-        # sort keys come from document content.
-        mult = max(1, int(config.get("search.search-result-buffer-multiplier")))
-        cap = (sp.limit_offset + sp.limit_num) * mult
-        if len(resp.neighbors) > cap:
-            resp.neighbors = resp.neighbors[:cap]
+    _trim_results(resp, sp)
+    resp = _block_on_text_contention(engine, schema, sp, resp)
     if externalizer.index_serves_return_fields(schema, sp, resp):
         # RETURN fields served straight from index state — no keyspace
         # fetch (reference MaybeAddIndexedContent, search.cc:497)

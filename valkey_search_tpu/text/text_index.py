@@ -153,10 +153,28 @@ class TextEngine:
 
     def _apply_word_events(self, added, removed) -> None:
         """Mirror native word birth/death into the Python radix/suffix
-        trees (which serve prefix/fuzzy/suffix walks)."""
+        trees (which serve prefix/fuzzy/suffix walks).
+
+        Removals MUST apply before additions: within one native call every
+        '-word' death (emitted while clearing the doc's previous tokens)
+        precedes every '+word' rebirth (emitted while adding the new
+        tokens), so a doc update that drops a word's last posting and then
+        re-adds the same word must leave it IN the dictionary. The binding
+        flattens the ordered event blob into two lists, so applying added
+        first silently deleted such words from the radix/suffix mirrors
+        forever (every term/prefix query for them returned empty)."""
         if not added and not removed:
             return
         any_suffix = self._any_suffix_trie()
+        for word in removed:
+            self._words.pop(word, None)
+            self.dictionary.remove(word)
+            rev = word[::-1]
+            bag = self.suffix.get(rev)
+            if bag is not None:
+                bag.discard(word)
+                if not bag:
+                    self.suffix.remove(rev)
         for word in added:
             p = _NativePosting(self._nt, word)
             self._words[word] = p
@@ -168,15 +186,6 @@ class TextEngine:
                     self.suffix.insert(rev, {word})
                 else:
                     bag.add(word)
-        for word in removed:
-            self._words.pop(word, None)
-            self.dictionary.remove(word)
-            rev = word[::-1]
-            bag = self.suffix.get(rev)
-            if bag is not None:
-                bag.discard(word)
-                if not bag:
-                    self.suffix.remove(rev)
 
     # -- field registry --------------------------------------------------------
     def register_field(
