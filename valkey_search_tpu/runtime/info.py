@@ -171,6 +171,20 @@ def _register_builtin_fields() -> None:
     # text_query_blocked_count / text_query_retry_count in the query section)
     R.counter("search_text_query_blocked_count", "text_query_blocked")
     R.counter("search_text_query_retry_count", "text_query_retry")
+    # FT.AGGREGATE per-stage counters (reference agg_stats DEV counters,
+    # ft_aggregate.cc:350-362, ft_aggregate_exec.cc:20-33)
+    for _agg in (
+        "agg_input_records", "agg_output_records",
+        "agg_limit_stages", "agg_limit_input_records",
+        "agg_limit_output_records",
+        "agg_group_by_stages", "agg_group_by_input_records",
+        "agg_group_by_output_records", "agg_reducer_stages",
+        "agg_apply_stages", "agg_apply_records",
+        "agg_sort_by_stages", "agg_sort_by_records",
+        "agg_filter_stages", "agg_filter_input_records",
+        "agg_filter_output_records",
+    ):
+        R.counter(f"search_{_agg}", _agg, dev=True)
     R.counter("search_hnsw_graph_publishes", "hnsw_graph_publishes",
               dev=True)
     R.counter("search_hnsw_graph_incremental_publishes",

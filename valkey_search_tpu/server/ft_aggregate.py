@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Tuple, Union
 
 from valkey_search_tpu.query import expr as E
 from valkey_search_tpu.query.search import SearchParameters, execute_search
+from valkey_search_tpu.runtime.metrics import STATS
 from valkey_search_tpu.server import ft_search as fts
 
 Value = Union[str, bytes, int, float]
@@ -173,6 +174,8 @@ class _Apply(_Stage):
         self.field = field
 
     def run(self, records, params):
+        STATS.incr("agg_apply_stages")
+        STATS.incr("agg_apply_records", len(records))
         for r in records:
             r[self.field] = self.expr.eval(E.StrictRecord(r), params)
         return records
@@ -183,10 +186,14 @@ class _Filter(_Stage):
         self.expr = expr
 
     def run(self, records, params):
-        return [
+        STATS.incr("agg_filter_stages")
+        STATS.incr("agg_filter_input_records", len(records))
+        out = [
             r for r in records
             if E.truthy(self.expr.eval(E.StrictRecord(r), params))
         ]
+        STATS.incr("agg_filter_output_records", len(out))
+        return out
 
 
 class _Limit(_Stage):
@@ -195,7 +202,11 @@ class _Limit(_Stage):
         self.num = num
 
     def run(self, records, params):
-        return records[self.offset : self.offset + self.num]
+        STATS.incr("agg_limit_stages")
+        STATS.incr("agg_limit_input_records", len(records))
+        out = records[self.offset : self.offset + self.num]
+        STATS.incr("agg_limit_output_records", len(out))
+        return out
 
 
 class _SortBy(_Stage):
@@ -204,6 +215,9 @@ class _SortBy(_Stage):
         self.max_n = max_n
 
     def run(self, records, params):
+        STATS.incr("agg_sort_by_stages")
+        STATS.incr("agg_sort_by_records", len(records))
+
         def sort_key(r):
             out = []
             for expr, desc in self.keys:
@@ -244,6 +258,8 @@ class _GroupBy(_Stage):
         self.reducers = reducers
 
     def run(self, records, params):
+        STATS.incr("agg_group_by_stages")
+        STATS.incr("agg_group_by_input_records", len(records))
         buckets: Dict[tuple, list] = {}
         order: List[tuple] = []
         for r in records:
@@ -264,6 +280,11 @@ class _GroupBy(_Stage):
             for red, inst in zip(self.reducers, buckets[key]):
                 rec[red.alias] = inst.result()
             out.append(rec)
+        # one reducer-stage tick per reducer per emitted group (reference
+        # GroupBy::Execute increments reducers_.size() as each group's
+        # record is finalized, ft_aggregate_exec.cc:227)
+        STATS.incr("agg_reducer_stages", len(out) * len(self.reducers))
+        STATS.incr("agg_group_by_output_records", len(out))
         return out
 
 
@@ -427,9 +448,23 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
     return spec
 
 
-def run_ft_aggregate(engine, args: List[Value]) -> list:
-    from valkey_search_tpu.runtime.metrics import STATS
+def validate_load_fields(schema, spec: "AggregateSpec") -> None:
+    """LOAD of a VECTOR field is unsupported — error instead of replying
+    with raw vector bytes (reference ft_aggregate.cc:71-74; drilled by
+    integration/test_aggregate_load_text_vector.py, where it used to
+    crash the server on the indexer type)."""
+    for f in spec.load_fields or ():
+        name = f.lstrip("@")
+        if name == "__key":
+            continue
+        attr = schema.attributes.get(name)
+        if attr is not None and getattr(attr.index, "dim", None) is not None:
+            raise FTAggregateError(
+                f"Loading of vector fields is not supported (field `{name}`)"
+            )
 
+
+def run_ft_aggregate(engine, args: List[Value]) -> list:
     try:
         spec = parse_ft_aggregate(args)
     except Exception:
@@ -439,6 +474,11 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
 
     # ---- step 1: query ----------------------------------------------------
     schema = engine.manager.get(spec.index_name)
+    try:
+        validate_load_fields(schema, spec)
+    except Exception:
+        STATS.incr("aggregate_errors")
+        raise
     sp = SearchParameters(
         index_name=spec.index_name, query=spec.query, params=spec.params,
         timeout_ms=spec.timeout_ms, no_content=False,
@@ -514,8 +554,10 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
         records.append(rec)
 
     # ---- step 3: stages ---------------------------------------------------
+    STATS.incr("agg_input_records", len(records))
     for st in stages:
         records = st.run(records, eparams)
+    STATS.incr("agg_output_records", len(records))
 
     # ---- reply ------------------------------------------------------------
     reply: list = [len(records)]
