@@ -300,7 +300,8 @@ class AggregateSpec:
     fanout as FT.SEARCH, ft_aggregate.cc:462 / commands.cc:172)."""
 
     __slots__ = ("index_name", "query", "params", "load_fields",
-                 "load_all", "stages", "timeout_ms", "implicit_fields")
+                 "load_all", "stages", "timeout_ms", "implicit_fields",
+                 "dialect")
 
 
 def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
@@ -313,6 +314,7 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
     load_all = False
     stages: List[_Stage] = []
     timeout_ms = None
+    dialect = 2
     # properties referenced anywhere in the pipeline are implicitly
     # resolved from document contents — the reference registers every
     # parsed @field (GROUPBY keys, reducer args, APPLY/FILTER/SORTBY
@@ -329,8 +331,14 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
     while i < len(args):
         tok = _s(args[i]).upper()
         if tok == "DIALECT":
-            if _s(args[i + 1]) != "2":
-                raise FTAggregateError("only DIALECT 2 is supported")
+            try:
+                dialect = int(_s(args[i + 1]))
+            except (ValueError, IndexError):
+                dialect = -1
+            if dialect < 2 or dialect > 4:
+                # reference range check ft_aggregate.cc:115-117
+                raise FTAggregateError(
+                    "Only Dialects 2, 3 and 4 are supported")
             i += 2
         elif tok in ("VERBATIM", "INORDER"):
             params[f"__{tok.lower()}"] = True
@@ -445,6 +453,7 @@ def parse_ft_aggregate(args: List[Value]) -> AggregateSpec:
     spec.stages = stages
     spec.timeout_ms = timeout_ms
     spec.implicit_fields = implicit
+    spec.dialect = dialect
     return spec
 
 
@@ -560,13 +569,25 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
     STATS.incr("agg_output_records", len(records))
 
     # ---- reply ------------------------------------------------------------
+    # Under DIALECT 3/4 every scalar value of an ON JSON schema is wrapped
+    # in brackets ("[v]") — HASH values and arrays are never wrapped
+    # (reference ReplyWithValue, ft_aggregate.cc:209-216; drilled by
+    # integration/test_aggregate_array_reply.py test_dialect_3_json_wrapping)
+    wrap_json = (getattr(spec, "dialect", 2) >= 3
+                 and getattr(schema, "on", "HASH") == "JSON")
     reply: list = [len(records)]
     for rec in records:
         row: list = []
         for f, v in rec.items():
             # nil values are emitted as RESP nils, not dropped (expr
             # oracle: APPLY lower(0) keeps the field with a nil value)
-            row += [f, None if v is None else E.to_string(v)]
+            if v is None:
+                row += [f, None]
+                continue
+            s = E.to_string(v)
+            if wrap_json:
+                s = f"[{s}]"
+            row += [f, s]
         reply.append(row)
     return reply
 
