@@ -26,6 +26,37 @@ from valkey_search_tpu.runtime.metrics import STATS
 _FP_KEY = b"valkey-search-tpu-metadata"  # stand-in for the highwayhash key
 
 
+def encode_version(major: int, minor: int, patch: int = 0) -> int:
+    """Reference vmsdk::ValkeyVersion packing (major<<16 | minor<<8 |
+    patch, valkey_module_api utils)."""
+    return (major << 16) | (minor << 8) | patch
+
+
+# module semantic version: bumped when the metadata encoding grows
+# features older modules can't interpret (reference kModuleVersion)
+MODULE_VERSION = encode_version(1, 2, 0)
+_V1_0 = encode_version(1, 0)
+_V1_1 = encode_version(1, 1)
+_V1_2 = encode_version(1, 2)
+
+
+def min_version_for_payload(payload: Optional[Dict]) -> int:
+    """Minimum module version able to interpret this entry (reference
+    IndexSchema::GetMinVersion, index_schema.cc:2186-2215: text index →
+    release 1.2, non-zero db → 1.1, else 1.0; the override_min_version
+    controlled variable forces a value for versioning drills)."""
+    ov = CONTROLLED.get("override_min_version")
+    if ov is not None and int(str(ov)) != -1:
+        return int(str(ov))
+    if payload is None:
+        return _V1_0
+    if any(a.get("kind") == "TEXT" for a in payload.get("attributes", ())):
+        return _V1_2
+    if payload.get("db", 0) != 0:
+        return _V1_1
+    return _V1_0
+
+
 def fingerprint64(data: bytes) -> int:
     """Keyed 64-bit fingerprint (reference: highwayhash keyed 64-bit,
     metadata_manager.h:67-69). blake2b with a key, truncated to 64 bits."""
@@ -39,6 +70,11 @@ class MetadataEntry:
     version: int
     fingerprint: int
     payload: Optional[Dict]  # None == tombstone (dropped index)
+    # minimum module version required to interpret this entry (reference
+    # GlobalMetadataEntry.min_version, coordinator.proto / metadata_manager
+    # .cc:225-233); stamped at create time so the override drill survives
+    # gossip hops
+    min_version: int = _V1_0
 
     def encode(self) -> bytes:
         return json.dumps(
@@ -77,13 +113,16 @@ class ClusterBus:
         with self._lock:
             return self._nodes[node_id]
 
-    def broadcast_fingerprint(self, sender: str, fingerprint: int) -> None:
+    def broadcast_fingerprint(self, sender: str, fingerprint: int,
+                              top_min_version: int = _V1_0) -> None:
         """Cluster-bus gossip: deliver the sender's top-level fingerprint
-        to every other node (reference BroadcastMetadata)."""
+        + minimum interpretable version to every other node (reference
+        BroadcastMetadata; GlobalMetadataVersionHeader.top_level_min_version,
+        metadata_manager.cc:248-250)."""
         with self._lock:
             targets = [m for nid, m in self._nodes.items() if nid != sender]
         for m in targets:
-            m.on_fingerprint(sender, fingerprint)
+            m.on_fingerprint(sender, fingerprint, top_min_version)
 
 
 class MetadataManager:
@@ -122,13 +161,24 @@ class MetadataManager:
             )
         return fingerprint64(blob)
 
+    def top_min_version(self) -> int:
+        """Maximum per-entry min_version — the minimum module version able
+        to interpret the whole map (reference ComputeMinVersion,
+        metadata_manager.cc:830-843)."""
+        with self._lock:
+            return max(
+                (e.min_version for e in self._entries.values()),
+                default=_V1_0,
+            )
+
     # -- mutation (the FT.CREATE/FT.DROPINDEX path) ----------------------------
     def create_entry(self, name: str, payload: Dict) -> MetadataEntry:
         with self._lock:
             prev = self._entries.get(name)
             version = (prev.version + 1) if prev is not None else 1
             entry = MetadataEntry(
-                name, version, _entry_fingerprint(name, payload), payload
+                name, version, _entry_fingerprint(name, payload), payload,
+                min_version_for_payload(payload),
             )
             self._entries[name] = entry
             self._apply_local(entry)
@@ -153,9 +203,18 @@ class MetadataManager:
     # -- gossip / reconcile -----------------------------------------------------
     def broadcast(self) -> None:
         STATS.incr("metadata_broadcasts")
-        self.bus.broadcast_fingerprint(self.node_id, self.top_fingerprint())
+        self.bus.broadcast_fingerprint(
+            self.node_id, self.top_fingerprint(), self.top_min_version()
+        )
 
-    def on_fingerprint(self, sender: str, fingerprint: int) -> None:
+    def on_fingerprint(self, sender: str, fingerprint: int,
+                       top_min_version: int = _V1_0) -> None:
+        if top_min_version > MODULE_VERSION:
+            # sender's map needs a newer module than this node runs:
+            # ignore the broadcast entirely (reference metadata_manager
+            # .cc:401-409; drilled by integration/test_versioning.py CME)
+            STATS.incr("metadata_version_rejected")
+            return
         if fingerprint == self.top_fingerprint():
             return
         try:
@@ -172,7 +231,8 @@ class MetadataManager:
         with self._lock:
             return {
                 n: MetadataEntry(e.name, e.version, e.fingerprint,
-                                 None if e.payload is None else dict(e.payload))
+                                 None if e.payload is None else dict(e.payload),
+                                 e.min_version)
                 for n, e in self._entries.items()
             }
 
@@ -185,6 +245,13 @@ class MetadataManager:
         to_apply: List[MetadataEntry] = []
         with self._lock:
             for name, r in remote.items():
+                if r.min_version > MODULE_VERSION:
+                    # entry encoded by a newer module; refuse to apply
+                    # (reference top_level_min_version gate, metadata_
+                    # manager.cc:401-409, applied per entry on the pull
+                    # path since the socket transport reconciles directly)
+                    STATS.incr("metadata_version_rejected")
+                    continue
                 mine = self._entries.get(name)
                 if mine is not None and (mine.version, mine.fingerprint) >= (
                     r.version, r.fingerprint
@@ -208,6 +275,7 @@ class MetadataManager:
             entry = MetadataEntry(
                 d["name"], int(d["version"]),
                 _entry_fingerprint(d["name"], d["payload"]), d["payload"],
+                int(d.get("min_version", _V1_0)),
             )
         except Exception:
             STATS.incr("internal_update_corrupted")

@@ -252,7 +252,8 @@ class ClusterEngine:
                 return
             if time.time() >= deadline:
                 raise ConsistencyError(
-                    f"index {name!r} metadata did not converge"
+                    f"Unable to contact all cluster members: index "
+                    f"{name!r} metadata did not converge"
                 )
             STATS.incr("fanout_retries")
             self.nodes[0].metadata.broadcast()

@@ -47,6 +47,7 @@ from valkey_search_tpu.cluster.metadata import (
     ClusterBus,
     MetadataEntry,
     MetadataManager,
+    _V1_0,
     _entry_fingerprint,
     fingerprint64,
 )
@@ -698,7 +699,8 @@ class NodeServer:
     def _cmd_meta_pull(self, rest: List[bytes]):
         out = {}
         for name, e in self.metadata.entries().items():
-            out[name] = {"version": e.version, "payload": e.payload}
+            out[name] = {"version": e.version, "payload": e.payload,
+                         "min_version": e.min_version}
         return json.dumps(out, sort_keys=True)
 
     def _cmd_meta_push(self, rest: List[bytes]):
@@ -723,7 +725,8 @@ def _decode_entries(raw) -> Dict[str, MetadataEntry]:
     for name, m in d.items():
         payload = m["payload"]
         out[name] = MetadataEntry(
-            name, int(m["version"]), _entry_fingerprint(name, payload), payload
+            name, int(m["version"]), _entry_fingerprint(name, payload),
+            payload, int(m.get("min_version", _V1_0)),
         )
     return out
 

@@ -36,9 +36,19 @@ class FormatError(IOError):
 
 class ChunkWriter:
     def __init__(self, path: str):
+        # the override_min_version controlled variable stamps an arbitrary
+        # min-compat version into the header so tests can produce a
+        # "from the future" file (reference RDBSectionSerializer min
+        # semantic version override, drilled by integration/
+        # test_versioning.py: save under override → reload must fail)
+        min_compat = MIN_COMPAT_VERSION
+        from valkey_search_tpu.runtime.debug import CONTROLLED
+        ov = CONTROLLED.get("override_min_version")
+        if ov is not None and int(str(ov)) != -1:  # -1 == unset (reference)
+            min_compat = int(str(ov))
         self._f = open(path, "wb")
         self._f.write(MAGIC)
-        self._f.write(struct.pack("<II", FORMAT_VERSION, MIN_COMPAT_VERSION))
+        self._f.write(struct.pack("<II", FORMAT_VERSION, min_compat))
 
     def section(self, meta: Dict, arrays: Optional[List[np.ndarray]] = None) -> None:
         arrays = arrays or []
