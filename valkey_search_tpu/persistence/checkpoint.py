@@ -332,17 +332,37 @@ def _replay_nonvector(schema, keyspace: Dict[str, Dict[str, object]]) -> None:
 def load_engine(
     path: str,
     engine=None,
-    skip_vector_payload: bool = False,
+    skip_vector_payload: Optional[bool] = None,
 ):
     """Restore a checkpoint into ``engine`` (or a fresh Engine).
 
-    ``skip_vector_payload`` mirrors the reference's skip-rdb-load config:
-    the saved vector graphs are dropped and every index rebuilds from the
-    keyspace via the normal ingest path (backfill equivalent)."""
+    ``skip_vector_payload`` mirrors the reference's skip-index-load config
+    (rdb_load_skip_index, valkey_search_options.cc:179): the saved vector
+    graphs are dropped and every index rebuilds from the keyspace via the
+    normal ingest path (backfill equivalent). When not passed explicitly
+    it follows the ``search.skip-rdb-load`` config, so a recovery restart
+    with the config set skips damaged payloads without code changes
+    (index_schema.cc:1698 LoadFromRDB).
+
+    A failure mid-load unregisters any schema this call created before
+    re-raising (reference: module RDB-load errors must not leak
+    half-created indexes, integration/test_rdb_load_error_cleanup.py)."""
+    from valkey_search_tpu.runtime import config as _config
+
+    if skip_vector_payload is None:
+        skip_vector_payload = bool(_config.get("search.skip-rdb-load"))
     if engine is None:
         from valkey_search_tpu.server.engine import Engine
 
         engine = Engine()
+    try:
+        return _load_engine_inner(path, engine, skip_vector_payload)
+    except Exception:
+        STATS.incr("rdb_load_failures")
+        raise
+
+
+def _load_engine_inner(path, engine, skip_vector_payload: bool):
     pending_schemas = []
     keyspace: Dict[str, Dict[str, object]] = {}
     with ChunkReader(path) as r:
@@ -378,15 +398,28 @@ def load_engine(
             else:
                 raise CheckpointError(f"unknown section type {t!r}")
     engine.keyspace = keyspace
-    for schema in pending_schemas:
-        if skip_vector_payload:
-            # full rebuild through the ingest path
-            schema.interner.restore({}, 0)
-            for key, fields in keyspace.items():
-                if schema.matches_key(key):
-                    schema.upsert(key, fields)
-        else:
-            _replay_nonvector(schema, keyspace)
-        engine.manager.create(schema)
+    created = []
+    try:
+        for schema in pending_schemas:
+            if skip_vector_payload:
+                # full rebuild through the ingest path
+                schema.interner.restore({}, 0)
+                for key, fields in keyspace.items():
+                    if schema.matches_key(key):
+                        schema.upsert(key, fields)
+            else:
+                _replay_nonvector(schema, keyspace)
+            engine.manager.create(schema)
+            created.append(schema.name)
+    except Exception:
+        # half-loaded state must not leak: drop everything this load
+        # registered so a retry (or a fresh FT.CREATE of the same name)
+        # starts clean (reference test_rdb_load_error_cleanup.py)
+        for name in created:
+            try:
+                engine.manager.drop(name)
+            except Exception:
+                pass
+        raise
     STATS.incr("rdb_loads")
     return engine

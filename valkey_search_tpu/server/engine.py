@@ -382,10 +382,11 @@ class Engine:
         return save_engine(self, path)
 
     @classmethod
-    def load(cls, path: str, skip_vector_payload: bool = False) -> "Engine":
+    def load(cls, path: str, skip_vector_payload=None) -> "Engine":
         """Restore a checkpoint into a fresh engine. With
-        skip_vector_payload=True the vector graphs are rebuilt from the
-        keyspace (reference skip-rdb-load config)."""
+        skip_vector_payload=True (or the search.skip-rdb-load config set)
+        the vector graphs are rebuilt from the keyspace (reference
+        skip-index-load config, valkey_search_options.cc:179)."""
         from valkey_search_tpu.persistence import load_engine
 
         return load_engine(
