@@ -175,3 +175,34 @@ def test_aggregate_load_vector_field_errors(tv_engine):
     # engine still healthy afterwards (the reference used to crash)
     assert tv_engine.execute("FT.AGGREGATE", "idx", "*",
                              "LOAD", "1", "@price")[0] == 3
+
+
+# -- cancellation (integration/test_cancel.py aggregate drills) --------------
+
+def test_aggregate_timeout_error_text(engine):
+    """TIMEOUT expiry surfaces the reference's exact client error."""
+    from valkey_search_tpu.utils.cancel import CancelledError
+
+    with pytest.raises(CancelledError,
+                       match="Search operation cancelled due to timeout"):
+        engine.execute("FT.AGGREGATE", "products", "@rating:[-inf inf]",
+                       "TIMEOUT", "0")
+
+
+def test_aggregate_stage_boundary_cancel(engine):
+    """A token cancelled between stages aborts the pipeline (stage-boundary
+    checkpoints, reference cancel token spans the whole FT.AGGREGATE)."""
+    from valkey_search_tpu.server.ft_aggregate import (
+        aggregate_rows,
+        parse_ft_aggregate,
+    )
+    from valkey_search_tpu.utils.cancel import CancelledError, Token
+
+    spec = parse_ft_aggregate([
+        "products", "@rating:[-inf inf]", "LIMIT", "0", "5",
+    ])
+    schema = engine.manager.get("products")
+    token = Token()
+    token.cancel("client kill")
+    with pytest.raises(CancelledError):
+        aggregate_rows(schema, spec, [], None, None, token=token)

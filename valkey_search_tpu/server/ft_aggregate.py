@@ -493,13 +493,21 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
         timeout_ms=spec.timeout_ms, no_content=False,
         limit_offset=0, limit_num=10**9,
     )
-    resp = execute_search(schema, sp)
+    # one deadline covers query + content resolution + stage pipeline
+    # (reference: a single cancellation token spans the whole FT.AGGREGATE,
+    # checked at stage boundaries — integration/test_cancel.py aggregate
+    # timeout drills)
+    from valkey_search_tpu.utils import cancel
+
+    token = cancel.from_timeout_ms(spec.timeout_ms)
+    resp = execute_search(schema, sp, token=token)
     rows = fts.resolve_content(engine, schema, resp)
-    return aggregate_rows(schema, spec, rows, resp.score_field, resp.knn)
+    return aggregate_rows(schema, spec, rows, resp.score_field, resp.knn,
+                          token=token)
 
 
 def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
-                   knn) -> list:
+                   knn, token=None) -> list:
     """Steps 2-3: LOAD records from resolved rows, run the stage pipeline,
     shape the reply. ``rows``: [(neighbor, fields-dict-or-None)] — from a
     local search or a cluster fanout merge."""
@@ -565,6 +573,8 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
     # ---- step 3: stages ---------------------------------------------------
     STATS.incr("agg_input_records", len(records))
     for st in stages:
+        if token is not None:
+            token.check()  # stage-boundary cancel checkpoint
         records = st.run(records, eparams)
     STATS.incr("agg_output_records", len(records))
 

@@ -42,7 +42,10 @@ class Token:
             return True
         if self._deadline is not None and time.monotonic() > self._deadline:
             self._cancelled = True
-            self.reason = "timeout"
+            # reference client-visible error string (search.cc TimedOut →
+            # "Search operation cancelled due to timeout", drilled by
+            # integration/test_cancel.py)
+            self.reason = "Search operation cancelled due to timeout"
             return True
         return False
 
