@@ -837,3 +837,50 @@ def test_replica_failover_promotion():
     finally:
         replica.close()
         pc.close()
+
+
+def test_multi_exec_query_guard_cme(trio):
+    """MULTI-wrapped FT.SEARCH in cluster mode is refused unless the index
+    is single-slot ({hash-tagged}) and owned by the receiving node
+    (reference CME restriction, integration/test_multi_lua.py)."""
+    nodes, client = trio
+    client.execute("FT.CREATE", "plainidx", "ON", "HASH", "PREFIX", "1",
+                   "pg:", "SCHEMA", "n", "NUMERIC")
+    # multi-slot index inside MULTI → the reference error
+    c = RespConnection(("127.0.0.1", nodes[0].port))
+    assert c.cmd("MULTI") == "OK"
+    assert c.cmd("FT.SEARCH", "plainidx", "@n:[0 10]") == "QUEUED"
+    with pytest.raises(ReplyError, match="not supported in CME mode"):
+        c.cmd("EXEC")
+    c.close()
+
+    # single-slot index owned by the receiving node → allowed
+    from valkey_search_tpu.cluster.node import key_slot
+    tag_idx = None
+    owner = None
+    for t in range(200):
+        name = "{t%d}idx" % t
+        slot = key_slot(name)
+        for n in nodes:
+            if n.slots[0] <= slot < n.slots[1]:
+                tag_idx, owner = name, n
+                break
+        if tag_idx:
+            break
+    oc = RespConnection(("127.0.0.1", owner.port))
+    oc.cmd("FT.CREATE", tag_idx, "ON", "HASH", "PREFIX", "1",
+           "{%s}d:" % tag_idx.split("}")[0][1:], "SCHEMA", "n", "NUMERIC")
+    assert oc.cmd("MULTI") == "OK"
+    assert oc.cmd("FT.SEARCH", tag_idx, "@n:[0 10]") == "QUEUED"
+    res = oc.cmd("EXEC")
+    assert isinstance(res, list) and res[0] == [0]
+    oc.close()
+
+    # single-slot index sent to a NON-owner → refused
+    non_owner = next(n for n in nodes if n is not owner)
+    nc = RespConnection(("127.0.0.1", non_owner.port))
+    assert nc.cmd("MULTI") == "OK"
+    assert nc.cmd("FT.SEARCH", tag_idx, "@n:[0 10]") == "QUEUED"
+    with pytest.raises(ReplyError, match="not supported in CME mode"):
+        nc.cmd("EXEC")
+    nc.close()

@@ -246,6 +246,7 @@ class NodeServer:
         self._repl_thread: Optional[threading.Thread] = None
         self.resp.write_observer = self._forward_write
         self.resp.key_router = self._check_slot
+        self.resp.multi_query_guard = self._multi_query_ok
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "NodeServer":
@@ -368,6 +369,17 @@ class NodeServer:
                 owner = addr
                 break
         raise RespError(f"{slot} {owner or 'unknown:0'}", code="MOVED")
+
+    def _multi_query_ok(self, index_name: str) -> bool:
+        """MULTI/EXEC query guard (resp.multi_query_guard): in cluster
+        mode a transaction-wrapped FT.SEARCH/FT.AGGREGATE is allowed only
+        against a single-slot ({hash-tagged}) index whose slot this node
+        owns (reference CME MULTI/Lua restriction, commands.cc:99-136 +
+        integration/test_multi_lua.py)."""
+        if not _has_hashtag(index_name):
+            return False
+        slot = key_slot(index_name)
+        return self.slots[0] <= slot < self.slots[1]
 
     def _keyspace_interceptor(self, cmd: str):
         """Slot-checked keyspace command: execute locally when this node

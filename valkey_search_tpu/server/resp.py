@@ -618,6 +618,15 @@ class _Handler(socketserver.StreamRequestHandler):
         """One queued command inside EXEC (engine lock held)."""
         engine = srv.engine if self.db == 0 else srv.engine_for(self.db)
         rest = argv[1:]
+        if (cmd in ("FT.SEARCH", "FT.AGGREGATE")
+                and srv.multi_query_guard is not None):
+            index_name = _s(rest[0]) if rest else ""
+            if not srv.multi_query_guard(index_name):
+                raise RespError(
+                    "MULTI/EXEC or Lua script are not supported in CME "
+                    "mode unless the query targets a single-slot index "
+                    "on the local node."
+                )
         if cmd == "HSET" and len(rest) >= 3 and len(rest) % 2 == 1:
             key = _s(rest[0])
             self._route_key(srv, key)
@@ -818,6 +827,12 @@ class RespServer:
         # doesn't own the key's slot (set by cluster NodeServer; applied
         # to writes inside MULTI/EXEC too)
         self.key_router = None
+        # cluster MULTI/EXEC query guard: fn(index_name) -> bool; when set
+        # (cluster NodeServer), FT.SEARCH/FT.AGGREGATE inside MULTI/EXEC
+        # are refused unless the index is single-slot and owned locally
+        # (reference CME restriction, drilled by integration/
+        # test_multi_lua.py)
+        self.multi_query_guard = None
         self.async_search = async_search
         self.search_timeout = search_timeout
         self._server: Optional[_ThreadingTCPServer] = None
