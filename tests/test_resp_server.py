@@ -553,3 +553,23 @@ def test_client_id_list_kill_cancels_blocked_query(server):
     finally:
         c1.close()
         c2.close()
+
+
+def test_ft_debug_denied_without_admin(server, client):
+    """FT._DEBUG requires the admin category (reference registers it with
+    admin flags — integration/test_debug.py)."""
+    server.engine.execute("FT._DEBUG", "HELP")  # default user: allowed
+    assert client.cmd(
+        "ACL", "SETUSER", "debug_user", "on", ">password",
+        "~*", "&*", "-@all", "+@read",
+    ) == "OK"
+    assert client.cmd("AUTH", "debug_user", "password") == "OK"
+    with pytest.raises(ReplyError, match="has no permissions to run"):
+        client.cmd("FT._DEBUG", "HELP")
+    # granting admin unlocks it
+    client.cmd("RESET")
+    client.cmd("ACL", "SETUSER", "debug_user", "+@admin")
+    assert client.cmd("AUTH", "debug_user", "password") == "OK"
+    client.cmd("FT._DEBUG", "HELP")
+    client.cmd("RESET")
+    assert client.cmd("ACL", "DELUSER", "debug_user") == 1

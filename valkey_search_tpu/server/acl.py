@@ -24,6 +24,10 @@ class AclUser:
     name: str
     enabled: bool = True
     key_patterns: Tuple[str, ...] = ()
+    # command categories (+@read / -@all rules); "all" grants everything.
+    # FT._DEBUG additionally requires "admin" (reference registers it with
+    # admin flags — integration/test_debug.py
+    # test_ft_debug_denied_without_admin_permissions)
     allowed_categories: Tuple[str, ...] = ("search",)
     # sha-less plain passwords (redis ACL `>pw` rule); empty + nopass=False
     # means the user cannot be AUTH'd into at all
@@ -52,6 +56,10 @@ class AclUser:
 
         return any(fnmatch.fnmatchcase(key, p) for p in self.key_patterns)
 
+    def has_category(self, cat: str) -> bool:
+        return "all" in self.allowed_categories \
+            or cat in self.allowed_categories
+
 
 class AclManager:
     """User registry + the prefix check commands call."""
@@ -59,7 +67,8 @@ class AclManager:
     def __init__(self):
         self._lock = threading.Lock()
         self._users: Dict[str, AclUser] = {
-            "default": AclUser("default", key_patterns=("*",))
+            "default": AclUser("default", key_patterns=("*",),
+                               allowed_categories=("all",))
         }
 
     def setuser(self, name: str, *rules: str) -> AclUser:
@@ -88,6 +97,24 @@ class AclManager:
                 elif rule == "resetpass":
                     user.nopass = False
                     user.passwords = ()
+                elif rule.startswith("+@"):
+                    cat = rule[2:].lower()
+                    cats = set(user.allowed_categories)
+                    cats.add("all" if cat == "all" else cat)
+                    user.allowed_categories = tuple(sorted(cats))
+                elif rule.startswith("-@"):
+                    cat = rule[2:].lower()
+                    if cat == "all":
+                        user.allowed_categories = ()
+                    else:
+                        user.allowed_categories = tuple(
+                            c for c in user.allowed_categories if c != cat
+                        )
+                elif rule.startswith("&") or rule in ("allchannels",
+                                                      "resetchannels"):
+                    pass  # pub/sub channel rules: no pub/sub in this stack
+                elif rule.startswith("+") or rule.startswith("-"):
+                    pass  # per-command rules: categories are the unit here
                 else:
                     raise AclError(f"unsupported ACL rule {rule!r}")
             user.key_patterns = tuple(patterns)

@@ -409,6 +409,21 @@ class Engine:
             return  # no custom users registered; default has allkeys
         self.acl.check_index_access(user, prefixes)
 
+    def _acl_require_admin(self, user: str) -> None:
+        """FT._DEBUG is admin-gated (reference registers it with admin
+        command flags; integration/test_debug.py
+        test_ft_debug_denied_without_admin_permissions)."""
+        if user == "default" and getattr(self, "_acl", None) is None:
+            return
+        u = self.acl.getuser(user)
+        if not u.has_category("admin"):
+            from valkey_search_tpu.server.acl import AclError
+
+            raise AclError(
+                f"User {user} has no permissions to run the 'FT._DEBUG' "
+                "command"
+            )
+
     # ----------------------------------------------------------------- cron
     def cron(self) -> Dict[str, int]:
         """One server-cron tick (reference OnServerCronCallback,
@@ -618,7 +633,8 @@ class Engine:
             "FT.AGGREGATE": lambda: self.ft_aggregate(*rest, user=user),
             "FT.INFO": lambda: self.ft_info(*rest, user=user),
             "FT._LIST": lambda: self.ft_list(),
-            "FT._DEBUG": lambda: self.ft_debug(*rest),
+            "FT._DEBUG": lambda: (self._acl_require_admin(user),
+                                  self.ft_debug(*rest))[1],
             "INFO": lambda: self.info(),
         }
         def dispatch():
