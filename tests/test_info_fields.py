@@ -1,0 +1,114 @@
+"""INFO field presence/typing parity.
+
+Mirrors /root/reference/integration/test_info.py test_info_fields_present:
+every reference-spelled search_* INFO field exists with the right type —
+integers parse as int, doubles as float, background_indexing_status is a
+string, used_memory_human is SI-formatted (valkey_search.cc:93-160).
+"""
+
+import numpy as np
+import pytest
+
+from valkey_search_tpu.server.engine import Engine
+
+INTEGER_FIELDS = [
+    "search_query_queue_size",
+    "search_writer_queue_size",
+    "search_worker_pool_suspend_cnt",
+    "search_writer_resumed_cnt",
+    "search_reader_resumed_cnt",
+    "search_writer_suspension_expired_cnt",
+    "search_rdb_load_success_cnt",
+    "search_rdb_load_failure_cnt",
+    "search_rdb_save_success_cnt",
+    "search_rdb_save_failure_cnt",
+    "search_successful_requests_count",
+    "search_failure_requests_count",
+    "search_hybrid_requests_count",
+    "search_inline_filtering_requests_count",
+    "search_hnsw_add_exceptions_count",
+    "search_hnsw_remove_exceptions_count",
+    "search_hnsw_modify_exceptions_count",
+    "search_hnsw_search_exceptions_count",
+    "search_hnsw_create_exceptions_count",
+    "search_string_interning_store_size",
+    "search_vector_externing_entry_count",
+    "search_vector_externing_hash_extern_errors",
+    "search_vector_externing_generated_value_cnt",
+    "search_vector_externing_num_lru_entries",
+    "search_vector_externing_lru_promote_cnt",
+    "search_vector_externing_deferred_entry_cnt",
+    "search_number_of_attributes",
+    "search_number_of_indexes",
+    "search_total_indexed_documents",
+    "search_total_active_write_threads",
+    "search_used_memory_bytes",
+    "search_index_reclaimable_memory",
+]
+DOUBLE_FIELDS = ["search_used_read_cpu", "search_used_write_cpu"]
+STRING_FIELDS = ["search_background_indexing_status"]
+HUMAN_FIELDS = ["search_used_memory_human"]
+
+
+@pytest.fixture
+def engine():
+    e = Engine(sync_ingest=True)
+    e.execute(
+        "FT.CREATE", "idx", "SCHEMA",
+        "v", "VECTOR", "HNSW", "6",
+        "TYPE", "FLOAT32", "DIM", "4", "DISTANCE_METRIC", "L2",
+        "t", "TAG",
+    )
+    for i in range(8):
+        e.hset(f"k{i}", {"v": np.float32([i, 0, 0, 0]).tobytes(),
+                         "t": "x"})
+    return e
+
+
+def test_info_fields_present(engine):
+    info = engine.info(include_dev=True)
+    for f in INTEGER_FIELDS:
+        assert f in info, f
+        int(info[f])
+    for f in DOUBLE_FIELDS:
+        assert f in info, f
+        float(info[f])
+    for f in STRING_FIELDS:
+        assert f in info, f
+        assert isinstance(info[f], str)
+    for f in HUMAN_FIELDS:
+        assert f in info, f
+        assert str(info[f]).endswith(("B", "iB"))
+
+
+def test_info_field_values_track_state(engine):
+    info = engine.info(include_dev=True)
+    assert int(info["search_number_of_indexes"]) == 1
+    assert int(info["search_number_of_attributes"]) == 2
+    assert int(info["search_total_indexed_documents"]) == 8
+    assert int(info["search_string_interning_store_size"]) == 8
+    assert int(info["search_used_memory_bytes"]) > 0
+    assert info["search_background_indexing_status"] == "NO_ACTIVITY"
+    base = info
+    q = np.zeros(4, np.float32).tobytes()
+    engine.execute("FT.SEARCH", "idx", "*=>[KNN 3 @v $q]",
+                   "PARAMS", "2", "q", q, "NOCONTENT")
+    info = engine.info(include_dev=True)
+    assert (int(info["search_successful_requests_count"])
+            == int(base["search_successful_requests_count"]) + 1)
+    assert (int(info["search_failure_requests_count"])
+            == int(base["search_failure_requests_count"]))
+
+
+def test_hybrid_and_failure_request_counts(engine):
+    base = engine.info(include_dev=True)
+    q = np.zeros(4, np.float32).tobytes()
+    engine.execute("FT.SEARCH", "idx", "(@t:{x})=>[KNN 3 @v $q]",
+                   "PARAMS", "2", "q", q, "NOCONTENT")
+    with pytest.raises(Exception):
+        engine.execute("FT.SEARCH", "idx", "@nope:[bad")
+    info = engine.info(include_dev=True)
+    assert (int(info["search_hybrid_requests_count"])
+            == int(base["search_hybrid_requests_count"]) + 1)
+    assert (int(info["search_failure_requests_count"])
+            == int(base["search_failure_requests_count"]) + 1)

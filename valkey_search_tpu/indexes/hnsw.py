@@ -72,9 +72,14 @@ class HnswVectorIndex(VectorIndexBase):
         self.m = m
         self.ef_construction = ef_construction
         self.ef_runtime = ef_runtime or int(config.get("search.default-ef-runtime"))
-        self.builder = HnswBuilder(
-            dim, metric=metric, m=m, ef_construction=ef_construction, seed=seed
-        )
+        try:
+            self.builder = HnswBuilder(
+                dim, metric=metric, m=m, ef_construction=ef_construction,
+                seed=seed,
+            )
+        except Exception:
+            STATS.incr("hnsw_create_exceptions")
+            raise
         # node-space bookkeeping (store rows are NODES for this index)
         self._doc_node: dict = {}  # doc id → live node
         self._node_doc = np.full(self.store.capacity, -1, np.int32)
@@ -165,6 +170,15 @@ class HnswVectorIndex(VectorIndexBase):
         except ValueError:
             STATS.incr("vector_invalid_records")
             return RecordResult.INVALID_DATA
+        try:
+            return self._add_record_parsed(key, vec)
+        except Exception:
+            # reference hnsw_add/modify_exceptions_cnt (metrics.h)
+            STATS.incr("hnsw_modify_exceptions" if key in self._tracked
+                       else "hnsw_add_exceptions")
+            raise
+
+    def _add_record_parsed(self, key: str, vec) -> RecordResult:
         with self._lock:
             doc = self.interner.intern(key)
             existed = key in self._tracked
@@ -193,6 +207,13 @@ class HnswVectorIndex(VectorIndexBase):
             return RecordResult.MODIFIED if existed else RecordResult.ADDED
 
     def remove_record(self, key: str) -> RecordResult:
+        try:
+            return self._remove_record_inner(key)
+        except Exception:
+            STATS.incr("hnsw_remove_exceptions")
+            raise
+
+    def _remove_record_inner(self, key: str) -> RecordResult:
         with self._lock:
             doc = self._tracked.pop(key, None)
             if doc is None:
@@ -461,6 +482,13 @@ class HnswVectorIndex(VectorIndexBase):
         filter_mask: optional device bool array in doc-id space — the
         inline-filter path (reference InlineVectorFilter, search.cc:102-133).
         """
+        try:
+            return self._search_batch_inner(queries, k, ef, filter_mask)
+        except Exception:
+            STATS.incr("hnsw_search_exceptions")
+            raise
+
+    def _search_batch_inner(self, queries, k, ef, filter_mask):
         if self.builder.count == 0:
             b = np.atleast_2d(queries).shape[0]
             return (

@@ -262,11 +262,15 @@ def save_engine(engine, path: str) -> Dict[str, int]:
     dict iterations below cannot race a concurrent HSET/DEL (redis SAVE
     blocks writes the same way; BGSAVE here is a thread, not a fork, so
     it briefly stalls writers instead of COW-sharing pages)."""
-    lock = getattr(engine, "_lock", None)
-    if lock is not None:
-        with lock:
-            return _save_engine_locked(engine, path)
-    return _save_engine_locked(engine, path)
+    try:
+        lock = getattr(engine, "_lock", None)
+        if lock is not None:
+            with lock:
+                return _save_engine_locked(engine, path)
+        return _save_engine_locked(engine, path)
+    except Exception:
+        STATS.incr("rdb_save_failures")
+        raise
 
 
 def _save_engine_locked(engine, path: str) -> Dict[str, int]:

@@ -128,10 +128,14 @@ def _register_builtin_fields() -> None:
     R = REGISTRY
     # query path (reference search_* INFO strings, valkey_search.cc:866-890)
     R.counter("search_queries_total", "queries_total")
-    R.counter("search_vector_queries", "vector_queries")
-    R.counter("search_nonvector_queries", "nonvector_queries")
-    R.counter("search_hybrid_queries_prefilter", "hybrid_prefilter")
-    R.counter("search_hybrid_queries_inline", "hybrid_inline")
+    R.field("search_vector_queries",
+            lambda: STATS.get("vector_searches_unfiltered")
+            + STATS.get("vector_searches_prefiltered")
+            + STATS.get("vector_searches_inline_filtered"))
+    R.counter("search_nonvector_queries", "non_vector_searches")
+    R.counter("search_hybrid_queries_prefilter", "vector_searches_prefiltered")
+    R.counter("search_hybrid_queries_inline",
+              "vector_searches_inline_filtered")
     R.counter("search_query_errors", "query_errors")
     R.counter("search_aggregate_queries", "aggregate_queries")
     R.counter("search_aggregate_errors", "aggregate_errors")
@@ -156,6 +160,57 @@ def _register_builtin_fields() -> None:
     # persistence
     R.counter("search_rdb_saves", "rdb_saves")
     R.counter("search_rdb_loads", "rdb_loads")
+    # ---- reference-spelling INFO fields (valkey_search.cc:93-1006 /
+    # drilled by integration/test_info.py test_info_fields_present) -------
+    R.counter("search_rdb_load_success_cnt", "rdb_loads")
+    R.counter("search_rdb_load_failure_cnt", "rdb_load_failures")
+    R.counter("search_rdb_save_success_cnt", "rdb_saves")
+    R.counter("search_rdb_save_failure_cnt", "rdb_save_failures")
+    R.field("search_successful_requests_count",
+            lambda: max(0, STATS.get("queries_total")
+                        + STATS.get("aggregate_queries")
+                        - STATS.get("query_errors")
+                        - STATS.get("aggregate_errors")))
+    R.field("search_failure_requests_count",
+            lambda: STATS.get("query_errors")
+            + STATS.get("aggregate_errors"))
+    R.field("search_hybrid_requests_count",
+            lambda: STATS.get("vector_searches_prefiltered")
+            + STATS.get("vector_searches_inline_filtered"))
+    R.counter("search_inline_filtering_requests_count",
+              "vector_searches_inline_filtered")
+    # HNSW exception counters (reference Metrics::GetStats()
+    # hnsw_*_exceptions_cnt, valkey_search.cc:869-884)
+    for _op in ("add", "remove", "modify", "search", "create"):
+        R.counter(f"search_hnsw_{_op}_exceptions_count",
+                  f"hnsw_{_op}_exceptions")
+    # worker-pool suspension counters (reference vmsdk ThreadPool
+    # suspend/resume, valkey_search.cc fork lifecycle; this runtime
+    # suspends writers on OOM — engine._deny_oom pause transitions)
+    R.counter("search_worker_pool_suspend_cnt", "worker_pool_suspends")
+    R.counter("search_writer_resumed_cnt", "writer_resumes")
+    R.counter("search_reader_resumed_cnt", "reader_resumes")
+    R.counter("search_writer_suspension_expired_cnt",
+              "writer_suspension_expired")
+    # vector externalizer (reference vector_externalizer.cc stats; the
+    # LRU cache backing vector_bytes() resolution)
+    def _ext_cache():
+        from valkey_search_tpu.server import externalizer
+
+        return externalizer._cache
+
+    R.field("search_vector_externing_entry_count",
+            lambda: len(_ext_cache()))
+    R.field("search_vector_externing_num_lru_entries",
+            lambda: len(_ext_cache()))
+    R.field("search_vector_externing_lru_promote_cnt",
+            lambda: _ext_cache().hits)
+    R.counter("search_vector_externing_hash_extern_errors",
+              "vector_extern_errors")
+    R.counter("search_vector_externing_generated_value_cnt",
+              "vector_extern_generated")
+    R.counter("search_vector_externing_deferred_entry_cnt",
+              "vector_extern_deferred")
     # cluster / fanout
     R.counter("search_fanout_queries", "fanout_queries")
     R.counter("search_fanout_retries", "fanout_retries", dev=True)
@@ -239,8 +294,10 @@ def register_engine_fields(engine, registry: InfoRegistry) -> None:
     )
     # per-subsystem memory pools (reference text_index.h:50-55 MemoryPools
     # + the malloc-interposition used-memory gauge)
+    # integer bytes (reference used_memory_bytes is a plain integer; the
+    # human-formatted twin is search_used_memory_human below)
     R.field("search_used_memory_bytes",
-            lambda: engine.used_memory_bytes(), si_bytes=True)
+            lambda: engine.used_memory_bytes())
     for _pool in ("vector", "tag", "numeric", "text", "interner",
                   "keyspace"):
         R.field(
@@ -255,3 +312,49 @@ def register_engine_fields(engine, registry: InfoRegistry) -> None:
         ),
         crash_safe=True,
     )
+    # ---- reference-spelling engine fields (test_info.py parity) ---------
+    R.field("search_used_memory_human",
+            lambda: engine.used_memory_bytes(), si_bytes=True)
+    R.field("search_index_reclaimable_memory",
+            lambda: sum(
+                getattr(a.index, "reclaimable_bytes", lambda: 0)()
+                for s in engine.manager.all_schemas()
+                for a in s.vector_attributes()
+            ))
+    R.field("search_background_indexing_status",
+            lambda: "IN_PROGRESS" if any(
+                s.backfill_in_progress for s in engine.manager.all_schemas()
+            ) else "NO_ACTIVITY")
+    R.field("search_number_of_attributes",
+            lambda: sum(
+                len(s.attributes) for s in engine.manager.all_schemas()
+            ))
+    R.field("search_string_interning_store_size",
+            lambda: sum(
+                s.interner.count for s in engine.manager.all_schemas()
+            ))
+    R.field("search_writer_queue_size", lambda: engine._queue_size())
+    # reader path executes synchronously on the calling thread (queries
+    # never queue host-side; device batching happens in the batcher)
+    R.field("search_query_queue_size",
+            lambda: getattr(engine, "_reader_queue_size", lambda: 0)())
+    def _active_writers():
+        if getattr(engine, "_sync_ingest", True):
+            return 0
+        return sum(1 for w in getattr(engine._queue(), "_workers", ())
+                   if w.is_alive())
+
+    R.field("search_total_active_write_threads", _active_writers)
+
+    def _pool_cpu(kinds):
+        def _get():
+            pools = MONITOR.sample()
+            vals = [p for name, p in pools.items()
+                    if any(k in name for k in kinds)]
+            return round(sum(vals), 2) if vals else -1
+        return _get
+
+    # per-pool CPU% (reference ThreadPool::GetAvgCPUPercentage, -1 when
+    # no samples — valkey_search.cc:126-139)
+    R.field("search_used_read_cpu", _pool_cpu(("reader", "search", "batch")))
+    R.field("search_used_write_cpu", _pool_cpu(("writer", "ingest")))

@@ -112,6 +112,10 @@ class Engine:
                 return
             STATS.incr("oom_rejections")
             for schema in self.manager.all_schemas():
+                if not getattr(schema, "paused_by_oom", False):
+                    # reference worker_pool_suspend_cnt: writers suspend
+                    # while over the cap (vmsdk ThreadPool suspension)
+                    STATS.incr("worker_pool_suspends")
                 schema.paused_by_oom = True
             raise OutOfMemoryError(
                 "command not allowed when used memory > search.max-memory-bytes"
@@ -119,6 +123,8 @@ class Engine:
         for schema in self.manager.all_schemas():
             if getattr(schema, "paused_by_oom", False):
                 schema.paused_by_oom = False
+                STATS.incr("writer_resumes")
+                STATS.incr("reader_resumes")
 
     def _evict_until_under(self, cap: int, max_evictions: int = 10_000) -> int:
         """Evict keys per search.maxmemory-policy until under the cap.
@@ -509,10 +515,19 @@ class Engine:
         return self.manager.list_names()
 
     def ft_search(self, *args: Value, user: str = "default") -> list:
-        sp = ft_search_mod.parse_ft_search_args(list(args))
-        schema = self.manager.get(sp.index_name)
-        self._acl_check(user, schema.prefixes)
-        return ft_search_mod.run_ft_search(self, schema, sp)
+        # top-level request counters (reference Metrics query_successful_
+        # requests_cnt / query_failed_requests_cnt split by hybrid/vector,
+        # valkey_search.cc:866-890)
+        STATS.incr("queries_total")
+        try:
+            sp = ft_search_mod.parse_ft_search_args(list(args))
+            schema = self.manager.get(sp.index_name)
+            self._acl_check(user, schema.prefixes)
+            reply = ft_search_mod.run_ft_search(self, schema, sp)
+        except Exception:
+            STATS.incr("query_errors")
+            raise
+        return reply
 
     def ft_search_async(self, *args: Value, user: str = "default"):
         """Schedule a search on the reader pool (reference SearchAsync,
