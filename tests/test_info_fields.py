@@ -112,3 +112,36 @@ def test_hybrid_and_failure_request_counts(engine):
             == int(base["search_hybrid_requests_count"]) + 1)
     assert (int(info["search_failure_requests_count"])
             == int(base["search_failure_requests_count"]) + 1)
+
+
+def test_coordinator_partition_counters():
+    """_PART.SEARCH RPCs tick the coordinator server/client counters
+    (reference coordinator/server.cc:85-92, client.cc:174-184)."""
+    from valkey_search_tpu.cluster.transport import (
+        ClusterClient,
+        NodeServer,
+        assign_slot_ranges,
+    )
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    nodes = [NodeServer(f"cp{i}", port=0) for i in range(2)]
+    for (lo, hi), n in zip(assign_slot_ranges(2), nodes):
+        n.slots = (lo, hi)
+    for n in nodes:
+        n.resp.start()
+    client = ClusterClient([f"127.0.0.1:{n.port}" for n in nodes])
+    try:
+        client.execute("FT.CREATE", "cidx", "ON", "HASH", "PREFIX", "1",
+                       "cd:", "SCHEMA", "n", "NUMERIC")
+        for i in range(6):
+            client.execute("HSET", f"cd:{i}", "n", str(i))
+        s0 = STATS.get("coordinator_server_partition_successes")
+        c0 = STATS.get("coordinator_client_partition_successes")
+        r = client.execute("FT.SEARCH", "cidx", "@n:[0 3]", "NOCONTENT")
+        assert r[0] == 4
+        assert STATS.get("coordinator_server_partition_successes") == s0 + 2
+        assert STATS.get("coordinator_client_partition_successes") == c0 + 2
+    finally:
+        client.close()
+        for n in nodes:
+            n.close()

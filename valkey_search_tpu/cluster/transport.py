@@ -640,7 +640,24 @@ class NodeServer:
     def _cmd_part_search(self, rest: List[bytes]):
         """SearchIndexPartition (coordinator.proto:24, server.cc): check
         consistency scalars, run the local shard search, return rows with
-        raw distances for the coordinator merge."""
+        raw distances for the coordinator merge. Success/failure counters
+        + latency samplers mirror server.cc:85-92."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            reply = self._part_search_inner(rest)
+        except Exception:
+            STATS.incr("coordinator_server_partition_failures")
+            STATS.sampler("coordinator_server_partition_failure_usec", 1) \
+                .observe_usec((_time.perf_counter() - t0) * 1e6)
+            raise
+        STATS.incr("coordinator_server_partition_successes")
+        STATS.sampler("coordinator_server_partition_success_usec", 1) \
+            .observe_usec((_time.perf_counter() - t0) * 1e6)
+        return reply
+
+    def _part_search_inner(self, rest: List[bytes]):
         from valkey_search_tpu.query.search import execute_search
         from valkey_search_tpu.server import ft_search as ft_search_mod
 
@@ -1001,8 +1018,12 @@ class ClusterClient:
                 try:
                     total, kk, sf, enc_rows = fut.result(timeout=timeout_s)
                 except (ReplyError, OSError, EOFError, TimeoutError) as exc:
+                    # reference coordinator_client_search_index_partition_
+                    # failure_cnt (client.cc:182)
+                    STATS.incr("coordinator_client_partition_failures")
                     failures.append(exc)
                     continue
+                STATS.incr("coordinator_client_partition_successes")
                 totals.append(int(total))
                 if _s(sf):
                     score_field = _s(sf)

@@ -213,6 +213,15 @@ def _register_builtin_fields() -> None:
               "vector_extern_deferred")
     # cluster / fanout
     R.counter("search_fanout_queries", "fanout_queries")
+    # coordinator RPC counters (reference server.cc:85-92, client.cc:174-184)
+    R.counter("search_coordinator_server_search_index_partition_success_count",
+              "coordinator_server_partition_successes")
+    R.counter("search_coordinator_server_search_index_partition_failure_count",
+              "coordinator_server_partition_failures")
+    R.counter("search_coordinator_client_search_index_partition_success_count",
+              "coordinator_client_partition_successes")
+    R.counter("search_coordinator_client_search_index_partition_failure_count",
+              "coordinator_client_partition_failures")
     R.counter("search_fanout_retries", "fanout_retries", dev=True)
     R.counter("search_fanout_inconsistent_snapshots", "fanout_inconsistent")
     R.counter("search_metadata_broadcasts", "metadata_broadcasts", dev=True)
