@@ -31,11 +31,12 @@ def parse_tags(raw: str, separator: str, case_sensitive: bool) -> List[str]:
     separator, trim surrounding whitespace, casefold unless case-sensitive,
     drop empties."""
     out = []
+    max_len = int(config.get("search.max-tag-field-len"))
     for part in raw.split(separator):
         t = part.strip()
         if not t:
             continue
-        if len(t) > int(config.get("search.max-tag-field-len")):
+        if len(t) > max_len:
             continue
         out.append(t if case_sensitive else t.casefold())
     return out

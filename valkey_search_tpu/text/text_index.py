@@ -208,10 +208,14 @@ class TextEngine:
                 with_suffix_trie=with_suffix_trie,
             )
             self.fields[alias] = fi
+            self._suffix_cached = any(
+                f.with_suffix_trie for f in self.fields.values()
+            )
             return fi
 
     def _any_suffix_trie(self) -> bool:
-        return any(f.with_suffix_trie for f in self.fields.values())
+        # cached at register time: this sits on the per-word ingest path
+        return getattr(self, "_suffix_cached", False)
 
     def field_mask(self, alias: Optional[str]) -> int:
         if alias is None:
