@@ -157,6 +157,21 @@ class NumericIndex(IndexBase):
             ids = self._sorted_docs[left:right]
             return EntriesFetcher(ids.tolist(), size=len(ids))
 
+    def range_docs_array(
+        self, lo: float, hi: float, lo_open: bool = False,
+        hi_open: bool = False
+    ) -> np.ndarray:
+        """Sorted-unique doc ids in range as an ndarray (one doc has one
+        value, so the value-ordered slice is already unique) — the
+        boolean-combinator fast path (predicate.py ids_and/ids_or)."""
+        with self._lock:
+            if not self._values:
+                return np.empty(0, np.int64)
+            self._ensure_sorted()
+            left = np.searchsorted(self._sorted, lo, "right" if lo_open else "left")
+            right = np.searchsorted(self._sorted, hi, "left" if hi_open else "right")
+            return np.sort(self._sorted_docs[left:right].astype(np.int64))
+
     # -- device predicate ----------------------------------------------------
     def _ensure_col_cap(self, cap: int) -> None:
         if cap > self._column.shape[0]:

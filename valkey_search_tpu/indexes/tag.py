@@ -188,6 +188,29 @@ class TagIndex(IndexBase):
                     acc |= self._postings.get(t, set())
             return EntriesFetcher(acc, size=len(acc))
 
+    def docs_array(self, tags: Iterable[str]) -> np.ndarray:
+        """Sorted-unique doc ids for a tag union as an ndarray, memoized
+        per index epoch — the boolean-combinator fast path (predicate.py
+        ids_and/ids_or keep big tag∩text conjunctions vectorized)."""
+        key = "\x00".join(sorted(tags))
+        with self._lock:
+            cache = getattr(self, "_docs_cache", None)
+            if cache is None:
+                cache = self._docs_cache = {}
+            hit = cache.get(key)
+            if hit is not None and hit[0] == self.epoch:
+                return hit[1]
+            acc: Set[int] = set()
+            for pat in tags:
+                for t in self._match_tags(pat):
+                    acc |= self._postings.get(t, set())
+            arr = np.fromiter(acc, np.int64, len(acc))
+            arr.sort()
+            if len(cache) >= 256:
+                cache.clear()  # epoch-keyed: droppable
+            cache[key] = (self.epoch, arr)
+            return arr
+
     def estimate(self, tags: Iterable[str]) -> int:
         """Upper-bound qualified count for the planner (rax posting sizes /
         prefix subtree counts, reference radix_tree.h:14-56)."""

@@ -22,6 +22,7 @@ import dataclasses
 from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class EvalContext:
@@ -41,6 +42,31 @@ class EvalContext:
         return self._valid_mask
 
 
+def ids_set(x):
+    """Normalize a host_ids result (set | sorted-unique ndarray) to a set."""
+    return x if isinstance(x, set) else set(x.tolist())
+
+
+def ids_and(a, b):
+    """Intersect two host_ids results; ndarray∩ndarray stays vectorized
+    (text posting unions are sorted unique, so assume_unique holds)."""
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return np.intersect1d(a, b, assume_unique=True)
+    return ids_set(a) & ids_set(b)
+
+
+def ids_or(a, b):
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return np.union1d(a, b)
+    return ids_set(a) | ids_set(b)
+
+
+def ids_sub(a, b):
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return np.setdiff1d(a, b, assume_unique=True)
+    return ids_set(a) - ids_set(b)
+
+
 class Predicate:
     kind = "base"
 
@@ -50,10 +76,12 @@ class Predicate:
     def device_mask(self, ctx: EvalContext) -> jnp.ndarray:
         raise NotImplementedError
 
-    def host_ids(self, ctx: EvalContext) -> set:
-        """Qualified doc ids as a host set (the reference's fetcher-scan
-        path, search.cc:607 — non-vector queries never touch the device;
-        device_mask exists for fusing predicates into vector kernels)."""
+    def host_ids(self, ctx: EvalContext):
+        """Qualified doc ids — a host set OR a sorted-unique int ndarray
+        (the reference's fetcher-scan path, search.cc:607 — non-vector
+        queries never touch the device; device_mask exists for fusing
+        predicates into vector kernels). Combinators use the ids_* helpers
+        so pure-text boolean trees stay vectorized end-to-end."""
         raise NotImplementedError
 
     def matches(self, ctx: EvalContext, doc: int) -> bool:
@@ -158,7 +186,8 @@ class TagPredicate(Predicate):
         return self._index(ctx).search(self.values)
 
     def host_ids(self, ctx):
-        return set(self.fetch_ids(ctx))
+        # epoch-memoized sorted-unique ndarray (tag.py docs_array)
+        return self._index(ctx).docs_array(self.values)
 
     def to_dict(self):
         return {"kind": "tag", "field": self.field, "values": list(self.values)}
@@ -229,6 +258,10 @@ class NumericPredicate(Predicate):
         )
 
     def host_ids(self, ctx):
+        idx = self._index(ctx)
+        fn = getattr(idx, "range_docs_array", None)
+        if fn is not None:
+            return fn(self.lo, self.hi, self.lo_open, self.hi_open)
         return set(self.fetch_ids(ctx))
 
     def to_dict(self):
@@ -277,7 +310,10 @@ class TextPredicate(Predicate):
         return self._engine(ctx).fetch_ids(self)
 
     def host_ids(self, ctx):
-        return set(self.fetch_ids(ctx))
+        # sorted-unique ndarray straight from the memoized posting union —
+        # no Python-set materialization on the text hot path (the round-1
+        # per-query set() over 10k+ ids was a top-3 cost)
+        return self._engine(ctx).doc_ids_array(self)
 
     def to_dict(self):
         return {
@@ -312,12 +348,23 @@ class And(Predicate):
         kids = sorted(self.children, key=lambda c: c.estimate(ctx))
         out = kids[0].host_ids(ctx)
         for c in kids[1:]:
-            if not out:
+            if len(out) == 0:
                 break
-            if c.estimate(ctx) > self._PROBE_FACTOR * len(out):
-                out = {d for d in out if c.matches(ctx, d)}
+            # probing only pays when the running result is a Python set:
+            # index-backed leaves (text/tag/numeric) answer host_ids as
+            # sorted-unique ndarrays, and one np.intersect1d over both
+            # beats len(out) per-doc matches() calls at any size ratio
+            if (isinstance(out, np.ndarray)
+                    and c.kind in ("text", "tag", "numeric", "and", "or")):
+                out = ids_and(out, c.host_ids(ctx))
+            elif c.estimate(ctx) > self._PROBE_FACTOR * len(out):
+                if isinstance(out, np.ndarray):
+                    keep = [d for d in out.tolist() if c.matches(ctx, d)]
+                    out = np.asarray(keep, np.int64)
+                else:
+                    out = {d for d in out if c.matches(ctx, d)}
             else:
-                out &= c.host_ids(ctx)
+                out = ids_and(out, c.host_ids(ctx))
         return out
 
     def matches(self, ctx, doc):
@@ -352,10 +399,11 @@ class Or(Predicate):
         return m
 
     def host_ids(self, ctx):
-        out = set()
+        out = None
         for c in self.children:
-            out |= c.host_ids(ctx)
-        return out
+            got = c.host_ids(ctx)
+            out = got if out is None else ids_or(out, got)
+        return out if out is not None else set()
 
     def matches(self, ctx, doc):
         return any(c.matches(ctx, doc) for c in self.children)
@@ -390,7 +438,7 @@ class Negate(Predicate):
         return ctx.valid_mask() & ~self.child.device_mask(ctx)
 
     def host_ids(self, ctx):
-        return MatchAll().host_ids(ctx) - self.child.host_ids(ctx)
+        return ids_sub(MatchAll().host_ids(ctx), self.child.host_ids(ctx))
 
     def matches(self, ctx, doc):
         return not self.child.matches(ctx, doc)

@@ -171,9 +171,19 @@ def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
         # SORTBY needs the full window since sort keys come from content
         mult = max(1, int(config.get("search.search-result-buffer-multiplier")))
         cap_results = min(cap_results, (sp.limit_offset + sp.limit_num) * mult)
-    docs = sorted(pred.host_ids(ctx))
-    total = len(docs)
-    docs = docs[:cap_results]
+    ids = pred.host_ids(ctx)
+    if isinstance(ids, np.ndarray):
+        arr = ids.astype(np.int64, copy=False)
+    else:
+        arr = np.fromiter(ids, np.int64, len(ids)) \
+            if not isinstance(ids, (list, tuple)) else np.asarray(ids, np.int64)
+    total = int(arr.size)
+    # smallest cap_results ids in ascending order WITHOUT sorting the full
+    # match set: np.partition is O(n) vs sorted()'s O(n log n) — hot terms
+    # match most of the corpus while LIMIT wants a handful
+    if cap_results < total:
+        arr = np.partition(arr, cap_results - 1)[:cap_results]
+    docs = np.sort(arr)
     neighbors = []
     for i, doc in enumerate(docs):
         if token is not None and (i & 0x3FF) == 0:

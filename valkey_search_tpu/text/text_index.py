@@ -466,6 +466,11 @@ class TextEngine:
     def fetch_ids(self, pred) -> EntriesFetcher:
         return EntriesFetcher(self._doc_ids_sorted(self._effective(pred)))
 
+    def doc_ids_array(self, pred) -> "np.ndarray":
+        """Sorted-unique doc ids for a text predicate as an ndarray — the
+        boolean-combinator fast path (predicate.py ids_and/ids_or)."""
+        return self._doc_ids_sorted(self._effective(pred))
+
     def estimate(self, pred) -> int:
         pred = self._effective(pred)
         mask = self.field_mask(pred.field)
