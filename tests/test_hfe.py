@@ -1,0 +1,117 @@
+"""Hash-field expiration (HFE) + replica FT.CREATE refusal.
+
+Mirrors /root/reference/integration/test_expired.py
+test_hash_field_expiration_should_update_index (HEXPIRE on an indexed
+field fires the notification path: the field leaves the index while the
+key — and num_docs — survive) and test_ft_create.py
+ft_create_fails_on_replica ("You can't write against a read only
+replica").
+"""
+
+import time
+
+import pytest
+
+from valkey_search_tpu.server.engine import Engine
+
+
+@pytest.fixture
+def engine():
+    e = Engine(sync_ingest=True)
+    e.execute("FT.CREATE", "my_index", "SCHEMA",
+              "t", "TAG", "n", "NUMERIC")
+    return e
+
+
+def test_hash_field_expiration_updates_index(engine):
+    e = engine
+    e.hset("test_key", {"t": "mytag", "n": "1"})
+    assert e.execute("FT.SEARCH", "my_index", "@t:{mytag}")[0] == 1
+    assert e.execute("HEXPIRE", "test_key", "0.05",
+                     "FIELDS", "1", "t") == [1]
+    time.sleep(0.08)
+    e.sweep_expired()
+    # the tag field left the index; the key (and its numeric field) remain
+    assert e.execute("FT.SEARCH", "my_index", "@t:{mytag}")[0] == 0
+    assert e.execute("FT.SEARCH", "my_index", "@n:[1 1]")[0] == 1
+    info = dict(zip(*(iter(e.execute("FT.INFO", "my_index")),) * 2))
+    assert int(info["num_docs"]) == 1
+    assert e.hgetall("test_key") == {"n": "1"}
+
+
+def test_hexpire_last_field_deletes_key(engine):
+    e = engine
+    e.hset("k1", {"t": "solo"})
+    e.execute("HEXPIRE", "k1", "0.05", "FIELDS", "1", "t")
+    time.sleep(0.08)
+    e.sweep_expired()
+    assert e.hgetall("k1") == {}
+    assert e.execute("FT.SEARCH", "my_index", "@t:{solo}")[0] == 0
+
+
+def test_hexpire_ttl_persist_contract(engine):
+    e = engine
+    e.hset("k2", {"t": "a", "n": "2"})
+    # missing key / field → -2
+    assert e.execute("HEXPIRE", "ghost", "5", "FIELDS", "1", "t") == [-2]
+    assert e.execute("HTTL", "k2", "FIELDS", "2", "t", "nope") == [-1, -2]
+    assert e.execute("HEXPIRE", "k2", "100", "FIELDS", "1", "t") == [1]
+    ttl = e.execute("HTTL", "k2", "FIELDS", "1", "t")[0]
+    assert 95 <= ttl <= 100
+    # HPERSIST clears; second call reports no TTL
+    assert e.execute("HPERSIST", "k2", "FIELDS", "1", "t") == [1]
+    assert e.execute("HPERSIST", "k2", "FIELDS", "1", "t") == [-1]
+    # ttl<=0 deletes the field immediately (HEXPIRE contract value 2)
+    assert e.execute("HEXPIRE", "k2", "0", "FIELDS", "1", "t") == [2]
+    assert e.hgetall("k2") == {"n": "2"}
+
+
+def test_hset_clears_field_ttl(engine):
+    e = engine
+    e.hset("k3", {"t": "x"})
+    e.execute("HEXPIRE", "k3", "0.05", "FIELDS", "1", "t")
+    e.hset("k3", {"t": "y"})  # rewrite clears the pending TTL
+    time.sleep(0.08)
+    e.sweep_expired()
+    assert e.hgetall("k3") == {"t": "y"}
+    assert e.execute("FT.SEARCH", "my_index", "@t:{y}")[0] == 1
+
+
+def test_lazy_field_expiry_on_read(engine):
+    e = engine
+    e.hset("k4", {"t": "zed", "n": "4"})
+    e.execute("HEXPIRE", "k4", "0.05", "FIELDS", "1", "t")
+    time.sleep(0.08)
+    # no sweep: the TTL read path expires lazily
+    assert e.execute("HTTL", "k4", "FIELDS", "1", "t") == [-2]
+    assert e.hgetall("k4") == {"n": "4"}
+
+
+def test_ft_create_fails_on_replica():
+    from valkey_search_tpu.cluster.transport import (
+        NodeServer,
+        ReplyError,
+        RespConnection,
+    )
+
+    primary = NodeServer("hfp", port=0).start()
+    replica = NodeServer("hfr", port=0).start()
+    try:
+        replica.become_replica_of(f"127.0.0.1:{primary.port}")
+        rc = RespConnection(("127.0.0.1", replica.port))
+        with pytest.raises(ReplyError,
+                           match="You can't write against a read only"):
+            rc.cmd("FT.CREATE", "ridx", "SCHEMA", "n", "NUMERIC")
+        pc = RespConnection(("127.0.0.1", primary.port))
+        assert pc.cmd("FT.CREATE", "ridx", "SCHEMA", "n", "NUMERIC") == "OK"
+        with pytest.raises(ReplyError,
+                           match="You can't write against a read only"):
+            rc.cmd("FT.DROPINDEX", "ridx")
+        # promotion lifts the restriction
+        replica.promote_to_primary(f"127.0.0.1:{primary.port}")
+        rc.cmd("FT.CREATE", "ridx2", "SCHEMA", "n", "NUMERIC")
+        rc.close()
+        pc.close()
+    finally:
+        primary.close()
+        replica.close()

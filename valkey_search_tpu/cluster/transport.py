@@ -301,6 +301,7 @@ class NodeServer:
         promotion is a control-plane change: stop gossiping to the dead
         primary and accept writes (slot ownership was adopted at
         become_replica_of time)."""
+        self.is_replica = False
         if dead_peer:
             self.peers = [p for p in self.peers if p != dead_peer]
             self._peer_slots.pop(dead_peer, None)
@@ -314,6 +315,7 @@ class NodeServer:
     def become_replica_of(self, primary_addr: str) -> None:
         """Attach to a primary: adopt its slots, gossip with it, and
         receive an initial full sync + the ongoing write stream."""
+        self.is_replica = True
         host, port_s = primary_addr.rsplit(":", 1)
         conn = RespConnection((host, int(port_s)), timeout=30.0)
         lo, hi, _nid = conn.cmd("_SLOTS.GET")
@@ -609,9 +611,22 @@ class NodeServer:
                         pass
 
     # -- cluster-mode index lifecycle ------------------------------------------
+    def _deny_replica_write(self) -> None:
+        """FT.CREATE/FT.DROPINDEX are refused on replicas — index metadata
+        flows primary→replica through replication/gossip only (reference
+        ft_create.cc replica check; integration/test_ft_create.py
+        ft_create_fails_on_replica)."""
+        if getattr(self, "is_replica", False):
+            raise RespError(
+                "You can't write against a read only replica.",
+                code="READONLY",
+            )
+
     def _cmd_ft_create(self, rest: List[bytes]):
         from valkey_search_tpu.persistence.checkpoint import _schema_definition
         from valkey_search_tpu.server import ft_create as ft_create_mod
+
+        self._deny_replica_write()
 
         schema, _skip = ft_create_mod.parse_ft_create([_s(a) for a in rest])
         payload = _schema_definition(schema)
@@ -623,6 +638,7 @@ class NodeServer:
         return SimpleString("OK")
 
     def _cmd_ft_dropindex(self, rest: List[bytes]):
+        self._deny_replica_write()
         if not rest:
             raise RespError("wrong number of arguments for FT.DROPINDEX")
         name = _s(rest[0])

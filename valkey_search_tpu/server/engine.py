@@ -48,6 +48,7 @@ class Engine:
         self._ingestion = None  # created lazily (schema.ingestion)
         self._acl = None        # created lazily (server.acl)
         self._expiry: Dict[str, float] = {}  # key → unix deadline
+        self._field_expiry: Dict[tuple, float] = {}  # (key, field) → deadline
         # approximated-LRU/LFU bookkeeping for the lru/lfu maxmemory
         # policies (valkey evict.c: 24-bit lru clock / 8-bit saturating
         # lfu counter per object; here a monotonic access sequence and a
@@ -192,6 +193,10 @@ class Engine:
             doc = self.keyspace.setdefault(key, {})
             added = sum(1 for f in mapping if f not in doc)
             doc.update(mapping)
+            if self._field_expiry:
+                # writing a field clears its TTL (valkey HFE contract)
+                for f in mapping:
+                    self._field_expiry.pop((key, f), None)
             self._touch(key)
             snapshot = dict(doc)
         self._notify(key, snapshot)
@@ -224,6 +229,9 @@ class Engine:
             self._expiry.pop(key, None)
             self._access.pop(key, None)
             self._freq.pop(key, None)
+            if self._field_expiry:
+                for kf in [kf for kf in self._field_expiry if kf[0] == key]:
+                    del self._field_expiry[kf]
         if existed:
             self._notify_delete(key)
         return int(existed)
@@ -262,6 +270,7 @@ class Engine:
             return -1 if dl is None else max(0.0, dl - time.time())
 
     def _expire_if_due(self, key: str) -> bool:
+        self._expire_fields_if_due(key)
         with self._lock:
             dl = self._expiry.get(key)
             if dl is None or time.time() < dl:
@@ -271,13 +280,93 @@ class Engine:
         STATS.incr("keys_expired")
         return True
 
+    # -------------------------------------------------- hash-field expiry
+    # HFE (valkey 7.4 HEXPIRE/HTTL/HPERSIST): indexed fields that expire
+    # leave the index through the normal notification path while the key
+    # survives (reference integration/test_expired.py
+    # test_hash_field_expiration_should_update_index)
+    def hexpire(self, key: str, seconds: float, fields) -> list:
+        out = []
+        notify = False
+        with self._lock:
+            doc = self.keyspace.get(key)
+            for f in fields:
+                if doc is None or f not in doc:
+                    out.append(-2)
+                elif seconds <= 0:
+                    doc.pop(f, None)
+                    self._field_expiry.pop((key, f), None)
+                    out.append(2)  # deleted immediately (HEXPIRE contract)
+                    notify = True
+                else:
+                    self._field_expiry[(key, f)] = time.time() + seconds
+                    out.append(1)
+            snapshot = dict(doc) if doc is not None else None
+        if notify and snapshot is not None:
+            self._notify(key, snapshot)
+        return out
+
+    def httl(self, key: str, fields) -> list:
+        self._expire_fields_if_due(key)
+        now = time.time()
+        with self._lock:
+            doc = self.keyspace.get(key)
+            out = []
+            for f in fields:
+                if doc is None or f not in doc:
+                    out.append(-2)
+                else:
+                    dl = self._field_expiry.get((key, f))
+                    out.append(-1 if dl is None
+                               else max(0, int(round(dl - now))))
+            return out
+
+    def hpersist(self, key: str, fields) -> list:
+        with self._lock:
+            doc = self.keyspace.get(key)
+            out = []
+            for f in fields:
+                if doc is None or f not in doc:
+                    out.append(-2)
+                elif self._field_expiry.pop((key, f), None) is not None:
+                    out.append(1)
+                else:
+                    out.append(-1)
+            return out
+
+    def _expire_fields_if_due(self, key: Optional[str] = None) -> int:
+        """Drop due fields (one key, or all when key is None); re-index
+        surviving content, delete keys whose last field expired."""
+        now = time.time()
+        with self._lock:
+            if not self._field_expiry:
+                return 0
+            due = [
+                (k, f) for (k, f), dl in self._field_expiry.items()
+                if dl <= now and (key is None or k == key)
+            ]
+            touched: Dict[str, Optional[Dict]] = {}
+            for k, f in due:
+                self._field_expiry.pop((k, f), None)
+                doc = self.keyspace.get(k)
+                if doc is not None:
+                    doc.pop(f, None)
+                    touched[k] = dict(doc) if doc else None
+        for k, snapshot in touched.items():
+            STATS.incr("hash_fields_expired")
+            if snapshot is None:
+                self.delete(k)  # last field gone → key gone (valkey HFE)
+            else:
+                self._notify(k, snapshot)
+        return len(due)
+
     def sweep_expired(self) -> int:
         """Active expiration pass (the server-cron equivalent of the
         reference's OnServerCronCallback housekeeping)."""
         now = time.time()
+        n = self._expire_fields_if_due()
         with self._lock:
             due = [k for k, dl in self._expiry.items() if dl <= now]
-        n = 0
         for k in due:
             if self._expire_if_due(k):
                 n += 1
@@ -682,6 +771,27 @@ class Engine:
                 return self.ttl(_s(rest[0]))
             if cmd == "PERSIST":
                 return self.persist(_s(rest[0]))
+            if cmd in ("HEXPIRE", "HPEXPIRE", "HTTL", "HPTTL", "HPERSIST"):
+                # HFE surface: <key> [<seconds|ms>] FIELDS <n> f [f ...]
+                args2 = [_s(a) for a in rest]
+                key = args2[0]
+                i = 2 if cmd in ("HEXPIRE", "HPEXPIRE") else 1
+                if len(args2) < i + 2 or args2[i].upper() != "FIELDS":
+                    raise CommandError(f"{cmd} key [ttl] FIELDS n field ...")
+                nf = int(args2[i + 1])
+                flds = args2[i + 2 : i + 2 + nf]
+                if len(flds) != nf:
+                    raise CommandError("FIELDS count mismatch")
+                if cmd == "HEXPIRE":
+                    return self.hexpire(key, float(args2[1]), flds)
+                if cmd == "HPEXPIRE":
+                    return self.hexpire(key, float(args2[1]) / 1000.0, flds)
+                if cmd == "HPERSIST":
+                    return self.hpersist(key, flds)
+                out = self.httl(key, flds)
+                if cmd == "HPTTL":
+                    out = [v * 1000 if v > 0 else v for v in out]
+                return out
             if cmd == "COPY":
                 if len(rest) < 2:
                     raise CommandError("COPY source destination [REPLACE]")

@@ -768,7 +768,7 @@ def _format_info(engine: Engine, args: List[str]) -> str:
 
 _WRITE_COMMANDS = {
     "HSET", "HDEL", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE", "PERSIST",
-    "COPY",
+    "COPY", "HEXPIRE", "HPEXPIRE", "HPERSIST",
 }
 
 _COMMANDS = [
@@ -778,6 +778,7 @@ _COMMANDS = [
     "CONFIG", "INFO", "SAVE", "BGSAVE", "SHUTDOWN", "SWAPDB",
     "HSET", "HGETALL", "HGET", "HMGET", "HDEL", "DEL", "EXISTS", "TYPE",
     "KEYS", "SCAN", "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
+    "HEXPIRE", "HPEXPIRE", "HTTL", "HPTTL", "HPERSIST",
     "JSON.SET", "JSON.GET", "COPY", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
     "FT.AGGREGATE", "FT.INFO", "FT._LIST", "FT._DEBUG",
 ]
