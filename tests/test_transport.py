@@ -884,3 +884,65 @@ def test_multi_exec_query_guard_cme(trio):
     with pytest.raises(ReplyError, match="not supported in CME mode"):
         nc.cmd("EXEC")
     nc.close()
+
+
+def test_ft_search_consistency_controls(trio):
+    """CONSISTENT/INCONSISTENT query flags gate the slot/index fingerprint
+    checks (reference test_ft_search_partition_consistency_controls.py):
+    a forced invalid fingerprint fails only CONSISTENT queries, with the
+    reference's exact error string."""
+    from valkey_search_tpu.runtime.debug import CONTROLLED
+
+    nodes, client = trio
+    client.execute("FT.CREATE", "cc", "ON", "HASH", "PREFIX", "1", "cc:",
+                   "SCHEMA", "n", "NUMERIC")
+    for i in range(30):
+        client.execute("HSET", f"cc:{i}", "n", str(i))
+    nominal = client.execute("FT.SEARCH", "cc", "@n:[0 29]", "NOCONTENT")
+    assert nominal[0] == 30
+    # consistent passes while fingerprints are valid
+    r = client.execute("FT.SEARCH", "cc", "@n:[0 29]", "NOCONTENT",
+                       "CONSISTENT")
+    assert r[0] == 30
+    try:
+        CONTROLLED.set("force_invalid_index_fingerprint", "yes")
+        # INCONSISTENT: forced fingerprint ignored, valid results
+        r = client.execute("FT.SEARCH", "cc", "@n:[0 29]", "NOCONTENT",
+                           "INCONSISTENT")
+        assert r[0] == 30
+        # CONSISTENT: the reference error
+        with pytest.raises(ReplyError,
+                           match="Index or slot consistency check failed"):
+            client.execute("FT.SEARCH", "cc", "@n:[0 29]", "NOCONTENT",
+                           "CONSISTENT")
+    finally:
+        CONTROLLED.clear("force_invalid_index_fingerprint")
+
+
+def test_ft_search_partition_timeout_controls(trio):
+    """ForceTimeout controlled variable: ALLSHARDS queries fail with the
+    timeout error and tick the ForceCancels test counter; SOMESHARDS
+    returns partial (possibly empty) results without raising."""
+    from valkey_search_tpu.runtime.debug import CONTROLLED, TEST_COUNTERS
+
+    nodes, client = trio
+    client.execute("FT.CREATE", "tc", "ON", "HASH", "PREFIX", "1", "tc:",
+                   "SCHEMA", "n", "NUMERIC")
+    for i in range(12):
+        client.execute("HSET", f"tc:{i}", "n", str(i))
+    assert client.execute("FT.SEARCH", "tc", "@n:[0 11]",
+                          "NOCONTENT")[0] == 12
+    base = TEST_COUNTERS.get("ForceCancels")
+    try:
+        CONTROLLED.set("ForceTimeout", "yes")
+        with pytest.raises(ReplyError, match="cancelled due to timeout"):
+            client.execute("FT.SEARCH", "tc", "@n:[0 11]", "NOCONTENT",
+                           "ALLSHARDS")
+        assert TEST_COUNTERS.get("ForceCancels") > base
+        r = client.execute("FT.SEARCH", "tc", "@n:[0 11]", "NOCONTENT",
+                           "SOMESHARDS")
+        assert r[0] == 0  # every shard timed out; partial = empty, no raise
+    finally:
+        CONTROLLED.clear("ForceTimeout")
+    assert client.execute("FT.SEARCH", "tc", "@n:[0 11]",
+                          "NOCONTENT")[0] == 12

@@ -328,7 +328,12 @@ class ClusterEngine:
         if token is not None:
             token.check()
 
-        if CONTROLLED.is_true("force_invalid_index_fingerprint"):
+        # slot/index fingerprint drills honor the per-query CONSISTENT
+        # flag (INCONSISTENT returns valid results even when forced —
+        # reference consistency controls); default is consistent here to
+        # preserve the strict in-process simulation semantics
+        consistent = sp.params.get("__consistent", True)
+        if consistent and CONTROLLED.is_true("force_invalid_index_fingerprint"):
             raise ConsistencyError("forced index fingerprint mismatch")
         mine = node.metadata.get(sp.index_name)
         if mine is None or (mine.version, mine.fingerprint) != (
@@ -338,7 +343,7 @@ class ClusterEngine:
             raise ConsistencyError(
                 f"{node.node_id}: index metadata mismatch"
             )
-        if node.slot_fingerprint() == 0xBAD:
+        if consistent and node.slot_fingerprint() == 0xBAD:
             STATS.incr("fanout_inconsistent")
             raise ConsistencyError(f"{node.node_id}: slot ownership mismatch")
         schema = node.engine.manager.get(sp.index_name)

@@ -684,7 +684,13 @@ class NodeServer:
         argv = rest[2:]
 
         sp = ft_search_mod.parse_ft_search_args(list(argv))
-        if CONTROLLED.is_true("force_invalid_index_fingerprint"):
+        # metadata (version, fingerprint) is validated unconditionally —
+        # the reference's FAILED_PRECONDITION retry loop; the slot/index
+        # fingerprint drills apply only under CONSISTENT (reference
+        # consistency controls: INCONSISTENT queries return valid results
+        # even with ForceInvalid*Fingerprint set)
+        consistent = bool(sp.params.get("__consistent"))
+        if consistent and CONTROLLED.is_true("force_invalid_index_fingerprint"):
             STATS.incr("fanout_inconsistent")
             raise RespError(
                 "index fingerprint mismatch (forced)", code="MISMATCH"
@@ -697,7 +703,7 @@ class NodeServer:
             raise RespError(
                 f"{self.node_id}: index metadata mismatch", code="MISMATCH"
             )
-        if self.slot_fingerprint() == 0xBAD:
+        if consistent and self.slot_fingerprint() == 0xBAD:
             STATS.incr("fanout_inconsistent")
             raise RespError(
                 f"{self.node_id}: slot ownership mismatch", code="MISMATCH"
@@ -1007,6 +1013,11 @@ class ClusterClient:
             config.get("search.enable-partial-results")
             or config.get("search.prefer-partial-results")
         )
+        # per-query SOMESHARDS/ALLSHARDS override the config policy
+        # (reference query flags, test_cancel.py search_command)
+        pp = sp.params.get("__partial_results")
+        if pp is not None:
+            partial_ok = bool(pp)
         last_err: Optional[Exception] = None
         for _attempt in range(max_retries):
             if _attempt:
@@ -1083,6 +1094,12 @@ class ClusterClient:
                 time.sleep(0.02)
                 continue
             break  # hard failures don't retry without partial_ok
+        if sp.params.get("__consistent") and isinstance(
+            last_err, ReplyError
+        ) and last_err.code == "MISMATCH":
+            # reference client error string for CONSISTENT queries
+            # (test_cancel.py expect_consistency_error)
+            raise ReplyError("Index or slot consistency check failed")
         raise last_err  # type: ignore[misc]
 
     def _shape(self, rows, totals, score_field, knn_k, sp) -> list:

@@ -126,6 +126,15 @@ def parse_ft_search_args(args: List[Value]) -> SearchParameters:
             # text engine; SOMESHARDS maps to partial-results policy.
             if tok == "SOMESHARDS":
                 sp.params["__partial_results"] = True
+            if tok == "ALLSHARDS":
+                sp.params["__partial_results"] = False
+            if tok == "CONSISTENT":
+                # per-query slot/index fingerprint enforcement (reference
+                # consistency controls, test_ft_search_partition_
+                # consistency_controls.py)
+                sp.params["__consistent"] = True
+            if tok == "INCONSISTENT":
+                sp.params["__consistent"] = False
             if tok == "VERBATIM":
                 sp.params["__verbatim"] = True
             if tok == "INORDER":

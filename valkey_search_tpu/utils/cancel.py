@@ -60,7 +60,17 @@ class Token:
 
 def from_timeout_ms(timeout_ms: Optional[float]) -> Token:
     from valkey_search_tpu.runtime import config
+    from valkey_search_tpu.runtime.debug import CONTROLLED, TEST_COUNTERS
 
+    if CONTROLLED.is_true("ForceTimeout"):
+        # forced-cancel drill (reference CONTROLLED_BOOLEAN ForceTimeout +
+        # TimeoutPollFrequency, drilled by integration/
+        # test_ft_search_partition_consistency_controls.py): every query
+        # observes an already-expired deadline and counts a ForceCancel
+        TEST_COUNTERS.incr("ForceCancels")
+        t = Token(None)
+        t.cancel("Search operation cancelled due to timeout")
+        return t
     if timeout_ms is None:
         timeout_ms = float(config.get("search.timeout-ms"))
     return Token(timeout_ms)
