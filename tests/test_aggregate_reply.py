@@ -166,3 +166,38 @@ def test_dialect_out_of_range_errors(engine, bad):
     with pytest.raises(Exception, match="[Dd]ialect"):
         engine.execute("FT.AGGREGATE", "hidx", "@n1:[0 inf]",
                        "DIALECT", bad)
+
+
+def test_json_array_values_serialize_as_resp_arrays(engine):
+    """Raw JSON array values LOADed into an aggregate reply serialize as
+    nested RESP arrays, never bracket-wrapped (reference
+    SerializeArrayToResp, ft_aggregate.cc:134-148, IsArray checked before
+    the dialect branch)."""
+    e = engine
+    e.execute("FT.CREATE", "aidx", "ON", "JSON", "PREFIX", "1", "a:",
+              "SCHEMA", "$.n", "AS", "n", "NUMERIC")
+    e.execute("JSON.SET", "a:1", "$", '{"n": 1, "arr": [1, 2, 3]}')
+    for dialect in ("2", "3"):
+        res = e.execute("FT.AGGREGATE", "aidx", "@n:[0 5]",
+                        "LOAD", "1", "@arr", "DIALECT", dialect)
+        assert res[0] == 1
+        row = dict(zip(res[1][::2], res[1][1::2]))
+        assert row["arr"] == ["1", "2", "3"], (dialect, row)
+
+
+def test_json_multivalue_tag_path_stays_scalar(engine):
+    """$.tags[*]-indexed TAG fields normalize to the joined scalar (tag
+    normalization happens at fetch, like the reference's indexer-typed
+    branch), and dialect 3 wraps that scalar."""
+    e = engine
+    e.execute("FT.CREATE", "midx", "ON", "JSON", "PREFIX", "1", "m:",
+              "SCHEMA", "$.n", "AS", "n", "NUMERIC",
+              "$.tags[*]", "AS", "t", "TAG")
+    e.execute("JSON.SET", "m:1", "$", '{"n": 1, "tags": ["a", "b"]}')
+    res = e.execute("FT.AGGREGATE", "midx", "@n:[0 5]", "LOAD", "1", "@t")
+    row = dict(zip(res[1][::2], res[1][1::2]))
+    assert row["t"] == "a,b"
+    res = e.execute("FT.AGGREGATE", "midx", "@n:[0 5]", "LOAD", "1", "@t",
+                    "DIALECT", "3")
+    row = dict(zip(res[1][::2], res[1][1::2]))
+    assert row["t"] == "[a,b]"

@@ -594,6 +594,12 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
             if v is None:
                 row += [f, None]
                 continue
+            if isinstance(v, list):
+                # array values serialize as nested RESP arrays and are
+                # never bracket-wrapped (reference ReplyWithValue checks
+                # IsArray before the dialect branch, ft_aggregate.cc:170)
+                row += [f, [E.to_string(x) for x in v]]
+                continue
             s = E.to_string(v)
             if wrap_json:
                 s = f"[{s}]"
@@ -610,6 +616,12 @@ def _coerce(v: Value) -> E.Value:
             return v.decode(errors="surrogateescape")
     if isinstance(v, (int, float)):
         return float(v)
+    if isinstance(v, list):
+        # JSON array value: kept as a list so the reply serializes it as
+        # a real RESP array (reference SerializeArrayToResp,
+        # ft_aggregate.cc:134-148); expressions over array fields see the
+        # element list and error in arithmetic like the reference
+        return [_coerce(x) for x in v]
     return str(v)
 
 
