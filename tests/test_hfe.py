@@ -115,3 +115,41 @@ def test_ft_create_fails_on_replica():
     finally:
         primary.close()
         replica.close()
+
+
+def test_replica_refuses_client_keyspace_writes_but_accepts_stream():
+    """Client HSET/DEL on a replica answer -READONLY, while the primary's
+    replication stream (marked via _REPL.STREAM) keeps flowing (valkey
+    replica-read-only semantics)."""
+    import time as _t
+
+    from valkey_search_tpu.cluster.transport import (
+        NodeServer,
+        ReplyError,
+        RespConnection,
+    )
+
+    primary = NodeServer("rwp", port=0).start()
+    replica = NodeServer("rwr", port=0).start()
+    try:
+        replica.become_replica_of(f"127.0.0.1:{primary.port}")
+        pc = RespConnection(("127.0.0.1", primary.port))
+        rc = RespConnection(("127.0.0.1", replica.port))
+        with pytest.raises(ReplyError, match="read only replica"):
+            rc.cmd("HSET", "wk", "f", "v")
+        with pytest.raises(ReplyError, match="read only replica"):
+            rc.cmd("DEL", "wk")
+        # primary write replicates through the stream despite the guard
+        pc.cmd("HSET", "wk", "f", "v1")
+        deadline = _t.time() + 5
+        while _t.time() < deadline and "wk" not in replica.engine.keyspace:
+            _t.sleep(0.05)
+        assert replica.engine.hgetall("wk") == {"f": b"v1"} or \
+            replica.engine.hgetall("wk") == {"f": "v1"}
+        # reads stay allowed on the replica
+        assert rc.cmd("HGETALL", "wk")
+        pc.close()
+        rc.close()
+    finally:
+        primary.close()
+        replica.close()

@@ -205,6 +205,7 @@ class NodeServer:
             "_SLOTS.GET": self._cmd_slots_get,
             "_NODE.ID": lambda rest: self.node_id,
             "_REPL.REGISTER": self._cmd_repl_register,
+            "_REPL.STREAM": self._cmd_repl_stream,
             "CLUSTER": self._cmd_cluster,
             # keyspace commands get cluster slot checks: a key in a slot
             # this node doesn't own answers -MOVED <slot> <host:port>
@@ -393,6 +394,19 @@ class NodeServer:
         def run(rest: List[bytes]):
             if not rest:
                 raise RespError(f"wrong number of arguments for {cmd}")
+            if cmd in writes and getattr(self, "is_replica", False):
+                # replicas refuse client writes; the primary's replication
+                # stream is exempt — the link announced itself with
+                # _REPL.STREAM (valkey replica-read-only semantics;
+                # reference delegates this to valkey-server)
+                from valkey_search_tpu.server.resp import CURRENT_CONN
+
+                h = getattr(CURRENT_CONN, "handler", None)
+                if not getattr(h, "is_repl_link", False):
+                    raise RespError(
+                        "You can't write against a read only replica.",
+                        code="READONLY",
+                    )
             self._check_slot(_s(rest[0]))
             if cmd == "COPY" and len(rest) >= 2:
                 # cluster COPY: destination must hash to an owned slot too
@@ -423,6 +437,17 @@ class NodeServer:
             raise RespError(f"corrupted internal update entry: {exc}")
         return int(changed)
 
+    def _cmd_repl_stream(self, rest: List[bytes]):
+        """Replica side: the primary announces this connection as its
+        replication stream — keyspace writes on it bypass the replica's
+        READONLY guard (the analog of valkey's master link flag)."""
+        from valkey_search_tpu.server.resp import CURRENT_CONN
+
+        h = getattr(CURRENT_CONN, "handler", None)
+        if h is not None:
+            h.is_repl_link = True
+        return SimpleString("OK")
+
     def _cmd_repl_register(self, rest: List[bytes]):
         """Primary side: record the replica and stream a full sync of the
         current keyspace (the reference uses replica full-sync over the
@@ -440,6 +465,10 @@ class NodeServer:
         addr = _s(rest[0])
         host, port_s = addr.rsplit(":", 1)
         conn = RespConnection((host, int(port_s)), timeout=30.0)
+        try:
+            conn.cmd("_REPL.STREAM")  # mark the link: exempt from READONLY
+        except (OSError, ReplyError):
+            pass
         rep = _Replica(addr, conn)
         with self.engine._lock:
             with self._repl_lock:

@@ -224,6 +224,9 @@ def _s(v) -> str:
     return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else str(v)
 
 
+CURRENT_CONN = threading.local()
+
+
 class _Handler(socketserver.StreamRequestHandler):
     rbufsize = 64 * 1024
     wbufsize = 64 * 1024
@@ -249,6 +252,11 @@ class _Handler(socketserver.StreamRequestHandler):
 
     def handle(self):
         srv: RespServer = self.server.resp_server  # type: ignore[attr-defined]
+        # expose this connection's handler to extra_commands handlers
+        # (one thread per connection): the cluster transport marks the
+        # primary→replica replication link so the replica's READONLY
+        # write guard can exempt the stream (CURRENT_CONN.handler)
+        CURRENT_CONN.handler = self
         reader = CommandReader(self.rfile)
         while not srv._closing:
             try:
