@@ -946,3 +946,31 @@ def test_ft_search_partition_timeout_controls(trio):
         CONTROLLED.clear("ForceTimeout")
     assert client.execute("FT.SEARCH", "tc", "@n:[0 11]",
                           "NOCONTENT")[0] == 12
+
+
+def test_ft_info_primary_mode_and_retry(trio):
+    """FT.INFO PRIMARY aggregates across primaries; forced per-shard
+    failures (ForceIndexNotFoundError / ForceRemoteFailCount) are retried
+    and counted in search_info_fanout_retry_count (reference
+    integration/test_info_primary.py)."""
+    from valkey_search_tpu.runtime.debug import CONTROLLED
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    nodes, client = trio
+    client.execute("FT.CREATE", "index1", "ON", "HASH", "PREFIX", "1",
+                   "doc:", "SCHEMA", "price", "NUMERIC")
+    for i in range(5):
+        client.execute("HSET", f"doc:{i}", "price", str(10 + i))
+    info = dict(zip(*(iter(client.ft_info("index1", "PRIMARY")),) * 2))
+    assert str(info["mode"]) == "primary"
+    assert int(info["num_docs"]) == 5
+    assert int(info["hash_indexing_failures"]) == 0
+
+    for var, n in (("ForceIndexNotFoundError", 3),
+                   ("ForceRemoteFailCount", 1)):
+        before = STATS.get("info_fanout_retries")
+        CONTROLLED.set(var, n)
+        info = dict(zip(*(iter(client.ft_info("index1", "PRIMARY")),) * 2))
+        assert int(info["num_docs"]) == 5
+        assert STATS.get("info_fanout_retries") == before + n
+        CONTROLLED.clear(var)

@@ -771,6 +771,16 @@ class NodeServer:
     def _cmd_part_info(self, rest: List[bytes]):
         if not rest:
             raise RespError("_PART.INFO index")
+        # forced-failure drills (reference CONTROLLED_INTs
+        # ForceIndexNotFoundError / ForceRemoteFailCount, drilled by
+        # integration/test_info_primary.py): fail the next N InfoIndex-
+        # Partition RPCs, then recover — the coordinator must retry
+        for var, msg in (("ForceIndexNotFoundError", "Index not found"),
+                         ("ForceRemoteFailCount", "forced remote failure")):
+            n = CONTROLLED.get(var)
+            if n is not None and int(str(n)) > 0:
+                CONTROLLED.set(var, int(str(n)) - 1)
+                raise RespError(msg)
         return self.engine.ft_info(_s(rest[0]))
 
     def _cmd_meta_fp(self, rest: List[bytes]):
@@ -1258,13 +1268,26 @@ class ClusterClient:
         raise last_err  # type: ignore[misc]
 
     # -- info fanout ----------------------------------------------------------------
-    def ft_info(self, name, mode: str = "CLUSTER") -> list:
+    def ft_info(self, name, mode: str = "CLUSTER", max_retries: int = 8) -> list:
+        """FT.INFO LOCAL|CLUSTER|PRIMARY. CLUSTER/PRIMARY fan out
+        InfoIndexPartition to every primary and aggregate; transient
+        per-shard failures are retried, each counted in
+        search_info_fanout_retry_count (reference info fanout retry,
+        integration/test_info_primary.py)."""
         mode = _s(mode).upper()
         if mode == "LOCAL":
             return self.conns[0].cmd("FT.INFO", name)
         infos = []
         for c in self.conns:
-            i = c.cmd("_PART.INFO", name)
+            for attempt in range(max_retries + 1):
+                try:
+                    i = c.cmd("_PART.INFO", name)
+                    break
+                except ReplyError:
+                    if attempt == max_retries:
+                        raise
+                    STATS.incr("info_fanout_retries")
+                    time.sleep(0.01)
             infos.append({_s(i[j]): i[j + 1] for j in range(0, len(i), 2)})
         agg = infos[0]
         for k in ("num_docs", "num_records"):
@@ -1272,7 +1295,7 @@ class ClusterClient:
         agg["backfill_in_progress"] = max(
             int(i["backfill_in_progress"]) for i in infos
         )
-        agg["mode"] = mode
+        agg["mode"] = mode.lower()  # reference reports "primary"/"cluster"
         out: list = []
         for k, v in agg.items():
             out += [k, v]

@@ -213,6 +213,7 @@ def _register_builtin_fields() -> None:
               "vector_extern_deferred")
     # cluster / fanout
     R.counter("search_fanout_queries", "fanout_queries")
+    R.counter("search_info_fanout_retry_count", "info_fanout_retries")
     # coordinator RPC counters (reference server.cc:85-92, client.cc:174-184)
     R.counter("search_coordinator_server_search_index_partition_success_count",
               "coordinator_server_partition_successes")
