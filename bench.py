@@ -35,6 +35,12 @@ jaxinit.init()
 
 import jax  # noqa: E402
 
+if os.environ.get("VSTPU_BENCH_CPU") == "1":
+    # debug/smoke knob: pin XLA's host platform (the axon sitecustomize
+    # sets jax_platforms to the TPU tunnel, which can hang when wedged —
+    # see docs; the env var alone is not enough because config beats env)
+    jax.config.update("jax_platforms", "cpu")
+
 QUICK = os.environ.get("VSTPU_BENCH_QUICK") == "1"
 N = int(os.environ.get("VSTPU_BENCH_N", "50000" if QUICK else "1000000"))
 D = 128
