@@ -974,3 +974,27 @@ def test_ft_info_primary_mode_and_retry(trio):
         assert int(info["num_docs"]) == 5
         assert STATS.get("info_fanout_retries") == before + n
         CONTROLLED.clear(var)
+
+
+def test_ft_info_primary_attribute_gauges(trio):
+    """Per-attribute num_records + user_indexed_memory in FT.INFO
+    (reference test_ft_info_primary_attribute: title indexed in 2 docs,
+    body in 1)."""
+    nodes, client = trio
+    client.execute("FT.CREATE", "index2", "ON", "HASH", "PREFIX", "1",
+                   "ad:", "SCHEMA", "title", "TEXT", "body", "TEXT")
+    client.execute("HSET", "ad:1", "title", "hello", "body", "world")
+    client.execute("HSET", "ad:2", "title", "valkey")
+    info = dict(zip(*(iter(client.ft_info("index2", "PRIMARY")),) * 2))
+    assert int(info["num_docs"]) == 2
+    def _d(x):
+        return x.decode() if isinstance(x, bytes) else x
+
+    attrs = {}
+    for a in info["attributes"]:
+        d = {_d(k): v for k, v in zip(a[::2], a[1::2])}
+        attrs[_d(d["attribute"])] = d
+    assert int(attrs["title"]["num_records"]) == 2
+    assert int(attrs["body"]["num_records"]) == 1
+    assert int(attrs["title"]["user_indexed_memory"]) > 0
+    assert int(attrs["body"]["user_indexed_memory"]) > 0

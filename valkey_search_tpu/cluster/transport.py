@@ -1292,6 +1292,29 @@ class ClusterClient:
         agg = infos[0]
         for k in ("num_docs", "num_records"):
             agg[k] = sum(int(i[k]) for i in infos)
+        # per-attribute gauges aggregate across shards too (reference
+        # test_ft_info_primary_attribute: num_records/user_indexed_memory
+        # summed over the partitions)
+        if "attributes" in agg:
+            def _attr_maps(inf):
+                out = {}
+                for a in inf.get("attributes", ()):
+                    d = {_s(a[j]): a[j + 1] for j in range(0, len(a), 2)}
+                    out[_s(d.get("attribute"))] = d
+                return out
+
+            merged = _attr_maps(agg)
+            for i in infos[1:]:
+                for name, d in _attr_maps(i).items():
+                    m = merged.setdefault(name, d)
+                    if m is not d:
+                        for k in ("num_records", "user_indexed_memory"):
+                            if k in d:
+                                m[k] = int(m.get(k, 0)) + int(d[k])
+            agg["attributes"] = [
+                [x for kv in d.items() for x in kv]
+                for d in merged.values()
+            ]
         agg["backfill_in_progress"] = max(
             int(i["backfill_in_progress"]) for i in infos
         )

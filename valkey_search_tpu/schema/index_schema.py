@@ -208,6 +208,11 @@ class IndexSchema:
                     attr.index.remove_record(key)
                 self.interner.release(key)
                 STATS.incr("documents_dropped_invalid")
+                # per-schema gauge (reference stats_.document_drop_... on
+                # the IndexSchema; FT.INFO hash_indexing_failures reports
+                # THIS index's failures, not a process-wide counter)
+                self.indexing_failures = \
+                    getattr(self, "indexing_failures", 0) + 1
             else:
                 self._maybe_release(key)
             self.mutation_epoch += 1
@@ -301,7 +306,9 @@ class IndexSchema:
                 "backfill_in_progress": self.backfill_in_progress,
                 "attributes": {
                     alias: {"type": a.kind, "identifier": a.identifier,
-                            "tracked": a.index.count()}
+                            "tracked": a.index.count(),
+                            "memory": getattr(
+                                a.index, "memory_bytes", lambda: 0)()}
                     for alias, a in self.attributes.items()
                 },
             }

@@ -652,7 +652,13 @@ class Engine:
         for alias, a in st["attributes"].items():
             attrs.append(
                 ["identifier", a["identifier"], "attribute", alias,
-                 "type", a["type"]]
+                 "type", a["type"],
+                 # per-attribute gauges (reference FT.INFO attribute
+                 # entries: num_records + user_indexed_memory, drilled by
+                 # integration/test_info_primary.py
+                 # test_ft_info_primary_attribute)
+                 "num_records", a["tracked"],
+                 "user_indexed_memory", a.get("memory", 0)]
             )
         topts = getattr(schema, "text_options", None) or {}
         out = [
@@ -666,7 +672,7 @@ class Engine:
             "num_docs", st["num_docs"],
             "num_records", sum(a["tracked"] for a in st["attributes"].values()),
             "hash_indexing_failures",
-            STATS.get("documents_dropped_invalid"),
+            getattr(schema, "indexing_failures", 0),
             "backfill_in_progress", int(st["backfill_in_progress"]),
             "backfill_complete_percent",
             "1.000000" if not st["backfill_in_progress"] else "0.000000",

@@ -126,6 +126,9 @@ class TextEngine:
         self.suffix = RadixTree()              # reversed word -> set(words)
         self._stems: Dict[str, Dict[str, int]] = {}  # stem -> {word: refcount}
         self._doc_tokens: Dict[int, Dict[str, List[str]]] = {}  # doc -> alias -> tokens
+        # per-field record counts for the FT.INFO attribute gauges
+        # (reference per-attribute num_records / user_indexed_memory)
+        self._field_records: Dict[str, int] = {}
         self._lock = threading.RLock()
         self.revision = 0
         # cross-query matcher cache: (kind, term, field) -> sorted doc-id
@@ -250,6 +253,9 @@ class TextEngine:
                     )
                 code, added, removed = res
                 self._apply_word_events(added, removed)
+                if code != "M":
+                    self._field_records[alias] = \
+                        self._field_records.get(alias, 0) + 1
             return RecordResult.MODIFIED if code == "M" else RecordResult.ADDED
         stem_map: Dict[str, Set[str]] = {}
         tokens = self.lexer.tokenize(
@@ -265,6 +271,9 @@ class TextEngine:
             for st, words in stem_map.items():
                 for w in words:
                     self._stem_link(st, w, +1)
+            if not existed:
+                self._field_records[alias] = \
+                    self._field_records.get(alias, 0) + 1
         return RecordResult.MODIFIED if existed else RecordResult.ADDED
 
     def remove_field(self, key: str, alias: str) -> RecordResult:
@@ -277,6 +286,9 @@ class TextEngine:
                 self.revision += 1
                 code, _added, removed = self._nt.remove_field(doc, fi.bit_index)
                 self._apply_word_events([], removed)
+                if code == "R":
+                    self._field_records[alias] = max(
+                        0, self._field_records.get(alias, 0) - 1)
             return (RecordResult.REMOVED if code == "R"
                     else RecordResult.SKIPPED)
         with self._lock:
@@ -286,6 +298,8 @@ class TextEngine:
             self._remove_field_locked(doc, alias)
             if not self._doc_tokens.get(doc):
                 self._doc_tokens.pop(doc, None)
+            self._field_records[alias] = max(
+                0, self._field_records.get(alias, 0) - 1)
             return RecordResult.REMOVED
 
     def _index_word(self, word: str, doc: int, pos: int, fi: FieldInfo) -> None:
@@ -796,3 +810,16 @@ class TextFieldIndex(IndexBase):
 
     def count(self) -> int:
         return len(self._tracked)
+
+    def memory_bytes(self) -> int:
+        """This field's share of the text engine's resident bytes,
+        apportioned by per-field record counts (the engine's dictionary/
+        postings are shared across TEXT fields; reference reports
+        user_indexed_memory per attribute, test_info_primary.py)."""
+        eng = self.engine
+        with eng._lock:
+            total = sum(eng._field_records.values())
+            mine = eng._field_records.get(self.alias, 0)
+        if total == 0 or mine == 0:
+            return 0
+        return max(1, int(eng.bytes_used() * mine / total))
