@@ -718,7 +718,8 @@ class NodeServer:
         # fingerprint drills apply only under CONSISTENT (reference
         # consistency controls: INCONSISTENT queries return valid results
         # even with ForceInvalid*Fingerprint set)
-        consistent = bool(sp.params.get("__consistent"))
+        # CONSISTENT is the default (docs/commands/ft.search.md:23)
+        consistent = bool(sp.params.get("__consistent", True))
         if consistent and CONTROLLED.is_true("force_invalid_index_fingerprint"):
             STATS.incr("fanout_inconsistent")
             raise RespError(
@@ -1133,7 +1134,7 @@ class ClusterClient:
                 time.sleep(0.02)
                 continue
             break  # hard failures don't retry without partial_ok
-        if sp.params.get("__consistent") and isinstance(
+        if sp.params.get("__consistent", True) and isinstance(
             last_err, ReplyError
         ) and last_err.code == "MISMATCH":
             # reference client error string for CONSISTENT queries
