@@ -183,13 +183,13 @@ def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
     # match most of the corpus while LIMIT wants a handful
     if cap_results < total:
         arr = np.partition(arr, cap_results - 1)[:cap_results]
-    docs = np.sort(arr)
-    neighbors = []
-    for i, doc in enumerate(docs):
-        if token is not None and (i & 0x3FF) == 0:
-            token.check()  # hot-loop cancel checkpoint (search.cc:672)
-        key = schema.interner.key_of(int(doc))
-        if key is not None:
-            neighbors.append(Neighbor(key=key, doc=int(doc)))
+    docs = np.sort(arr).tolist()
+    if token is not None:
+        token.check()  # cancel checkpoint (search.cc:672)
+    keys = schema.interner.keys_of(docs)
+    neighbors = [
+        Neighbor(key=key, doc=doc)
+        for key, doc in zip(keys, docs) if key is not None
+    ]
     STATS.incr("non_vector_searches")
     return SearchResponse(total=total, neighbors=neighbors)

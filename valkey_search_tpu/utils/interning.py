@@ -58,6 +58,15 @@ class KeyInterner:
                 return self._id_to_key[doc]
             return None
 
+    def keys_of(self, docs) -> list:
+        """Batch key_of: one lock acquisition for a whole result window
+        (the per-row lock round-trip was ~30% of the non-vector reply
+        loop). None for out-of-range/released ids."""
+        with self._lock:
+            table = self._id_to_key
+            n = len(table)
+            return [table[d] if 0 <= d < n else None for d in docs]
+
     def release(self, key: str) -> Optional[int]:
         """Free a key's id (document fully removed). Returns the freed id."""
         with self._lock:
