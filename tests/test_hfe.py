@@ -153,3 +153,110 @@ def test_replica_refuses_client_keyspace_writes_but_accepts_stream():
     finally:
         primary.close()
         replica.close()
+
+
+# -- review-fix regressions ---------------------------------------------------
+
+def test_hexpire_zero_on_last_field_deletes_key(engine):
+    e = engine
+    e.hset("z1", {"t": "only"})
+    assert e.execute("HEXPIRE", "z1", "0", "FIELDS", "1", "t") == [2]
+    assert e.execute("EXISTS", "z1") == 0  # valkey never keeps empty hashes
+    assert e.execute("FT.SEARCH", "my_index", "@t:{only}")[0] == 0
+
+
+def test_httl_rounds_up_and_hpttl_is_millisecond(engine):
+    e = engine
+    e.hset("z2", {"t": "x"})
+    e.execute("HPEXPIRE", "z2", "400", "FIELDS", "1", "t")
+    # live sub-second TTL: HTTL reports 1 (ceil), never the ambiguous 0
+    assert e.execute("HTTL", "z2", "FIELDS", "1", "t") == [1]
+    ms = e.execute("HPTTL", "z2", "FIELDS", "1", "t")[0]
+    assert 200 <= ms <= 400
+
+
+def test_field_ttls_survive_save_restore(engine, tmp_path):
+    from valkey_search_tpu.persistence.checkpoint import (
+        load_engine,
+        save_engine,
+    )
+
+    e = engine
+    e.hset("z3", {"t": "keep", "n": "3"})
+    e.execute("HEXPIRE", "z3", "100", "FIELDS", "1", "t")
+    path = str(tmp_path / "hfe.vstpu")
+    save_engine(e, path)
+    e2 = load_engine(path)
+    ttl = e2.execute("HTTL", "z3", "FIELDS", "1", "t")[0]
+    assert 95 <= ttl <= 100
+    assert e2.execute("HTTL", "z3", "FIELDS", "1", "n") == [-1]
+
+
+def test_replica_refuses_hexpire():
+    from valkey_search_tpu.cluster.transport import (
+        NodeServer,
+        ReplyError,
+        RespConnection,
+    )
+
+    primary = NodeServer("hep", port=0).start()
+    replica = NodeServer("her", port=0).start()
+    try:
+        replica.become_replica_of(f"127.0.0.1:{primary.port}")
+        rc = RespConnection(("127.0.0.1", replica.port))
+        with pytest.raises(ReplyError, match="read only replica"):
+            rc.cmd("HEXPIRE", "wk", "5", "FIELDS", "1", "f")
+        with pytest.raises(ReplyError, match="read only replica"):
+            rc.cmd("HPERSIST", "wk", "FIELDS", "1", "f")
+        rc.close()
+    finally:
+        primary.close()
+        replica.close()
+
+
+def test_acl_all_minus_admin_denies_admin(engine):
+    from valkey_search_tpu.server.acl import AclError
+
+    engine.acl.setuser("u1", "on", ">pw", "~*", "+@all", "-@admin")
+    u = engine.acl.getuser("u1")
+    assert u.has_category("search")
+    assert not u.has_category("admin")
+    # re-granting lifts the denial
+    engine.acl.setuser("u1", "+@admin")
+    assert engine.acl.getuser("u1").has_category("admin")
+    # unenforceable per-command DENY rules fail closed
+    with pytest.raises(AclError, match="per-command deny"):
+        engine.acl.setuser("u2", "on", "-FT.DROPINDEX")
+
+
+def test_aggregate_timeout_counts_as_error(engine):
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    engine.hset("ae1", {"t": "x", "n": "1"})
+    q0 = STATS.get("aggregate_queries")
+    e0 = STATS.get("aggregate_errors")
+    with pytest.raises(Exception):
+        engine.execute("FT.AGGREGATE", "my_index", "@n:[0 5]",
+                       "TIMEOUT", "0")
+    assert STATS.get("aggregate_queries") == q0 + 1
+    assert STATS.get("aggregate_errors") == e0 + 1
+
+
+def test_failed_load_restores_prior_keyspace(engine, tmp_path):
+    from valkey_search_tpu.persistence.checkpoint import (
+        load_engine,
+        save_engine,
+    )
+
+    donor = type(engine)(sync_ingest=True)
+    donor.execute("FT.CREATE", "didx", "SCHEMA", "n", "NUMERIC")
+    donor.hset("dk", {"n": "1"})
+    path = str(tmp_path / "bad.vstpu")
+    save_engine(donor, path)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) - 30])  # truncate mid-stream
+    engine.hset("mine", {"t": "precious"})
+    with pytest.raises(Exception):
+        load_engine(path, engine=engine)
+    # the pre-load keyspace survives a failed load
+    assert engine.hgetall("mine") == {"t": "precious"}

@@ -215,7 +215,9 @@ class NodeServer:
                 c: self._keyspace_interceptor(c)
                 for c in ("HSET", "DEL", "HGETALL", "HGET", "HMGET", "HDEL",
                           "EXISTS", "TYPE", "JSON.SET", "JSON.GET",
-                          "EXPIRE", "PEXPIRE", "TTL", "PERSIST", "COPY")
+                          "EXPIRE", "PEXPIRE", "TTL", "PERSIST", "COPY",
+                          "HEXPIRE", "HPEXPIRE", "HTTL", "HPTTL",
+                          "HPERSIST")
             },
             # replicated metadata-update command (reference
             # ft_internal_update.cc:55 — the AOF/replica path for cluster
@@ -389,7 +391,7 @@ class NodeServer:
         owns the key's slot, else -MOVED to the owner (best-known from
         gossip)."""
         writes = {"HSET", "HDEL", "DEL", "JSON.SET", "EXPIRE", "PEXPIRE",
-                  "PERSIST", "COPY"}
+                  "PERSIST", "COPY", "HEXPIRE", "HPEXPIRE", "HPERSIST"}
 
         def run(rest: List[bytes]):
             if not rest:

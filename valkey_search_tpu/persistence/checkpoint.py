@@ -290,6 +290,20 @@ def _save_engine_locked(engine, path: str) -> Dict[str, int]:
                     np.asarray([expiry[k] for k in ekeys], np.float64),
                 ],
             )
+        fexp = dict(getattr(engine, "_field_expiry", {}))
+        if fexp:
+            # hash-field TTLs (HFE) survive save/restore like key TTLs;
+            # keys and field names pack as two parallel arrays (keys may
+            # contain any byte, so no in-band separator)
+            fkeys = list(fexp)
+            w.section(
+                {"type": "field_expiry", "count": len(fkeys)},
+                [
+                    _pack_keys([k for k, _ in fkeys]),
+                    _pack_keys([f for _, f in fkeys]),
+                    np.asarray([fexp[kf] for kf in fkeys], np.float64),
+                ],
+            )
         for schema in schemas:
             interner_items = list(schema.interner.items())
             w.section(
@@ -382,6 +396,13 @@ def _load_engine_inner(path, engine, skip_vector_payload: bool):
                 engine._expiry.update(
                     {k: float(dl) for k, dl in zip(ekeys, arrays[1])}
                 )
+            elif t == "field_expiry":
+                fkeys = _unpack_keys(arrays[0], meta["count"])
+                ffields = _unpack_keys(arrays[1], meta["count"])
+                engine._field_expiry.update({
+                    (k, f): float(dl)
+                    for k, f, dl in zip(fkeys, ffields, arrays[2])
+                })
             elif t == "schema":
                 schema = _build_schema(meta["definition"])
                 keys = _unpack_keys(arrays[0], meta["interner_count"])
@@ -401,6 +422,7 @@ def _load_engine_inner(path, engine, skip_vector_payload: bool):
                 _restore_vector_attr(current, meta, arrays)
             else:
                 raise CheckpointError(f"unknown section type {t!r}")
+    prior_keyspace = engine.keyspace
     engine.keyspace = keyspace
     created = []
     try:
@@ -417,8 +439,11 @@ def _load_engine_inner(path, engine, skip_vector_payload: bool):
             created.append(schema.name)
     except Exception:
         # half-loaded state must not leak: drop everything this load
-        # registered so a retry (or a fresh FT.CREATE of the same name)
-        # starts clean (reference test_rdb_load_error_cleanup.py)
+        # registered AND restore the pre-load keyspace so a retry (or a
+        # fresh FT.CREATE of the same name) starts clean — surviving
+        # schemas keep agreeing with the keyspace they indexed
+        # (reference test_rdb_load_error_cleanup.py)
+        engine.keyspace = prior_keyspace
         for name in created:
             try:
                 engine.manager.drop(name)

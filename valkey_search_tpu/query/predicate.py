@@ -344,18 +344,24 @@ class And(Predicate):
     # the smallest fetcher drives and the rest answer ContainsKey)
     _PROBE_FACTOR = 4
 
+    # probing each survivor beats materializing the next conjunct when the
+    # running result is tiny AND the conjunct's id array would have to be
+    # built from scratch (numeric range slices, nested trees). Memoized
+    # array producers (text posting unions, epoch-cached tag unions) are
+    # ~free to fetch, so intersect1d wins there at any size ratio.
+    _PROBE_MIN = 64
+
     def host_ids(self, ctx):
         kids = sorted(self.children, key=lambda c: c.estimate(ctx))
         out = kids[0].host_ids(ctx)
         for c in kids[1:]:
             if len(out) == 0:
                 break
-            # probing only pays when the running result is a Python set:
-            # index-backed leaves (text/tag/numeric) answer host_ids as
-            # sorted-unique ndarrays, and one np.intersect1d over both
-            # beats len(out) per-doc matches() calls at any size ratio
-            if (isinstance(out, np.ndarray)
-                    and c.kind in ("text", "tag", "numeric", "and", "or")):
+            memoized = c.kind in ("text", "tag")
+            if isinstance(out, np.ndarray) and (
+                memoized or len(out) >= self._PROBE_MIN
+                or c.estimate(ctx) <= self._PROBE_FACTOR * len(out)
+            ):
                 out = ids_and(out, c.host_ids(ctx))
             elif c.estimate(ctx) > self._PROBE_FACTOR * len(out):
                 if isinstance(out, np.ndarray):

@@ -29,6 +29,9 @@ class AclUser:
     # admin flags — integration/test_debug.py
     # test_ft_debug_denied_without_admin_permissions)
     allowed_categories: Tuple[str, ...] = ("search",)
+    # explicit -@cat denials; a deny after +@all revokes that category
+    # (redis ACL: later rules win, so `+@all -@admin` must not grant admin)
+    denied_categories: Tuple[str, ...] = ()
     # sha-less plain passwords (redis ACL `>pw` rule); empty + nopass=False
     # means the user cannot be AUTH'd into at all
     passwords: Tuple[str, ...] = ()
@@ -57,6 +60,8 @@ class AclUser:
         return any(fnmatch.fnmatchcase(key, p) for p in self.key_patterns)
 
     def has_category(self, cat: str) -> bool:
+        if cat in self.denied_categories:
+            return False
         return "all" in self.allowed_categories \
             or cat in self.allowed_categories
 
@@ -102,19 +107,34 @@ class AclManager:
                     cats = set(user.allowed_categories)
                     cats.add("all" if cat == "all" else cat)
                     user.allowed_categories = tuple(sorted(cats))
+                    user.denied_categories = tuple(
+                        c for c in user.denied_categories if c != cat
+                    )
                 elif rule.startswith("-@"):
                     cat = rule[2:].lower()
                     if cat == "all":
                         user.allowed_categories = ()
+                        user.denied_categories = ()
                     else:
                         user.allowed_categories = tuple(
                             c for c in user.allowed_categories if c != cat
                         )
+                        user.denied_categories = tuple(sorted(
+                            set(user.denied_categories) | {cat}
+                        ))
                 elif rule.startswith("&") or rule in ("allchannels",
                                                       "resetchannels"):
                     pass  # pub/sub channel rules: no pub/sub in this stack
-                elif rule.startswith("+") or rule.startswith("-"):
-                    pass  # per-command rules: categories are the unit here
+                elif rule.startswith("+"):
+                    pass  # per-command grants: categories are the unit here
+                elif rule.startswith("-"):
+                    # fail closed: a per-command DENY we cannot enforce must
+                    # not be silently accepted (the operator would believe a
+                    # restriction exists that does not)
+                    raise AclError(
+                        f"unsupported ACL rule {rule!r}: per-command deny "
+                        "rules are not enforced by this engine"
+                    )
                 else:
                     raise AclError(f"unsupported ACL rule {rule!r}")
             user.key_patterns = tuple(patterns)

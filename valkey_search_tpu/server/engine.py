@@ -15,6 +15,7 @@ forces synchronous indexing for tests/simple usage.
 
 from __future__ import annotations
 
+import math
 import threading
 import time
 from typing import Dict, List, Optional, Sequence, Union
@@ -302,11 +303,16 @@ class Engine:
                     self._field_expiry[(key, f)] = time.time() + seconds
                     out.append(1)
             snapshot = dict(doc) if doc is not None else None
-        if notify and snapshot is not None:
-            self._notify(key, snapshot)
+        if notify:
+            if snapshot:
+                self._notify(key, snapshot)
+            elif snapshot is not None:
+                # last field deleted → the key goes too (valkey never
+                # keeps an empty hash)
+                self.delete(key)
         return out
 
-    def httl(self, key: str, fields) -> list:
+    def httl(self, key: str, fields, ms: bool = False) -> list:
         self._expire_fields_if_due(key)
         now = time.time()
         with self._lock:
@@ -317,8 +323,14 @@ class Engine:
                     out.append(-2)
                 else:
                     dl = self._field_expiry.get((key, f))
-                    out.append(-1 if dl is None
-                               else max(0, int(round(dl - now))))
+                    if dl is None:
+                        out.append(-1)
+                    elif ms:
+                        out.append(max(0, int(round((dl - now) * 1000))))
+                    else:
+                        # valkey HTTL rounds up: a live sub-second TTL
+                        # reports 1, never the ambiguous 0
+                        out.append(max(0, math.ceil(dl - now)))
             return out
 
     def hpersist(self, key: str, fields) -> list:
@@ -355,9 +367,24 @@ class Engine:
         for k, snapshot in touched.items():
             STATS.incr("hash_fields_expired")
             if snapshot is None:
-                self.delete(k)  # last field gone → key gone (valkey HFE)
+                # last field gone → key gone (valkey HFE). Decide + pop in
+                # ONE critical section: a concurrent HSET between the
+                # sweep and here must not be wiped.
+                with self._lock:
+                    if self.keyspace.get(k):
+                        continue  # repopulated concurrently: keep it
+                    existed = self.keyspace.pop(k, None) is not None
+                    self._expiry.pop(k, None)
+                    self._access.pop(k, None)
+                    self._freq.pop(k, None)
+                if existed:
+                    self._notify_delete(k)
             else:
-                self._notify(k, snapshot)
+                with self._lock:
+                    doc = self.keyspace.get(k)
+                    snapshot = dict(doc) if doc else None
+                if snapshot:
+                    self._notify(k, snapshot)
         return len(due)
 
     def sweep_expired(self) -> int:
@@ -794,10 +821,7 @@ class Engine:
                     return self.hexpire(key, float(args2[1]) / 1000.0, flds)
                 if cmd == "HPERSIST":
                     return self.hpersist(key, flds)
-                out = self.httl(key, flds)
-                if cmd == "HPTTL":
-                    out = [v * 1000 if v > 0 else v for v in out]
-                return out
+                return self.httl(key, flds, ms=(cmd == "HPTTL"))
             if cmd == "COPY":
                 if len(rest) < 2:
                     raise CommandError("COPY source destination [REPLACE]")

@@ -474,20 +474,23 @@ def validate_load_fields(schema, spec: "AggregateSpec") -> None:
 
 
 def run_ft_aggregate(engine, args: List[Value]) -> list:
+    # every request counts; EVERY failure path (parse, unknown index,
+    # timeout/cancel, stage errors) counts one aggregate_error — otherwise
+    # a timed-out FT.AGGREGATE reads as a success in INFO
+    STATS.incr("aggregate_queries")
     try:
-        spec = parse_ft_aggregate(args)
+        return _run_ft_aggregate_inner(engine, args)
     except Exception:
         STATS.incr("aggregate_errors")
         raise
-    STATS.incr("aggregate_queries")
+
+
+def _run_ft_aggregate_inner(engine, args: List[Value]) -> list:
+    spec = parse_ft_aggregate(args)
 
     # ---- step 1: query ----------------------------------------------------
     schema = engine.manager.get(spec.index_name)
-    try:
-        validate_load_fields(schema, spec)
-    except Exception:
-        STATS.incr("aggregate_errors")
-        raise
+    validate_load_fields(schema, spec)
     sp = SearchParameters(
         index_name=spec.index_name, query=spec.query, params=spec.params,
         timeout_ms=spec.timeout_ms, no_content=False,
