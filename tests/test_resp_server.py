@@ -573,3 +573,13 @@ def test_ft_debug_denied_without_admin(server, client):
     client.cmd("FT._DEBUG", "HELP")
     client.cmd("RESET")
     assert client.cmd("ACL", "DELUSER", "debug_user") == 1
+
+
+def test_flushall_drops_indexes_standalone(server, client):
+    """CMD-mode FLUSHALL deletes index schemas (reference OnFlushDBEnded,
+    test_flushall.py: FT._LIST == [] afterwards)."""
+    client.cmd("FT.CREATE", "fidx", "SCHEMA", "n", "NUMERIC")
+    client.cmd("HSET", "fk", "n", "1")
+    assert client.cmd("FT._LIST")
+    assert client.cmd("FLUSHALL") == "OK"
+    assert client.cmd("FT._LIST") == []

@@ -998,3 +998,21 @@ def test_ft_info_primary_attribute_gauges(trio):
     assert int(attrs["body"]["num_records"]) == 1
     assert int(attrs["title"]["user_indexed_memory"]) > 0
     assert int(attrs["body"]["user_indexed_memory"]) > 0
+
+
+def test_flushall_keeps_indexes_cluster(trio):
+    """CME-mode FLUSHALL recreates/keeps the index definitions (a
+    cluster-level construct) with zero docs (reference schema_manager.cc
+    recreate branch, test_flushall.py CME)."""
+    nodes, client = trio
+    client.execute("FT.CREATE", "kidx", "ON", "HASH", "PREFIX", "1",
+                   "fk:", "SCHEMA", "n", "NUMERIC")
+    for i in range(9):
+        client.execute("HSET", f"fk:{i}", "n", str(i))
+    for n in nodes:
+        c = RespConnection(("127.0.0.1", n.port))
+        c.cmd("FLUSHALL")
+        c.close()
+    for n in nodes:
+        assert "kidx" in [str(x) for x in n.engine.ft_list()]
+        assert n.engine.manager.get("kidx").num_docs() == 0

@@ -456,6 +456,19 @@ class Engine:
             keys = list(self.keyspace)
         for k in keys:
             self.delete(k)
+        # standalone (CMD) semantics: FLUSHALL/FLUSHDB deletes the index
+        # schemas of the flushed DB (reference OnFlushDBEnded,
+        # schema_manager.cc:505; drilled by integration/test_flushall.py
+        # FT._LIST == [] after FLUSHALL). In coordinated/cluster mode the
+        # schemas are a cluster-level construct and survive empty
+        # (schema_manager.cc:527 recreate branch) — signalled here by an
+        # attached MetadataManager.
+        if getattr(self, "metadata", None) is None:
+            for schema in self.manager.all_schemas():
+                try:
+                    self.manager.drop(schema.name, db=getattr(schema, "db", 0))
+                except Exception:
+                    pass
 
     def _notify(self, key: str, fields: Dict[str, Value], kind: str = "HASH") -> None:
         # reference: hash vs JSON keyspace events route only to schemas of
