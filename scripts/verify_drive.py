@@ -131,6 +131,30 @@ def main():
     check("aggregate_groupby", total == 99 and len(rows) == 2,
           f"rows={len(rows)} total={total}")
 
+    # --- aggregate DIALECT 3 on JSON (bracket wrapping) -------------------
+    e.execute("FT.CREATE", "jd", "ON", "JSON", "PREFIX", "1", "jd:",
+              "SCHEMA", "$.n", "AS", "n", "NUMERIC")
+    e.execute("JSON.SET", "jd:1", "$", '{"n": 7}')
+    r = e.execute("FT.AGGREGATE", "jd", "@n:[0 9]", "LOAD", "1", "@n",
+                  "DIALECT", "3")
+    row = {str(r[1][i]): r[1][i + 1] for i in range(0, len(r[1]), 2)}
+    check("aggregate_dialect3_json", str(row.get("n", "")).startswith("["),
+          f"n={row.get('n')!r}")
+
+    # --- hash-field expiration (HFE) --------------------------------------
+    e.execute("HSET", "hfe:1", "tag", "ephemeral", "num", "5")
+    e.execute("FT.CREATE", "hfe", "ON", "HASH", "PREFIX", "1", "hfe:",
+              "SCHEMA", "tag", "TAG", "num", "NUMERIC")
+    got1 = e.execute("HEXPIRE", "hfe:1", "100", "FIELDS", "1", "tag")
+    ttl = e.execute("HTTL", "hfe:1", "FIELDS", "1", "tag")[0]
+    got2 = e.execute("HEXPIRE", "hfe:1", "0", "FIELDS", "1", "tag")
+    gone = e.execute("FT.SEARCH", "hfe", "@tag:{ephemeral}", "NOCONTENT")[0]
+    kept = e.execute("FT.SEARCH", "hfe", "@num:[5 5]", "NOCONTENT")[0]
+    check("hfe_expire_reindex",
+          got1 == [1] and 95 <= ttl <= 100 and got2 == [2]
+          and gone == 0 and kept == 1,
+          f"ttl={ttl} gone={gone} kept={kept}")
+
     # --- full-text flow ---------------------------------------------------
     e.execute("FT.CREATE", "txt", "ON", "HASH", "PREFIX", "1", "b:",
               "SCHEMA", "body", "TEXT", "WITHSUFFIXTRIE", "cat", "TAG")
