@@ -157,11 +157,15 @@ def test_no_stem_field():
     assert _docs(s, TextPredicate("run", field="exact")) == set()
 
 
-def test_nosuffixtrie_field_still_matches_suffix():
+def test_nosuffixtrie_field_suffix_search_errors():
+    """Reference parity (docs/topics/search-query.md): a field-scoped
+    suffix search against a NOSUFFIXTRIE field errors rather than falling
+    back to a dictionary scan (round-1 extension removed)."""
     s = IndexSchema("t3")
     s.add_text_attribute("a", with_suffix_trie=False)
     s.upsert("k1", {"a": "wonderful"})
-    assert _docs(s, TextPredicate("ful", match="suffix", field="a")) == {"k1"}
+    with pytest.raises(ValueError, match="WITHSUFFIXTRIE"):
+        _docs(s, TextPredicate("ful", match="suffix", field="a"))
 
 
 def test_max_text_fields_limit():
@@ -366,3 +370,20 @@ def test_word_death_then_rebirth_in_one_update():
     e.hset("doc:1", {"content": "hello again"})
     assert e.ft_search("idx", "@content:hello", "NOCONTENT")[0] == 1
     assert e.ft_search("idx", "@content:*ello", "NOCONTENT")[0] == 1
+
+
+def test_suffix_search_on_nosuffixtrie_field_errors():
+    """Field-scoped suffix search against a NOSUFFIXTRIE field errors
+    (docs/topics/search-query.md suffix matching note); unscoped and
+    trie-enabled fields still serve."""
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine(sync_ingest=True)
+    e.execute("FT.CREATE", "sfx", "SCHEMA",
+              "a", "TEXT", "NOSUFFIXTRIE", "b", "TEXT")
+    e.hset("k1", {"a": "ohello", "b": "whello"})
+    with pytest.raises(Exception, match="WITHSUFFIXTRIE"):
+        e.execute("FT.SEARCH", "sfx", "@a:*hello")
+    assert e.execute("FT.SEARCH", "sfx", "@b:*hello", "NOCONTENT")[0] == 1
+    # unscoped suffix search stays available (searches trie-enabled fields)
+    assert e.execute("FT.SEARCH", "sfx", "*hello", "NOCONTENT")[0] == 1

@@ -375,6 +375,17 @@ class TextEngine:
                     break
             return words
         if match == "suffix":
+            # a field-scoped suffix search against a NOSUFFIXTRIE field is
+            # an error (docs/topics/search-query.md: "If a field specifier
+            # is added to a suffix term search and that particular field
+            # was declared with NOSUFFIXTRIE then an error will be issued")
+            if pred.field is not None:
+                fi = self.fields.get(pred.field)
+                if fi is not None and not fi.with_suffix_trie:
+                    raise ValueError(
+                        f"@{pred.field}: suffix search requires "
+                        "WITHSUFFIXTRIE on the field"
+                    )
             suf = self.lexer.normalize(pred.term)
             words = []
             if self._any_suffix_trie():
