@@ -141,7 +141,7 @@ def test_full_query_parse():
 
 
 def test_predicate_serialization_roundtrip():
-    p = parse("(-@a:{x|y*} @n:[(1 +inf]) | hello*")
+    p = parse("(-@a:{x|yy*} @n:[(1 +inf]) | hello*")
     d = p.to_dict()
     p2 = P.Predicate.from_dict(d)
     assert p2.to_dict() == d

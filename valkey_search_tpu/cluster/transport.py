@@ -720,8 +720,10 @@ class NodeServer:
         # fingerprint drills apply only under CONSISTENT (reference
         # consistency controls: INCONSISTENT queries return valid results
         # even with ForceInvalid*Fingerprint set)
-        # CONSISTENT is the default (docs/commands/ft.search.md:23)
-        consistent = bool(sp.params.get("__consistent", True))
+        # CONSISTENT is the default (docs/commands/ft.search.md:23),
+        # overridable by search.prefer-consistent-results
+        consistent = bool(sp.params.get(
+            "__consistent", config.get("search.prefer-consistent-results")))
         if consistent and CONTROLLED.is_true("force_invalid_index_fingerprint"):
             STATS.incr("fanout_inconsistent")
             raise RespError(
@@ -1136,7 +1138,9 @@ class ClusterClient:
                 time.sleep(0.02)
                 continue
             break  # hard failures don't retry without partial_ok
-        if sp.params.get("__consistent", True) and isinstance(
+        if sp.params.get(
+            "__consistent", config.get("search.prefer-consistent-results")
+        ) and isinstance(
             last_err, ReplyError
         ) and last_err.code == "MISMATCH":
             # reference client error string for CONSISTENT queries
@@ -1281,13 +1285,16 @@ class ClusterClient:
         if mode == "LOCAL":
             return self.conns[0].cmd("FT.INFO", name)
         infos = []
+        deadline = time.time() + (
+            int(config.get("search.ft-info-timeout-ms")) / 1000.0
+        )
         for c in self.conns:
             for attempt in range(max_retries + 1):
                 try:
                     i = c.cmd("_PART.INFO", name)
                     break
                 except ReplyError:
-                    if attempt == max_retries:
+                    if attempt == max_retries or time.time() >= deadline:
                         raise
                     STATS.incr("info_fanout_retries")
                     time.sleep(0.01)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from valkey_search_tpu.indexes.base import EntriesFetcher, IndexBase, RecordResult
+from valkey_search_tpu.runtime import config
 from valkey_search_tpu.utils.interning import KeyInterner
 
 
@@ -33,6 +34,12 @@ def _scatter_vals(col, idx, vals):
 
 
 def _parse_number(value) -> Optional[float]:
+    # overlong numeric strings are invalid data (reference
+    # max-numeric-field-length, ft_create_parser.cc:66, default 128)
+    if isinstance(value, (str, bytes, bytearray)) and len(value) > int(
+        config.get("search.max-numeric-field-length")
+    ):
+        return None
     try:
         v = float(value)
     except (TypeError, ValueError):

@@ -55,6 +55,12 @@ class FilterParser:
         self.max_depth = int(config.get("search.max-query-depth"))
         self.max_terms = int(config.get("search.max-query-terms"))
         self.terms = 0
+        max_bytes = int(config.get("search.query-string-bytes"))
+        if len(text.encode("utf-8", "surrogateescape")) > max_bytes:
+            raise QuerySyntaxError(
+                f"query string exceeds search.query-string-bytes "
+                f"({max_bytes})"
+            )
 
     # -- scanning helpers ----------------------------------------------------
     def _peek(self) -> str:
@@ -241,9 +247,18 @@ class FilterParser:
             else:
                 cur.append(c)
         out = []
+        min_prefix = int(config.get("search.tag-min-prefix-length"))
         for v in values:
             v = self._subst(v.strip())
             if v:
+                # prefix wildcards need a minimum stem (reference
+                # tag.cc:160-167: tags of length <= min+1 incl. the '*'
+                # are "too short for prefix wildcard")
+                if (v.endswith("*") and len(v) > 1
+                        and len(v) - 1 < min_prefix):
+                    self._error(
+                        f"Tag string `{v}` is too short for prefix wildcard."
+                    )
                 out.append(v)
         if not out:
             self._error("empty tag set")
@@ -316,7 +331,7 @@ class FilterParser:
             trail += 1
         if lead != trail:
             self._error("mismatched '%' fuzzy markers")
-        if lead > 3:
+        if lead > int(config.get("search.fuzzy-max-distance")):
             self._error("fuzzy distance too large")
         if not word:
             self._error("empty fuzzy term")
@@ -444,6 +459,11 @@ def parse_knn_clause(
         raise QuerySyntaxError(f"bad KNN k {toks[1]!r}")
     if k <= 0:
         raise QuerySyntaxError("KNN k must be positive")
+    max_knn = int(config.get("search.max-vector-knn"))
+    if k > max_knn:
+        # reference max-vector-knn guard (ft_search_parser.cc:34)
+        raise QuerySyntaxError(f"KNN k exceeds search.max-vector-knn "
+                               f"({max_knn})")
     if not toks[2].startswith("@"):
         raise QuerySyntaxError("expected @field in KNN clause")
     field = toks[2][1:]

@@ -67,6 +67,17 @@ class Entry:
         return str(raw)
 
 
+# reference-spelled config names that map onto this runtime's entries —
+# CONFIG GET/SET works with either spelling and both reach ONE value
+# (docs/topics/search-configurables.md is the authoritative name list)
+_ALIASES = {
+    "search.query-string-depth": "search.max-query-depth",
+    "search.query-string-terms-count": "search.max-query-terms",
+    "search.max-tag-field-length": "search.max-tag-field-len",
+    "search.default-timeout-ms": "search.timeout-ms",
+}
+
+
 class Registry:
     """Global config registry; thread-safe GET/SET with validation."""
 
@@ -82,6 +93,7 @@ class Registry:
             return entry
 
     def get(self, name: str) -> Any:
+        name = _ALIASES.get(name, name)
         with self._lock:
             e = self._entries.get(name)
             if e is None:
@@ -89,6 +101,7 @@ class Registry:
             return e.value
 
     def set(self, name: str, raw: Any, loading: bool = False) -> None:
+        name = _ALIASES.get(name, name)
         with self._lock:
             e = self._entries.get(name)
             if e is None:
@@ -227,13 +240,45 @@ _num("search.mutation-compaction-threshold", 4096, 1, 10_000_000)
 _num("search.backfill-batch-size", 10240, 1, 10_000_000)
 _num("search.max-indexes", 256, 1, 10_000)
 _num("search.max-attributes", 64, 1, 1024)
-_num("search.max-tag-field-len", 1024, 1, 1_000_000)
+_num("search.max-tag-field-len", 256, 1, 1_000_000)
 _num("search.max-prefixes", 16, 1, 1024)
+# ---- reference-spelling configurables (docs/topics/search-configurables
+# .md; defaults from the reference registration sites) -------------------
+_num("search.query-string-bytes", 10_240, 1, 1 << 30)   # options.cc:65
+_num("search.fuzzy-max-distance", 3, 1, 50)             # filter_parser.cc:62
+_num("search.max-term-expansions", 200, 1, 100_000)     # options.cc:330
+_num("search.tag-min-prefix-length", 2, 0, 1024)        # options.cc:344
+_num("search.max-vector-knn", 10_000, 1, 100_000)       # ft_search_parser:35
+_num("search.max-numeric-field-length", 128, 1, 256)    # ft_create_parser:66
+_num("search.max-vector-attributes", 1000, 1, 10_000)   # ft_create_parser:62
+_num("search.max-vector-dimensions", 32_768, 1, 64_000)
+_num("search.max-vector-m", 2_000_000, 2, 2_000_000)
+_num("search.max-vector-ef-construction", 1_000_000, 1, 1_000_000)
+_num("search.max-vector-ef-runtime", 1_000_000, 1, 1_000_000)
+_num("search.max-search-result-record-size",            # response_gen:53
+     5 * 1024 * 1024, 100, 10 * 1024 * 1024)
+_num("search.max-search-result-fields-count", 500, 1, 1000)
+_bool("search.prefer-consistent-results", True)  # CONSISTENT is default
+_bool("search.drain-mutation-queue-on-save", True)
+_num("search.ft-info-timeout-ms", 5000, 1, 600_000)     # options.cc:20
+_num("search.ft-info-rpc-timeout-ms", 2500, 1, 600_000)
+_num("search.coordinator-query-timeout-secs", 25, 1, 3600)  # client.cc:63
+_num("search.local-fanout-queue-wait-threshold", 50, 0, 60_000)
+_num("search.thread-pool-wait-time-samples", 100, 1, 100_000)
+_num("search.high-priority-weight", 100, 0, 1_000_000)  # options.cc:239
+_num("search.utility-threads", 1, 0, 1024)
+_num("search.max-worker-suspension-secs", 60, 0, 86_400)
+_num("search.cluster-map-expiration-ms", 1000, 1, 600_000)
+# accepted for compatibility; this runtime's proximity iterator and
+# result cleanup have a single behavior (no legacy mode / no deferred
+# reclamation thread)
+_bool("search.proximity-inorder-compat-mode", False)
+_bool("search.search-result-background-cleanup", True)
 _bool("search.use-coordinator", True)              # mesh fanout on/off
 _num("search.fanout-shards", 1, 1, 4096, flags=Flag.IMMUTABLE)
 _bool("search.skip-rdb-load", False)               # README.md:60-77 recovery path
 _num("search.max-query-depth", 1000, 1, 100_000)   # filter_parser depth limit
-_num("search.max-query-terms", 16, 1, 10_000)
+_num("search.max-query-terms", 1000, 1, 10_000)    # reference default 1000
 _num("search.max-text-query-terms", 16, 1, 10_000)
 _bool("search.enable-partial-results", False)
 # fanout target selection (reference FanoutTargetMode, cluster_map.h:38-46)

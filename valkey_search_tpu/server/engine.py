@@ -513,7 +513,8 @@ class Engine:
         save, SURVEY.md §3.5)."""
         from valkey_search_tpu.persistence import save_engine
 
-        self.drain()
+        if config.get("search.drain-mutation-queue-on-save"):
+            self.drain()
         return save_engine(self, path)
 
     @classmethod

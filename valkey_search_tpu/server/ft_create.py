@@ -190,15 +190,27 @@ def parse_ft_create(args: List[str]) -> Tuple[IndexSchema, bool]:
             metric = kv["DISTANCE_METRIC"].lower()
             if metric not in ("l2", "ip", "cosine"):
                 raise FTCreateError(f"bad DISTANCE_METRIC {kv['DISTANCE_METRIC']}")
+            from valkey_search_tpu.runtime import config as _cfg
+
+            # reference limit configs (ft_create_parser.cc:62-93)
+            max_dim = int(_cfg.get("search.max-vector-dimensions"))
+            if int(kv["DIM"]) > max_dim:
+                raise FTCreateError(
+                    f"DIM exceeds search.max-vector-dimensions ({max_dim})")
+            max_m = min(512, int(_cfg.get("search.max-vector-m")))
             m = int(kv.get("M", 16))
-            if not 1 <= m <= 512:
-                raise FTCreateError("M must be in [1, 512]")
+            if not 1 <= m <= max_m:
+                raise FTCreateError(f"M must be in [1, {max_m}]")
+            max_efc = min(4096,
+                          int(_cfg.get("search.max-vector-ef-construction")))
             efc = int(kv.get("EF_CONSTRUCTION", 200))
-            if not 1 <= efc <= 4096:
-                raise FTCreateError("EF_CONSTRUCTION must be in [1, 4096]")
+            if not 1 <= efc <= max_efc:
+                raise FTCreateError(
+                    f"EF_CONSTRUCTION must be in [1, {max_efc}]")
+            max_efr = min(4096, int(_cfg.get("search.max-vector-ef-runtime")))
             efr = int(kv["EF_RUNTIME"]) if "EF_RUNTIME" in kv else None
-            if efr is not None and not 1 <= efr <= 4096:
-                raise FTCreateError("EF_RUNTIME must be in [1, 4096]")
+            if efr is not None and not 1 <= efr <= max_efr:
+                raise FTCreateError(f"EF_RUNTIME must be in [1, {max_efr}]")
             schema.add_vector_attribute(
                 alias,
                 identifier,

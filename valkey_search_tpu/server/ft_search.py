@@ -422,7 +422,20 @@ def shape_reply(
                 if v is not None:
                     pairs += [as_name, v]
         else:
+            # record content caps (reference max-search-result-fields-count
+            # / max-search-result-record-size, response_generator.cc:40-75:
+            # oversized records return truncated content rather than
+            # blowing up the reply)
+            max_fields = int(config.get("search.max-search-result-fields-count"))
+            max_bytes = int(config.get("search.max-search-result-record-size"))
+            nbytes = 0
             for f, v in sorted((fields or {}).items()):
+                if len(pairs) // 2 >= max_fields:
+                    break
+                nbytes += len(f) + (len(v) if isinstance(v, (str, bytes))
+                                    else 8)
+                if nbytes > max_bytes:
+                    break
                 pairs += [f, v]
         if resp.score_field is not None and (
             sp.return_fields is None

@@ -23,6 +23,7 @@ from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Set, Tupl
 import numpy as np
 
 from valkey_search_tpu.indexes.base import EntriesFetcher, IndexBase, RecordResult
+from valkey_search_tpu.runtime import config
 from valkey_search_tpu.text.lexer import (
     DEFAULT_MIN_STEM_SIZE,
     DEFAULT_PUNCTUATION,
@@ -365,13 +366,16 @@ class TextEngine:
         """Dictionary words one matcher touches (reference term.h /
         fuzzy.h / radix WordIterator walks)."""
         match = pred.match
+        # reference max-term-expansions config caps prefix/suffix/fuzzy
+        # word expansion (options.cc:330, default 200)
+        max_exp = int(config.get("search.max-term-expansions"))
         if match == "term":
             return self._expand_term(pred.term, pred.field)
         if match == "prefix":
             words = []
             for w in self.dictionary.keys(self.lexer.normalize(pred.term)):
                 words.append(w)
-                if len(words) >= MAX_WORD_EXPANSIONS:
+                if len(words) >= max_exp:
                     break
             return words
         if match == "suffix":
@@ -393,7 +397,7 @@ class TextEngine:
                     for w in bag:
                         if w.endswith(suf):
                             words.append(w)
-                            if len(words) >= MAX_WORD_EXPANSIONS:
+                            if len(words) >= max_exp:
                                 return words
                 return words
             # no suffix trie anywhere: brute dictionary scan (the reference
@@ -402,7 +406,7 @@ class TextEngine:
             for w in self.dictionary.keys():
                 if w.endswith(suf):
                     words.append(w)
-                    if len(words) >= MAX_WORD_EXPANSIONS:
+                    if len(words) >= max_exp:
                         break
             return words
         if match == "infix":
@@ -411,7 +415,7 @@ class TextEngine:
             for w in self.dictionary.keys():
                 if sub in w:
                     words.append(w)
-                    if len(words) >= MAX_WORD_EXPANSIONS:
+                    if len(words) >= max_exp:
                         break
             return words
         if match == "fuzzy":
@@ -539,7 +543,8 @@ class TextEngine:
                 sorted(self._phrase_docs(pred, mask)), np.int64
             )
         key = (pred.match, pred.term, pred.field,
-               getattr(pred, "distance", 0))
+               getattr(pred, "distance", 0),
+               int(config.get("search.max-term-expansions")))
         with self._lock:
             hit = self._matcher_cache.get(key)
             if hit is not None and hit[0] == self.revision:
