@@ -223,6 +223,11 @@ def _register_builtin_fields() -> None:
               "coordinator_client_partition_successes")
     R.counter("search_coordinator_client_search_index_partition_failure_count",
               "coordinator_client_partition_failures")
+    # coordinator RPC latency (reference *_latency samplers, server.cc:87)
+    _sampler_fields("search_coordinator_server_search_index_partition_success",
+                    "coordinator_server_partition_success_usec")
+    _sampler_fields("search_coordinator_server_search_index_partition_failure",
+                    "coordinator_server_partition_failure_usec")
     R.counter("search_fanout_retries", "fanout_retries", dev=True)
     R.counter("search_fanout_inconsistent_snapshots", "fanout_inconsistent")
     R.counter("search_metadata_broadcasts", "metadata_broadcasts", dev=True)
