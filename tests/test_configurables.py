@@ -125,3 +125,65 @@ def test_query_string_bytes_enforced():
     config.set_config("search.query-string-bytes", 64)
     with pytest.raises(Exception, match="query-string-bytes"):
         e.execute("FT.SEARCH", "c7", "@t:{" + "x" * 200 + "}")
+
+
+# -- review-fix regressions ---------------------------------------------------
+
+def test_config_get_wire_resolves_aliases():
+    from valkey_search_tpu.cluster.transport import RespConnection
+    from valkey_search_tpu.server.resp import RespServer
+
+    srv = RespServer(Engine(sync_ingest=True), port=0)
+    srv.start()
+    try:
+        c = RespConnection(("127.0.0.1", srv.port))
+        c.cmd("CONFIG", "SET", "search.default-timeout-ms", "12345")
+        r = c.cmd("CONFIG", "GET", "search.default-timeout-ms")
+        assert r and r[1] == b"12345", r
+        r2 = c.cmd("CONFIG", "GET", "search.timeout-ms")
+        assert r2[1] == b"12345"  # one shared value
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_max_term_expansions_caps_fuzzy():
+    e = Engine(sync_ingest=True)
+    e.execute("FT.CREATE", "cf", "SCHEMA", "t", "TEXT")
+    for i in range(30):
+        e.hset(f"k{i}", {"t": f"wor{chr(97 + i % 26)}{i:02d}"})
+    config.set_config("search.max-term-expansions", 4)
+    r = e.execute("FT.SEARCH", "cf", "%%wor%%", "NOCONTENT",
+                  "LIMIT", "0", "50")
+    assert r[0] <= 4
+
+
+def test_max_vector_m_config_is_the_limit():
+    config.set_config("search.max-vector-m", 1000)
+    e = Engine(sync_ingest=True)
+    e.execute("FT.CREATE", "cm", "SCHEMA", "v", "VECTOR", "HNSW", "8",
+              "TYPE", "FLOAT32", "DIM", "3", "DISTANCE_METRIC", "L2",
+              "M", "600")
+    with pytest.raises(Exception, match=r"M must be in \[1, 1000\]"):
+        e.execute("FT.CREATE", "cm2", "SCHEMA", "v", "VECTOR", "HNSW", "8",
+                  "TYPE", "FLOAT32", "DIM", "3", "DISTANCE_METRIC", "L2",
+                  "M", "1200")
+
+
+def test_return_branch_respects_record_caps():
+    e = Engine(sync_ingest=True)
+    e.execute("FT.CREATE", "cr", "SCHEMA", "t", "TAG")
+    e.hset("big", {"t": "x", "huge": "h" * 4000, "small": "s"})
+    config.set_config("search.max-search-result-record-size", 200)
+    r = e.execute("FT.SEARCH", "cr", "@t:{x}", "RETURN", "2",
+                  "huge", "small")
+    fields = dict(zip(r[2][::2], r[2][1::2]))
+    assert "huge" not in fields  # truncated by the byte cap
+
+
+def test_escaped_trailing_star_is_literal_tag():
+    e = Engine(sync_ingest=True)
+    e.execute("FT.CREATE", "ce", "SCHEMA", "t", "TAG")
+    e.hset("lit", {"t": "y*"})
+    # escaped star: literal match, NOT a too-short prefix wildcard error
+    assert e.execute("FT.SEARCH", "ce", r"@t:{y\*}", "NOCONTENT")[0] == 1

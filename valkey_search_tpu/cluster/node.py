@@ -332,7 +332,8 @@ class ClusterEngine:
         # flag (INCONSISTENT returns valid results even when forced —
         # reference consistency controls); default is consistent here to
         # preserve the strict in-process simulation semantics
-        consistent = sp.params.get("__consistent", True)
+        consistent = sp.params.get(
+            "__consistent", config.get("search.prefer-consistent-results"))
         if consistent and CONTROLLED.is_true("force_invalid_index_fingerprint"):
             raise ConsistencyError("forced index fingerprint mismatch")
         mine = node.metadata.get(sp.index_name)

@@ -232,29 +232,33 @@ class FilterParser:
         assert self._next() == "{"
         values: List[str] = []
         cur: List[str] = []
+        esc_last = False  # True when the value's final char was escaped
         while True:
             c = self._next()
             if not c:
                 self._error("unterminated '{'")
             if c == "\\":
                 cur.append(self._next())
+                esc_last = True
             elif c == "|":
-                values.append("".join(cur))
-                cur = []
+                values.append(("".join(cur), esc_last))
+                cur, esc_last = [], False
             elif c == "}":
-                values.append("".join(cur))
+                values.append(("".join(cur), esc_last))
                 break
             else:
                 cur.append(c)
+                esc_last = False
         out = []
         min_prefix = int(config.get("search.tag-min-prefix-length"))
-        for v in values:
+        for v, escaped_tail in values:
             v = self._subst(v.strip())
             if v:
                 # prefix wildcards need a minimum stem (reference
                 # tag.cc:160-167: tags of length <= min+1 incl. the '*'
-                # are "too short for prefix wildcard")
-                if (v.endswith("*") and len(v) > 1
+                # are "too short for prefix wildcard"); an ESCAPED
+                # trailing '*' is a literal character, not a wildcard
+                if (not escaped_tail and v.endswith("*") and len(v) > 1
                         and len(v) - 1 < min_prefix):
                     self._error(
                         f"Tag string `{v}` is too short for prefix wildcard."

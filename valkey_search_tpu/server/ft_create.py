@@ -197,17 +197,20 @@ def parse_ft_create(args: List[str]) -> Tuple[IndexSchema, bool]:
             if int(kv["DIM"]) > max_dim:
                 raise FTCreateError(
                     f"DIM exceeds search.max-vector-dimensions ({max_dim})")
-            max_m = min(512, int(_cfg.get("search.max-vector-m")))
+            # the configs ARE the limits (reference ft_create_parser.cc
+            # registers the limit configs with kMaxM/kMaxEf* defaults;
+            # operators can lower them, and raising past the registry max
+            # is refused at CONFIG SET)
+            max_m = int(_cfg.get("search.max-vector-m"))
             m = int(kv.get("M", 16))
             if not 1 <= m <= max_m:
                 raise FTCreateError(f"M must be in [1, {max_m}]")
-            max_efc = min(4096,
-                          int(_cfg.get("search.max-vector-ef-construction")))
+            max_efc = int(_cfg.get("search.max-vector-ef-construction"))
             efc = int(kv.get("EF_CONSTRUCTION", 200))
             if not 1 <= efc <= max_efc:
                 raise FTCreateError(
                     f"EF_CONSTRUCTION must be in [1, {max_efc}]")
-            max_efr = min(4096, int(_cfg.get("search.max-vector-ef-runtime")))
+            max_efr = int(_cfg.get("search.max-vector-ef-runtime"))
             efr = int(kv["EF_RUNTIME"]) if "EF_RUNTIME" in kv else None
             if efr is not None and not 1 <= efr <= max_efr:
                 raise FTCreateError(f"EF_RUNTIME must be in [1, {max_efr}]")

@@ -405,6 +405,16 @@ def shape_reply(
         total = resp.total if resp.knn is None else len(rows)
     window = rows[sp.limit_offset : sp.limit_offset + sp.limit_num]
 
+    # record content caps (reference max-search-result-fields-count /
+    # max-search-result-record-size, response_generator.cc:40-75:
+    # oversized records return truncated content rather than blowing up
+    # the reply) — both content branches respect them
+    max_fields = int(config.get("search.max-search-result-fields-count"))
+    max_bytes = int(config.get("search.max-search-result-record-size"))
+
+    def _vbytes(f, v):
+        return len(f) + (len(v) if isinstance(v, (str, bytes)) else 8)
+
     reply: list = [total]
     for nb, fields in window:
         reply.append(nb.key)
@@ -413,6 +423,7 @@ def shape_reply(
                 reply.append(_sortkey_value(nb, fields, sp, resp))
             continue
         pairs: list = []
+        nbytes = 0
         if sp.return_fields is not None:
             for f, as_name in sp.return_fields:
                 if resp.score_field is not None and f == resp.score_field:
@@ -420,20 +431,17 @@ def shape_reply(
                     continue
                 v = (fields or {}).get(f)
                 if v is not None:
+                    if len(pairs) // 2 >= max_fields:
+                        break
+                    nbytes += _vbytes(f, v)
+                    if nbytes > max_bytes:
+                        break
                     pairs += [as_name, v]
         else:
-            # record content caps (reference max-search-result-fields-count
-            # / max-search-result-record-size, response_generator.cc:40-75:
-            # oversized records return truncated content rather than
-            # blowing up the reply)
-            max_fields = int(config.get("search.max-search-result-fields-count"))
-            max_bytes = int(config.get("search.max-search-result-record-size"))
-            nbytes = 0
             for f, v in sorted((fields or {}).items()):
                 if len(pairs) // 2 >= max_fields:
                     break
-                nbytes += len(f) + (len(v) if isinstance(v, (str, bytes))
-                                    else 8)
+                nbytes += _vbytes(f, v)
                 if nbytes > max_bytes:
                     break
                 pairs += [f, v]

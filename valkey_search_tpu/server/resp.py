@@ -724,6 +724,11 @@ class _Handler(socketserver.StreamRequestHandler):
                 raise RespError("wrong number of arguments for 'config|get'")
             pattern = _s(rest[1])
             snap = config.REGISTRY.snapshot(include_hidden=False)
+            # reference-spelled aliases answer CONFIG GET too (they share
+            # the target entry's value, config.py _ALIASES)
+            for alias, target in config._ALIASES.items():
+                if target in snap:
+                    snap.setdefault(alias, snap[target])
             out = {}
             for name, val in sorted(snap.items()):
                 if fnmatchcase(name, pattern) or name == pattern:

@@ -34,10 +34,6 @@ from valkey_search_tpu.text.posting import MAX_TEXT_FIELDS, Postings
 from valkey_search_tpu.text.radix import RadixTree
 
 ALL_FIELDS_MASK = (1 << MAX_TEXT_FIELDS) - 1
-# Cap on dictionary words expanded per wildcard matcher, mirroring the
-# reference's bounded iterator walks (radix_tree.h WordIterator users cap
-# expansion; see also search.cc max-results guards).
-MAX_WORD_EXPANSIONS = 4096
 
 
 @dataclasses.dataclass
@@ -421,7 +417,12 @@ class TextEngine:
         if match == "fuzzy":
             target = self.lexer.normalize(pred.term)
             dist = max(1, int(pred.distance))
-            return [w for w, _, _ in self.dictionary.fuzzy(target, dist)]
+            out = []
+            for w, _, _ in self.dictionary.fuzzy(target, dist):
+                out.append(w)
+                if len(out) >= max_exp:
+                    break
+            return out
         if match == "phrase":
             raise ValueError("phrase expands per word")
         raise ValueError(f"unknown text match kind {pred.match!r}")
