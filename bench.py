@@ -364,12 +364,31 @@ def main():
             r_hyb = qps_of(hybrid_t)
             log(f"text QPS (1 core): term={r_term:.0f} and={r_and:.0f} "
                 f"prefix={r_pref:.0f} tag+text={r_hyb:.0f}")
+            # FT.AGGREGATE: GROUPBY+REDUCE over a selective slice and over
+            # the hot-term match set (the reference FTS benchmark's
+            # aggregation mix analog)
+            def agg_qps(q, reps=30):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    eng.ft_aggregate(
+                        "t", q, "LOAD", "1", "@tag",
+                        "GROUPBY", "1", "@tag",
+                        "REDUCE", "COUNT", "0", "AS", "c",
+                    )
+                return reps / (time.perf_counter() - t0)
+
+            r_agg_sel = agg_qps(f"@body:{vocab[3000]}")
+            r_agg_hot = agg_qps(f"@body:{vocab[5]}", reps=10)
+            log(f"aggregate QPS (1 core): selective={r_agg_sel:.0f} "
+                f"hot-term={r_agg_hot:.0f}")
             result["details"].update({
                 "text_ingest_docs_per_s": round(text_ingest, 1),
                 "text_term_qps_1core": round(r_term, 1),
                 "text_and_qps_1core": round(r_and, 1),
                 "text_prefix_qps_1core": round(r_pref, 1),
                 "text_hybrid_qps_1core": round(r_hyb, 1),
+                "aggregate_selective_qps_1core": round(r_agg_sel, 1),
+                "aggregate_hotterm_qps_1core": round(r_agg_hot, 1),
             })
 
         # ---- HNSW: north-star config (BASELINE.md #2) -------------------------
