@@ -271,6 +271,11 @@ class Engine:
             return -1 if dl is None else max(0.0, dl - time.time())
 
     def _expire_if_due(self, key: str) -> bool:
+        # lock-free fast path: with no TTLs anywhere there is nothing to
+        # expire — this probe sits on every read, incl. per-result-row in
+        # content resolution (emptiness reads are GIL-atomic)
+        if not self._expiry and not self._field_expiry:
+            return False
         self._expire_fields_if_due(key)
         with self._lock:
             dl = self._expiry.get(key)
@@ -349,6 +354,8 @@ class Engine:
     def _expire_fields_if_due(self, key: Optional[str] = None) -> int:
         """Drop due fields (one key, or all when key is None); re-index
         surviving content, delete keys whose last field expired."""
+        if not self._field_expiry:  # lock-free emptiness fast path
+            return 0
         now = time.time()
         with self._lock:
             if not self._field_expiry:

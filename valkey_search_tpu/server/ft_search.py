@@ -188,6 +188,20 @@ def resolve_content(
         # which bumps no epoch until touched, so each key still gets the
         # lazy-expiry probe. NOCONTENT skips the field fetch.
         fast: List[Tuple[Neighbor, Optional[Dict[str, Value]]]] = []
+        no_ttls = (engine is not None
+                   and not engine._expiry and not engine._field_expiry)
+        if engine is not None and not no_content and no_ttls:
+            # batch content read: one lock for the whole window instead of
+            # two lock round-trips per row (hgetall + expiry probe were
+            # ~55% of a 10k-row aggregate's LOAD time)
+            with engine._lock:
+                ks = engine.keyspace
+                for nb in resp.neighbors:
+                    doc = ks.get(nb.key)
+                    if doc:
+                        engine._touch(nb.key)
+                        fast.append((nb, dict(doc)))
+            return fast
         for nb in resp.neighbors:
             if engine is not None and engine._expire_if_due(nb.key):
                 continue
