@@ -52,11 +52,21 @@ class SearchParameters:
     local_only: bool = False
 
 
-@dataclasses.dataclass
 class Neighbor:
-    key: str
-    distance: Optional[float] = None  # None for non-vector queries
-    doc: int = -1
+    """Result row (key, distance, doc). Hand-rolled __slots__ class: a
+    result window constructs tens of thousands of these per query, and
+    the generated dataclass __init__ was the top cost of a 10k-row
+    aggregate's profile."""
+
+    __slots__ = ("key", "distance", "doc")
+
+    def __init__(self, key, distance=None, doc=-1):
+        self.key = key
+        self.distance = distance  # None for non-vector queries
+        self.doc = doc
+
+    def __repr__(self):
+        return f"Neighbor({self.key!r}, {self.distance}, {self.doc})"
 
 
 @dataclasses.dataclass
