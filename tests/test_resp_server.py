@@ -493,11 +493,12 @@ def test_multidb_select_isolation_and_swapdb(server, client):
     assert client.cmd("HGET", "k", "f") == b"one"  # post-swap db 0
 
 
-def test_multidb_rejected_in_cluster_mode(server, client):
+def test_multidb_in_cluster_mode(server, client):
+    """valkey 9 dbnum: SELECT works in cluster mode (test_dbnum.py);
+    SWAPDB stays a standalone-only operation."""
     server.key_router = lambda key: None  # cluster hook installed
     try:
-        with pytest.raises(ReplyError, match="cluster"):
-            client.cmd("SELECT", "2")
+        assert client.cmd("SELECT", "2") == "OK"
         with pytest.raises(ReplyError, match="cluster"):
             client.cmd("SWAPDB", "0", "1")
         assert client.cmd("SELECT", "0") == "OK"

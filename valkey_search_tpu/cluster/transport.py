@@ -154,7 +154,8 @@ class _Replica:
     contained in the snapshot and must not be re-sent (re-sending an older
     write after the snapshot could permanently regress a key)."""
 
-    __slots__ = ("addr", "conn", "ready", "backlog", "min_seq", "lock")
+    __slots__ = ("addr", "conn", "ready", "backlog", "min_seq", "lock",
+                 "last_db")
 
     def __init__(self, addr: str, conn: "RespConnection"):
         self.addr = addr
@@ -163,6 +164,7 @@ class _Replica:
         self.backlog: collections.deque = collections.deque()
         self.min_seq = 0
         self.lock = threading.Lock()  # serializes sends to this conn
+        self.last_db = 0  # db the stream conn last SELECTed
 
 
 class NodeServer:
@@ -250,6 +252,7 @@ class NodeServer:
         self.resp.write_observer = self._forward_write
         self.resp.key_router = self._check_slot
         self.resp.multi_query_guard = self._multi_query_ok
+        self.resp.engine_factory = self._make_db_engine
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "NodeServer":
@@ -413,16 +416,21 @@ class NodeServer:
             if cmd == "COPY" and len(rest) >= 2:
                 # cluster COPY: destination must hash to an owned slot too
                 self._check_slot(_s(rest[1]))
-            from valkey_search_tpu.server.resp import _ok
+            from valkey_search_tpu.server.resp import CURRENT_CONN, _ok
 
+            # logical-db routing (valkey 9 cluster dbnum): the command
+            # executes against the connection's SELECTed db engine
+            db = getattr(getattr(CURRENT_CONN, "handler", None), "db", 0)
+            eng = self.engine if db == 0 else self.resp.engine_for(db)
             if cmd in writes and self.resp.write_observer is not None:
                 # apply + capture under the engine lock so the replica
                 # stream order equals the apply order
-                with self.engine._lock:
-                    result = self.engine.execute(cmd, *rest)
-                    self.resp.write_observer([cmd.encode()] + list(rest))
+                with eng._lock:
+                    result = eng.execute(cmd, *rest)
+                    self.resp.write_observer([cmd.encode()] + list(rest),
+                                             db=db)
             else:
-                result = self.engine.execute(cmd, *rest)
+                result = eng.execute(cmd, *rest)
             return _ok(result)
 
         return run
@@ -479,6 +487,18 @@ class NodeServer:
             with self._repl_cv:
                 rep.min_seq = self._repl_seq
             snapshot = {k: dict(v) for k, v in self.engine.keyspace.items()}
+        # non-zero dbs (valkey 9 cluster dbnum): snapshot each under its
+        # own engine lock; writes racing these snapshots carry seq >
+        # min_seq and replay from the backlog in order (idempotent over
+        # the snapshot content)
+        db_snapshots = {}
+        with self.resp._db_lock:
+            extra_dbs = {d: e for d, e in self.resp.engines.items() if d != 0}
+        for d, eng in sorted(extra_dbs.items()):
+            with eng._lock:
+                db_snapshots[d] = {
+                    k: dict(v) for k, v in eng.keyspace.items()
+                }
         if old is not None:
             try:
                 old.conn.close()
@@ -491,15 +511,31 @@ class NodeServer:
         except (OSError, ReplyError):
             pass
         sync_failed = False
-        for key, fields in snapshot.items():
-            argv = ["HSET", key]
-            for f, v in fields.items():
-                argv += [f, v]
+
+        def _replay(db, snap):
             try:
-                conn.cmd(*argv)
+                if rep.last_db != db:
+                    conn.cmd("SELECT", str(db))
+                    rep.last_db = db
             except (OSError, ReplyError):
-                sync_failed = True
+                return False
+            for key, fields in snap.items():
+                argv = ["HSET", key]
+                for f, v in fields.items():
+                    argv += [f, v]
+                try:
+                    conn.cmd(*argv)
+                except (OSError, ReplyError):
+                    return False
+            return True
+
+        if not _replay(0, snapshot):
+            sync_failed = True
+        for d, snap in db_snapshots.items():
+            if sync_failed:
                 break
+            if not _replay(d, snap):
+                sync_failed = True
         # flush writes that raced the snapshot replay, then go live. A
         # send failure anywhere in the sync must NOT mark the replica
         # ready — a ready replica that missed backlog entries diverges
@@ -508,8 +544,11 @@ class NodeServer:
         if not sync_failed:
             with rep.lock:
                 while rep.backlog:
-                    _seq, argv = rep.backlog.popleft()
+                    _seq, bdb, argv = rep.backlog.popleft()
                     try:
+                        if rep.last_db != bdb:
+                            conn.cmd("SELECT", str(bdb))
+                            rep.last_db = bdb
                         conn.cmd(*argv)
                     except (OSError, EOFError, ReplyError):
                         sync_failed = True
@@ -523,15 +562,16 @@ class NodeServer:
             raise ValueError("full sync aborted: replica link failed")
         return SimpleString("OK")
 
-    def _forward_write(self, argv: List[bytes]) -> None:
-        """write_observer hook — called UNDER the engine lock right after
-        a write applies. Appends to the ordered replication log; the
-        forwarder thread drains it in sequence order."""
+    def _forward_write(self, argv: List[bytes], db: int = 0) -> None:
+        """write_observer hook — called UNDER the owning engine's lock
+        right after a write applies. Appends to the ordered replication
+        log (with the logical db, valkey 9 cluster dbnum); the forwarder
+        thread drains it in sequence order."""
         if not self._replica_conns:
             return
         with self._repl_cv:
             self._repl_seq += 1
-            self._repl_log.append((self._repl_seq, list(argv)))
+            self._repl_log.append((self._repl_seq, int(db), list(argv)))
             self._repl_cv.notify()
 
     def _ensure_repl_thread(self) -> None:
@@ -554,7 +594,7 @@ class NodeServer:
                     self._repl_cv.wait(0.2)
                 if not self._repl_log:
                     continue
-                seq, argv = self._repl_log.popleft()
+                seq, db, argv = self._repl_log.popleft()
             with self._repl_lock:
                 reps = list(self._replica_conns.items())
             dead: List[tuple] = []
@@ -563,9 +603,12 @@ class NodeServer:
                     continue  # already contained in this replica's snapshot
                 with rep.lock:
                     if not rep.ready:
-                        rep.backlog.append((seq, argv))
+                        rep.backlog.append((seq, db, argv))
                         continue
                     try:
+                        if rep.last_db != db:
+                            rep.conn.cmd("SELECT", str(db))
+                            rep.last_db = db
                         rep.conn.cmd(*argv)
                     except (OSError, EOFError, ReplyError):
                         # dead replica: drop it; it re-registers on restart
@@ -588,16 +631,29 @@ class NodeServer:
         from valkey_search_tpu.persistence.checkpoint import _build_schema
         from valkey_search_tpu.schema.schema_manager import SchemaError
 
-        mgr = self.engine.manager
-        try:
-            mgr.drop(name)
-        except SchemaError:
-            pass
+        # tombstones carry no payload (and so no db): drop the name from
+        # every db engine — cluster index names are unique across dbs in
+        # this runtime (metadata entries are keyed by name)
+        engines = [self.engine]
+        with self.resp._db_lock:
+            engines += [e for d, e in self.resp.engines.items() if d != 0]
+        for eng in engines:
+            try:
+                eng.manager.drop(name)
+            except SchemaError:
+                pass
         if payload is None:
             return
-        schema = _build_schema(payload)
-        mgr.create(schema)
-        mgr.backfill(schema, self.engine.keyspace)
+        db = int(payload.get("db", 0) or 0)
+        eng = self.engine if db == 0 else self.resp.engine_for(db)
+        # within a db's engine schemas register under db 0 — the logical
+        # db is carried by WHICH engine holds them (RespServer multidb
+        # convention); the metadata payload keeps the real db for routing
+        pl = dict(payload)
+        pl["db"] = 0
+        schema = _build_schema(pl)
+        eng.manager.create(schema)
+        eng.manager.backfill(schema, eng.keyspace)
 
     # -- gossip loop -----------------------------------------------------------
     def _peer_conn(self, addr: str) -> RespConnection:
@@ -642,6 +698,23 @@ class NodeServer:
                         pass
 
     # -- cluster-mode index lifecycle ------------------------------------------
+    def _engine_for_index(self, name: str):
+        """The db engine holding a cluster index, resolved through the
+        metadata entry's db (valkey 9 cluster dbnum)."""
+        entry = self.metadata.get(name)
+        db = 0
+        if entry is not None and entry.payload is not None:
+            db = int(entry.payload.get("db", 0) or 0)
+        return self.engine if db == 0 else self.resp.engine_for(db)
+
+    def _make_db_engine(self):
+        """engine_factory for per-db engines on this node: they share the
+        node's cluster identity (metadata ref marks cluster semantics —
+        e.g. FLUSHALL keeps index definitions)."""
+        eng = Engine(sync_ingest=True)
+        eng.metadata = self.metadata
+        return eng
+
     def _deny_replica_write(self) -> None:
         """FT.CREATE/FT.DROPINDEX are refused on replicas — index metadata
         flows primary→replica through replication/gossip only (reference
@@ -662,6 +735,13 @@ class NodeServer:
         schema, _skip = ft_create_mod.parse_ft_create([_s(a) for a in rest])
         payload = _schema_definition(schema)
         payload.pop("mutation_epoch", None)
+        # the connection's SELECTed db rides in the metadata payload
+        # (valkey 9 cluster dbnum; reference IndexSchema proto db_num —
+        # also drives the 1.1 minimum metadata version)
+        from valkey_search_tpu.server.resp import CURRENT_CONN
+
+        payload["db"] = getattr(
+            getattr(CURRENT_CONN, "handler", None), "db", 0)
         # normalize through JSON so the entry fingerprint is identical no
         # matter which process computed it (tuples→lists etc.)
         payload = json.loads(json.dumps(payload, sort_keys=True))
@@ -750,9 +830,10 @@ class NodeServer:
         shard_sp = _dc.replace(
             sp, limit_offset=0, limit_num=sp.limit_offset + sp.limit_num
         )
-        schema = self.engine.manager.get(sp.index_name)
+        eng = self._engine_for_index(sp.index_name)
+        schema = eng.manager.get(sp.index_name)
         resp = execute_search(schema, shard_sp)
-        rows = ft_search_mod.resolve_content(self.engine, schema, resp)
+        rows = ft_search_mod.resolve_content(eng, schema, resp)
         enc_rows = []
         for nb, fields in rows:
             f_enc = None
@@ -786,7 +867,8 @@ class NodeServer:
             if n is not None and int(str(n)) > 0:
                 CONTROLLED.set(var, int(str(n)) - 1)
                 raise RespError(msg)
-        return self.engine.ft_info(_s(rest[0]))
+        name = _s(rest[0])
+        return self._engine_for_index(name).ft_info(name)
 
     def _cmd_meta_fp(self, rest: List[bytes]):
         return str(self.metadata.top_fingerprint())

@@ -393,16 +393,14 @@ class _Handler(socketserver.StreamRequestHandler):
                 raise RespError("wrong number of arguments for 'auth' command")
             return SimpleString("OK")
         if cmd == "SELECT":
-            # standalone supports the full logical-DB range with one Engine
-            # per db (reference: per-db schema registries, schema_manager.h
-            # GetIndexSchema(db_num, ...), integration/test_multidb_search);
-            # cluster mode only allows db 0 (valkey cluster semantics)
+            # full logical-DB range with one Engine per db (reference:
+            # per-db schema registries, schema_manager.h
+            # GetIndexSchema(db_num, ...), integration/test_multidb_search)
+            # — in cluster mode too (valkey 9 dbnum,
+            # integration/test_dbnum.py)
             if len(rest) != 1 or not _s(rest[0]).lstrip("-").isdigit():
                 raise RespError("value is not an integer or out of range")
             n = int(_s(rest[0]))
-            if n != 0 and (srv.key_router is not None
-                           or srv.write_observer is not None):
-                raise RespError("SELECT is not allowed in cluster mode")
             if not 0 <= n < srv.databases:
                 raise RespError("DB index is out of range")
             self.db = n
@@ -545,7 +543,7 @@ class _Handler(socketserver.StreamRequestHandler):
             # must not block; forwarding happens on a dedicated thread).
             with engine._lock:
                 result = engine.execute(*argv, user=self.user)
-                srv.write_observer(argv)
+                srv.write_observer(argv, db=self.db)
             return _ok(result)
         return _ok(engine.execute(*argv, user=self.user))
 
@@ -616,7 +614,7 @@ class _Handler(socketserver.StreamRequestHandler):
                     # replicate the transaction's writes in apply order
                     # through the same ordered stream as plain writes
                     for argv in repl:
-                        srv.write_observer(argv)
+                        srv.write_observer(argv, db=self.db)
         finally:
             self._in_exec = False
         return results
@@ -881,7 +879,8 @@ class RespServer:
         with self._db_lock:
             eng = self.engines.get(db)
             if eng is None:
-                eng = self.engines[db] = Engine()
+                factory = getattr(self, "engine_factory", None) or Engine
+                eng = self.engines[db] = factory()
             return eng
 
     def all_engines(self) -> List[Engine]:
