@@ -156,3 +156,30 @@ def test_multidb_replication_stream():
         pc.close()
         primary.close()
         replica.close()
+
+
+def test_cross_db_name_collision_and_drop_guards(trio_nodes):
+    """Re-creating an existing cluster index name (any db) errors instead
+    of silently destroying it, and FT.DROPINDEX only sees the SELECTed
+    db's indexes (review findings: cross-db destruction repros)."""
+    from valkey_search_tpu.cluster.transport import ReplyError
+
+    nodes = trio_nodes
+    c = RespConnection(("127.0.0.1", nodes[0].port))
+    try:
+        c.cmd("FT.CREATE", "guard", "SCHEMA", "t", "TAG")
+        c.cmd("SELECT", "1")
+        with pytest.raises(ReplyError, match="already exists"):
+            c.cmd("FT.CREATE", "guard", "SCHEMA", "t", "TAG")
+        # db 0's index untouched
+        c.cmd("SELECT", "0")
+        assert c.cmd("FT._LIST") == [b"guard"]
+        # dropping from the wrong db answers not-found
+        c.cmd("SELECT", "5")
+        with pytest.raises(ReplyError, match="not found"):
+            c.cmd("FT.DROPINDEX", "guard")
+        c.cmd("SELECT", "0")
+        assert c.cmd("FT._LIST") == [b"guard"]
+        assert c.cmd("FT.DROPINDEX", "guard") == "OK"
+    finally:
+        c.close()

@@ -480,22 +480,30 @@ class NodeServer:
         except (OSError, ReplyError):
             pass
         rep = _Replica(addr, conn)
-        with self.engine._lock:
+        # min_seq and EVERY db snapshot are captured inside one critical
+        # section spanning all engine locks (sorted db order; write paths
+        # never nest engine locks, so this cannot deadlock). A write with
+        # seq <= min_seq is then provably inside its db's snapshot and a
+        # later one provably not — required because replayed COPY/EXPIRE
+        # entries are not idempotent over newer snapshot content.
+        with self.resp._db_lock:
+            extra_dbs = sorted(
+                (d, e) for d, e in self.resp.engines.items() if d != 0
+            )
+        import contextlib
+
+        db_snapshots = {}
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(self.engine._lock)
+            for _d, eng in extra_dbs:
+                stack.enter_context(eng._lock)
             with self._repl_lock:
                 old = self._replica_conns.pop(addr, None)
                 self._replica_conns[addr] = rep
             with self._repl_cv:
                 rep.min_seq = self._repl_seq
             snapshot = {k: dict(v) for k, v in self.engine.keyspace.items()}
-        # non-zero dbs (valkey 9 cluster dbnum): snapshot each under its
-        # own engine lock; writes racing these snapshots carry seq >
-        # min_seq and replay from the backlog in order (idempotent over
-        # the snapshot content)
-        db_snapshots = {}
-        with self.resp._db_lock:
-            extra_dbs = {d: e for d, e in self.resp.engines.items() if d != 0}
-        for d, eng in sorted(extra_dbs.items()):
-            with eng._lock:
+            for d, eng in extra_dbs:
                 db_snapshots[d] = {
                     k: dict(v) for k, v in eng.keyspace.items()
                 }
@@ -711,7 +719,7 @@ class NodeServer:
         """engine_factory for per-db engines on this node: they share the
         node's cluster identity (metadata ref marks cluster semantics —
         e.g. FLUSHALL keeps index definitions)."""
-        eng = Engine(sync_ingest=True)
+        eng = Engine(sync_ingest=getattr(self.engine, "_sync_ingest", True))
         eng.metadata = self.metadata
         return eng
 
@@ -742,6 +750,12 @@ class NodeServer:
 
         payload["db"] = getattr(
             getattr(CURRENT_CONN, "handler", None), "db", 0)
+        existing = self.metadata.get(schema.name)
+        if existing is not None and existing.payload is not None:
+            # cluster index names are unique across dbs (metadata entries
+            # key by name): re-creating must error, never silently destroy
+            # the other db's index
+            raise RespError(f"Index {schema.name} already exists")
         # normalize through JSON so the entry fingerprint is identical no
         # matter which process computed it (tuples→lists etc.)
         payload = json.loads(json.dumps(payload, sort_keys=True))
@@ -753,6 +767,15 @@ class NodeServer:
         if not rest:
             raise RespError("wrong number of arguments for FT.DROPINDEX")
         name = _s(rest[0])
+        entry = self.metadata.get(name)
+        if entry is not None and entry.payload is not None:
+            from valkey_search_tpu.server.resp import CURRENT_CONN
+
+            conn_db = getattr(
+                getattr(CURRENT_CONN, "handler", None), "db", 0)
+            if int(entry.payload.get("db", 0) or 0) != conn_db:
+                # the index lives in another db: per-db isolation
+                raise RespError(f"Index with name '{name}' not found")
         if self.metadata.get(name) is None:
             raise RespError(f"Index with name '{name}' not found")
         self.metadata.drop_entry(name)

@@ -822,7 +822,8 @@ class RespServer:
     ):
         self.engine = engine if engine is not None else Engine()
         # logical databases (standalone): db → Engine, created lazily on
-        # SELECT; db 0 is self.engine. Cluster mode restricts to db 0.
+        # SELECT; db 0 is self.engine (cluster mode supports the full
+        # range too — valkey 9 dbnum, cluster/transport.py routing)
         self.engines = {0: self.engine}
         self._db_lock = threading.Lock()
         self.databases = 16
