@@ -183,3 +183,52 @@ def test_cross_db_name_collision_and_drop_guards(trio_nodes):
         assert c.cmd("FT.DROPINDEX", "guard") == "OK"
     finally:
         c.close()
+
+
+def test_multidb_replication_under_concurrent_writers():
+    """Two writer threads on different dbs: the SELECT-framed stream must
+    deliver every write to the right db engine on the replica with no
+    cross-db bleed (single-forwarder ordering drill)."""
+    import threading
+
+    primary = NodeServer("cp", port=0).start()
+    replica = NodeServer("cr", port=0).start()
+    try:
+        replica.become_replica_of(f"127.0.0.1:{primary.port}")
+        N = 150
+
+        def writer(db):
+            c = RespConnection(("127.0.0.1", primary.port))
+            if db:
+                c.cmd("SELECT", str(db))
+            for i in range(N):
+                c.cmd("HSET", f"w{db}:{i}", "f", f"v{db}-{i}")
+            c.close()
+
+        ts = [threading.Thread(target=writer, args=(d,)) for d in (0, 2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+        def mirrored():
+            e0, e2 = replica.engine, replica.resp.engine_for(2)
+            return (len([k for k in e0.keyspace if k.startswith("w0:")])
+                    == N
+                    and len([k for k in e2.keyspace
+                             if k.startswith("w2:")]) == N)
+
+        assert _wait(mirrored, timeout=10.0), (
+            len(replica.engine.keyspace),
+            len(replica.resp.engine_for(2).keyspace),
+        )
+        # no bleed: db0 never received db2's keys and vice versa
+        assert not any(k.startswith("w2:") for k in replica.engine.keyspace)
+        assert not any(k.startswith("w0:")
+                       for k in replica.resp.engine_for(2).keyspace)
+        # spot-check values landed unswapped
+        assert replica.resp.engine_for(2).hgetall("w2:7")["f"] in (
+            b"v2-7", "v2-7")
+    finally:
+        primary.close()
+        replica.close()
