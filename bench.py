@@ -100,6 +100,85 @@ def main():
     from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
     from valkey_search_tpu.native_lib import cpu_brute_force_topk
 
+    def run_text_section(text_details):
+        """Host-only full-text micro-bench (no device contact): runs
+        BEFORE the first jax.devices() touch so a wedged tunnel still
+        yields real host metrics in the watchdog's partial JSON."""
+        # ---- full-text: ingest + query throughput (reference FTS benchmark
+        # analog, .github/benchmark_configs/fts-benchmarks-arm.json) ----------
+        if not QUICK and not over_budget("text"):
+            from valkey_search_tpu.server import Engine as _Engine
+
+            tycoon = np.random.default_rng(5)
+            vocab = [f"w{i:05d}" for i in range(20000)]
+            zipf = np.minimum(tycoon.zipf(1.3, size=(20000, 12)) - 1, 19999)
+            eng = _Engine()
+            eng.execute("FT.CREATE", "t", "ON", "HASH", "PREFIX", "1", "d:",
+                        "SCHEMA", "body", "TEXT", "tag", "TAG")
+            n_docs = 100_000
+            t0 = time.perf_counter()
+            for i in range(n_docs):
+                words = zipf[i % 20000]
+                eng.hset(f"d:{i}", {
+                    "body": " ".join(vocab[w] for w in words),
+                    "tag": "even" if i % 2 == 0 else "odd",
+                })
+            text_ingest = n_docs / (time.perf_counter() - t0)
+            log(f"text ingest: {text_ingest:.0f} docs/s (12-word docs)")
+
+            def qps_of(queries_list, reps=1):
+                t0 = time.perf_counter()
+                c = 0
+                for _ in range(reps):
+                    for q in queries_list:
+                        eng.ft_search("t", q, "NOCONTENT", "LIMIT", "0", "10")
+                        c += 1
+                return c / (time.perf_counter() - t0)
+
+            terms = [f"@body:{vocab[tycoon.integers(100, 5000)]}"
+                     for _ in range(500)]
+            ands = [f"@body:({vocab[tycoon.integers(100, 2000)]} "
+                    f"{vocab[tycoon.integers(100, 2000)]})" for _ in range(300)]
+            prefixes = [f"@body:w0{tycoon.integers(10, 99)}*"
+                        for _ in range(200)]
+            hybrid_t = [f"(@tag:{{odd}} @body:{vocab[tycoon.integers(100, 2000)]})"
+                        for _ in range(300)]
+            r_term = qps_of(terms)
+            r_and = qps_of(ands)
+            r_pref = qps_of(prefixes)
+            r_hyb = qps_of(hybrid_t)
+            log(f"text QPS (1 core): term={r_term:.0f} and={r_and:.0f} "
+                f"prefix={r_pref:.0f} tag+text={r_hyb:.0f}")
+            # FT.AGGREGATE: GROUPBY+REDUCE over a selective slice and over
+            # the hot-term match set (the reference FTS benchmark's
+            # aggregation mix analog)
+            def agg_qps(q, reps=30):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    eng.ft_aggregate(
+                        "t", q, "LOAD", "1", "@tag",
+                        "GROUPBY", "1", "@tag",
+                        "REDUCE", "COUNT", "0", "AS", "c",
+                    )
+                return reps / (time.perf_counter() - t0)
+
+            r_agg_sel = agg_qps(f"@body:{vocab[3000]}")
+            r_agg_hot = agg_qps(f"@body:{vocab[5]}", reps=10)
+            log(f"aggregate QPS (1 core): selective={r_agg_sel:.0f} "
+                f"hot-term={r_agg_hot:.0f}")
+            text_details.update({
+                "text_ingest_docs_per_s": round(text_ingest, 1),
+                "text_term_qps_1core": round(r_term, 1),
+                "text_and_qps_1core": round(r_and, 1),
+                "text_prefix_qps_1core": round(r_pref, 1),
+                "text_hybrid_qps_1core": round(r_hyb, 1),
+                "aggregate_selective_qps_1core": round(r_agg_sel, 1),
+                "aggregate_hotterm_qps_1core": round(r_agg_hot, 1),
+            })
+
+
+    run_text_section(partial["details"])
+
     rng = np.random.default_rng(42)
     log(f"platform={jax.default_backend()} devices={jax.devices()}")
     log(f"generating corpus N={N} d={D}")
@@ -240,6 +319,10 @@ def main():
         },
     }
 
+    result["details"].update({
+        k: v for k, v in partial["details"].items() if k != "watchdog"
+    })
+
     # every section below only ENRICHES result[details]; a failure or
     # timeout must never lose the headline JSON already assembled
     try:
@@ -318,78 +401,6 @@ def main():
                 hybrid[f"hybrid_{sel_pct}pct_qps"] = round(qps, 1)
                 log(f"hybrid {sel_pct}% selectivity: {qps:.0f} qps")
             result["details"].update(hybrid)
-
-        # ---- full-text: ingest + query throughput (reference FTS benchmark
-        # analog, .github/benchmark_configs/fts-benchmarks-arm.json) ----------
-        if not QUICK and not over_budget("text"):
-            from valkey_search_tpu.server import Engine as _Engine
-
-            tycoon = np.random.default_rng(5)
-            vocab = [f"w{i:05d}" for i in range(20000)]
-            zipf = np.minimum(tycoon.zipf(1.3, size=(20000, 12)) - 1, 19999)
-            eng = _Engine()
-            eng.execute("FT.CREATE", "t", "ON", "HASH", "PREFIX", "1", "d:",
-                        "SCHEMA", "body", "TEXT", "tag", "TAG")
-            n_docs = 100_000
-            t0 = time.perf_counter()
-            for i in range(n_docs):
-                words = zipf[i % 20000]
-                eng.hset(f"d:{i}", {
-                    "body": " ".join(vocab[w] for w in words),
-                    "tag": "even" if i % 2 == 0 else "odd",
-                })
-            text_ingest = n_docs / (time.perf_counter() - t0)
-            log(f"text ingest: {text_ingest:.0f} docs/s (12-word docs)")
-
-            def qps_of(queries_list, reps=1):
-                t0 = time.perf_counter()
-                c = 0
-                for _ in range(reps):
-                    for q in queries_list:
-                        eng.ft_search("t", q, "NOCONTENT", "LIMIT", "0", "10")
-                        c += 1
-                return c / (time.perf_counter() - t0)
-
-            terms = [f"@body:{vocab[tycoon.integers(100, 5000)]}"
-                     for _ in range(500)]
-            ands = [f"@body:({vocab[tycoon.integers(100, 2000)]} "
-                    f"{vocab[tycoon.integers(100, 2000)]})" for _ in range(300)]
-            prefixes = [f"@body:w0{tycoon.integers(10, 99)}*"
-                        for _ in range(200)]
-            hybrid_t = [f"(@tag:{{odd}} @body:{vocab[tycoon.integers(100, 2000)]})"
-                        for _ in range(300)]
-            r_term = qps_of(terms)
-            r_and = qps_of(ands)
-            r_pref = qps_of(prefixes)
-            r_hyb = qps_of(hybrid_t)
-            log(f"text QPS (1 core): term={r_term:.0f} and={r_and:.0f} "
-                f"prefix={r_pref:.0f} tag+text={r_hyb:.0f}")
-            # FT.AGGREGATE: GROUPBY+REDUCE over a selective slice and over
-            # the hot-term match set (the reference FTS benchmark's
-            # aggregation mix analog)
-            def agg_qps(q, reps=30):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    eng.ft_aggregate(
-                        "t", q, "LOAD", "1", "@tag",
-                        "GROUPBY", "1", "@tag",
-                        "REDUCE", "COUNT", "0", "AS", "c",
-                    )
-                return reps / (time.perf_counter() - t0)
-
-            r_agg_sel = agg_qps(f"@body:{vocab[3000]}")
-            r_agg_hot = agg_qps(f"@body:{vocab[5]}", reps=10)
-            log(f"aggregate QPS (1 core): selective={r_agg_sel:.0f} "
-                f"hot-term={r_agg_hot:.0f}")
-            result["details"].update({
-                "text_ingest_docs_per_s": round(text_ingest, 1),
-                "text_term_qps_1core": round(r_term, 1),
-                "text_and_qps_1core": round(r_and, 1),
-                "text_prefix_qps_1core": round(r_pref, 1),
-                "text_hybrid_qps_1core": round(r_hyb, 1),
-                "aggregate_selective_qps_1core": round(r_agg_sel, 1),
-                "aggregate_hotterm_qps_1core": round(r_agg_hot, 1),
-            })
 
         # ---- HNSW: north-star config (BASELINE.md #2) -------------------------
         # Full-corpus graph at the reference defaults M=16 / ef_construction=200,
