@@ -584,3 +584,47 @@ def test_flushall_drops_indexes_standalone(server, client):
     assert client.cmd("FT._LIST")
     assert client.cmd("FLUSHALL") == "OK"
     assert client.cmd("FT._LIST") == []
+
+
+@pytest.mark.parametrize(
+    "rules,search,info_ok,write,list_ok,debug",
+    [
+        (["-@all"], False, False, False, False, False),
+        (["~*", "&*", "+@all"], True, True, True, True, True),
+        (["~*", "&*", "-@all", "+@search"], True, True, True, True, True),
+        (["~*", "&*", "-@all", "+@write", "+@read"],
+         True, True, True, True, False),
+        (["~*", "&*", "-@all", "+@write"], False, False, True, False, False),
+        (["~*", "&*", "-@all", "+@read"], True, True, False, True, False),
+        (["~*", "&*", "-@all", "+@slow"], True, False, False, True, True),
+        (["~*", "&*", "-@all", "+@dangerous"],
+         False, False, False, False, True),
+        (["~*", "&*", "-@all", "+@admin"], False, False, False, True, True),
+    ],
+)
+def test_acl_category_permissions(server, client, rules, search, info_ok,
+                                  write, list_ok, debug):
+    """Reference per-command category matrix (commands.h:46-59, drilled by
+    integration/test_valkey_search_acl.py test_acl_category_permissions)."""
+    server.engine.execute("FT.CREATE", "aclidx", "SCHEMA", "n", "NUMERIC")
+    client.cmd("ACL", "SETUSER", "user1", "on", ">search_pass", *rules)
+    assert client.cmd("AUTH", "user1", "search_pass") == "OK"
+
+    def probe(ok, *cmd):
+        if ok:
+            try:
+                client.cmd(*cmd)
+            except ReplyError as e:  # non-ACL errors are fine
+                assert "no permissions" not in str(e).lower(), (cmd, e)
+        else:
+            with pytest.raises(ReplyError, match="no permissions"):
+                client.cmd(*cmd)
+
+    probe(search, "FT.SEARCH", "aclidx", "@n:[0 1]")
+    probe(search, "FT.AGGREGATE", "aclidx", "@n:[0 1]")
+    probe(info_ok, "FT.INFO", "aclidx")
+    probe(write, "FT.CREATE", "aclw", "SCHEMA", "n", "NUMERIC")
+    probe(list_ok, "FT._LIST")
+    probe(debug, "FT._DEBUG", "HELP")
+    client.cmd("RESET")
+    client.cmd("ACL", "DELUSER", "user1")

@@ -66,6 +66,20 @@ class AclUser:
             or cat in self.allowed_categories
 
 
+# per-command ACL category sets (reference src/commands/commands.h:46-59):
+# a user may run a command when granted ANY of its categories
+COMMAND_CATEGORIES = {
+    "FT.CREATE": ("search", "write", "fast"),
+    "FT.DROPINDEX": ("search", "write", "fast"),
+    "FT.INTERNAL_UPDATE": ("admin", "search", "write", "fast"),
+    "FT.SEARCH": ("search", "read", "slow"),
+    "FT.AGGREGATE": ("search", "read", "slow"),
+    "FT.INFO": ("search", "read", "fast"),
+    "FT._LIST": ("search", "read", "slow", "admin"),
+    "FT._DEBUG": ("search", "slow", "dangerous", "admin"),
+}
+
+
 class AclManager:
     """User registry + the prefix check commands call."""
 
@@ -153,6 +167,21 @@ class AclManager:
             raise AclError("cannot delete the default user")
         with self._lock:
             self._users.pop(name, None)
+
+    def check_command(self, username: str, cmd: str) -> None:
+        """Category gate: the user must hold ANY of the command's ACL
+        categories (reference module_loader.cc command registration with
+        kSearchCmdPermissions etc., drilled by integration/
+        test_valkey_search_acl.py test_acl_category_permissions)."""
+        cats = COMMAND_CATEGORIES.get(cmd.upper())
+        if cats is None:
+            return
+        user = self.getuser(username)
+        if not user.enabled or not any(user.has_category(c) for c in cats):
+            raise AclError(
+                f"User {username} has no permissions to run "
+                f"the '{cmd}' command"
+            )
 
     def check_index_access(self, username: str, prefixes: Sequence[str]) -> None:
         """Raises unless the user's key patterns cover every index prefix

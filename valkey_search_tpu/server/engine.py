@@ -552,20 +552,12 @@ class Engine:
             return  # no custom users registered; default has allkeys
         self.acl.check_index_access(user, prefixes)
 
-    def _acl_require_admin(self, user: str) -> None:
-        """FT._DEBUG is admin-gated (reference registers it with admin
-        command flags; integration/test_debug.py
-        test_ft_debug_denied_without_admin_permissions)."""
+    def _acl_check_command(self, user: str, cmd: str) -> None:
+        """Per-command ACL category gate (reference commands.h:46-59
+        permission sets; integration/test_valkey_search_acl.py)."""
         if user == "default" and getattr(self, "_acl", None) is None:
             return
-        u = self.acl.getuser(user)
-        if not u.has_category("admin"):
-            from valkey_search_tpu.server.acl import AclError
-
-            raise AclError(
-                f"User {user} has no permissions to run the 'FT._DEBUG' "
-                "command"
-            )
+        self.acl.check_command(user, cmd)
 
     # ----------------------------------------------------------------- cron
     def cron(self) -> Dict[str, int]:
@@ -657,6 +649,9 @@ class Engine:
         # valkey_search.cc:866-890)
         STATS.incr("queries_total")
         try:
+            # category gate here too: the RESP async path calls this
+            # method directly, bypassing execute()
+            self._acl_check_command(user, "FT.SEARCH")
             sp = ft_search_mod.parse_ft_search_args(list(args))
             schema = self.manager.get(sp.index_name)
             self._acl_check(user, schema.prefixes)
@@ -683,6 +678,8 @@ class Engine:
 
     def ft_aggregate(self, *args: Value, user: str = "default") -> list:
         from valkey_search_tpu.server import ft_aggregate as agg
+
+        self._acl_check_command(user, "FT.AGGREGATE")
 
         if args:
             try:
@@ -791,10 +788,13 @@ class Engine:
             "FT.AGGREGATE": lambda: self.ft_aggregate(*rest, user=user),
             "FT.INFO": lambda: self.ft_info(*rest, user=user),
             "FT._LIST": lambda: self.ft_list(),
-            "FT._DEBUG": lambda: (self._acl_require_admin(user),
-                                  self.ft_debug(*rest))[1],
+            "FT._DEBUG": lambda: self.ft_debug(*rest),
             "INFO": lambda: self.info(),
         }
+        if cmd in table:
+            # per-command category gate BEFORE the handler (prefix ACL
+            # checks run inside the handlers)
+            self._acl_check_command(user, cmd)
         def dispatch():
             if cmd == "HSET":
                 if len(rest) < 3 or len(rest) % 2 == 0:
