@@ -180,7 +180,6 @@ def main():
     run_text_section(partial["details"])
 
     rng = np.random.default_rng(42)
-    log(f"platform={jax.default_backend()} devices={jax.devices()}")
     log(f"generating corpus N={N} d={D}")
     # SIFT-like data: byte-valued features with strong cluster structure.
     # (Real SIFT descriptors are heavily clustered; uniform-random 128-d
@@ -198,6 +197,19 @@ def main():
         centers[q_assign] + rng.standard_normal((BATCH, D)).astype(np.float32) * 20,
         0, 255,
     ).astype(np.float32)
+
+    # ---- CPU baseline: reference-equivalent exact scan --------------------
+    n_cpu = 8 if QUICK else 16
+    t0 = time.perf_counter()
+    for i in range(n_cpu):
+        cpu_brute_force_topk(corpus, queries[i], K)
+    cpu_flat_qps = n_cpu / (time.perf_counter() - t0)
+    log(f"CPU flat (1 core, C++ -O3): {cpu_flat_qps:.2f} qps")
+
+    partial["details"]["cpu_flat_qps_1core"] = round(cpu_flat_qps, 2)
+    # first device contact happens below — everything above survives a
+    # wedged tunnel in the watchdog's partial JSON
+    log(f"platform={jax.default_backend()} devices={jax.devices()}")
 
     # ---- build flat index (bulk load) -------------------------------------
     # int8 coarse mirror: 2x MXU rate + packed single-int32 survivors
@@ -290,14 +302,6 @@ def main():
         ])
     )
     log(f"TPU flat: {flat_qps:.0f} qps, recall@10={flat_recall:.4f}")
-
-    # ---- CPU baseline: reference-equivalent exact scan --------------------
-    n_cpu = 8 if QUICK else 16
-    t0 = time.perf_counter()
-    for i in range(n_cpu):
-        cpu_brute_force_topk(corpus, queries[i], K)
-    cpu_flat_qps = n_cpu / (time.perf_counter() - t0)
-    log(f"CPU flat (1 core, C++ -O3): {cpu_flat_qps:.2f} qps")
 
     result = state["result"] = {
         "metric": "SIFT1M-shape k-NN QPS/chip at recall@10 >= 0.99",
