@@ -231,3 +231,28 @@ def test_wire_cluster_endurance(tmp_path):
     replica.close()
     for n in nodes:
         n.close()
+
+
+def test_create_drop_soak_releases_memory():
+    """200 create→ingest→drop cycles: engine memory pools return to the
+    empty-keyspace baseline (no leaked index structures — the reference's
+    reclaimable-memory/RSS soak analog, test_reclaimable_memory.py)."""
+    import numpy as np
+
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine(sync_ingest=True)
+    for i in range(8):
+        e.hset(f"soak:{i}", {"v": np.float32([i, 0, 0]).tobytes(),
+                             "t": "x", "n": str(i), "b": "hello world"})
+    base = e.used_memory_bytes()
+    for cycle in range(200):
+        e.execute("FT.CREATE", "soak", "ON", "HASH", "PREFIX", "1",
+                  "soak:", "SCHEMA",
+                  "v", "VECTOR", "HNSW", "6",
+                  "TYPE", "FLOAT32", "DIM", "3", "DISTANCE_METRIC", "L2",
+                  "t", "TAG", "n", "NUMERIC", "b", "TEXT")
+        e.execute("FT.DROPINDEX", "soak")
+    after = e.used_memory_bytes()
+    # allow small bounded growth (config/metrics jitter), not per-cycle leak
+    assert after <= base * 1.2 + 4096, (base, after)
