@@ -470,7 +470,9 @@ class MatchAll(Predicate):
         return ctx.valid_mask()
 
     def host_ids(self, ctx):
-        return {doc for _, doc in ctx.schema.interner.items()}
+        # epoch-memoized sorted ndarray so negation (`-@f:...` = ALL minus
+        # child) stays on the vectorized setdiff path
+        return ctx.schema.interner.ids_array()
 
     def matches(self, ctx, doc):
         return ctx.schema.interner.key_of(doc) is not None

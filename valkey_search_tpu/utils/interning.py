@@ -58,6 +58,22 @@ class KeyInterner:
                 return self._id_to_key[doc]
             return None
 
+    def ids_array(self):
+        """Sorted-unique ndarray of every live doc id, memoized per epoch
+        (the match-all/negation fast path — rebuilding a 100k-id array per
+        query was the negation bottleneck)."""
+        import numpy as np
+
+        with self._lock:
+            cached = getattr(self, "_ids_cache", None)
+            if cached is not None and cached[0] == self.epoch:
+                return cached[1]
+            arr = np.fromiter(self._key_to_id.values(), np.int64,
+                              len(self._key_to_id))
+            arr.sort()
+            self._ids_cache = (self.epoch, arr)
+            return arr
+
     def keys_of(self, docs) -> list:
         """Batch key_of: one lock acquisition for a whole result window
         (the per-row lock round-trip was ~30% of the non-vector reply
