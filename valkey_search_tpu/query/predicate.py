@@ -405,11 +405,17 @@ class Or(Predicate):
         return m
 
     def host_ids(self, ctx):
-        out = None
-        for c in self.children:
-            got = c.host_ids(ctx)
-            out = got if out is None else ids_or(out, got)
-        return out if out is not None else set()
+        got = [c.host_ids(ctx) for c in self.children]
+        if not got:
+            return set()
+        if all(isinstance(g, np.ndarray) for g in got):
+            # one concatenate+unique beats pairwise union1d (which
+            # re-sorts the accumulated result per child)
+            return np.unique(np.concatenate(got)) if len(got) > 1 else got[0]
+        out = got[0]
+        for g in got[1:]:
+            out = ids_or(out, g)
+        return out
 
     def matches(self, ctx, doc):
         return any(c.matches(ctx, doc) for c in self.children)
