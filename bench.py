@@ -22,7 +22,9 @@ VSTPU_BENCH_QUICK=1 (small corpus, skip HNSW build).
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -58,6 +60,70 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+_EMIT_LOCK = threading.Lock()
+_EMITTED = [False]
+
+
+def emit_once(obj):
+    """Print the ONE result JSON line exactly once, from whichever path
+    gets there first (normal completion, exception handler, watchdog).
+
+    Round-2 post-mortem (VERDICT r2 weak#1): bench.py:212 touched the
+    device unguarded, the axon backend raised UNAVAILABLE, and the
+    already-computed host sections died with the process because the
+    watchdog only fired on *hangs*. Every exit path now funnels here."""
+    with _EMIT_LOCK:
+        if _EMITTED[0]:
+            return False
+        _EMITTED[0] = True
+    print(json.dumps(obj), flush=True)
+    return True
+
+
+# whatever has accrued when anything goes wrong: populated by main(),
+# flushed by the exception handler in __main__ / the watchdog / normal exit
+_PARTIAL = {
+    "metric": "SIFT1M-shape k-NN QPS/chip at recall@10 >= 0.99",
+    "value": 0.0,
+    "unit": "qps",
+    "vs_baseline": 0.0,
+    "details": {"watchdog": "fired before the headline completed"},
+}
+_STATE = {"state": None}
+
+
+def probe_tpu(timeout_s=None):
+    """Touch the TPU backend in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel has two known failure modes: it *hangs* jax.devices()
+    for hours, or it raises UNAVAILABLE. Either way, first contact from
+    the bench process itself would poison jax's backend cache (a failed
+    backends() is sticky), so we probe out-of-process and only let the
+    main process touch the device when the probe proves it healthy.
+    Returns (ok, detail)."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("VSTPU_PROBE_TIMEOUT_S", "150"))
+    code = (
+        "import jax, sys\n"
+        "ds = jax.devices()\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+        "(x @ x).block_until_ready()\n"
+        "print(jax.default_backend(), len(ds))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s (tunnel wedge)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()
+        return False, "probe rc=%d: %s" % (r.returncode, tail[-1] if tail else "")
+    return True, r.stdout.strip()
+
+
 def main():
     from valkey_search_tpu.runtime import config as cfg0
 
@@ -66,16 +132,9 @@ def main():
 
     # hard watchdog: a hung device (tunnel outage / wedged chip) must
     # still produce a JSON line — print whatever accrued and exit
-    import threading as _threading
-
-    partial = {
-        "metric": "SIFT1M-shape k-NN QPS/chip at recall@10 >= 0.99",
-        "value": 0.0,
-        "unit": "qps",
-        "vs_baseline": 0.0,
-        "details": {"watchdog": "fired before the headline completed"},
-    }
+    partial = _PARTIAL
     state = {"result": partial, "done": False}
+    _STATE["state"] = state
 
     def _watchdog():
         deadline = budget_s * 1.25 + 120
@@ -84,10 +143,10 @@ def main():
             if state["done"]:
                 return
         log("WATCHDOG: budget exceeded — emitting partial result")
-        print(json.dumps(state["result"]), flush=True)
+        emit_once(state["result"])
         os._exit(2)
 
-    _threading.Thread(target=_watchdog, daemon=True).start()
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     def over_budget(section):
         if time.perf_counter() - t_start > budget_s:
@@ -207,9 +266,32 @@ def main():
     log(f"CPU flat (1 core, C++ -O3): {cpu_flat_qps:.2f} qps")
 
     partial["details"]["cpu_flat_qps_1core"] = round(cpu_flat_qps, 2)
-    # first device contact happens below — everything above survives a
-    # wedged tunnel in the watchdog's partial JSON
-    log(f"platform={jax.default_backend()} devices={jax.devices()}")
+    # ---- device gate ------------------------------------------------------
+    # Probe the TPU out-of-process (bounded) BEFORE any in-process device
+    # contact. A dead/wedged tunnel downgrades the whole bench to the XLA
+    # host platform instead of crashing: host numbers are weak but real,
+    # and the JSON still lands (VERDICT r2 next#1).
+    if os.environ.get("VSTPU_BENCH_CPU") == "1":
+        ok, probe_detail = True, "forced cpu (VSTPU_BENCH_CPU=1)"
+    else:
+        ok, probe_detail = probe_tpu()
+        if not ok:
+            log(f"TPU probe failed ({probe_detail}); retrying once in 20s")
+            time.sleep(20)
+            ok, probe_detail = probe_tpu()
+        if not ok:
+            log(f"TPU unavailable ({probe_detail}) — falling back to CPU")
+            jax.config.update("jax_platforms", "cpu")
+            partial["details"]["platform_fallback"] = probe_detail
+    log(f"device probe: {probe_detail}")
+    try:
+        log(f"platform={jax.default_backend()} devices={jax.devices()}")
+    except Exception as exc:  # sticky backend failure despite probe
+        log(f"backend init failed in-process: {exc!r} — emitting host partial")
+        partial["details"]["backend_error"] = f"{type(exc).__name__}: {exc}"
+        state["done"] = True
+        emit_once(partial)
+        return
 
     # ---- build flat index (bulk load) -------------------------------------
     # int8 coarse mirror: 2x MXU rate + packed single-int32 survivors
@@ -638,8 +720,24 @@ def main():
         log(f"optional sections aborted: {type(exc).__name__}: {exc}")
 
     state["done"] = True
-    print(json.dumps(result))
+    emit_once(result)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as exc:  # noqa: BLE001 — the JSON line must land
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        st = _STATE.get("state")
+        best = st["result"] if st else _PARTIAL
+        best.setdefault("details", {})["fatal"] = (
+            f"{type(exc).__name__}: {exc}"
+        )
+        best["details"].pop("watchdog", None)
+        if st:
+            st["done"] = True
+        if emit_once(best):
+            sys.exit(3)  # JSON emitted; rc=3 marks a partial-on-exception
+        raise
