@@ -139,8 +139,10 @@ struct HnswIndex {
   int dim = 0;
   int metric = 0;  // 0 = l2 (squared), 1 = ip (1 - dot; cosine after normalize)
   int M = 16;
-  // hard ceiling on any level's degree: M0 = 2*M and FT.CREATE caps M at
-  // 512 — stack link buffers are sized to this, never to the default M0
+  // stack-buffer size for traversal scratch: covers M0 = 2*M up to M=512
+  // (every sane config). FT.CREATE accepts M up to search.max-vector-m
+  // (reference kMaxM), so larger M spills to per-call heap scratch
+  // instead of silently truncating links (ADVICE r2).
   static constexpr int kMaxDegree = 1024;
   int M0 = 32;  // level-0 max degree = 2*M (hnswlib maxM0_)
   int ef_construction = 200;
@@ -191,8 +193,8 @@ struct HnswIndex {
 
   // copy a node's adjacency row into buf; under the stripe lock when
   // `locked` (concurrent build mutates rows in place)
-  // cap: caller's buffer capacity in elements — degree can reach
-  // M0 = 2*M (FT.CREATE allows M up to 512, so up to 1024 links).
+  // buf_cap: caller's buffer capacity in elements — degree can reach
+  // M0 = 2*M; traversal callers size their scratch to max(M0, kMaxDegree).
   int copy_links(int32_t n, int level, int32_t* buf, bool locked,
                  int buf_cap = kMaxDegree) {
     if (locked) {
@@ -270,11 +272,15 @@ struct HnswIndex {
     int32_t cur = start;
     float cur_d = dist(q, vec(cur));
     uint64_t dc = 1, hp = 0;
-    int32_t lbuf[kMaxDegree];
+    int32_t sbuf[kMaxDegree];
+    std::vector<int32_t> hbuf;  // spill for M0 > kMaxDegree configs
+    const int bufcap = std::max(M0, (int)kMaxDegree);
+    int32_t* lbuf = sbuf;
+    if (M0 > kMaxDegree) { hbuf.resize(bufcap); lbuf = hbuf.data(); }
     bool changed = true;
     while (changed) {
       changed = false;
-      const int deg = copy_links(cur, level, lbuf, locked);
+      const int deg = copy_links(cur, level, lbuf, locked, bufcap);
       for (int i = 0; i < deg; ++i) __builtin_prefetch(vec(lbuf[i]));
       for (int i = 0; i < deg; ++i) {
         const int32_t nb = lbuf[i];
@@ -305,7 +311,11 @@ struct HnswIndex {
     VisitedBuf& vb = vbp ? *vbp : vb_main;
     vb.begin(cap);
     uint64_t dc = 0, hp = 0;
-    int32_t lbuf[kMaxDegree];
+    int32_t sbuf[kMaxDegree];
+    std::vector<int32_t> hbuf;  // spill for M0 > kMaxDegree configs
+    const int bufcap = std::max(M0, (int)kMaxDegree);
+    int32_t* lbuf = sbuf;
+    if (M0 > kMaxDegree) { hbuf.resize(bufcap); lbuf = hbuf.data(); }
 
     const float d0 = dist(q, vec(entry_node));
     ++dc;
@@ -324,7 +334,7 @@ struct HnswIndex {
       if (cd > lower_bound && top.size() >= (size_t)ef) break;
       cands.pop();
       ++hp;
-      const int deg = copy_links(cn, level, lbuf, locked);
+      const int deg = copy_links(cn, level, lbuf, locked, bufcap);
       for (int i = 0; i < deg; ++i)  // hide DRAM latency on the random
         __builtin_prefetch(vec(lbuf[i]));  // vector reads (hnswlib does
       for (int i = 0; i < deg; ++i) {      // the same with _mm_prefetch)

@@ -413,8 +413,8 @@ int tix_update_field_tokens(void* h, int32_t doc, int bit_index, int nostem,
                         out_cap);
 }
 
-int tix_remove_field(void* h, int32_t doc, int bit_index, char* out,
-                     int out_cap) {
+int tix_remove_field(void* h, int32_t doc, int bit_index, int nostem,
+                     char* out, int out_cap) {
   auto* ix = (TextIndex*)h;
   std::lock_guard<std::mutex> g(ix->mu);
   EventOut ev(ix->last_events);
@@ -429,8 +429,14 @@ int tix_remove_field(void* h, int32_t doc, int bit_index, char* out,
   std::vector<int32_t> uniq;
   TextIndex::decode_wids(it->second, uniq);
   for (int32_t wid : uniq) {
-    auto sit = ix->stem_of.find(wid);
-    if (sit != ix->stem_of.end()) ix->stem_link(sit->second, wid, -1);
+    // stem links are only ADDED for stemmed fields (tix_index_blob gates
+    // on !nostem both when adding and when removing prior tokens); a
+    // NOSTEM removal must not eat a refcount another field added, or the
+    // stem->word mapping dies while stemmed docs still hold the word
+    if (!nostem) {
+      auto sit = ix->stem_of.find(wid);
+      if (sit != ix->stem_of.end()) ix->stem_link(sit->second, wid, -1);
+    }
     Posting* p = ix->postings[wid].get();
     if (!p) continue;
     p->remove_field(doc, bit);

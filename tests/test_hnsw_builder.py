@@ -57,6 +57,24 @@ def test_deleted_not_returned(built):
     assert ids[0] == 123
 
 
+def test_large_m_no_link_truncation():
+    """Regression (ADVICE r2): M > 512 makes M0 = 2M exceed the stack
+    scratch size (kMaxDegree=1024); traversal must heap-spill instead of
+    silently ignoring links beyond the first 1024 and degrading recall."""
+    rng = np.random.default_rng(3)
+    corpus = rng.standard_normal((1500, 16)).astype(np.float32)
+    b = HnswBuilder(dim=16, m=700, ef_construction=64, seed=9)
+    b.add_batch(corpus)
+    hits = total = 0
+    for q in rng.standard_normal((30, 16)).astype(np.float32):
+        want = set(brute_ids(q, corpus, 10).tolist())
+        _, got = b.search(q, k=10, ef=64)
+        hits += len(want & set(got.tolist()))
+        total += 10
+    # with M0=1400 > N the graph is near-complete: recall must be ~exact
+    assert hits / total >= 0.99, f"recall {hits / total}"
+
+
 def test_export_import_roundtrip(built):
     b, corpus, _ = built
     g = b.export_graph()

@@ -244,6 +244,45 @@ def test_ft_search_negate_text(text_eng):
     assert _keys(r) == {"b:3"}
 
 
+def test_nostem_field_removal_keeps_stem_links():
+    """Regression (ADVICE r2): removing a NOSTEM field whose word is also
+    indexed in a stemmed field must NOT eat the stem refcount — stem
+    expansion (@a:run matching 'running') must survive the removal.
+    Exercised against both the native C++ index and the Python fallback."""
+    from valkey_search_tpu.server.ft_create import parse_ft_create
+
+    for force_python in (False, True):
+        schema, _ = parse_ft_create(
+            ["dx", "ON", "HASH", "PREFIX", "1", "d:",
+             "SCHEMA", "a", "TEXT", "b", "TEXT", "NOSTEM"]
+        )
+        if force_python:
+            schema.text_engine._nt = None
+        else:
+            assert schema.text_engine._nt is not None
+        # 'running' lives in a stemmed field (links stem 'run') AND in a
+        # NOSTEM field of other docs (which must not touch the link)
+        schema.upsert("d:1", {"a": "running fast"})
+        schema.upsert("d:2", {"b": "running shoes"})
+        schema.upsert("d:3", {"b": "running water"})
+
+        def hits(pred):
+            return {schema.interner.key_of(d)
+                    for d in schema.text_engine.fetch_ids(pred)}
+
+        assert hits(TextPredicate("run", field="a")) == {"d:1"}
+        # delete the NOSTEM docs — with the bug this drove the 'run' stem
+        # refcount to zero and dropped the stem->word mapping
+        schema.delete("d:2")
+        schema.delete("d:3")
+        assert hits(TextPredicate("run", field="a")) == {"d:1"}, (
+            "python" if force_python else "native")
+        # and the update path: overwrite a NOSTEM field that shared a word
+        schema.upsert("d:4", {"b": "running club"})
+        schema.upsert("d:4", {"b": "walking club"})
+        assert hits(TextPredicate("run", field="a")) == {"d:1"}
+
+
 def test_native_vs_python_text_engines_agree():
     """Differential check: the C++ text index (native/text_index.cpp) and
     the pure-Python structures must give identical answers for every

@@ -474,7 +474,8 @@ class NativeTextIndex:
             ]
             L.tix_remove_field.restype = ct.c_int
             L.tix_remove_field.argtypes = [
-                ct.c_void_p, ct.c_int32, ct.c_int, ct.c_char_p, ct.c_int,
+                ct.c_void_p, ct.c_int32, ct.c_int, ct.c_int,
+                ct.c_char_p, ct.c_int,
             ]
             L.tix_last_events.restype = ct.c_int
             L.tix_last_events.argtypes = [
@@ -583,10 +584,11 @@ class NativeTextIndex:
             )
             return self._finish_events(n)
 
-    def remove_field(self, doc: int, bit_index: int):
+    def remove_field(self, doc: int, bit_index: int, no_stem: bool):
         with self._lock:
             n = self._lib.tix_remove_field(
-                self._h, doc, bit_index, self._ev, len(self._ev)
+                self._h, doc, bit_index, int(no_stem),
+                self._ev, len(self._ev)
             )
             return self._finish_events(n)
 

@@ -281,7 +281,8 @@ class TextEngine:
             fi = self.fields[alias]
             with self._lock:
                 self.revision += 1
-                code, _added, removed = self._nt.remove_field(doc, fi.bit_index)
+                code, _added, removed = self._nt.remove_field(
+                    doc, fi.bit_index, fi.no_stem)
                 self._apply_word_events([], removed)
                 if code == "R":
                     self._field_records[alias] = max(
