@@ -399,16 +399,33 @@ def test_auth_requirepass_gate(server):
 
 
 def test_auth_acl_user_password(server, client):
-    server.engine.acl.setuser("alice", "on", ">alicepw", "~doc:*")
+    server.engine.acl.setuser("alice", "on", ">alicepw", "~doc:*",
+                              "+@search")
     with pytest.raises(ReplyError, match="WRONGPASS"):
         client.cmd("AUTH", "alice", "bad")
     assert client.cmd("AUTH", "alice", "alicepw") == "OK"
     # alice's prefix ACL now applies to FT.CREATE
-    with pytest.raises(ReplyError, match="ACL|lacks"):
+    with pytest.raises(ReplyError, match="NOPERM|ACL|lacks"):
         client.cmd(
             "FT.CREATE", "other", "PREFIX", "1", "secret:",
             "SCHEMA", "t", "TAG",
         )
+
+
+def test_acl_new_user_fails_closed(server, client):
+    """A user created with no category rules (ADVICE r2: 'on >pw ~*')
+    must not be able to run ANY FT.* command — valkey's new-user default
+    is -@all; permissions are granted explicitly."""
+    server.engine.acl.setuser("carol", "on", ">pw", "~*")
+    assert client.cmd("AUTH", "carol", "pw") == "OK"
+    for cmd in (("FT._LIST",),
+                ("FT.CREATE", "x", "SCHEMA", "t", "TAG"),
+                ("FT._DEBUG", "SHOW_INFO")):
+        with pytest.raises(ReplyError, match="NOPERM|no permissions"):
+            client.cmd(*cmd)
+    # explicit grant opens the granted surface
+    server.engine.acl.setuser("carol", "+@search")
+    assert client.cmd("FT._LIST") == []
 
 
 def test_acl_command_surface(server, client):
@@ -423,6 +440,12 @@ def test_acl_command_surface(server, client):
     # the new user authenticates and is prefix-limited
     assert client.cmd("AUTH", "bob", "pw1") == "OK"
     assert client.cmd("ACL", "WHOAMI") == b"bob"
+    # no categories granted yet: the command gate fires first
+    with pytest.raises(ReplyError, match="NOPERM|no permissions"):
+        client.cmd("FT.CREATE", "other", "PREFIX", "1", "x:",
+                   "SCHEMA", "t", "TAG")
+    # with the category granted, the PREFIX acl still limits index keys
+    client.cmd("ACL", "SETUSER", "bob", "+@search")
     with pytest.raises(ReplyError, match="ACL|lacks"):
         client.cmd("FT.CREATE", "other", "PREFIX", "1", "x:",
                    "SCHEMA", "t", "TAG")

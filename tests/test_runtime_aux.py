@@ -153,7 +153,8 @@ def test_acl_disabled_user():
 
 def test_acl_enforced_on_commands():
     e = Engine()
-    e.acl.setuser("carol", "on", "~doc:*")
+    # categories must be granted explicitly (new users fail closed)
+    e.acl.setuser("carol", "on", "~doc:*", "+@search")
     e.execute("FT.CREATE", "mine", "ON", "HASH", "PREFIX", "1", "doc:",
               "SCHEMA", "t", "TAG", user="carol")
     e.hset("doc:1", {"t": "x"})

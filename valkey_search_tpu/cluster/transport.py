@@ -95,6 +95,18 @@ class RespConnection:
         finally:
             self.sock.close()
 
+    def reconnect(self, timeout: float = 30.0) -> None:
+        """Re-dial after a transport failure (EOF/ECONNRESET): the broken
+        socket is unusable for every later retry otherwise."""
+        with self._lock:
+            try:
+                self.close()
+            except OSError:
+                pass
+            self.sock = socket.create_connection(self.addr, timeout=timeout)
+            self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self.f = self.sock.makefile("rwb")
+
     def cmd(self, *argv):
         with self._lock:
             enc = b"*%d\r\n" % len(argv)
@@ -486,14 +498,21 @@ class NodeServer:
         # seq <= min_seq is then provably inside its db's snapshot and a
         # later one provably not — required because replayed COPY/EXPIRE
         # entries are not idempotent over newer snapshot content.
-        with self.resp._db_lock:
-            extra_dbs = sorted(
-                (d, e) for d, e in self.resp.engines.items() if d != 0
-            )
         import contextlib
 
         db_snapshots = {}
         with contextlib.ExitStack() as stack:
+            # _db_lock is held ACROSS registration + min_seq capture + all
+            # snapshots: a lazily-created db engine (first SELECT+write)
+            # blocks in engine_for until the section ends, so no engine —
+            # hence no write — can slip between the snapshot set and the
+            # replica becoming visible to _forward_write (ADVICE r2). Lock
+            # order everywhere is _db_lock -> engine._lock, never nested
+            # the other way, so this cannot deadlock.
+            stack.enter_context(self.resp._db_lock)
+            extra_dbs = sorted(
+                (d, e) for d, e in self.resp.engines.items() if d != 0
+            )
             stack.enter_context(self.engine._lock)
             for _d, eng in extra_dbs:
                 stack.enter_context(eng._lock)
@@ -574,10 +593,17 @@ class NodeServer:
         """write_observer hook — called UNDER the owning engine's lock
         right after a write applies. Appends to the ordered replication
         log (with the logical db, valkey 9 cluster dbnum); the forwarder
-        thread drains it in sequence order."""
-        if not self._replica_conns:
-            return
+        thread drains it in sequence order.
+
+        The emptiness check is re-taken under _repl_cv (ADVICE r2): the
+        unlocked fast-path could observe the pre-registration state while
+        _cmd_repl_register was mid-flight and silently drop the write from
+        the stream. Registration holds every engine lock (and _db_lock)
+        while inserting the replica, and this hook runs under the owning
+        engine's lock, so under the cv the view is current."""
         with self._repl_cv:
+            if not self._replica_conns:
+                return
             self._repl_seq += 1
             self._repl_log.append((self._repl_seq, int(db), list(argv)))
             self._repl_cv.notify()
@@ -1398,10 +1424,18 @@ class ClusterClient:
                 try:
                     i = c.cmd("_PART.INFO", name)
                     break
-                except ReplyError:
+                except (ReplyError, OSError, EOFError) as exc:
+                    # transient transport failures retry like -ERR replies
+                    # (the _PART.SEARCH path catches the same set); a
+                    # broken connection is re-dialed before the next try
                     if attempt == max_retries or time.time() >= deadline:
                         raise
                     STATS.incr("info_fanout_retries")
+                    if not isinstance(exc, ReplyError):
+                        try:
+                            c.reconnect()
+                        except OSError:
+                            pass
                     time.sleep(0.01)
             infos.append({_s(i[j]): i[j + 1] for j in range(0, len(i), 2)})
         agg = infos[0]

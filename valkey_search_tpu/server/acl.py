@@ -22,13 +22,16 @@ class AclError(PermissionError):
 @dataclasses.dataclass
 class AclUser:
     name: str
-    enabled: bool = True
+    # fail closed (valkey ACL: a new user is off with -@all): commands and
+    # AUTH are refused until the operator grants rules explicitly; only the
+    # builtin default user is constructed enabled with categories
+    enabled: bool = False
     key_patterns: Tuple[str, ...] = ()
     # command categories (+@read / -@all rules); "all" grants everything.
     # FT._DEBUG additionally requires "admin" (reference registers it with
     # admin flags — integration/test_debug.py
     # test_ft_debug_denied_without_admin_permissions)
-    allowed_categories: Tuple[str, ...] = ("search",)
+    allowed_categories: Tuple[str, ...] = ()
     # explicit -@cat denials; a deny after +@all revokes that category
     # (redis ACL: later rules win, so `+@all -@admin` must not grant admin)
     denied_categories: Tuple[str, ...] = ()
@@ -86,7 +89,8 @@ class AclManager:
     def __init__(self):
         self._lock = threading.Lock()
         self._users: Dict[str, AclUser] = {
-            "default": AclUser("default", key_patterns=("*",),
+            "default": AclUser("default", enabled=True,
+                               key_patterns=("*",),
                                allowed_categories=("all",))
         }
 

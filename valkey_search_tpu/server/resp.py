@@ -328,6 +328,10 @@ class _Handler(socketserver.StreamRequestHandler):
             self._reply(exc)
         except OutOfMemoryError as exc:
             self._reply(RespError(str(exc), code="OOM"))
+        except PermissionError as exc:
+            # ACL denials reply -NOPERM (valkey wire behavior), never the
+            # internal-error path
+            self._reply(RespError(str(exc), code="NOPERM"))
         except (CommandError, config.ConfigError, ValueError, KeyError) as exc:
             msg = exc.args[0] if exc.args else str(exc)
             self._reply(RespError(str(msg)))
