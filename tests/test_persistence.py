@@ -279,3 +279,153 @@ def test_round_trip_preserves_ttl(tmp_path):
     ttl = int(e2.execute("TTL", "k1"))
     assert 1 <= ttl <= 100
     assert int(e2.execute("TTL", "k2")) == -1
+
+
+# -- op journal (AOF analog; VERDICT r2 #7) -----------------------------------
+# Reference durability story: mutations ride valkey's AOF
+# (ft_internal_update.cc:55) and payloads ride RDB. The standalone engine
+# carries its own write-ahead journal: persistence/journal.py.
+
+def test_journal_roundtrip_and_torn_tail(tmp_path):
+    from valkey_search_tpu.persistence.journal import OpJournal, read_records
+
+    p = str(tmp_path / "ops.journal")
+    j = OpJournal(p, fsync_ms=0)
+    j.append([b"HSET", b"k1", b"f", b"v1"], db=0)
+    j.append([b"DEL", b"k2"], db=3)
+    j.append(["FT.CREATE", "idx", "SCHEMA", "t", "TAG"], db=0)  # str argv
+    j.close()
+
+    recs = list(read_records(p))
+    assert [(db, argv) for _ts, db, argv in recs] == [
+        (0, [b"HSET", b"k1", b"f", b"v1"]),
+        (3, [b"DEL", b"k2"]),
+        (0, [b"FT.CREATE", b"idx", b"SCHEMA", b"t", b"TAG"]),
+    ]
+    assert all(ts > 1_600_000_000_000 for ts, _, _ in recs)
+
+    # torn tail: garbage appended by a crash mid-write must not break
+    # replay, and reopening for append must chop it
+    with open(p, "ab") as f:
+        f.write(b"\x55" * 13)
+    assert len(list(read_records(p))) == 3
+    j2 = OpJournal(p, fsync_ms=0)
+    j2.append([b"HSET", b"k3", b"f", b"v"], db=0)
+    j2.close()
+    recs = list(read_records(p))
+    assert len(recs) == 4 and recs[-1][2][1] == b"k3"
+
+
+def test_journal_replay_rebases_relative_ttls(tmp_path):
+    from valkey_search_tpu.persistence.journal import (
+        OpJournal, _encode, read_records,
+    )
+    from valkey_search_tpu.server.resp import RespServer
+
+    p = str(tmp_path / "ops.journal")
+    j = OpJournal(p, fsync_ms=0)
+    j.append([b"HSET", b"k1", b"f", b"v"], db=0)
+    j.close()
+    # hand-craft an EXPIRE journaled 40 seconds ago with a 100s TTL: the
+    # replayed key must carry ~60s, not a fresh 100
+    import time as _time
+
+    with open(p, "ab") as f:
+        f.write(_encode(int((_time.time() - 40) * 1000), 0,
+                        [b"EXPIRE", b"k1", b"100"]))
+    srv = RespServer(port=0)
+    n = srv._replay_journal(read_records(p))
+    assert n == 2
+    ttl = float(srv.engine.execute("TTL", "k1"))
+    assert 50 <= ttl <= 70
+
+
+def _spawn_journal_server(tmp_path, script_path):
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.Popen(
+        [sys.executable, script_path,
+         str(tmp_path / "ops.journal"), str(tmp_path / "ckpt.vstpu")],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env, text=True,
+    )
+    line = p.stdout.readline().strip()
+    assert line.startswith("READY "), line
+    return p, int(line.split()[1])
+
+
+_JOURNAL_SERVER = """
+import sys, time
+from valkey_search_tpu.runtime import config
+from valkey_search_tpu.server.resp import RespServer
+config.set_config("search.journal-path", sys.argv[1])
+config.set_config("search.journal-fsync-ms", 0)  # appendfsync=always
+config.set_config("search.checkpoint-path", sys.argv[2])
+srv = RespServer(port=0)
+srv.start()
+print("READY", srv.port, flush=True)
+while True:
+    time.sleep(1)
+"""
+
+
+@pytest.mark.slow
+def test_journal_kill9_drill(tmp_path):
+    """The drill VERDICT r2 asks for: kill -9 between checkpoints loses
+    nothing past the fsync window (0 here => nothing at all). Runs a real
+    server subprocess: SIGKILL cannot be faked in-process."""
+    import signal
+
+    from valkey_search_tpu.cluster.transport import RespConnection
+
+    script = tmp_path / "journal_server.py"
+    script.write_text(_JOURNAL_SERVER)
+    p, port = _spawn_journal_server(tmp_path, str(script))
+    try:
+        c = RespConnection(("127.0.0.1", port), timeout=10)
+        assert c.cmd("FT.CREATE", "idx", "ON", "HASH", "PREFIX", "1", "d:",
+                     "SCHEMA", "t", "TAG", "n", "NUMERIC") == "OK"
+        for i in range(20):
+            c.cmd("HSET", f"d:{i}", "t", "even" if i % 2 == 0 else "odd",
+                  "n", str(i))
+        # checkpoint mid-stream: later writes live only in the journal
+        assert c.cmd("SAVE") == "OK"
+        for i in range(20, 35):
+            c.cmd("HSET", f"d:{i}", "t", "post", "n", str(i))
+        c.cmd("DEL", "d:0")
+        c.cmd("MULTI")
+        c.cmd("HSET", "d:100", "t", "txn", "n", "100")
+        c.cmd("HSET", "d:101", "t", "txn", "n", "101")
+        c.cmd("EXEC")
+        c.close()
+    finally:
+        p.send_signal(signal.SIGKILL)
+        p.wait(10)
+
+    # restart: checkpoint + journal replay must restore EVERYTHING
+    p2, port2 = _spawn_journal_server(tmp_path, str(script))
+    try:
+        c = RespConnection(("127.0.0.1", port2), timeout=10)
+        n_all = c.cmd("FT.SEARCH", "idx", "*", "NOCONTENT",
+                      "LIMIT", "0", "0")[0]
+        assert int(n_all) == 20 + 15 + 2 - 1  # 36: deletes replay too
+        assert int(c.cmd("FT.SEARCH", "idx", "@t:{post}", "NOCONTENT",
+                         "LIMIT", "0", "0")[0]) == 15
+        assert int(c.cmd("FT.SEARCH", "idx", "@t:{txn}", "NOCONTENT",
+                         "LIMIT", "0", "0")[0]) == 2
+        assert c.cmd("HGET", "d:0", "t") is None  # DEL survived
+        # SAVE truncation worked: journal holds only post-SAVE ops
+        from valkey_search_tpu.persistence.journal import read_records
+        cmds = [argv[0] for _ts, _db, argv in
+                read_records(str(tmp_path / "ops.journal"))]
+        assert b"FT.CREATE" not in cmds  # pre-SAVE op is checkpointed
+        c.close()
+    finally:
+        p2.send_signal(signal.SIGKILL)
+        p2.wait(10)

@@ -198,6 +198,12 @@ _enum("search.topk-mode", "approx", ["approx", "exact"])
 _enum("search.scan-kernel", "auto", ["auto", "pallas", "xla"])
 _bool("search.skip-corrupted-internal-update-entries", False)
 REGISTRY.register(Entry("search.checkpoint-path", "", "", "string"))
+# op journal (AOF analog — the reference rides valkey AOF for
+# FT.INTERNAL_UPDATE replay, ft_internal_update.cc:55): empty = disabled
+REGISTRY.register(Entry("search.journal-path", "", "", "string"))
+# fsync window: 0 = every write (appendfsync=always), >0 = bounded-loss
+# window in ms (everysec shape), <0 = let the OS decide (appendfsync=no)
+_num("search.journal-fsync-ms", 1000, -1, 3_600_000)
 _enum("search.hnsw-build-mode", "auto", ["auto", "device", "host"])
 # host-build worker threads (reference writer pool builds HNSW
 # concurrently, valkey_search.cc:1165-1168 + per-label locks

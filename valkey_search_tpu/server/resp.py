@@ -477,9 +477,13 @@ class _Handler(socketserver.StreamRequestHandler):
         if cmd == "FLUSHALL":
             for eng in srv.all_engines():
                 eng.flushall()
+            if srv.journal is not None:
+                srv.journal.append(argv, db=self.db)
             return SimpleString("OK")
         if cmd == "FLUSHDB":
             engine.flushall()
+            if srv.journal is not None:
+                srv.journal.append(argv, db=self.db)
             return SimpleString("OK")
         if cmd == "MULTI":
             if self.multi_queue is not None:
@@ -538,16 +542,31 @@ class _Handler(socketserver.StreamRequestHandler):
             # engine lock is held — run inline to avoid self-deadlock)
             fut = engine.ft_search_async(*argv[1:], user=self.user)
             return _ok(fut.result(timeout=srv.search_timeout))
-        if cmd in _WRITE_COMMANDS and srv.write_observer is not None:
+        if cmd in _WRITE_COMMANDS and (
+            srv.write_observer is not None or srv.journal is not None
+        ):
             # replication stream hook: each replica indexes its own copy
             # of the write stream (docs/topics/search.md "Index
             # Replication" — index content itself is never replicated).
             # Apply + log under the engine lock so the stream order equals
             # the apply order (the observer appends to an ordered log and
             # must not block; forwarding happens on a dedicated thread).
+            # The op journal appends at the same point: journal order ==
+            # apply order == replication order.
             with engine._lock:
                 result = engine.execute(*argv, user=self.user)
-                srv.write_observer(argv, db=self.db)
+                if srv.write_observer is not None:
+                    srv.write_observer(argv, db=self.db)
+                if srv.journal is not None:
+                    srv.journal.append(argv, db=self.db)
+            return _ok(result)
+        if cmd in _JOURNALED_SCHEMA_COMMANDS and srv.journal is not None:
+            # schema mutations are journaled too (reference: FT.CREATE
+            # reaches the AOF via module replication); engine._lock is an
+            # RLock, so the handler's own locking nests fine
+            with engine._lock:
+                result = engine.execute(*argv, user=self.user)
+                srv.journal.append(argv, db=self.db)
             return _ok(result)
         return _ok(engine.execute(*argv, user=self.user))
 
@@ -619,6 +638,9 @@ class _Handler(socketserver.StreamRequestHandler):
                     # through the same ordered stream as plain writes
                     for argv in repl:
                         srv.write_observer(argv, db=self.db)
+                if repl and srv.journal is not None:
+                    for argv in repl:
+                        srv.journal.append(argv, db=self.db)
         finally:
             self._in_exec = False
         return results
@@ -786,6 +808,10 @@ _WRITE_COMMANDS = {
     "COPY", "HEXPIRE", "HPEXPIRE", "HPERSIST",
 }
 
+# non-keyspace mutations the op journal must also capture (replication
+# streams them separately; see _cmd_meta_pull for schema gossip)
+_JOURNALED_SCHEMA_COMMANDS = {"FT.CREATE", "FT.DROPINDEX"}
+
 _COMMANDS = [
     "PING", "ECHO", "HELLO", "AUTH", "SELECT", "QUIT", "RESET", "CLIENT",
     "COMMAND", "DBSIZE", "FLUSHALL", "FLUSHDB", "MULTI", "EXEC", "DISCARD",
@@ -852,6 +878,10 @@ class RespServer:
         self.multi_query_guard = None
         self.async_search = async_search
         self.search_timeout = search_timeout
+        # op journal (AOF analog): attached by start() when
+        # search.journal-path is configured; appended UNDER the engine
+        # lock right after each accepted write, truncated by SAVE
+        self.journal = None
         self._server: Optional[_ThreadingTCPServer] = None
         self._thread: Optional[threading.Thread] = None
         self._closing = False
@@ -907,21 +937,39 @@ class RespServer:
 
     def save_all(self, path: str) -> None:
         """Checkpoint every non-empty db: db 0 at ``path``, db N at
-        ``path.dbN`` (one chunked file per logical database)."""
+        ``path.dbN`` (one chunked file per logical database).
+
+        With the op journal attached, the whole save runs under a write
+        barrier (_db_lock + every engine lock) and truncates the journal
+        before releasing: every journaled effect is inside the checkpoint
+        and every later write lands in the fresh journal — a crash at any
+        point replays to a consistent state. Without a journal the
+        original incremental (per-db lock) path is kept."""
+        import contextlib
         import os as _os
         import re as _re
 
-        with self._db_lock:
-            snapshot = sorted(self.engines.items())
-        saved = set()
-        for db, eng in snapshot:
-            with eng._lock:
-                empty = not eng.keyspace and not eng.manager.all_schemas()
-            if db == 0:
-                eng.save(path)
-            elif not empty:
-                eng.save(f"{path}.db{db}")
-                saved.add(db)
+        with contextlib.ExitStack() as stack:
+            if self.journal is not None:
+                stack.enter_context(self._db_lock)
+                snapshot = sorted(self.engines.items())
+                for _db, eng in snapshot:
+                    stack.enter_context(eng._lock)
+            else:
+                with self._db_lock:
+                    snapshot = sorted(self.engines.items())
+            saved = set()
+            for db, eng in snapshot:
+                with eng._lock:
+                    empty = (not eng.keyspace
+                             and not eng.manager.all_schemas())
+                if db == 0:
+                    eng.save(path)
+                elif not empty:
+                    eng.save(f"{path}.db{db}")
+                    saved.add(db)
+            if self.journal is not None:
+                self.journal.truncate()
         # remove stale .dbN files from earlier saves (an emptied/flushed
         # db must not resurrect on the next load_all)
         base = _os.path.basename(path)
@@ -968,7 +1016,67 @@ class RespServer:
         )
         self._thread.start()
         log("notice", f"RESP server listening on {self.host}:{self.port}")
+        self._init_persistence()
         return self
+
+    def _init_persistence(self) -> None:
+        """Boot recovery (valkey startup order): restore the last
+        checkpoint set if one exists, replay the op journal on top, then
+        open the journal for appends. No-op unless search.journal-path is
+        configured."""
+        jpath = str(config.get("search.journal-path"))
+        if not jpath:
+            return
+        from valkey_search_tpu.persistence.journal import (
+            OpJournal, read_records,
+        )
+
+        cpath = str(config.get("search.checkpoint-path"))
+        import os as _os
+
+        if cpath and _os.path.exists(cpath):
+            self.load_all(cpath)
+        n = self._replay_journal(read_records(jpath))
+        if n:
+            log("notice", f"journal: replayed {n} ops from {jpath}")
+        self.journal = OpJournal(
+            jpath, int(config.get("search.journal-fsync-ms"))
+        )
+
+    def _replay_journal(self, records) -> int:
+        """Apply journal records in append order. Relative TTLs are
+        rebased by the record timestamp so an EXPIRE journaled an hour ago
+        does not grant a fresh full TTL at replay (valkey AOF rewrites to
+        PEXPIREAT for the same reason)."""
+        import time as _time
+
+        n = 0
+        now_ms = _time.time() * 1000.0
+        for ts_ms, db, argv in records:
+            try:
+                cmd = _s(argv[0]).upper()
+                if cmd == "FLUSHALL":
+                    for eng in self.all_engines():
+                        eng.flushall()
+                elif cmd == "FLUSHDB":
+                    self.engine_for(db).flushall()
+                else:
+                    elapsed_ms = max(0.0, now_ms - ts_ms)
+                    if cmd in ("EXPIRE", "HEXPIRE") and len(argv) >= 3:
+                        argv = list(argv)
+                        argv[2] = str(
+                            max(0.0, float(_s(argv[2])) - elapsed_ms / 1000.0)
+                        )
+                    elif cmd in ("PEXPIRE", "HPEXPIRE") and len(argv) >= 3:
+                        argv = list(argv)
+                        argv[2] = str(
+                            max(0.0, float(_s(argv[2])) - elapsed_ms)
+                        )
+                    self.engine_for(db).execute(*argv)
+                n += 1
+            except Exception as exc:  # noqa: BLE001 — replay must finish
+                log("warning", f"journal replay skipped {argv[:1]}: {exc}")
+        return n
 
     def close(self) -> None:
         self._closing = True
@@ -979,6 +1087,9 @@ class RespServer:
         if self._thread is not None:
             self._thread.join(5)
             self._thread = None
+        if self.journal is not None:
+            self.journal.close()
+            self.journal = None
 
     def __enter__(self) -> "RespServer":
         return self.start()
