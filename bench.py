@@ -449,6 +449,39 @@ def main():
         log(f"device batch-1 service time: {b1_ms:.2f} ms/query (chained)")
         result["details"]["device_batch1_ms"] = round(b1_ms, 2)
 
+        # ---- latency-honest batch sweep (VERDICT r2 next#4) --------------------
+        # QPS at p50 <= 10ms across realistic serving batches 1..512: chained
+        # dependent launches measure true per-launch service time (no pipeline
+        # overlap), p50 over the chain. The reference's headline claim is
+        # single-digit-ms latency (README.md:4-5); this is the comparable datum.
+        if not over_budget("latency-sweep"):
+            sweep_lat = {"1": b1_ms}
+            for bsz in (8, 64, 512):
+                qb = jnp.asarray(queries[:bsz])
+
+                def _bn(qv, _b=bsz):
+                    dd, ii = flat.search_batch(np.asarray(qv), K)
+                    return qv + np.float32(dd[0, 0] * 0 + 1e-6)
+
+                qv = _bn(qb)  # warm/compile this batch shape
+                times = []
+                for _ in range(12):
+                    t0 = time.perf_counter()
+                    qv = _bn(qv)
+                    times.append((time.perf_counter() - t0) * 1000)
+                times.sort()
+                sweep_lat[str(bsz)] = round(times[len(times) // 2], 2)
+            qps_10ms = max(
+                (int(b) / (ms / 1000) for b, ms in sweep_lat.items()
+                 if ms <= 10.0),
+                default=0.0,
+            )
+            log("batch sweep p50 ms/launch: " + ", ".join(
+                f"B={b}:{ms}" for b, ms in sweep_lat.items())
+                + f" -> {qps_10ms:.0f} qps at p50<=10ms")
+            result["details"]["batch_p50_ms"] = sweep_lat
+            result["details"]["qps_at_p50_le_10ms"] = round(qps_10ms, 1)
+
         # ---- hybrid filter sweep (BASELINE config #4: selectivity 1/10/50%) ----
         if not QUICK and not over_budget("hybrid"):
             hybrid = {}

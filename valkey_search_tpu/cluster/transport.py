@@ -210,6 +210,12 @@ class NodeServer:
             # CreateIndexSchema cluster branch → MetadataManager::CreateEntry)
             "FT.CREATE": self._cmd_ft_create,
             "FT.DROPINDEX": self._cmd_ft_dropindex,
+            # node-side coordinator: FT.SEARCH/FT.AGGREGATE arriving from
+            # ANY client on ANY node scatter/gathers across the mesh (the
+            # reference coordinator lives in every node, coordinator/
+            # server.cc — a plain cluster client never fans out itself)
+            "FT.SEARCH": self._cmd_ft_search_coord,
+            "FT.AGGREGATE": self._cmd_ft_aggregate_coord,
             "_PART.SEARCH": self._cmd_part_search,
             "_PART.INFO": self._cmd_part_info,
             "_META.FP": self._cmd_meta_fp,
@@ -291,6 +297,13 @@ class NodeServer:
         if self._repl_thread is not None:
             self._repl_thread.join(2)
             self._repl_thread = None
+        coord = getattr(self, "_coord", None)
+        if coord is not None:
+            try:
+                coord.close()
+            except OSError:
+                pass
+            self._coord = None
         for c in self._peer_conns.values():
             try:
                 c.close()
@@ -344,35 +357,113 @@ class NodeServer:
         conn.cmd("_REPL.REGISTER", f"{self.resp.host}:{self.port}")
         conn.close()
 
+    def _my_replicas(self) -> List[Tuple[str, int]]:
+        """(host, port) of ready replicas registered on this primary."""
+        with self._repl_lock:
+            reps = [r for r in self._replica_conns.values() if r.ready]
+        out = []
+        for r in reps:
+            host, port_s = r.addr.rsplit(":", 1)
+            out.append((host, int(port_s)))
+        return out
+
+    # -- node-side query coordinator ------------------------------------------
+    def _query_fans_out(self) -> bool:
+        """Fan out unless: single-node, coordinator disabled, or the query
+        runs inside MULTI/EXEC (the engine lock is held by THIS thread —
+        a socket hop back to self would need a second handler thread that
+        blocks on it; the guard already restricted EXEC queries to
+        single-slot local indexes)."""
+        if not self._peer_slots:
+            return False
+        if not bool(config.get("search.use-coordinator")):
+            return False
+        from valkey_search_tpu.server.resp import CURRENT_CONN
+
+        h = getattr(CURRENT_CONN, "handler", None)
+        return not (h is not None and getattr(h, "_in_exec", False))
+
+    def _coordinator(self) -> "ClusterClient":
+        """Cached fanout client over self + known peers, rebuilt when the
+        gossip-learned peer set changes."""
+        addrs = [f"{self.resp.host}:{self.port}"] + sorted(self._peer_slots)
+        cur = getattr(self, "_coord", None)
+        if cur is not None and cur.addrs == addrs:
+            return cur
+        if cur is not None:
+            try:
+                cur.close()
+            except OSError:
+                pass
+        self._coord = ClusterClient(addrs)
+        return self._coord
+
+    def _cmd_ft_search_coord(self, rest: List[bytes]):
+        if not self._query_fans_out():
+            return self.engine.ft_search(*rest)
+        return self._coordinator().ft_search(*rest)
+
+    def _cmd_ft_aggregate_coord(self, rest: List[bytes]):
+        if not self._query_fans_out():
+            return self.engine.ft_aggregate(*rest)
+        return self._coordinator().ft_aggregate(*rest)
+
     def _cmd_cluster(self, rest: List[bytes]):
-        """CLUSTER SLOTS/SHARDS/MYID/INFO for redis-cluster client compat
-        (vmsdk cluster_map snapshots the same data from CLUSTER SLOTS)."""
+        """CLUSTER SLOTS/SHARDS/NODES/MYID/INFO for redis-cluster client
+        compat: an off-the-shelf cluster client bootstraps its slot map
+        from these exact reply shapes (the reference side gets them from
+        valkey-server itself; vmsdk/src/cluster_map.cc consumes CLUSTER
+        SLOTS the same way). Replicas registered on THIS primary are
+        listed after the master entry (valkey reply contract)."""
         sub = _s(rest[0]).upper() if rest else "INFO"
+        my_reps = self._my_replicas()
         ranges = [(self.slots[0], self.slots[1],
-                   self.resp.host, self.port, self.node_id)]
+                   self.resp.host, self.port, self.node_id, my_reps)]
         for addr, (lo, hi) in sorted(self._peer_slots.items()):
             host, port_s = addr.rsplit(":", 1)
-            ranges.append((lo, hi, host, int(port_s), addr))
+            ranges.append((lo, hi, host, int(port_s), addr, []))
         if sub == "SLOTS":
             return [
                 [lo, hi - 1, [host, port, nid]]
-                for lo, hi, host, port, nid in sorted(ranges)
+                + [[rh, rp, f"{rh}:{rp}"] for rh, rp in reps]
+                for lo, hi, host, port, nid, reps in sorted(ranges)
             ]
         if sub == "SHARDS":
             return [
                 ["slots", [lo, hi - 1], "nodes",
                  [["id", nid, "endpoint", host, "port", port,
-                   "role", "master", "health", "online"]]]
-                for lo, hi, host, port, nid in sorted(ranges)
+                   "role", "master", "health", "online"]]
+                 + [["id", f"{rh}:{rp}", "endpoint", rh, "port", rp,
+                     "role", "replica", "health", "online"]
+                    for rh, rp in reps]]
+                for lo, hi, host, port, nid, reps in sorted(ranges)
             ]
+        if sub == "NODES":
+            # the legacy text form many clients still parse:
+            # <id> <ip:port@cport> <flags> <master> <ping> <pong> <epoch>
+            # <state> <slot ranges...>
+            lines = []
+            for lo, hi, host, port, nid, reps in sorted(ranges):
+                me = nid == self.node_id
+                flags = ("myself," if me else "") + "master"
+                lines.append(
+                    f"{nid} {host}:{port}@{port} {flags} - 0 0 1 "
+                    f"connected {lo}-{hi - 1}"
+                )
+                for rh, rp in reps:
+                    lines.append(
+                        f"{rh}:{rp} {rh}:{rp}@{rp} slave {nid} 0 0 1 "
+                        "connected"
+                    )
+            return "\n".join(lines) + "\n"
         if sub == "MYID":
             return self.node_id
         if sub == "INFO":
-            known = 1 + len(self._peer_slots)
+            known = 1 + len(self._peer_slots) + len(my_reps)
             return (
                 "cluster_enabled:1\r\ncluster_state:ok\r\n"
                 f"cluster_known_nodes:{known}\r\n"
-                f"cluster_size:{known}\r\n"
+                f"cluster_size:{1 + len(self._peer_slots)}\r\n"
             )
         raise RespError(f"Unknown CLUSTER subcommand {sub!r}")
 

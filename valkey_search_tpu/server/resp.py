@@ -31,7 +31,7 @@ import socket
 import socketserver
 import threading
 from fnmatch import fnmatchcase
-from typing import Any, List, Optional
+from typing import Any, Dict, List, Optional
 
 from valkey_search_tpu.runtime import config
 from valkey_search_tpu.runtime.log import log
@@ -536,6 +536,11 @@ class _Handler(socketserver.StreamRequestHandler):
             threading.Thread(target=srv.close, daemon=True).start()
             return SimpleString("OK")
 
+        if cmd in ("EVAL", "EVALSHA"):
+            return self._eval_lite(srv, engine, cmd, rest)
+        if cmd == "SCRIPT":
+            return self._script_cmd(srv, rest)
+
         if cmd == "FT.SEARCH" and srv.async_search and not self._in_exec:
             # route through the reader pool so concurrent connections'
             # KNN queries coalesce into one device launch (inside EXEC the
@@ -569,6 +574,147 @@ class _Handler(socketserver.StreamRequestHandler):
                 srv.journal.append(argv, db=self.db)
             return _ok(result)
         return _ok(engine.execute(*argv, user=self.user))
+
+    # -- EVAL-lite (server/script.py; reference integration/test_multi_lua.py
+    #    drives exactly this redis.call subset through valkey's Lua) --------
+    def _script_cmd(self, srv: "RespServer", rest: List[bytes]):
+        import hashlib
+
+        if not rest:
+            raise RespError("SCRIPT LOAD|EXISTS|FLUSH ...")
+        sub = _s(rest[0]).upper()
+        scripts = getattr(srv, "_scripts", None)
+        if scripts is None:
+            scripts = srv._scripts = {}
+        if sub == "LOAD":
+            if len(rest) != 2:
+                raise RespError("SCRIPT LOAD script")
+            from valkey_search_tpu.server import script as script_mod
+
+            src = _s(rest[1])
+            try:
+                script_mod.parse(src)  # refuse unsupported scripts at load
+            except script_mod.ScriptError as exc:
+                raise RespError(str(exc))
+            sha = hashlib.sha1(rest[1] if isinstance(rest[1], bytes)
+                               else src.encode()).hexdigest()
+            scripts[sha] = src
+            return sha
+        if sub == "EXISTS":
+            return [1 if _s(h).lower() in scripts else 0 for h in rest[1:]]
+        if sub == "FLUSH":
+            scripts.clear()
+            return SimpleString("OK")
+        raise RespError(f"Unknown SCRIPT subcommand {sub!r}")
+
+    def _eval_lite(self, srv: "RespServer", engine: Engine, cmd: str,
+                   rest: List[bytes]):
+        """EVAL/EVALSHA over the supported redis.call subset. Runs
+        atomically under the engine lock (a Lua script is a transaction);
+        redis.call errors abort the script; writes feed the replication
+        stream and op journal in apply order, exactly like EXEC."""
+        import hashlib
+
+        from valkey_search_tpu.server import script as script_mod
+
+        if len(rest) < 2:
+            raise RespError(f"wrong number of arguments for '{cmd.lower()}'")
+        scripts = getattr(srv, "_scripts", None)
+        if scripts is None:
+            scripts = srv._scripts = {}
+        if cmd == "EVALSHA":
+            sha = _s(rest[0]).lower()
+            src = scripts.get(sha)
+            if src is None:
+                raise RespError(
+                    "No matching script. Please use EVAL.", code="NOSCRIPT"
+                )
+        else:
+            src = _s(rest[0])
+            sha = hashlib.sha1(
+                rest[0] if isinstance(rest[0], bytes) else src.encode()
+            ).hexdigest()
+            scripts.setdefault(sha, src)
+        try:
+            numkeys = int(_s(rest[1]))
+        except ValueError:
+            raise RespError("value is not an integer or out of range")
+        if numkeys < 0 or 2 + numkeys > len(rest):
+            raise RespError("Number of keys can't be negative")
+        keys = [bytes(x) if not isinstance(x, bytes) else x
+                for x in rest[2:2 + numkeys]]
+        argv_in = [bytes(x) if not isinstance(x, bytes) else x
+                   for x in rest[2 + numkeys:]]
+        try:
+            script = script_mod.parse(src)
+        except script_mod.ScriptError as exc:
+            raise RespError(str(exc))
+
+        variables: Dict[str, Any] = {}
+        repl: List[List[bytes]] = []
+        txn = engine.multi()
+
+        def run_call(call):
+            if call.fn == "status_reply":
+                a = script_mod.resolve_args(call, keys, argv_in, variables)
+                return SimpleString(_s(a[0]) if a else "OK")
+            if call.fn == "error_reply":
+                a = script_mod.resolve_args(call, keys, argv_in, variables)
+                raise RespError(_s(a[0]) if a else "error")
+            if call.fn == "sha1hex":
+                a = script_mod.resolve_args(call, keys, argv_in, variables)
+                return hashlib.sha1(a[0] if a else b"").hexdigest()
+            cargv = script_mod.resolve_args(call, keys, argv_in, variables)
+            if not cargv:
+                raise RespError("EVAL-lite: redis.call needs a command")
+            inner = _s(cargv[0]).upper()
+            if inner in ("EVAL", "EVALSHA", "MULTI", "EXEC", "SCRIPT"):
+                raise RespError(
+                    f"This Redis command is not allowed from script: {inner}"
+                )
+            # pcall approximation: errors propagate either way (real Lua
+            # pcall yields an error table; the supported script shapes
+            # immediately return it, which replies the error identically)
+            return self._exec_one(srv, txn, inner, cargv, repl)
+
+        was_in_exec = self._in_exec
+        self._in_exec = True  # scripts are atomic: inline FT.SEARCH, no pool
+        try:
+            with engine._lock:
+                try:
+                    for idx, call in enumerate(script.stmts):
+                        r = run_call(call)
+                        var = script.assigns.get(idx)
+                        if var is not None:
+                            variables[var] = r
+                    result = None
+                    if isinstance(script.ret, script_mod._Call):
+                        result = run_call(script.ret)
+                    elif script.ret is not None:
+                        kind, v = script.ret
+                        if kind == "lit":
+                            try:
+                                # Lua number returns truncate to integer
+                                result = int(float(v))
+                            except ValueError:
+                                result = v
+                        elif kind == "key":
+                            result = keys[v] if v < len(keys) else None
+                        elif kind == "arg":
+                            result = argv_in[v] if v < len(argv_in) else None
+                        else:
+                            result = variables.get(v)
+                finally:
+                    txn.flush_notifications()
+                    if repl and srv.write_observer is not None:
+                        for a in repl:
+                            srv.write_observer(a, db=self.db)
+                    if repl and srv.journal is not None:
+                        for a in repl:
+                            srv.journal.append(a, db=self.db)
+        finally:
+            self._in_exec = was_in_exec
+        return result
 
     def _authenticate(self, engine: Engine, user: str, password: str) -> None:
         """Verify credentials before switching the connection's ACL user.
@@ -822,6 +968,7 @@ _COMMANDS = [
     "HEXPIRE", "HPEXPIRE", "HTTL", "HPTTL", "HPERSIST",
     "JSON.SET", "JSON.GET", "COPY", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
     "FT.AGGREGATE", "FT.INFO", "FT._LIST", "FT._DEBUG",
+    "EVAL", "EVALSHA", "SCRIPT",
 ]
 
 
