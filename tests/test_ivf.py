@@ -1,0 +1,329 @@
+"""IVF coarse-pruned search (ops/ivf.py): recall vs brute force, layout
+invariants, metric handling, and the engine-facing routing gate."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valkey_search_tpu.ops import ivf
+
+
+def clustered(rng, n, d, centers=64, spread=0.08):
+    c = rng.normal(size=(centers, d)).astype(np.float32)
+    a = rng.integers(0, centers, size=n)
+    x = c[a] + spread * rng.normal(size=(n, d)).astype(np.float32)
+    return np.ascontiguousarray(x, np.float32)
+
+
+def brute(queries, corpus, k, metric="l2"):
+    if metric == "l2":
+        d = (
+            (queries * queries).sum(1)[:, None]
+            + (corpus * corpus).sum(1)[None, :]
+            - 2.0 * queries @ corpus.T
+        )
+    else:
+        d = 1.0 - queries @ corpus.T
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def recall_at_k(ids, truth):
+    hits = 0
+    for row, t in zip(ids, truth):
+        hits += len(set(row[row >= 0]) & set(t))
+    return hits / truth.size
+
+
+class TestBuild:
+    def test_layout_partitions_every_row_once(self, rng):
+        n, d, s = 5000, 16, 128
+        x = clustered(rng, n, d, centers=8)
+        idx = ivf.build_ivf(x, block_rows=s, n_clusters=8, train_sample=2048)
+        ids = np.asarray(idx.block_ids).ravel()
+        live = np.sort(ids[ids >= 0])
+        assert np.array_equal(live, np.arange(n))
+        # pow2 block count, every valid flag consistent with ids
+        assert idx.n_blocks & (idx.n_blocks - 1) == 0
+        valid = np.asarray(idx.block_valid)
+        has_rows = (np.asarray(idx.block_ids) >= 0).any(axis=1)
+        assert np.array_equal(valid, has_rows)
+
+    def test_custom_row_ids_survive(self, rng):
+        n, d = 1000, 8
+        x = clustered(rng, n, d, centers=4)
+        row_ids = np.arange(1000, 1000 + n)
+        idx = ivf.build_ivf(
+            x, row_ids, block_rows=64, n_clusters=4, train_sample=512
+        )
+        ids = np.asarray(idx.block_ids).ravel()
+        assert set(ids[ids >= 0]) == set(row_ids.tolist())
+
+    def test_residual_codes_reconstruct_rows(self, rng):
+        x = clustered(rng, 600, 8, centers=4)
+        idx = ivf.build_ivf(x, block_rows=64, n_clusters=4, train_sample=512)
+        codes = np.asarray(idx.blocks_i8, np.float32)
+        cent = np.asarray(idx.centroids)
+        scale = np.asarray(idx.block_scale)
+        ids = np.asarray(idx.block_ids)
+        recon = cent[:, None, :] + codes * scale[:, None, None]
+        bb, ss = np.nonzero(ids >= 0)
+        err = np.abs(recon[bb, ss] - x[ids[bb, ss]])
+        # per-dim reconstruction error bounded by half a quantization step
+        assert (err <= scale[bb][:, None] * 0.51 + 1e-6).all()
+        np.testing.assert_allclose(
+            np.asarray(idx.row_sq)[bb, ss],
+            (recon[bb, ss] ** 2).sum(1),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+
+class TestSearch:
+    @pytest.mark.parametrize("metric", ["l2", "ip"])
+    def test_recall_clustered_rescored(self, rng, metric):
+        # the engine path: int8 coarse retrieval + exact fp32 rescore
+        # (pure-coarse ordering is scrambled by int8 rounding when the
+        # quantization step rivals intra-cluster spread — same story as
+        # the fused flat scan, same fix)
+        n, d, k = 20000, 32, 10
+        x = clustered(rng, n, d, centers=32)
+        if metric == "ip":
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+        idx = ivf.build_ivf(x, block_rows=256, n_clusters=16, train_sample=8192)
+        q = x[rng.integers(0, n, size=64)] + 0.01 * rng.normal(
+            size=(64, d)
+        ).astype(np.float32)
+        if metric == "ip":
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+        truth = brute(q, x, k, metric)
+        _, ids = ivf.ivf_search_rescored(
+            idx, jnp.asarray(q), jnp.asarray(x), k=k, probe=32, metric=metric
+        )
+        assert recall_at_k(np.asarray(ids), truth) >= 0.97
+        # the property the rescore relies on: the coarse top-4k CONTAINS
+        # the true top-k (ordering within it may be int8-noisy)
+        _, cids = ivf.ivf_search_batch(
+            idx, jnp.asarray(q), k=4 * k, probe=32, metric=metric
+        )
+        assert recall_at_k(np.asarray(cids), truth) >= 0.95
+
+    def test_probe_full_coverage_is_near_exact(self, rng):
+        # probing every block must reproduce brute force (up to int8
+        # rounding, which the margin-free clustered corpus tolerates)
+        n, d, k = 4000, 16, 5
+        x = clustered(rng, n, d, centers=8)
+        idx = ivf.build_ivf(x, block_rows=128, n_clusters=8, train_sample=2048)
+        q = x[:32]
+        truth = brute(q, x, k)
+        _, ids = ivf.ivf_search_batch(
+            idx, jnp.asarray(q), k=k, probe=idx.n_blocks
+        )
+        # bounded by distance-to-reconstruction ordering noise only
+        assert recall_at_k(np.asarray(ids), truth) >= 0.96
+
+    def test_probe_chunk_padding_no_duplicates(self, rng):
+        # probe not divisible by probe_chunk exercises the pad/dedup path
+        n, d, k = 4000, 16, 8
+        x = clustered(rng, n, d, centers=8)
+        idx = ivf.build_ivf(x, block_rows=128, n_clusters=8, train_sample=2048)
+        q = x[:16]
+        _, ids = ivf.ivf_search_batch(
+            idx, jnp.asarray(q), k=k, probe=5, probe_chunk=4
+        )
+        ids = np.asarray(ids)
+        for row in ids:
+            live = row[row >= 0]
+            assert len(live) == len(set(live.tolist()))
+
+    def test_skewed_clusters(self, rng):
+        # 90% of mass in one cluster: per-block mini-centroids must keep
+        # selection fine-grained inside the big cluster
+        d, k = 16, 10
+        big = rng.normal(size=(18000, d)).astype(np.float32) * 0.1
+        small = rng.normal(size=(2000, d)).astype(np.float32) * 0.1 + 3.0
+        x = np.concatenate([big, small]).astype(np.float32)
+        idx = ivf.build_ivf(x, block_rows=256, n_clusters=8, train_sample=8192)
+        q = x[rng.integers(0, len(x), size=48)]
+        truth = brute(q, x, k)
+        # an isotropic blob is the IVF worst case: probe is the dial —
+        # 40% of blocks probed holds >=0.95 even here
+        _, ids = ivf.ivf_search_rescored(
+            idx, jnp.asarray(q), jnp.asarray(x), k=k, probe=32
+        )
+        assert recall_at_k(np.asarray(ids), truth) >= 0.95
+
+    def test_distances_close_to_true_l2(self, rng):
+        n, d, k = 4000, 16, 5
+        x = clustered(rng, n, d, centers=8)
+        idx = ivf.build_ivf(x, block_rows=128, n_clusters=8, train_sample=2048)
+        q = x[:8]
+        dists, ids = ivf.ivf_search_batch(
+            idx, jnp.asarray(q), k=k, probe=idx.n_blocks
+        )
+        dists, ids = np.asarray(dists), np.asarray(ids)
+        smax = float(np.asarray(idx.block_scale).max())
+        qn = float(np.linalg.norm(q, axis=1).max())
+        # residual rounding error: |err| <= 2|q - c|·sqrt(d)·scale/2 plus
+        # bf16 product noise; bound loosely with the max block scale
+        tol = max(4.0 * qn * (d**0.5) * smax, 1e-2)
+        for qi in range(len(q)):
+            for j in range(k):
+                if ids[qi, j] < 0:
+                    continue
+                true = float(((q[qi] - x[ids[qi, j]]) ** 2).sum())
+                assert abs(dists[qi, j] - true) <= tol
+
+    def test_tiny_corpus_probe_clamped(self, rng):
+        x = clustered(rng, 100, 8, centers=2)
+        idx = ivf.build_ivf(x, block_rows=64, n_clusters=2, train_sample=100)
+        _, ids = ivf.ivf_search_batch(idx, jnp.asarray(x[:4]), k=3, probe=999)
+        assert (np.asarray(ids)[:, 0] >= 0).all()
+
+
+class TestKmeans:
+    def test_separated_centers_recovered(self, rng):
+        d = 8
+        centers = np.eye(4, d).astype(np.float32) * 10
+        x = np.repeat(centers, 256, axis=0) + 0.05 * rng.normal(
+            size=(1024, d)
+        ).astype(np.float32)
+        cent = np.asarray(ivf.kmeans_fit(jnp.asarray(x), 4, iters=10))
+        # every true center has a learned centroid within 0.5
+        for c in centers:
+            assert np.min(np.linalg.norm(cent - c, axis=1)) < 0.5
+
+    def test_assign_chunks_matches_full(self, rng):
+        x = clustered(rng, 3000, 8, centers=4)
+        cent = ivf.kmeans_fit(jnp.asarray(x[:1024]), 4, iters=5)
+        a1 = ivf.assign_clusters(x, cent, chunk_rows=512)
+        a2 = ivf.assign_clusters(x, cent, chunk_rows=4096)
+        assert np.array_equal(a1, a2)
+
+
+class TestEngineRouting:
+    """search.ivf-threshold routes index searches through the IVF mirror."""
+
+    def _with_ivf(self, thresh=1000, block=128, probe=12):
+        from valkey_search_tpu.runtime import config
+
+        config.set_config("search.ivf-threshold", thresh)
+        config.set_config("search.ivf-block-rows", block)
+        config.set_config("search.ivf-probe", probe)
+
+    def _reset(self):
+        from valkey_search_tpu.runtime import config
+
+        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-block-rows", 1024)
+        config.set_config("search.ivf-probe", 64)
+
+    def test_flat_routes_and_recalls(self, rng):
+        from valkey_search_tpu.indexes.flat import FlatVectorIndex
+        from valkey_search_tpu.runtime.metrics import STATS
+
+        self._with_ivf(probe=16)
+        try:
+            idx = FlatVectorIndex(dim=16, metric="l2")
+            x = clustered(rng, 4000, 16, centers=8)
+            idx.bulk_load([f"k{i}" for i in range(len(x))], x)
+            before = STATS.get("ivf_served_searches")
+            q = x[:32]
+            d, ids = idx.search_batch(q, 5)
+            assert STATS.get("ivf_served_searches") - before == 32
+            truth = brute(q, x, 5)
+            assert recall_at_k(ids, truth) >= 0.95
+            # distances come from the exact fp32 rescore
+            np.testing.assert_allclose(
+                d[:, 0], [((q[i] - x[ids[i, 0]]) ** 2).sum() for i in range(32)],
+                rtol=1e-4, atol=1e-4,
+            )
+        finally:
+            self._reset()
+
+    def test_flat_filter_mask_respected(self, rng):
+        import jax.numpy as jnp
+
+        from valkey_search_tpu.indexes.flat import FlatVectorIndex
+
+        self._with_ivf(probe=32)
+        try:
+            idx = FlatVectorIndex(dim=16, metric="l2")
+            x = clustered(rng, 3000, 16, centers=4)
+            idx.bulk_load([f"k{i}" for i in range(len(x))], x)
+            cap = idx.store.capacity
+            mask = np.zeros(cap, bool)
+            mask[: len(x) : 2] = True  # only even docs allowed
+            d, ids = idx.search_batch(x[:16], 5, filter_mask=jnp.asarray(mask))
+            live = ids[ids >= 0]
+            assert len(live) and (live % 2 == 0).all()
+        finally:
+            self._reset()
+
+    def test_flat_mutation_rebuilds_mirror(self, rng):
+        from valkey_search_tpu.indexes.flat import FlatVectorIndex
+
+        self._with_ivf(probe=16)
+        try:
+            idx = FlatVectorIndex(dim=16, metric="l2")
+            x = clustered(rng, 2000, 16, centers=4)
+            idx.bulk_load([f"k{i}" for i in range(len(x))], x)
+            d, ids = idx.search_batch(x[:1], 1)
+            assert ids[0, 0] == 0
+            # removing the best hit must drop it from results (epoch bump
+            # rebuilds the mirror; mask drops the cleared row either way)
+            idx.remove_record("k0")
+            d, ids = idx.search_batch(x[:1], 1)
+            assert ids[0, 0] != 0
+            # a new exact-duplicate doc becomes findable
+            idx.add_record("dup", x[1])
+            d, ids = idx.search_batch(x[1:2], 2)
+            keys = {idx.interner.key_of(int(i)) for i in ids[0] if i >= 0}
+            assert "dup" in keys and "k1" in keys
+        finally:
+            self._reset()
+
+    def test_hnsw_exact_path_routes(self, rng):
+        from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+        from valkey_search_tpu.runtime.metrics import STATS
+
+        self._with_ivf(probe=16)
+        try:
+            idx = HnswVectorIndex(dim=16, metric="l2", m=8)
+            x = clustered(rng, 2000, 16, centers=4)
+            idx.bulk_load([f"k{i}" for i in range(len(x))], x)
+            before = STATS.get("ivf_served_searches")
+            d, ids = idx.search_batch(x[:8], 5)
+            assert STATS.get("ivf_served_searches") - before == 8
+            truth = brute(x[:8], x, 5)
+            assert recall_at_k(ids, truth) >= 0.95
+            # tombstoned node rides the mask (store epoch may not bump)
+            idx.remove_record("k0")
+            d, ids = idx.search_batch(x[:1], 1)
+            assert idx.interner.key_of(int(ids[0, 0])) != "k0"
+        finally:
+            self._reset()
+
+
+class TestSampleRefine:
+    def test_sample_refine_matches_exact_quality(self, rng):
+        # the very-large-N path: level-2 centroids from the sample only.
+        # Same corpus, both refine modes, comparable recall.
+        n, d, k = 20000, 16, 10
+        x = clustered(rng, n, d, centers=6, spread=0.3)
+        q = x[rng.integers(0, n, size=48)]
+        truth = brute(q, x, k)
+        res = {}
+        for mode in ("exact", "sample"):
+            idx = ivf.build_ivf(
+                x, block_rows=128, n_clusters=6, refine=mode,
+                train_sample=8192,
+            )
+            _, ids = ivf.ivf_search_rescored(
+                idx, jnp.asarray(q), jnp.asarray(x), k=k, probe=40
+            )
+            res[mode] = recall_at_k(np.asarray(ids), truth)
+            # layout still a partition
+            flat = np.asarray(idx.block_ids).ravel()
+            assert np.array_equal(np.sort(flat[flat >= 0]), np.arange(n))
+        assert res["sample"] >= 0.92
+        assert res["sample"] >= res["exact"] - 0.05

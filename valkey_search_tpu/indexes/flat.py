@@ -47,6 +47,30 @@ class FlatVectorIndex(VectorIndexBase):
         snap = self.store.device_snapshot()
         prec = precision or config.get("search.distance-precision")
         mode = str(config.get("search.topk-mode"))
+        if filter_mask is None or filter_mask.ndim == 1:
+            # sub-linear IVF path for large corpora (ops/ivf.py): engaged
+            # above search.ivf-threshold; per-query row traffic drops from
+            # O(N) to O(nb + probe*block-rows). 2-D (per-query) masks need
+            # the scan paths below.
+            mirror = self.ivf_mirror()
+            if mirror is not None:
+                mask = ~snap["invalid"]
+                if filter_mask is not None:
+                    mask = mask & filter_mask
+                from valkey_search_tpu.ops import ivf as ivf_ops
+
+                d, i = ivf_ops.ivf_search_rescored(
+                    mirror,
+                    jnp.asarray(queries),
+                    snap["vectors"],
+                    k=k,
+                    probe=int(config.get("search.ivf-probe")),
+                    metric="ip" if self.metric == "cosine" else self.metric,
+                    filter_mask=mask,
+                )
+                STATS.incr("flat_searches", queries.shape[0])
+                STATS.incr("ivf_served_searches", queries.shape[0])
+                return np.asarray(d), np.asarray(i)
         if (
             mode == "approx"
             and ("vectors_lp" in snap or "vectors_i8" in snap)

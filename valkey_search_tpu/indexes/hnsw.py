@@ -587,6 +587,33 @@ class HnswVectorIndex(VectorIndexBase):
             node_filter = jnp.take(filter_mask, jnp.maximum(node_doc, 0)) & (
                 node_doc >= 0
             )
+        if node_filter is None or node_filter.ndim == 1:
+            # sub-linear IVF path (ops/ivf.py; same gate as the flat
+            # index): mirror rows are NODES — tombstones don't bump the
+            # store epoch, so deletions ride the mask, not the mirror
+            mirror = self.ivf_mirror()
+            if mirror is not None:
+                mask = ~invalid
+                if node_filter is not None:
+                    mask = mask & node_filter
+                from valkey_search_tpu.ops import ivf as ivf_ops
+
+                d, ids = ivf_ops.ivf_search_rescored(
+                    mirror,
+                    jnp.asarray(queries),
+                    snap["vectors"],
+                    k=k,
+                    probe=int(config.get("search.ivf-probe")),
+                    metric="ip" if self.metric == "cosine" else self.metric,
+                    filter_mask=mask,
+                )
+                d = np.asarray(d)
+                nodes = np.asarray(ids)
+                docs = np.where(
+                    nodes >= 0, self._node_doc[np.maximum(nodes, 0)], -1
+                )
+                STATS.incr("ivf_served_searches", queries.shape[0])
+                return d, docs.astype(np.int32)
         if (
             ("vectors_lp" in snap or "vectors_i8" in snap)
             and str(config.get("search.topk-mode")) == "approx"

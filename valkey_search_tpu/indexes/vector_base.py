@@ -271,6 +271,37 @@ class VectorIndexBase(IndexBase):
         self.store = HostVectorStore(dim, metric, block, growth)
         self._tracked: Dict[str, int] = {}
         self._lock = threading.RLock()
+        self._ivf = None  # epoch-memoized IVF mirror (ops/ivf.py)
+        self._ivf_epoch = -1
+
+    # -- IVF mirror (large-corpus sub-linear path) --------------------------
+    def ivf_mirror(self):
+        """Epoch-memoized IVF index over the present rows, or None below
+        search.ivf-threshold. Like the AoS traversal mirror, it is
+        rebuilt per publish epoch — at the row counts where it engages
+        (millions), corpora are bulk-loaded/backfilled and epochs change
+        rarely; steady mutation workloads below the threshold never pay
+        a build."""
+        thresh = int(config.get("search.ivf-threshold"))
+        n = self.count()
+        if thresh == 0 or n < thresh:
+            return None
+        from valkey_search_tpu.ops import ivf as ivf_ops
+
+        with self._lock:
+            self.store.device_snapshot()  # settle epoch for memo key
+            if self._ivf is not None and self._ivf_epoch == self.store.epoch:
+                return self._ivf
+            docs = np.nonzero(self.store.present)[0]
+            self._ivf = ivf_ops.build_ivf(
+                self.store.vectors[docs],
+                docs.astype(np.int64),
+                block_rows=int(config.get("search.ivf-block-rows")),
+                n_clusters=int(config.get("search.ivf-clusters")),
+            )
+            self._ivf_epoch = self.store.epoch
+            STATS.incr("ivf_mirror_builds")
+            return self._ivf
 
     # -- IndexBase ----------------------------------------------------------
     def add_record(self, key: str, value: VectorLike) -> RecordResult:

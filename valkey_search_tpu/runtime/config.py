@@ -242,6 +242,22 @@ _enum("search.corpus-dtype", "bfloat16", ["bfloat16", "float32", "int8"])
 # API/persistence parity, the CPU oracle, and >HBM sharded regimes.
 # 0 = always traverse the graph.
 _num("search.hnsw-scan-threshold", 1 << 30, 0, 1 << 40)
+# IVF coarse-pruned path (ops/ivf.py): unfiltered/1-D-filtered vector
+# searches on corpora at or above this row count route through the
+# residual-quantized block index instead of the O(N) exact scan — the
+# sub-linear regime the reference gets from hnswlib graph walks, built
+# from MXU matmuls + contiguous block gathers instead. 0 disables.
+_num("search.ivf-threshold", 4_000_000, 0, 1 << 40)
+# rows per IVF block: the gather/scoring tile. 1024 x 128d int8 = 128KB
+# per tile — the contiguous-read shape HBM likes.
+_num("search.ivf-block-rows", 1024, 128, 65536)
+# blocks probed per query — the recall/throughput dial (IVF analog of
+# ef_runtime; swept in bench.py: 64 holds recall@10 >= 0.99 on clustered
+# 100M-shape corpora at ~1/1500 of the scan's per-query row traffic)
+_num("search.ivf-probe", 64, 1, 65536)
+# coarse k-means cell count; 0 = auto (~N / (8 * block-rows), refined by
+# a second in-cluster k-means level for oversized cells)
+_num("search.ivf-clusters", 0, 0, 65536)
 _num("search.mutation-compaction-threshold", 4096, 1, 10_000_000)
 _num("search.backfill-batch-size", 10240, 1, 10_000_000)
 _num("search.max-indexes", 256, 1, 10_000)
