@@ -746,7 +746,154 @@ def main():
                 "scan_10m_recall_at_10": round(big_recall, 4),
                 "scan_10m_build_s": round(big_build_s, 1),
             })
-            del bcorp, big
+            del big
+
+            # ---- IVF sub-linear path on the same 10M corpus ---------------
+            # (ops/ivf.py): probe sweep shows the recall/QPS frontier vs the
+            # O(N) scan above — the planner's justified switch at this scale
+            if (os.environ.get("VSTPU_BENCH_IVF", "1") == "1"
+                    and not over_budget("ivf-10m")):
+                from valkey_search_tpu.ops import ivf as ivf_ops
+
+                t0 = time.perf_counter()
+                iv = ivf_ops.build_ivf(bcorp, block_rows=1024)
+                ivf_build_s = time.perf_counter() - t0
+                log(f"IVF build 10M: {ivf_build_s:.0f}s "
+                    f"({iv.n_blocks} blocks, "
+                    f"{iv.device_bytes()/2**30:.1f} GiB on device)")
+                IB = 4096  # serving batch for the gather-bound stage
+                ivq = jnp.asarray(queries[:IB])
+                ivf_sweep = {}
+                for probe in (16, 32, 64):
+                    dd, ii = ivf_ops.ivf_search_batch(
+                        iv, ivq, k=K, probe=probe, probe_chunk=4
+                    )  # compile+warm
+                    np.asarray(dd)
+                    t0 = time.perf_counter()
+                    for _ in range(3):
+                        dd, ii = ivf_ops.ivf_search_batch(
+                            iv, ivq, k=K, probe=probe, probe_chunk=4
+                        )
+                        np.asarray(dd), np.asarray(ii)
+                    q_ivf = 3 * IB / (time.perf_counter() - t0)
+                    ii = np.asarray(ii)
+                    rec = float(np.mean([
+                        len(set(ii[b, :K].tolist()) & gt_b[b]) / K
+                        for b in range(len(gt_b))
+                    ]))
+                    ivf_sweep[str(probe)] = [round(q_ivf, 1), round(rec, 4)]
+                    log(f"IVF 10M probe={probe}: {q_ivf:.0f} qps "
+                        f"recall@10={rec:.4f}")
+                result["details"].update({
+                    "ivf_10m_build_s": round(ivf_build_s, 1),
+                    "ivf_10m_device_gib": round(iv.device_bytes() / 2**30, 2),
+                    "ivf_10m_probe_sweep": ivf_sweep,
+                })
+                del iv
+            del bcorp
+
+        # ---- 100M-on-one-chip datum (VERDICT r3 target; BASELINE.md #5
+        # scaled to a single chip) ------------------------------------------
+        # int8-only residency: the IVF index (~13.7 GiB at 100M x 128) fits
+        # v5e HBM with no fp32 corpus on device, so scores are the exact
+        # distances to the residual-quantized reconstructions (no rescore).
+        # Gated to the real chip: the CPU fallback cannot hold or serve it.
+        if (not QUICK
+                and os.environ.get("VSTPU_BENCH_100M", "1") == "1"
+                and jax.default_backend() == "tpu"
+                and not over_budget("100m")):
+            import psutil  # stdlib-absent guard below if unavailable
+            HN = int(os.environ.get("VSTPU_BENCH_100M_N", "100000000"))
+            host_free = psutil.virtual_memory().available
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                hbm = int(stats.get("bytes_limit", 0))
+            except Exception:
+                hbm = 0
+            need_host = HN * D * 4 * 2.1  # corpus + block layout + slack
+            need_hbm = HN * D * 1.08 + HN * 8.4  # codes + row_sq/ids/cents
+            if host_free < need_host or (hbm and hbm < need_hbm):
+                log(f"skipping 100M: host_free={host_free/2**30:.0f}GiB "
+                    f"hbm={hbm/2**30:.1f}GiB")
+                result["details"]["skip_100m"] = (
+                    f"host_free={host_free/2**30:.0f}GiB hbm={hbm/2**30:.1f}GiB"
+                )
+            else:
+                from valkey_search_tpu.ops import ivf as ivf_ops
+
+                log(f"100M corpus gen ({HN} x {D}, clustered bytes)")
+                rngh = np.random.default_rng(31)
+                hcorp = np.empty((HN, D), np.float32)
+                t_gen = time.perf_counter()
+                step = 2_000_000
+                for i0 in range(0, HN, step):
+                    m = min(step, HN - i0)
+                    a = rngh.integers(0, n_centers, m)
+                    hcorp[i0:i0 + m] = np.clip(
+                        centers[a]
+                        + rngh.standard_normal((m, D)).astype(np.float32) * 20,
+                        0, 255)
+                log(f"gen {time.perf_counter()-t_gen:.0f}s; IVF build (sample "
+                    f"refine, host quantize)")
+                t0 = time.perf_counter()
+                iv = ivf_ops.build_ivf(hcorp, block_rows=1024)
+                ivf100_build_s = time.perf_counter() - t0
+                log(f"100M IVF build: {ivf100_build_s:.0f}s, "
+                    f"{iv.n_blocks} blocks, "
+                    f"{iv.device_bytes()/2**30:.1f} GiB HBM")
+                # ground truth over 32 queries (chunked host BLAS)
+                n_gt_h100 = 32
+                gtq = queries[:n_gt_h100].astype(np.float32)
+                gt100 = []
+                chunk = 4_000_000
+                best_d = np.full((n_gt_h100, K), np.inf, np.float64)
+                best_i = np.full((n_gt_h100, K), -1, np.int64)
+                for i0 in range(0, HN, chunk):
+                    blkc = hcorp[i0:i0 + chunk]
+                    sq = np.einsum("ij,ij->i", blkc, blkc)
+                    dd = sq[None, :] - 2.0 * (gtq @ blkc.T)
+                    part = np.argpartition(dd, K, axis=1)[:, :K]
+                    rows = np.arange(n_gt_h100)[:, None]
+                    cand_d = dd[rows, part]
+                    cand_i = part + i0
+                    alld = np.concatenate([best_d, cand_d], axis=1)
+                    alli = np.concatenate([best_i, cand_i], axis=1)
+                    sel = np.argsort(alld, axis=1)[:, :K]
+                    best_d = alld[rows, sel]
+                    best_i = alli[rows, sel]
+                # |q|^2 omitted above: constant per row — ordering only
+                gt100 = [set(r.tolist()) for r in best_i]
+                del hcorp  # free 51GB before serving
+                HB = 1024
+                hq = jnp.asarray(queries[:HB])
+                sweep100 = {}
+                for probe in (32, 64, 128):
+                    dd, ii = ivf_ops.ivf_search_batch(
+                        iv, hq, k=K, probe=probe, probe_chunk=2
+                    )
+                    np.asarray(dd)
+                    t0 = time.perf_counter()
+                    for _ in range(3):
+                        dd, ii = ivf_ops.ivf_search_batch(
+                            iv, hq, k=K, probe=probe, probe_chunk=2
+                        )
+                        np.asarray(dd), np.asarray(ii)
+                    q100 = 3 * HB / (time.perf_counter() - t0)
+                    ii = np.asarray(ii)
+                    rec = float(np.mean([
+                        len(set(ii[b, :K].tolist()) & gt100[b]) / K
+                        for b in range(n_gt_h100)
+                    ]))
+                    sweep100[str(probe)] = [round(q100, 1), round(rec, 4)]
+                    log(f"100M IVF probe={probe}: {q100:.0f} qps "
+                        f"recall@10={rec:.4f}")
+                result["details"].update({
+                    "ivf_100m_n": HN,
+                    "ivf_100m_build_s": round(ivf100_build_s, 1),
+                    "ivf_100m_device_gib": round(iv.device_bytes() / 2**30, 2),
+                    "ivf_100m_probe_sweep": sweep100,
+                })
+                del iv
 
 
     except Exception as exc:

@@ -11,6 +11,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -231,6 +232,15 @@ struct TextIndex {
   // Ids are never recycled: an id may outlive its posting (a dropped
   // word can still be a live stem, and doc_tokens/stems reference ids) —
   // the string table grows with the all-time vocabulary, which is modest.
+  // Ordered vocabulary views for native matcher expansion (reference
+  // radix_tree.h:14-56 prefix walks; the rax equivalent here is a pair of
+  // std::maps — lexicographic range walks over forward and reversed
+  // spellings). Dead words (posting dropped) stay in the maps and are
+  // skipped by a postings-liveness check at walk time, mirroring how ids
+  // outlive postings everywhere else in this struct.
+  std::map<string, int32_t> sorted_words;
+  std::map<string, int32_t> sorted_rev;
+
   int32_t intern(const string& w) {
     auto it = word_ids.find(w);
     if (it != word_ids.end()) return it->second;
@@ -238,6 +248,8 @@ struct TextIndex {
     word_names.push_back(w);
     postings.emplace_back(nullptr);
     word_ids.emplace(w, id);
+    sorted_words.emplace(w, id);
+    sorted_rev.emplace(string(w.rbegin(), w.rend()), id);
     return id;
   }
 
@@ -285,6 +297,94 @@ struct EventOut {
     return n;
   }
 };
+
+// Bounded Levenshtein (early-exit banded DP): matches the Python radix
+// fuzzy walk's distance definition (text/radix.py DP-row tree walk).
+bool lev_within(const string& a, const string& b, int maxd) {
+  const int la = (int)a.size(), lb = (int)b.size();
+  if (la - lb > maxd || lb - la > maxd) return false;
+  std::vector<int> prev(lb + 1), cur(lb + 1);
+  for (int j = 0; j <= lb; ++j) prev[j] = j;
+  for (int i = 1; i <= la; ++i) {
+    cur[0] = i;
+    int rowmin = cur[0];
+    for (int j = 1; j <= lb; ++j) {
+      int c = std::min(
+          std::min(prev[j] + 1, cur[j - 1] + 1),
+          prev[j - 1] + (a[i - 1] != b[j - 1] ? 1 : 0));
+      cur[j] = c;
+      if (c < rowmin) rowmin = c;
+    }
+    if (rowmin > maxd) return false;
+    std::swap(prev, cur);
+  }
+  return prev[lb] <= maxd;
+}
+
+// Matcher expansion over the ordered vocabulary. kinds: 0=prefix,
+// 1=suffix, 2=infix, 3=fuzzy(dist). Emits LIVE word ids in the same order
+// the Python tier's radix walks produce (lexicographic; suffix walks
+// lexicographic-by-reversed), so the max_exp cap selects the same words.
+void collect_expansion(TextIndex* ix, int kind, const char* term_c, int dist,
+                       int max_exp, std::vector<int32_t>& out) {
+  const string term(term_c);
+  if (kind == 0) {  // prefix
+    for (auto it = ix->sorted_words.lower_bound(term);
+         it != ix->sorted_words.end() && (int)out.size() < max_exp; ++it) {
+      if (it->first.compare(0, term.size(), term) != 0) break;
+      if (ix->postings[it->second]) out.push_back(it->second);
+    }
+  } else if (kind == 1) {  // suffix
+    const string rev(term.rbegin(), term.rend());
+    for (auto it = ix->sorted_rev.lower_bound(rev);
+         it != ix->sorted_rev.end() && (int)out.size() < max_exp; ++it) {
+      if (it->first.compare(0, rev.size(), rev) != 0) break;
+      if (ix->postings[it->second]) out.push_back(it->second);
+    }
+  } else if (kind == 2) {  // infix
+    for (const auto& [w, id] : ix->sorted_words) {
+      if ((int)out.size() >= max_exp) break;
+      if (ix->postings[id] && w.find(term) != string::npos)
+        out.push_back(id);
+    }
+  } else {  // fuzzy
+    for (const auto& [w, id] : ix->sorted_words) {
+      if ((int)out.size() >= max_exp) break;
+      if (ix->postings[id] && lev_within(w, term, dist)) out.push_back(id);
+    }
+  }
+}
+
+// Sorted unique doc-id union over a word-id list (shared by
+// tix_docs_union and tix_docs_union_expand).
+int64_t union_ids(TextIndex* ix, const std::vector<int32_t>& wids,
+                  uint64_t mask, int64_t* out, int64_t cap) {
+  std::vector<int64_t> ids;
+  for (int32_t wid : wids) {
+    Posting* post = ix->postings[wid].get();
+    if (!post) continue;
+    // base is (doc,pos)-sorted: one pass, emit each matching doc once
+    int64_t last = INT64_MIN;
+    for (uint64_t e : post->base) {
+      const int32_t doc = Posting::edoc(e);
+      if (doc != last && (Posting::emask(e) & mask)) {
+        ids.push_back(doc);
+        last = doc;
+      }
+    }
+    for (const auto& [doc, v] : post->wide)
+      for (const auto& pm : v)
+        if (pm.second & mask) {
+          ids.push_back(doc);
+          break;
+        }
+  }
+  std::sort(ids.begin(), ids.end());
+  ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+  if ((int64_t)ids.size() > cap) return -(int64_t)ids.size();
+  std::memcpy(out, ids.data(), ids.size() * sizeof(int64_t));
+  return (int64_t)ids.size();
+}
 }  // namespace
 
 extern "C" {
@@ -468,36 +568,51 @@ int64_t tix_docs_union(void* h, const char* words, int n_words, uint64_t mask,
                        int64_t* out, int64_t cap) {
   auto* ix = (TextIndex*)h;
   std::lock_guard<std::mutex> g(ix->mu);
-  std::vector<int64_t> ids;
+  std::vector<int32_t> wids;
   const char* p = words;
   for (int i = 0; i < n_words; ++i) {
     string w(p);
     p += w.size() + 1;
     auto it = ix->word_ids.find(w);
-    if (it == ix->word_ids.end()) continue;
-    Posting* post = ix->postings[it->second].get();
-    if (!post) continue;
-    // base is (doc,pos)-sorted: one pass, emit each matching doc once
-    int64_t last = INT64_MIN;
-    for (uint64_t e : post->base) {
-      const int32_t doc = Posting::edoc(e);
-      if (doc != last && (Posting::emask(e) & mask)) {
-        ids.push_back(doc);
-        last = doc;
-      }
-    }
-    for (const auto& [doc, v] : post->wide)
-      for (const auto& pm : v)
-        if (pm.second & mask) {
-          ids.push_back(doc);
-          break;
-        }
+    if (it != ix->word_ids.end()) wids.push_back(it->second);
   }
-  std::sort(ids.begin(), ids.end());
-  ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
-  if ((int64_t)ids.size() > cap) return -(int64_t)ids.size();
-  std::memcpy(out, ids.data(), ids.size() * sizeof(int64_t));
-  return (int64_t)ids.size();
+  return union_ids(ix, wids, mask, out, cap);
+}
+
+// Native matcher expansion: the word list one wide matcher touches
+// (reference term.h / fuzzy.h radix WordIterator walks). Returns
+// '\0'-joined words ( -(needed) if the buffer is too small ).
+int tix_expand(void* h, int kind, const char* term, int dist, int max_exp,
+               char* out, int cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  std::vector<int32_t> wids;
+  collect_expansion(ix, kind, term, dist, max_exp, wids);
+  int need = 0;
+  for (int32_t id : wids) need += (int)ix->word_names[id].size() + 1;
+  if (need > cap) return -need;
+  char* p = out;
+  for (int32_t id : wids) {
+    const string& w = ix->word_names[id];
+    std::memcpy(p, w.data(), w.size());
+    p += w.size();
+    *p++ = '\0';
+  }
+  return need;
+}
+
+// Fused expansion + posting union: ONE call resolves a wide matcher
+// (prefix/suffix/infix/fuzzy) to its sorted unique doc-id set — the text
+// query hot path never walks Python-side trees or re-crosses the ctypes
+// boundary per word.
+int64_t tix_docs_union_expand(void* h, int kind, const char* term, int dist,
+                              int max_exp, uint64_t mask, int64_t* out,
+                              int64_t cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  std::vector<int32_t> wids;
+  collect_expansion(ix, kind, term, dist, max_exp, wids);
+  return union_ids(ix, wids, mask, out, cap);
 }
 
 int tix_contains(void* h, const char* word, int32_t doc, uint64_t mask) {
@@ -620,7 +735,12 @@ int64_t tix_bytes(void* h) {
     b += 64 + (int64_t)v.capacity();  // map node + varint blob
   }
   for (const auto& [k, w] : ix->word_ids) b += 48 + (int64_t)k.size();
-  (void)0;
+  // ordered vocabulary views (two rb-tree nodes per all-time word)
+  b += (int64_t)(ix->sorted_words.size() + ix->sorted_rev.size()) * 56;
+  for (const auto& [k, w] : ix->sorted_rev) {
+    (void)w;
+    b += (int64_t)k.size();
+  }
   return b;
 }
 

@@ -327,3 +327,32 @@ class TestSampleRefine:
             assert np.array_equal(np.sort(flat[flat >= 0]), np.arange(n))
         assert res["sample"] >= 0.92
         assert res["sample"] >= res["exact"] - 0.05
+
+
+class TestHostQuantize:
+    def test_host_and_device_quantization_agree(self, rng):
+        n, d, s = 3000, 16, 128
+        x = clustered(rng, n, d, centers=8)
+        a = ivf.build_ivf(x, block_rows=s, n_clusters=8, train_sample=2048,
+                          host_quantize=False)
+        b = ivf.build_ivf(x, block_rows=s, n_clusters=8, train_sample=2048,
+                          host_quantize=True)
+        np.testing.assert_array_equal(
+            np.asarray(a.block_ids), np.asarray(b.block_ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.centroids), np.asarray(b.centroids),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.block_scale), np.asarray(b.block_scale),
+            rtol=1e-5, atol=1e-6,
+        )
+        # codes may differ by 1 ulp at round-half boundaries
+        diff = np.abs(
+            np.asarray(a.blocks_i8, np.int32) - np.asarray(b.blocks_i8, np.int32)
+        )
+        assert diff.max() <= 1
+        np.testing.assert_allclose(
+            np.asarray(a.row_sq), np.asarray(b.row_sq), rtol=1e-3, atol=1e-3
+        )

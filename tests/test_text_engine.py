@@ -426,3 +426,90 @@ def test_suffix_search_on_nosuffixtrie_field_errors():
     assert e.execute("FT.SEARCH", "sfx", "@b:*hello", "NOCONTENT")[0] == 1
     # unscoped suffix search stays available (searches trie-enabled fields)
     assert e.execute("FT.SEARCH", "sfx", "*hello", "NOCONTENT")[0] == 1
+
+
+class TestNativeExpansion:
+    """tix_expand / tix_docs_union_expand parity with the Python radix
+    walks, including word-death liveness and the max_exp cap order."""
+
+    def _build(self, n_docs=300):
+        import numpy as np
+
+        s = IndexSchema("nx", prefixes=("d:",))
+        s.add_text_attribute("body")
+        rng = np.random.default_rng(3)
+        vocab = [f"app{i:03d}" for i in range(40)] + [
+            f"net{i:03d}" for i in range(40)
+        ] + ["running", "runner", "runs", "apple", "applied", "nets"]
+        for i in range(n_docs):
+            words = rng.choice(vocab, size=6)
+            s.upsert(f"d:{i}", {"body": " ".join(words)})
+        return s
+
+    def _python_expand(self, eng, pred):
+        nt = eng._nt
+        try:
+            eng._nt = None
+            return eng.expand_words(pred)
+        finally:
+            eng._nt = nt
+
+    @pytest.mark.parametrize("pred", [
+        TextPredicate("app", match="prefix"),
+        TextPredicate("net0", match="prefix"),
+        TextPredicate("zzz", match="prefix"),
+        TextPredicate("ing", match="suffix"),
+        TextPredicate("s", match="suffix"),
+        TextPredicate("pp", match="infix"),
+        TextPredicate("runing", match="fuzzy", distance=1),
+        TextPredicate("aple", match="fuzzy", distance=2),
+    ])
+    def test_expand_matches_python_walk(self, pred):
+        s = self._build()
+        eng = s.text_engine
+        assert eng._nt is not None
+        native = eng.expand_words(pred)
+        python = self._python_expand(eng, pred)
+        assert native == python
+
+    def test_fused_union_matches_per_word_union(self):
+        s = self._build()
+        eng = s.text_engine
+        for pred in (TextPredicate("app", match="prefix"),
+                     TextPredicate("ing", match="suffix"),
+                     TextPredicate("et0", match="infix"),
+                     TextPredicate("runing", match="fuzzy", distance=1)):
+            fused = set(eng._doc_ids_sorted(pred).tolist())
+            words = self._python_expand(eng, pred)
+            mask = eng.field_mask(pred.field)
+            manual = set(eng._nt.docs_union(words, mask).tolist())
+            assert fused == manual
+
+    def test_dead_words_not_expanded(self):
+        s = IndexSchema("nx2", prefixes=("d:",))
+        s.add_text_attribute("body")
+        s.upsert("d:1", {"body": "zebra zealot"})
+        s.upsert("d:2", {"body": "zebra only"})
+        eng = s.text_engine
+        assert set(eng.expand_words(TextPredicate("ze", match="prefix"))) == {
+            "zebra", "zealot"
+        }
+        s.delete("d:1")  # zealot dies; zebra survives via d:2
+        assert eng.expand_words(TextPredicate("ze", match="prefix")) == [
+            "zebra"
+        ]
+        docs = eng._doc_ids_sorted(TextPredicate("ze", match="prefix"))
+        assert len(docs) == 1
+
+    def test_max_exp_cap_selects_same_words(self):
+        from valkey_search_tpu.runtime import config
+
+        s = self._build()
+        eng = s.text_engine
+        config.set_config("search.max-term-expansions", 7)
+        try:
+            pred = TextPredicate("app", match="prefix")
+            assert eng.expand_words(pred) == self._python_expand(eng, pred)
+            assert len(eng.expand_words(pred)) == 7
+        finally:
+            config.set_config("search.max-term-expansions", 200)

@@ -486,6 +486,16 @@ class NativeTextIndex:
                 ct.c_void_p, ct.c_char_p, ct.c_int, ct.c_uint64,
                 ct.POINTER(ct.c_int64), ct.c_int64,
             ]
+            L.tix_expand.restype = ct.c_int
+            L.tix_expand.argtypes = [
+                ct.c_void_p, ct.c_int, ct.c_char_p, ct.c_int, ct.c_int,
+                ct.c_char_p, ct.c_int,
+            ]
+            L.tix_docs_union_expand.restype = ct.c_int64
+            L.tix_docs_union_expand.argtypes = [
+                ct.c_void_p, ct.c_int, ct.c_char_p, ct.c_int, ct.c_int,
+                ct.c_uint64, ct.POINTER(ct.c_int64), ct.c_int64,
+            ]
             L.tix_contains.restype = ct.c_int
             L.tix_contains.argtypes = [
                 ct.c_void_p, ct.c_char_p, ct.c_int32, ct.c_uint64,
@@ -599,6 +609,44 @@ class NativeTextIndex:
             while True:
                 n = self._lib.tix_docs_union(
                     self._h, blob, len(words), mask & 0xFFFFFFFFFFFFFFFF,
+                    self._ids.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                    len(self._ids),
+                )
+                if n >= 0:
+                    return self._ids[:n].copy()
+                self._ids = np.empty(max(-n, len(self._ids) * 2), np.int64)
+
+    EXPAND_KINDS = {"prefix": 0, "suffix": 1, "infix": 2, "fuzzy": 3}
+
+    def expand(self, kind: str, term: str, dist: int, max_exp: int):
+        """Dictionary words a wide matcher touches — the native walk over
+        the ordered vocabulary (tix_expand)."""
+        k = self.EXPAND_KINDS[kind]
+        buf = ct.create_string_buffer(1 << 14)
+        with self._lock:
+            n = self._lib.tix_expand(
+                self._h, k, term.encode(), dist, max_exp, buf, len(buf)
+            )
+            if n < 0:
+                buf = ct.create_string_buffer(-n + 64)
+                n = self._lib.tix_expand(
+                    self._h, k, term.encode(), dist, max_exp, buf, len(buf)
+                )
+        if n <= 0:
+            return []
+        return [p.decode() for p in buf[:n].split(b"\x00")[:-1]]
+
+    def docs_union_expand(
+        self, kind: str, term: str, dist: int, max_exp: int, mask: int
+    ) -> np.ndarray:
+        """Fused expansion + union: one C call resolves a wide matcher to
+        its sorted unique doc-id set (tix_docs_union_expand)."""
+        k = self.EXPAND_KINDS[kind]
+        with self._lock:
+            while True:
+                n = self._lib.tix_docs_union_expand(
+                    self._h, k, term.encode(), dist, max_exp,
+                    mask & 0xFFFFFFFFFFFFFFFF,
                     self._ids.ctypes.data_as(ct.POINTER(ct.c_int64)),
                     len(self._ids),
                 )

@@ -320,13 +320,55 @@ def quantize_blocks(
 
 
 def finalize_blocks(
-    block_vecs: np.ndarray, block_ids: np.ndarray, chunk_blocks: int = 0
+    block_vecs: np.ndarray, block_ids: np.ndarray, chunk_blocks: int = 0,
+    host_quantize: bool = False,
 ) -> IvfDeviceIndex:
     """Assemble a published index from laid-out fp32 blocks (chunked so
-    the device working set stays bounded)."""
+    the device working set stays bounded).
+
+    host_quantize=True runs the residual quantization in chunked numpy
+    and uploads only the final arrays — at 100M x 128 that is ~13.7GB
+    over the host↔device link instead of 51GB of fp32 blocks (the link,
+    not compute, bounds very large builds)."""
     nb, s, d = block_vecs.shape
     if chunk_blocks <= 0:
         chunk_blocks = _pow2_at_least(max(1, (1 << 26) // max(1, s * d * 4)))
+    if host_quantize:
+        codes_h = np.empty((nb, s, d), np.int8)
+        cent_h = np.empty((nb, d), np.float32)
+        scale_h = np.empty(nb, np.float32)
+        rowsq_h = np.empty((nb, s), np.float32)
+        valid_h = np.empty(nb, bool)
+        for st in range(0, nb, chunk_blocks):
+            en = min(st + chunk_blocks, nb)
+            bv = block_vecs[st:en]
+            ids = block_ids[st:en]
+            vmask = ids >= 0
+            cnt = np.maximum(vmask.sum(axis=1), 1)[:, None]
+            cent = np.einsum(
+                "bsd,bs->bd", bv, vmask.astype(np.float32)
+            ) / cnt
+            resid = np.where(vmask[:, :, None], bv - cent[:, None, :], 0.0)
+            amax = np.abs(resid).max(axis=(1, 2))
+            scale = np.maximum(amax, 1e-30) / 127.0
+            codes = np.clip(
+                np.round(resid / scale[:, None, None]), -127, 127
+            ).astype(np.int8)
+            recon = cent[:, None, :] + codes * scale[:, None, None]
+            codes_h[st:en] = codes
+            cent_h[st:en] = cent
+            scale_h[st:en] = scale
+            rowsq_h[st:en] = np.einsum("bsd,bsd->bs", recon, recon)
+            valid_h[st:en] = vmask.any(axis=1)
+        return IvfDeviceIndex(
+            centroids=jnp.asarray(cent_h),
+            cent_sq=jnp.asarray(np.einsum("bd,bd->b", cent_h, cent_h)),
+            block_valid=jnp.asarray(valid_h),
+            blocks_i8=jnp.asarray(codes_h),
+            block_scale=jnp.asarray(scale_h),
+            row_sq=jnp.asarray(rowsq_h),
+            block_ids=jnp.asarray(block_ids),
+        )
     parts = [[] for _ in range(6)]
     for st in range(0, nb, chunk_blocks):
         en = min(st + chunk_blocks, nb)
@@ -554,6 +596,7 @@ def build_ivf(
     seed: int = 0x1BF,
     chunk_rows: int = 262144,
     refine: str = "auto",
+    host_quantize: Optional[bool] = None,
 ) -> IvfDeviceIndex:
     """Build an IvfDeviceIndex from a host fp32 corpus [N, d].
 
@@ -618,9 +661,12 @@ def build_ivf(
     for st in range(0, n, chunk_rows):
         en = min(st + chunk_rows, n)
         block_vecs[pos[st:en]] = vectors[order[st:en]]
+    if host_quantize is None:
+        host_quantize = n > 20_000_000  # link-bound regime: ship int8 only
     return finalize_blocks(
         block_vecs.reshape(nb_pad, s, d),
         ids_flat.reshape(nb_pad, s).astype(np.int32),
+        host_quantize=host_quantize,
     )
 
 

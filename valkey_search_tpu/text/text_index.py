@@ -368,6 +368,17 @@ class TextEngine:
         max_exp = int(config.get("search.max-term-expansions"))
         if match == "term":
             return self._expand_term(pred.term, pred.field)
+        if self._nt is not None and match in ("prefix", "suffix", "infix",
+                                              "fuzzy"):
+            # native ordered-vocabulary walk (tix_expand): same
+            # lexicographic order and liveness semantics as the Python
+            # radix mirrors below, one C call instead of a tree walk
+            if match == "suffix":
+                self._check_suffix_allowed(pred)
+            dist = max(1, int(getattr(pred, "distance", 1) or 1))
+            return self._nt.expand(
+                match, self.lexer.normalize(pred.term), dist, max_exp
+            )
         if match == "prefix":
             words = []
             for w in self.dictionary.keys(self.lexer.normalize(pred.term)):
@@ -376,17 +387,7 @@ class TextEngine:
                     break
             return words
         if match == "suffix":
-            # a field-scoped suffix search against a NOSUFFIXTRIE field is
-            # an error (docs/topics/search-query.md: "If a field specifier
-            # is added to a suffix term search and that particular field
-            # was declared with NOSUFFIXTRIE then an error will be issued")
-            if pred.field is not None:
-                fi = self.fields.get(pred.field)
-                if fi is not None and not fi.with_suffix_trie:
-                    raise ValueError(
-                        f"@{pred.field}: suffix search requires "
-                        "WITHSUFFIXTRIE on the field"
-                    )
+            self._check_suffix_allowed(pred)
             suf = self.lexer.normalize(pred.term)
             words = []
             if self._any_suffix_trie():
@@ -427,6 +428,19 @@ class TextEngine:
         if match == "phrase":
             raise ValueError("phrase expands per word")
         raise ValueError(f"unknown text match kind {pred.match!r}")
+
+    def _check_suffix_allowed(self, pred) -> None:
+        """A field-scoped suffix search against a NOSUFFIXTRIE field is an
+        error (docs/topics/search-query.md: "If a field specifier is added
+        to a suffix term search and that particular field was declared
+        with NOSUFFIXTRIE then an error will be issued")."""
+        if pred.field is not None:
+            fi = self.fields.get(pred.field)
+            if fi is not None and not fi.with_suffix_trie:
+                raise ValueError(
+                    f"@{pred.field}: suffix search requires "
+                    "WITHSUFFIXTRIE on the field"
+                )
 
     def _expand_term(self, term: str, field: Optional[str]) -> List[str]:
         no_stem = bool(field) and self.fields[field].no_stem
@@ -556,6 +570,25 @@ class TextEngine:
             # entry, not get stamped onto stale results
             rev = self.revision
         mask = self.field_mask(pred.field)
+        if self._nt is not None and pred.match in (
+            "prefix", "suffix", "infix", "fuzzy"
+        ):
+            # fused native expansion + union: one C call resolves the
+            # whole wide matcher (tix_docs_union_expand) — no Python tree
+            # walk, no per-word ctypes crossings
+            if pred.match == "suffix":
+                self._check_suffix_allowed(pred)
+            dist = max(1, int(getattr(pred, "distance", 1) or 1))
+            ids = self._nt.docs_union_expand(
+                pred.match, self.lexer.normalize(pred.term), dist,
+                int(config.get("search.max-term-expansions")), mask,
+            )
+            with self._lock:
+                if self.revision == rev:
+                    if len(self._matcher_cache) >= self._matcher_cache_cap:
+                        self._matcher_cache.clear()
+                    self._matcher_cache[key] = (rev, ids)
+            return ids
         words = self.expand_words(pred)
         if self._nt is not None:
             ids = self._nt.docs_union(words, mask)  # one C call, sorted
