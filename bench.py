@@ -899,11 +899,48 @@ def main():
     except Exception as exc:
         log(f"optional sections aborted: {type(exc).__name__}: {exc}")
 
+    # honest headline denominator: the reference's OWN engine (vendored
+    # hnswlib measured by scripts/ref_baseline.py — BASELINE.md "Measured
+    # reference-engine numbers") at recall@10 >= 0.99, when the artifact
+    # exists; else the in-process CPU HNSW set by the section above.
+    try:
+        ref_json = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_ref_1m.json"
+        )
+        if os.path.exists(ref_json):
+            with open(ref_json) as f:
+                ref = json.load(f)
+            cand = [
+                q for q, r in ref.get("sweep", {}).values() if r >= 0.99
+            ]
+            if cand and ref.get("n", 0) >= min(N, 1_000_000):
+                best = max(cand)
+                result["details"]["ref_hnsw_qps_1core_recall99"] = best
+                result["details"]["baseline_source"] = (
+                    "reference vendored hnswlib, M=16 efC=200 "
+                    "(BASELINE_ref_1m.json)"
+                )
+                result["vs_baseline"] = round(flat_qps / best, 1)
+    except Exception as exc:
+        log(f"reference-baseline read failed: {exc!r}")
+
     state["done"] = True
     emit_once(result)
 
 
+def _term_handler(signum, frame):
+    """External kills (the driver's `timeout`, SIGINT) must still land the
+    JSON line — raise so the BaseException funnel below emits the partial.
+    (A scaled-down run died to `timeout 1200` with ZERO output: SIGTERM
+    bypasses the except-BaseException handler unless converted.)"""
+    raise SystemExit(f"signal {signum}")
+
+
 if __name__ == "__main__":
+    import signal
+
+    signal.signal(signal.SIGTERM, _term_handler)
+    signal.signal(signal.SIGINT, _term_handler)
     try:
         main()
     except BaseException as exc:  # noqa: BLE001 — the JSON line must land

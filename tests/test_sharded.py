@@ -268,3 +268,51 @@ def test_sharded_flat_large_scale_exactness(rng):
         for row, (g, w) in enumerate(zip(got_sets, want)):
             assert g == set(w), (s + row, sorted(g)[:5], sorted(w)[:5])
     assert len({int(x) for x in np.asarray(vv)}) == 1  # one shard version
+
+
+def test_sharded_ivf_matches_single_chip(rng):
+    from valkey_search_tpu.ops import ivf
+
+    mesh = pm.make_mesh(8)
+    n, d, k = 8192, 16, 5
+    cent = rng.standard_normal((8, d)).astype(np.float32)
+    a = rng.integers(0, 8, n)
+    x = (cent[a] + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    idx = ivf.build_ivf(x, block_rows=128, n_clusters=8, train_sample=4096)
+    assert idx.n_blocks % 8 == 0
+    q = x[:8]
+    # full probe on both paths: sharded result must equal the single-chip
+    # kernel exactly (same formula, disjoint blocks, exact merge)
+    d1, i1 = ivf.ivf_search_batch(
+        idx, jnp.asarray(q), k=k, probe=idx.n_blocks
+    )
+    ds, js = pm.sharded_ivf_topk(
+        mesh, idx, jnp.asarray(q), k=k, probe=idx.n_blocks
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(js))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(ds), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_ivf_partial_probe_recall(rng):
+    from valkey_search_tpu.ops import ivf
+
+    mesh = pm.make_mesh(8)
+    n, d, k = 8192, 16, 5
+    cent = rng.standard_normal((8, d)).astype(np.float32)
+    a = rng.integers(0, 8, n)
+    x = (cent[a] + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    idx = ivf.build_ivf(x, block_rows=128, n_clusters=8, train_sample=4096)
+    q = x[:16]
+    probe = max(1, idx.n_blocks // 8)
+    ds, js = pm.sharded_ivf_topk(mesh, idx, jnp.asarray(q), k=k, probe=probe)
+    js = np.asarray(js)
+    # per-shard probing covers at least the single-chip probe's cells
+    truth = np.argsort(
+        ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1), axis=1
+    )[:, :k]
+    hits = sum(
+        len(set(r[r >= 0]) & set(t)) for r, t in zip(js, truth)
+    )
+    assert hits / truth.size >= 0.9

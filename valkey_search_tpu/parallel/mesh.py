@@ -412,3 +412,53 @@ def dim_sharded_flat_topk(
         check_vma=False,
     )
     return jax.jit(fn)(corpus, queries)
+
+
+def sharded_ivf_topk(
+    mesh: Mesh,
+    index,                    # ops.ivf.IvfDeviceIndex, every leaf sharded on nb
+    queries: jnp.ndarray,     # [B, d] replicated
+    k: int,
+    probe: int = 32,
+    metric: str = "l2",
+    probe_chunk: int = 8,
+):
+    """IVF coarse-pruned k-NN over a mesh-sharded block index — the
+    "billions of vectors" scaling path (reference README.md:5): each
+    device holds 1/S of the blocks (its HBM bound), probes its local
+    top-``probe`` cells, and one [B, k] all_gather merges over ICI.
+
+    Per-shard probe stays the FULL probe (blocks are cluster-major, so a
+    query's best cells concentrate in few shards; probing ``probe`` cells
+    per shard keeps recall >= the single-chip index at the same setting).
+    Per-chip query cost is therefore constant as capacity scales S× —
+    throughput holds while the corpus grows with the mesh.
+
+    block_ids must hold GLOBAL row ids (build once, then shard), so no
+    id offsetting is needed. nb must divide the mesh (pow2 padding in
+    build_ivf makes that free).
+    """
+    from valkey_search_tpu.ops import ivf as ivf_ops
+
+    n_shards = mesh.shape[SHARD_AXIS]
+    assert index.n_blocks % n_shards == 0, "nb must divide the mesh"
+
+    def local(*leaves):
+        idx_l = type(index)(*leaves[:-1])
+        queries_l = leaves[-1]
+        d, ids = ivf_ops.ivf_search_batch(
+            idx_l, queries_l, k=k, probe=probe, metric=metric,
+            probe_chunk=probe_chunk,
+        )
+        all_d = jax.lax.all_gather(d, SHARD_AXIS)      # [S, B, k] over ICI
+        all_i = jax.lax.all_gather(ids, SHARD_AXIS)
+        return _merge_gathered(all_d, all_i, k)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(Spec(SHARD_AXIS) for _ in index) + (Spec(),),
+        out_specs=(Spec(), Spec()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(*index, queries)
