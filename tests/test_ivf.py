@@ -356,3 +356,33 @@ class TestHostQuantize:
         np.testing.assert_allclose(
             np.asarray(a.row_sq), np.asarray(b.row_sq), rtol=1e-3, atol=1e-3
         )
+
+def test_hnsw_ef_runtime_raises_probe(rng, monkeypatch):
+    # EF_RUNTIME maps onto the IVF probe dial when the route engages
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.ops import ivf as ivf_mod
+    from valkey_search_tpu.runtime import config
+
+    config.set_config("search.ivf-threshold", 1000)
+    config.set_config("search.ivf-block-rows", 128)
+    config.set_config("search.ivf-probe", 2)
+    try:
+        idx = HnswVectorIndex(dim=16, metric="l2", m=8)
+        x = clustered(rng, 2000, 16, centers=4)
+        idx.bulk_load([f"k{i}" for i in range(len(x))], x)
+        seen = {}
+        orig = ivf_mod.ivf_search_rescored
+
+        def spy(*a, **kw):
+            seen["probe"] = kw.get("probe")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(ivf_mod, "ivf_search_rescored", spy)
+        idx.search_batch(x[:2], 3)
+        assert seen["probe"] == 2  # config floor
+        idx.search_batch(x[:2], 3, ef=9)
+        assert seen["probe"] == 9  # EF_RUNTIME raised it
+    finally:
+        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-block-rows", 1024)
+        config.set_config("search.ivf-probe", 64)

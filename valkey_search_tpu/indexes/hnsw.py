@@ -502,7 +502,9 @@ class HnswVectorIndex(VectorIndexBase):
         scan_thresh = int(config.get("search.hnsw-scan-threshold"))
         if scan_thresh and self.builder.count <= scan_thresh:
             STATS.incr("hnsw_served_by_scan")
-            return self.exact_search_batch(queries, k, filter_mask=filter_mask)
+            return self.exact_search_batch(
+                queries, k, filter_mask=filter_mask, ef=ef
+            )
         queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
         if self.metric == "cosine":
             mags = np.linalg.norm(queries, axis=1, keepdims=True)
@@ -566,6 +568,7 @@ class HnswVectorIndex(VectorIndexBase):
         queries: np.ndarray,
         k: int,
         filter_mask: Optional[jnp.ndarray] = None,
+        ef: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact scored scan over this index's vectors (pre-filter path).
 
@@ -598,12 +601,18 @@ class HnswVectorIndex(VectorIndexBase):
                     mask = mask & node_filter
                 from valkey_search_tpu.ops import ivf as ivf_ops
 
+                # EF_RUNTIME is the reference's search-effort dial
+                # (hnswalg.h ef_); when queries carry one, it raises the
+                # probed cell count past the configured floor
+                probe = int(config.get("search.ivf-probe"))
+                if ef:
+                    probe = max(probe, int(ef))
                 d, ids = ivf_ops.ivf_search_rescored(
                     mirror,
                     jnp.asarray(queries),
                     snap["vectors"],
                     k=k,
-                    probe=int(config.get("search.ivf-probe")),
+                    probe=probe,
                     metric="ip" if self.metric == "cosine" else self.metric,
                     filter_mask=mask,
                 )
