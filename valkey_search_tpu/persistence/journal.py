@@ -206,6 +206,35 @@ class OpJournal:
             self._last_fsync = time.monotonic()
             self._dirty = False
 
+    def truncate_upto(self, offset: int) -> None:
+        """Drop records up to byte ``offset`` (they are covered by a
+        completed checkpoint), keeping everything appended after — the
+        fork-BGSAVE variant: the checkpoint contains exactly the journal
+        prefix that existed at fork time, so only that prefix may go.
+        ``offset`` must come from a moment when no append was in flight
+        (the server's write barrier guarantees it)."""
+        with self._lock:
+            if self._closed:
+                return
+            self._f.flush()
+            with open(self.path, "rb") as rf:
+                rf.seek(offset)
+                tail = rf.read()
+            self._f.close()
+            self._f = open(self.path, "wb")
+            self._f.write(_HEADER)
+            self._f.write(tail)
+            self._f.flush()
+            os.fsync(self._f.fileno())
+            self._last_fsync = time.monotonic()
+            self._dirty = False
+
+    def size(self) -> int:
+        """Current byte length (no-append barrier assumed by callers)."""
+        with self._lock:
+            self._f.flush()
+            return os.path.getsize(self.path)
+
     def close(self) -> None:
         with self._lock:
             if self._closed:

@@ -242,6 +242,16 @@ _enum("search.corpus-dtype", "bfloat16", ["bfloat16", "float32", "int8"])
 # API/persistence parity, the CPU oracle, and >HBM sharded regimes.
 # 0 = always traverse the graph.
 _num("search.hnsw-scan-threshold", 1 << 30, 0, 1 << 40)
+# writer-pool priority fairness (reference valkey_search_options.cc:237
+# kHighPriorityWeight, default 100): share of scheduling slots "high"
+# tasks win over "low" (backfill) when both queues are non-empty;
+# low share = 100 - weight. 100 = strict high-first.
+_num("search.high-priority-weight", 100, 0, 100)
+# BGSAVE isolation: fork a copy-on-write child to write the checkpoint
+# (the reference rides valkey's fork-based BGSAVE; AtForkPrepare
+# suspends the pools, valkey_search.cc:1029). false = in-process
+# background thread under a locked snapshot (round-2 behavior).
+_bool("search.bgsave-fork", True)
 # IVF coarse-pruned path (ops/ivf.py): unfiltered/1-D-filtered vector
 # searches on corpora at or above this row count route through the
 # residual-quantized block index instead of the O(N) exact scan — the

@@ -37,17 +37,39 @@ class Mutation:
     seq: int = 0
 
 
+PRIORITIES = ("max", "high", "low")  # reference ThreadPool::Priority
+
+
 class IngestionEngine:
-    """Per-key combining mutation queue drained by writer threads."""
+    """Per-key combining mutation queue drained by writer threads.
+
+    Priority scheduling mirrors the reference pool (vmsdk thread_pool.h:43
+    / thread_pool.cc TryGetNextTask): "max" always wins; "high" vs "low"
+    use pattern-based weighted round-robin governed by
+    ``search.high-priority-weight`` (0-100; low share = 100 - weight;
+    reference default 100). Live keyspace writes enqueue at "high",
+    backfill at "low" (index_schema.cc:994), so a bulk backfill cannot
+    starve live mutation visibility once the weight is below 100.
+
+    suspend()/resume() park every worker between items (reference
+    SuspendWorkers — the pre-fork quiesce used by AtForkPrepare,
+    valkey_search.cc:1029); Engine.bgsave uses it to fork a
+    copy-on-write child with no writer mid-apply.
+    """
 
     def __init__(self, num_workers: Optional[int] = None):
-        self._queue: "OrderedDict[Tuple[int, str], Mutation]" = OrderedDict()
+        self._queues: Dict[str, "OrderedDict[tuple, Mutation]"] = {
+            p: OrderedDict() for p in PRIORITIES
+        }
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._inflight = 0
         self._inflight_keys: set = set()
         self._seq = 0
+        self._fairness = 0
         self._stop = False
+        self._suspended = False
+        self._parked = 0
         n = num_workers or int(config.get("search.writer-threads"))
         self._workers = [
             threading.Thread(target=self._run, name=f"vstpu-writer-{i}",
@@ -58,24 +80,38 @@ class IngestionEngine:
             w.start()
 
     # -- producer side -------------------------------------------------------
-    def enqueue_upsert(self, schema, key: str, fields: Dict[str, object]) -> None:
-        self._enqueue(Mutation(schema, key, dict(fields)))
+    def enqueue_upsert(
+        self, schema, key: str, fields: Dict[str, object],
+        priority: str = "high",
+    ) -> None:
+        self._enqueue(Mutation(schema, key, dict(fields)), priority)
 
-    def enqueue_delete(self, schema, key: str) -> None:
-        self._enqueue(Mutation(schema, key, None))
+    def enqueue_delete(
+        self, schema, key: str, priority: str = "high"
+    ) -> None:
+        self._enqueue(Mutation(schema, key, None), priority)
 
-    def _enqueue(self, m: Mutation) -> None:
+    def _enqueue(self, m: Mutation, priority: str = "high") -> None:
         with self._cv:
             self._seq += 1
             m.seq = self._seq
             qk = (id(m.schema), m.key)
-            if qk in self._queue:
+            existing = None
+            for p in PRIORITIES:
+                if qk in self._queues[p]:
+                    existing = p
+                    del self._queues[p][qk]
+                    break
+            if existing is not None:
                 # combine: replace the pending mutation for this key
-                # (reference TrackMutatedRecord combine, index_schema.cc:1986)
-                self._queue[qk] = m
+                # (reference TrackMutatedRecord combine,
+                # index_schema.cc:1986); the combined entry keeps the
+                # MORE urgent of the two priorities (a live write
+                # supersedes a pending backfill row)
+                if PRIORITIES.index(existing) < PRIORITIES.index(priority):
+                    priority = existing
                 STATS.incr("mutations_combined")
-            else:
-                self._queue[qk] = m
+            self._queues[priority][qk] = m
             STATS.incr("mutations_enqueued")
             self._cv.notify()
 
@@ -88,9 +124,61 @@ class IngestionEngine:
                 self._seq += 1
                 m.seq = self._seq
                 # unique queue key → no combining, FIFO order preserved
-                self._queue[(id(m.schema), m.key, m.seq)] = m
+                self._queues["high"][(id(m.schema), m.key, m.seq)] = m
                 STATS.incr("mutations_enqueued")
             self._cv.notify_all()
+
+    # -- scheduling ----------------------------------------------------------
+    def _any_queued(self) -> bool:
+        return any(self._queues[p] for p in PRIORITIES)
+
+    def _pop_next_locked(self) -> Mutation:
+        """Reference TryGetNextTask: max first, then weighted RR."""
+        if self._queues["max"]:
+            return self._queues["max"].popitem(last=False)[1]
+        high = bool(self._queues["high"])
+        low = bool(self._queues["low"])
+        if high and low:
+            weight = int(config.get("search.high-priority-weight"))
+            if weight >= 100:
+                pick = "high"
+            elif weight <= 0:
+                pick = "low"
+            else:
+                # Bresenham-spread pattern: highs distributed evenly
+                # through the cycle (reference pre-computed pattern,
+                # thread_pool.cc:465-470), not front-loaded runs
+                pick = (
+                    "high"
+                    if (self._fairness * weight) % 100 < weight
+                    else "low"
+                )
+                self._fairness += 1
+        else:
+            pick = "high" if high else "low"
+        return self._queues[pick].popitem(last=False)[1]
+
+    def suspend(self, timeout: float = 30.0) -> bool:
+        """Park all workers between items (pre-fork quiesce). Returns True
+        once every worker is parked and nothing is mid-apply."""
+        with self._cv:
+            self._suspended = True
+            self._cv.notify_all()
+            return self._cv.wait_for(
+                lambda: self._parked == len(self._workers)
+                and self._inflight == 0,
+                timeout,
+            )
+
+    def resume(self) -> None:
+        with self._cv:
+            self._suspended = False
+            self._cv.notify_all()
+
+    @property
+    def suspended(self) -> bool:
+        with self._lock:
+            return self._suspended
 
     # -- worker side ---------------------------------------------------------
     def _run(self) -> None:
@@ -98,18 +186,28 @@ class IngestionEngine:
 
         while True:
             with self._cv:
-                while not self._queue and not self._stop:
+                while True:
+                    if self._stop and not self._any_queued():
+                        return
+                    if self._suspended:
+                        # park between items (reference SuspendWorkers)
+                        self._parked += 1
+                        self._cv.notify_all()
+                        while self._suspended:
+                            self._cv.wait()
+                        self._parked -= 1
+                        continue
+                    if self._any_queued():
+                        break
                     self._cv.wait()
-                if self._stop and not self._queue:
-                    return
             # reference-named gate that holds mutations IN the queue
             # (ft_debug.cc block_mutation_queue: integration tests freeze
             # the queue to probe in-flight revalidation, test_postfilter.py)
             PAUSEPOINTS.test("block_mutation_queue")
             with self._cv:
-                if not self._queue:
-                    continue  # drained (e.g. shutdown) while gated
-                _, m = self._queue.popitem(last=False)
+                if self._suspended or not self._any_queued():
+                    continue  # drained/suspended while gated
+                m = self._pop_next_locked()
                 self._inflight += 1
                 self._inflight_keys.add((id(m.schema), m.key))
             # BACKGROUND_PAUSEPOINT equivalent (reference search.cc:435,657:
@@ -139,7 +237,9 @@ class IngestionEngine:
     # -- synchronization -----------------------------------------------------
     def pending(self) -> int:
         with self._lock:
-            return len(self._queue) + self._inflight
+            return (
+                sum(len(self._queues[p]) for p in PRIORITIES) + self._inflight
+            )
 
     def pending_for_key(self, schema, key: str) -> bool:
         """In-flight-mutation check for a result key (the reference parks
@@ -149,14 +249,18 @@ class IngestionEngine:
             return self._pending_for_key_locked(schema, key)
 
     def _pending_for_key_locked(self, schema, key: str) -> bool:
-        if (id(schema), key) in self._queue:
-            return True
         if (id(schema), key) in self._inflight_keys:
             return True
-        return any(
-            qk[0] == id(schema) and qk[1] == key
-            for qk in self._queue if len(qk) == 3
-        )
+        for p in PRIORITIES:
+            q = self._queues[p]
+            if (id(schema), key) in q:
+                return True
+            if any(
+                qk[0] == id(schema) and qk[1] == key
+                for qk in q if len(qk) == 3
+            ):
+                return True
+        return False
 
     def wait_for_key(self, schema, key: str, timeout: float) -> bool:
         """Park until the key's in-flight mutation completes (the analog of
@@ -171,12 +275,14 @@ class IngestionEngine:
     def drain(self, timeout: Optional[float] = None) -> bool:
         with self._cv:
             return self._cv.wait_for(
-                lambda: not self._queue and self._inflight == 0, timeout
+                lambda: not self._any_queued() and self._inflight == 0,
+                timeout,
             )
 
     def shutdown(self) -> None:
         with self._cv:
             self._stop = True
+            self._suspended = False
             self._cv.notify_all()
         for w in self._workers:
             w.join(timeout=5)

@@ -27,6 +27,7 @@ SAVE/BGSAVE-style checkpointing via FT._DEBUG in the engine.
 from __future__ import annotations
 
 import io
+import os
 import socket
 import socketserver
 import threading
@@ -526,6 +527,9 @@ class _Handler(socketserver.StreamRequestHandler):
             if cmd == "SAVE":
                 srv.save_all(path)
                 return SimpleString("OK")
+            if bool(config.get("search.bgsave-fork")) and hasattr(os, "fork"):
+                srv.bgsave_forked(path)
+                return SimpleString("Background saving started")
             t = threading.Thread(
                 target=lambda: srv.save_all(path), daemon=True,
                 name="bgsave",
@@ -1004,6 +1008,8 @@ class RespServer:
         self.engines = {0: self.engine}
         self._db_lock = threading.Lock()
         self.databases = 16
+        self.bgsave_pid: Optional[int] = None
+        self.bgsave_status = "none"
         self.host = host
         self._requested_port = port
         # name → fn(rest_argv: List[bytes]) -> reply; lets the cluster
@@ -1082,7 +1088,7 @@ class RespServer:
             if 0 in (a, b):
                 self.engine = self.engines[0]
 
-    def save_all(self, path: str) -> None:
+    def save_all(self, path: str, truncate_journal: bool = True) -> None:
         """Checkpoint every non-empty db: db 0 at ``path``, db N at
         ``path.dbN`` (one chunked file per logical database).
 
@@ -1091,7 +1097,12 @@ class RespServer:
         before releasing: every journaled effect is inside the checkpoint
         and every later write lands in the fresh journal — a crash at any
         point replays to a consistent state. Without a journal the
-        original incremental (per-db lock) path is kept."""
+        original incremental (per-db lock) path is kept.
+
+        truncate_journal=False: the forked-BGSAVE child passes this — it
+        must never touch the journal file it shares with the parent
+        (the parent truncates only the pre-fork prefix after the child
+        succeeds, bgsave_forked)."""
         import contextlib
         import os as _os
         import re as _re
@@ -1115,7 +1126,7 @@ class RespServer:
                 elif not empty:
                     eng.save(f"{path}.db{db}")
                     saved.add(db)
-            if self.journal is not None:
+            if self.journal is not None and truncate_journal:
                 self.journal.truncate()
         # remove stale .dbN files from earlier saves (an emptied/flushed
         # db must not resurrect on the next load_all)
@@ -1132,6 +1143,91 @@ class RespServer:
                     _os.remove(_os.path.join(d, fn))
                 except OSError:
                     pass
+
+    def bgsave_forked(self, path: str) -> int:
+        """Fork-isolated BGSAVE (the reference rides valkey's fork-based
+        BGSAVE; its AtForkPrepare suspends the worker pools,
+        valkey_search.cc:1029-1056):
+
+        1. suspend every db's writer pool — workers park *between* items,
+           so no native builder/posting mutex is held across fork;
+        2. take the write barrier (_db_lock + every engine lock), record
+           the journal length (no append can be in flight), fork;
+        3. the child — a copy-on-write point-in-time snapshot — releases
+           its inherited locks (the forking thread owns them), detaches
+           from the shared journal fd, writes the checkpoint, _exit()s;
+        4. the parent releases/resumes immediately; a waiter thread
+           reaps the child and, on success, truncates ONLY the pre-fork
+           journal prefix (post-fork writes keep their replay records).
+
+        Parent mutations after the fork are invisible to the snapshot —
+        the point-in-time property the in-process path cannot give.
+        Returns the child pid."""
+        import contextlib
+        import os as _os
+
+        from valkey_search_tpu.runtime.metrics import STATS
+
+        with self._db_lock:
+            engines = sorted(self.engines.items())
+        pools = []
+        for _db, eng in engines:
+            ing = getattr(eng, "_ingestion", None)
+            if ing is not None and ing.suspend():
+                pools.append(ing)
+        self._db_lock.acquire()
+        held = []
+        try:
+            # re-snapshot under the lock: a db created while suspending
+            # pools must be inside the barrier too
+            engines = sorted(self.engines.items())
+            for _db, eng in engines:
+                eng._lock.acquire()
+                held.append(eng)
+            fork_off = self.journal.size() if self.journal is not None else 0
+            pid = _os.fork()
+        except BaseException:
+            for eng in reversed(held):
+                eng._lock.release()
+            self._db_lock.release()
+            for p in pools:
+                p.resume()
+            raise
+        if pid == 0:
+            # ---- child ----------------------------------------------------
+            try:
+                for eng in reversed(held):
+                    eng._lock.release()
+                self._db_lock.release()
+                if self.journal is not None:
+                    # never touch the shared journal fd from the child
+                    self.journal._closed = True
+                self.save_all(path, truncate_journal=False)
+                _os._exit(0)
+            except BaseException:
+                _os._exit(1)
+        # ---- parent -------------------------------------------------------
+        for eng in reversed(held):
+            eng._lock.release()
+        self._db_lock.release()
+        for p in pools:
+            p.resume()
+        self.bgsave_pid = pid
+        self.bgsave_status = "in-progress"
+        STATS.incr("bgsave_forks")
+
+        def _reap():
+            _, status = _os.waitpid(pid, 0)
+            ok = _os.WIFEXITED(status) and _os.WEXITSTATUS(status) == 0
+            if ok and self.journal is not None:
+                with contextlib.suppress(OSError):
+                    self.journal.truncate_upto(fork_off)
+            self.bgsave_status = "ok" if ok else "err"
+            self.bgsave_pid = None
+            STATS.incr("bgsave_forks_ok" if ok else "bgsave_forks_failed")
+
+        threading.Thread(target=_reap, daemon=True, name="bgsave-reap").start()
+        return pid
 
     def load_all(self, path: str) -> None:
         """Restore a save_all checkpoint set (db 0 + any path.dbN files)."""
