@@ -288,3 +288,31 @@ def test_suspend_parks_all_workers_and_resume_restarts():
     assert q.suspend(timeout=5)
     q.resume()
     q.shutdown()
+
+
+def test_backfill_rides_writer_pool_at_low_priority(rng):
+    """Async engines route backfill batches through the pool at LOW
+    priority (reference index_schema.cc:994 from_backfill → kLow)."""
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    e = Engine(sync_ingest=False)
+    for i in range(30):
+        e.execute("HSET", f"d:{i}", "n", str(i))
+    e.drain()
+    e.execute("FT.CREATE", "bf", "ON", "HASH", "PREFIX", "1", "d:",
+              "SCHEMA", "n", "NUMERIC")
+    # the schema starts backfilling via cron; batches should enqueue low
+    q = e._queue()
+    assert q.suspend(timeout=5)
+    e.cron()
+    low_pending = len(q._queues["low"])
+    q.resume()
+    assert low_pending > 0
+    e.drain()
+    # everything indexed despite the pooled path
+    while e.cron()["backfilled"]:
+        e.drain()
+    e.drain()
+    r = e.execute("FT.SEARCH", "bf", "@n:[0 100]", "NOCONTENT",
+                  "LIMIT", "0", "0")
+    assert int(r[0]) == 30

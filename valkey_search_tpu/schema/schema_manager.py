@@ -112,6 +112,7 @@ class SchemaManager:
         schema: IndexSchema,
         keyspace: Dict[str, Dict[str, object]],
         batch_size: Optional[int] = None,
+        ingestion=None,
     ) -> int:
         """Advance one cursor-batched backfill step (reference
         SchemaManager::PerformBackfill driven from server cron,
@@ -137,7 +138,16 @@ class SchemaManager:
         for key in chunk:
             fields = keyspace.get(key)
             if fields is not None:
-                schema.upsert(key, fields)
+                if ingestion is not None:
+                    # writer pool at LOW priority (reference
+                    # index_schema.cc:994 from_backfill → kLow): live
+                    # keyspace writes at high priority overtake a bulk
+                    # backfill under the weighted scheduler
+                    ingestion.enqueue_upsert(
+                        schema, key, fields, priority="low"
+                    )
+                else:
+                    schema.upsert(key, fields)
         schema.backfill_cursor = cursor + len(chunk)
         schema.backfill_scanned = schema.backfill_cursor
         if schema.backfill_cursor >= len(keys):

@@ -570,7 +570,10 @@ class Engine:
                 with self._lock:
                     snapshot = {k: dict(v) for k, v in self.keyspace.items()}
                 stats["backfilled"] += self.manager.backfill_batch(
-                    schema, snapshot
+                    schema, snapshot,
+                    # async mode: batches ride the writer pool at LOW
+                    # priority so live writes stay responsive
+                    ingestion=None if self._sync_ingest else self._queue(),
                 )
         stats["expired"] = self.sweep_expired()
         # tombstone reclamation (cron-driven vacuum; reference reuses
