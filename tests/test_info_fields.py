@@ -145,3 +145,35 @@ def test_coordinator_partition_counters():
         client.close()
         for n in nodes:
             n.close()
+
+
+def test_allocator_level_memory_fields():
+    """Process RSS and glibc heap gauges (the malloc-interposition truth
+    the analytic per-subsystem pools cannot see)."""
+    import numpy as np
+
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    info = e.info()
+    for f in ("search_process_rss_bytes", "search_heap_allocated_bytes"):
+        assert f in info
+    # raw gauge values are plausible: RSS at least tens of MB for a
+    # python+numpy process, heap non-zero, both monotone-ish under load
+    def _parse(v):
+        s = str(v)
+        for suf, mul in (("GiB", 2**30), ("MiB", 2**20), ("KiB", 2**10),
+                         ("B", 1)):
+            if s.endswith(suf):
+                return float(s[: -len(suf)]) * mul
+        return float(s)
+
+    rss = _parse(info["search_process_rss_bytes"])
+    heap = _parse(info["search_heap_allocated_bytes"])
+    assert rss > 32 * 2**20
+    assert heap > 1 * 2**20
+    # allocate through the engine; heap gauge must move
+    for i in range(2000):
+        e.execute("HSET", f"m:{i}", "f", "x" * 256)
+    heap2 = _parse(e.info()["search_heap_allocated_bytes"])
+    assert heap2 > heap

@@ -327,6 +327,41 @@ def register_engine_fields(engine, registry: InfoRegistry) -> None:
         ),
         crash_safe=True,
     )
+    # allocator-level truth (the reference interposes malloc globally,
+    # vmsdk memory_allocation_overrides.h; here the per-subsystem pools
+    # above are analytic estimates, and these two fields report what the
+    # OS/allocator actually hold — process RSS covers the Python heap the
+    # pools cannot see, so the pair bounds the estimate from both sides)
+    def _rss_bytes():
+        import os as _os
+
+        try:
+            with open("/proc/self/statm") as f:
+                return int(f.read().split()[1]) * _os.sysconf("SC_PAGE_SIZE")
+        except (OSError, ValueError):
+            return 0
+
+    def _heap_bytes():
+        # glibc mallinfo2: uordblks = bytes in in-use heap chunks —
+        # everything malloc'd by Python, numpy, and the native layer
+        import ctypes as _ct
+
+        class _MI2(_ct.Structure):
+            _fields_ = [(n, _ct.c_size_t) for n in (
+                "arena", "ordblks", "smblks", "hblks", "hblkhd",
+                "usmblks", "fsmblks", "uordblks", "fordblks", "keepcost",
+            )]
+
+        try:
+            libc = _ct.CDLL(None)
+            libc.mallinfo2.restype = _MI2
+            mi = libc.mallinfo2()
+            return int(mi.uordblks) + int(mi.hblkhd)
+        except (OSError, AttributeError):
+            return 0
+
+    R.field("search_process_rss_bytes", _rss_bytes, si_bytes=True)
+    R.field("search_heap_allocated_bytes", _heap_bytes, si_bytes=True)
     # ---- reference-spelling engine fields (test_info.py parity) ---------
     R.field("search_used_memory_human",
             lambda: engine.used_memory_bytes(), si_bytes=True)
