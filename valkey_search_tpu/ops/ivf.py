@@ -474,7 +474,7 @@ def sample_refined_assign(
     est_total: Optional[int] = None,
     kmeans_iters: int = 12,
     seed: int = 0,
-    chunk_rows: int = 32768,
+    chunk_rows: int = 0,
     fit_rows_cap: int = 4096,
 ) -> np.ndarray:
     """Two-level cell assignment where level-2 centroids are fit from the
@@ -510,6 +510,15 @@ def sample_refined_assign(
     cents2[thin, 0] = np.asarray(cent1)[thin]
     c2_valid = np.arange(c2max)[None, :] < c2[:, None]
     cents2_d, c2v_d = jnp.asarray(cents2), jnp.asarray(c2_valid)
+    if chunk_rows <= 0:
+        # chunk large enough that host↔device round trips don't dominate
+        # a 100M-row pass (each chunk is 2 device calls), bounded so the
+        # [chunk, c2max, d] level-2 gather stays ~1GB
+        d_ = vectors.shape[1]
+        chunk_rows = int(
+            np.clip((1 << 30) // max(1, c2max * d_ * 2), 32768, 262144)
+        )
+        chunk_rows = 1 << (chunk_rows.bit_length() - 1)  # round down to pow2
 
     out = np.empty(vectors.shape[0], np.int64)
     d = vectors.shape[1]
