@@ -262,15 +262,28 @@ class _GroupBy(_Stage):
         STATS.incr("agg_group_by_input_records", len(records))
         buckets: Dict[tuple, list] = {}
         order: List[tuple] = []
+        # arg expressions evaluated once per (reducer, row) — hoist the
+        # no-arg case (COUNT, the most common hot-term shape) out of the
+        # row loop entirely
+        red_args = [red.args for red in self.reducers]
+        any_args = any(red_args)
+        single = self.fields[0] if len(self.fields) == 1 else None
         for r in records:
-            key = tuple(E.to_string(r.get(f)) for f in self.fields)
-            if key not in buckets:
-                buckets[key] = [red.make() for red in self.reducers]
+            if single is not None:
+                key = (E.to_string(r.get(single)),)
+            else:
+                key = tuple(E.to_string(r.get(f)) for f in self.fields)
+            insts = buckets.get(key)
+            if insts is None:
+                insts = buckets[key] = [red.make() for red in self.reducers]
                 order.append(key)
-            insts = buckets[key]
-            for red, inst in zip(self.reducers, insts):
-                vals = [a.eval(r, params) for a in red.args]
-                inst.add(vals)
+            if any_args:
+                for red, inst in zip(self.reducers, insts):
+                    vals = [a.eval(r, params) for a in red.args]
+                    inst.add(vals)
+            else:
+                for inst in insts:
+                    inst.add(())
         out = []
         for key in order:
             rec: Record = {}

@@ -194,12 +194,20 @@ def resolve_content(
             # batch content read: one lock for the whole window instead of
             # two lock round-trips per row (hgetall + expiry probe were
             # ~55% of a 10k-row aggregate's LOAD time)
+            # lru/lfu access bookkeeping only matters when an eviction
+            # policy can consult it; with noeviction (the default) the
+            # three dict ops per row are pure overhead on wide aggregates
+            track = (
+                str(config.get("search.maxmemory-policy")) != "noeviction"
+            )
             with engine._lock:
                 ks = engine.keyspace
+                touch = engine._touch
                 for nb in resp.neighbors:
                     doc = ks.get(nb.key)
                     if doc:
-                        engine._touch(nb.key)
+                        if track:
+                            touch(nb.key)
                         fast.append((nb, dict(doc)))
             return fast
         for nb in resp.neighbors:
