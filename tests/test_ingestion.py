@@ -81,6 +81,10 @@ def test_incremental_backfill_on_cron(rng):
         schema.paused_by_oom = False
         assert e.cron()["backfilled"] == 20      # batch 2
         assert e.cron()["backfilled"] == 10      # final batch
+        # completion now means APPLIED: drain the pooled refreshes, then
+        # the settle tick clears the flag
+        e.drain()
+        e.cron()
         assert not schema.backfill_in_progress
         r = e.execute("FT.SEARCH", "i", "@t:{a}", "NOCONTENT",
                       "LIMIT", "0", "100")
@@ -316,3 +320,56 @@ def test_backfill_rides_writer_pool_at_low_priority(rng):
     r = e.execute("FT.SEARCH", "bf", "@n:[0 100]", "NOCONTENT",
                   "LIMIT", "0", "0")
     assert int(r[0]) == 30
+
+
+def test_backfill_refresh_never_resurrects_deleted_key(rng):
+    """A key deleted while its backfill batch sits queued must stay
+    deleted: refresh mutations fetch CURRENT fields at apply time and a
+    pending delete suppresses the refresh entirely."""
+    e = Engine(sync_ingest=False)
+    for i in range(10):
+        e.execute("HSET", f"d:{i}", "n", str(i))
+    e.drain()
+    e.execute("FT.CREATE", "rz", "ON", "HASH", "PREFIX", "1", "d:",
+              "SCHEMA", "n", "NUMERIC")
+    q = e._queue()
+    assert q.suspend(timeout=5)
+    e.cron()  # backfill batch enqueues refreshes at low priority
+    # delete d:3 while its refresh is queued: DEL enqueues at high and
+    # the worker will apply it; the queued refresh must then find the
+    # key gone (current-fetch) or be displaced by the delete (combine)
+    e.execute("DEL", "d:3")
+    q.resume()
+    e.drain()
+    while e.cron()["backfilled"]:
+        e.drain()
+    e.drain()
+    r = e.execute("FT.SEARCH", "rz", "@n:[0 100]", "NOCONTENT",
+                  "LIMIT", "0", "100")
+    keys = set(r[1:])
+    assert "d:3" not in keys and len(keys) == 9
+
+
+def test_backfill_completion_waits_for_applies(rng):
+    """backfill_in_progress must stay true while enqueued refreshes are
+    still unapplied (completion means APPLIED, not queued)."""
+    e = Engine(sync_ingest=False)
+    for i in range(12):
+        e.execute("HSET", f"d:{i}", "n", str(i))
+    e.drain()
+    e.execute("FT.CREATE", "bw", "ON", "HASH", "PREFIX", "1", "d:",
+              "SCHEMA", "n", "NUMERIC")
+    schema = next(s for s in e.manager.all_schemas() if s.name == "bw")
+    q = e._queue()
+    assert q.suspend(timeout=5)
+    # advance the cursor past the end while workers are parked
+    for _ in range(5):
+        e.cron()
+    assert schema.backfill_in_progress  # queued != done
+    q.resume()
+    e.drain()
+    e.cron()  # the settle tick clears the flag once outstanding == 0
+    assert not schema.backfill_in_progress
+    r = e.execute("FT.SEARCH", "bw", "@n:[0 100]", "NOCONTENT",
+                  "LIMIT", "0", "0")
+    assert int(r[0]) == 12

@@ -380,8 +380,78 @@ def test_hnsw_ef_runtime_raises_probe(rng, monkeypatch):
         monkeypatch.setattr(ivf_mod, "ivf_search_rescored", spy)
         idx.search_batch(x[:2], 3)
         assert seen["probe"] == 2  # config floor
-        idx.search_batch(x[:2], 3, ef=9)
-        assert seen["probe"] == 9  # EF_RUNTIME raised it
+        # EF_RUNTIME is a CANDIDATE count: it raises the probe only when
+        # the requested pool exceeds probe * block_rows (128 here)
+        idx.search_batch(x[:2], 3, ef=1000)
+        assert seen["probe"] == 8  # ceil(1000 / 128)
+        idx.search_batch(x[:2], 3, ef=100)
+        assert seen["probe"] == 2  # covered by the floor already
+    finally:
+        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-block-rows", 1024)
+        config.set_config("search.ivf-probe", 64)
+
+
+def test_filtered_searches_bypass_ivf(rng):
+    """A selective 1-D filter must NOT ride IVF — block probing cannot see
+    the mask and would prune away the allowed docs' blocks (r3 review
+    finding). Filtered searches take the exact scan paths."""
+    import jax.numpy as jnp
+
+    from valkey_search_tpu.indexes.flat import FlatVectorIndex
+    from valkey_search_tpu.runtime import config
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    config.set_config("search.ivf-threshold", 1000)
+    config.set_config("search.ivf-block-rows", 128)
+    config.set_config("search.ivf-probe", 2)  # aggressive pruning
+    try:
+        idx = FlatVectorIndex(dim=16, metric="l2")
+        x = clustered(rng, 4000, 16, centers=8)
+        idx.bulk_load([f"k{i}" for i in range(len(x))], x)
+        # allow only 20 docs, all far from the query's cluster
+        allowed = np.arange(3980, 4000)
+        mask = np.zeros(idx.store.capacity, bool)
+        mask[allowed] = True
+        before = STATS.get("ivf_served_searches")
+        d, ids = idx.search_batch(x[:4], 5, filter_mask=jnp.asarray(mask))
+        assert STATS.get("ivf_served_searches") == before  # scan path
+        live = ids[ids >= 0]
+        assert len(live) and np.isin(live, allowed).all()
+    finally:
+        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-block-rows", 1024)
+        config.set_config("search.ivf-probe", 64)
+
+
+def test_ivf_delta_overlay_read_your_writes(rng):
+    """Writes after the mirror build are served exactly via the delta
+    overlay — no rebuild required — and the mirror only rebuilds once
+    drift is material."""
+    from valkey_search_tpu.indexes.flat import FlatVectorIndex
+    from valkey_search_tpu.runtime import config
+    from valkey_search_tpu.runtime.metrics import STATS
+
+    config.set_config("search.ivf-threshold", 1000)
+    config.set_config("search.ivf-block-rows", 128)
+    config.set_config("search.ivf-probe", 16)
+    try:
+        idx = FlatVectorIndex(dim=16, metric="l2")
+        x = clustered(rng, 3000, 16, centers=6)
+        idx.bulk_load([f"k{i}" for i in range(len(x))], x)
+        idx.search_batch(x[:1], 1)  # builds the mirror
+        builds = STATS.get("ivf_mirror_builds")
+        # post-build write: immediately visible, no rebuild
+        q = rng.normal(size=(16,)).astype(np.float32) * 0.01 + 7.5
+        idx.add_record("fresh", q)
+        d, ids = idx.search_batch(q[None, :], 1)
+        assert idx.interner.key_of(int(ids[0, 0])) == "fresh"
+        assert STATS.get("ivf_mirror_builds") == builds  # throttled
+        # post-build delete: immediately invisible
+        idx.remove_record("fresh")
+        d, ids = idx.search_batch(q[None, :], 1)
+        assert idx.interner.key_of(int(ids[0, 0])) != "fresh"
+        assert STATS.get("ivf_mirror_builds") == builds
     finally:
         config.set_config("search.ivf-threshold", 4_000_000)
         config.set_config("search.ivf-block-rows", 1024)

@@ -526,3 +526,34 @@ def test_journal_truncate_upto_keeps_tail(tmp_path):
     recs = [argv for _, _, argv in read_records(p)]
     assert [r[1] for r in recs] == [b"two", b"three"]
     j.close()
+
+
+def test_bgsave_overlap_rejected(tmp_path):
+    """Only one forked BGSAVE at a time (valkey: 'Background save already
+    in progress') — overlapping forks would race their journal-prefix
+    truncations."""
+    import time
+
+    import pytest as _pytest
+
+    from valkey_search_tpu.server.resp import RespError, RespServer
+
+    srv = RespServer(port=0)
+    srv.engine.execute("HSET", "a", "f", "1")
+    ck = str(tmp_path / "o.vstpu")
+    srv.bgsave_forked(ck)
+    # the guard window: pid is set until the reaper clears it
+    if srv.bgsave_pid is not None:
+        with _pytest.raises(RespError):
+            srv.bgsave_forked(str(tmp_path / "o2.vstpu"))
+    deadline = time.time() + 30
+    while srv.bgsave_pid is not None and time.time() < deadline:
+        time.sleep(0.05)
+    assert srv.bgsave_status == "ok"
+    # after completion a new BGSAVE is accepted again
+    srv.bgsave_forked(str(tmp_path / "o3.vstpu"))
+    deadline = time.time() + 30
+    while srv.bgsave_pid is not None and time.time() < deadline:
+        time.sleep(0.05)
+    assert srv.bgsave_status == "ok"
+    srv.close()

@@ -47,27 +47,47 @@ class FlatVectorIndex(VectorIndexBase):
         snap = self.store.device_snapshot()
         prec = precision or config.get("search.distance-precision")
         mode = str(config.get("search.topk-mode"))
-        if filter_mask is None or filter_mask.ndim == 1:
+        if filter_mask is None:
             # sub-linear IVF path for large corpora (ops/ivf.py): engaged
             # above search.ivf-threshold; per-query row traffic drops from
-            # O(N) to O(nb + probe*block-rows). 2-D (per-query) masks need
-            # the scan paths below.
+            # O(N) to O(nb + probe*block-rows). FILTERED searches take the
+            # scan paths below: block probing cannot see a mask, so a
+            # selective filter would prune away the very blocks holding
+            # the allowed docs and silently lose results. The ~invalid
+            # mask is kept: it is DENSE (deletions are a small fraction;
+            # vacuum/epoch rebuilds reclaim), so probing is unaffected,
+            # and it keeps rows cleared since the mirror's build epoch
+            # out of results.
             mirror = self.ivf_mirror()
             if mirror is not None:
-                mask = ~snap["invalid"]
-                if filter_mask is not None:
-                    mask = mask & filter_mask
                 from valkey_search_tpu.ops import ivf as ivf_ops
 
+                metric = "ip" if self.metric == "cosine" else self.metric
+                qd = jnp.asarray(queries)
+                # rows written since the mirror build: excluded from the
+                # mirror query, exact-scored by the delta overlay — the
+                # throttled rebuild keeps read-your-writes exact
+                delta = self.ivf_delta_ids()
+                mask = ~snap["invalid"]
+                if len(delta):
+                    dmask = np.zeros(self.store.capacity, bool)
+                    live = delta[delta >= 0]
+                    dmask[live[live < self.store.capacity]] = True
+                    mask = mask & ~jnp.asarray(dmask)
                 d, i = ivf_ops.ivf_search_rescored(
                     mirror,
-                    jnp.asarray(queries),
+                    qd,
                     snap["vectors"],
                     k=k,
                     probe=int(config.get("search.ivf-probe")),
-                    metric="ip" if self.metric == "cosine" else self.metric,
+                    metric=metric,
                     filter_mask=mask,
                 )
+                if len(delta):
+                    d, i = ivf_ops.delta_overlay_merge(
+                        qd, snap["vectors"], jnp.asarray(delta, jnp.int32),
+                        snap["invalid"], d, i, k=k, metric=metric,
+                    )
                 STATS.incr("flat_searches", queries.shape[0])
                 STATS.incr("ivf_served_searches", queries.shape[0])
                 return np.asarray(d), np.asarray(i)

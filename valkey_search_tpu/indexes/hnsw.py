@@ -590,32 +590,47 @@ class HnswVectorIndex(VectorIndexBase):
             node_filter = jnp.take(filter_mask, jnp.maximum(node_doc, 0)) & (
                 node_doc >= 0
             )
-        if node_filter is None or node_filter.ndim == 1:
+        if node_filter is None:
             # sub-linear IVF path (ops/ivf.py; same gate as the flat
-            # index): mirror rows are NODES — tombstones don't bump the
-            # store epoch, so deletions ride the mask, not the mirror
+            # index: user filters take the scan paths — block probing
+            # cannot see a mask, so a selective filter would lose
+            # results). Mirror rows are NODES; tombstones don't bump the
+            # store epoch, so deletions ride the dense ~invalid mask.
             mirror = self.ivf_mirror()
             if mirror is not None:
-                mask = ~invalid
-                if node_filter is not None:
-                    mask = mask & node_filter
                 from valkey_search_tpu.ops import ivf as ivf_ops
 
-                # EF_RUNTIME is the reference's search-effort dial
-                # (hnswalg.h ef_); when queries carry one, it raises the
-                # probed cell count past the configured floor
+                # EF_RUNTIME is a CANDIDATE-count dial in the reference
+                # (hnswalg.h ef_); probed candidates here are
+                # probe * block_rows, so the floor only rises when the
+                # requested candidate pool exceeds what the configured
+                # probe already covers
                 probe = int(config.get("search.ivf-probe"))
                 if ef:
-                    probe = max(probe, int(ef))
+                    probe = max(probe, -(-int(ef) // mirror.block_rows))
+                metric = "ip" if self.metric == "cosine" else self.metric
+                qd = jnp.asarray(queries)
+                delta = self.ivf_delta_ids()  # node rows since build
+                mask = ~invalid
+                if len(delta):
+                    dmask = np.zeros(self.store.capacity, bool)
+                    live = delta[delta >= 0]
+                    dmask[live[live < self.store.capacity]] = True
+                    mask = mask & ~jnp.asarray(dmask)
                 d, ids = ivf_ops.ivf_search_rescored(
                     mirror,
-                    jnp.asarray(queries),
+                    qd,
                     snap["vectors"],
                     k=k,
                     probe=probe,
-                    metric="ip" if self.metric == "cosine" else self.metric,
+                    metric=metric,
                     filter_mask=mask,
                 )
+                if len(delta):
+                    d, ids = ivf_ops.delta_overlay_merge(
+                        qd, snap["vectors"], jnp.asarray(delta, jnp.int32),
+                        invalid, d, ids, k=k, metric=metric,
+                    )
                 d = np.asarray(d)
                 nodes = np.asarray(ids)
                 docs = np.where(

@@ -91,6 +91,11 @@ class HostVectorStore:
         self._device: Optional[dict] = None
         self._lock = threading.RLock()
         self.epoch = 0  # bumped on every publish; consistency fingerprint
+        self.mutations = 0  # lifetime row writes/clears (IVF drift gauge)
+        # rows written since the last IVF mirror build: the mirror's
+        # delta overlay scans exactly these (exact read-your-writes on
+        # the throttled sub-linear path)
+        self.ivf_written_since: set = set()
 
     @property
     def capacity(self) -> int:
@@ -130,6 +135,8 @@ class HostVectorStore:
             self.norms_sq[doc] = float(np.dot(vec, vec))
             self.present[doc] = True
             self._dirty.add(doc)
+            self.mutations += 1
+            self.ivf_written_since.add(doc)
 
     def clear_row(self, doc: int) -> None:
         with self._lock:
@@ -139,6 +146,8 @@ class HostVectorStore:
                 self.norms_sq[doc] = 0
                 self.magnitudes[doc] = 0
                 self._dirty.add(doc)
+                self.mutations += 1
+                self.ivf_written_since.add(doc)
 
     def device_snapshot(self) -> dict:
         """Publish the current state to the device; returns the mirror dict.
@@ -271,17 +280,28 @@ class VectorIndexBase(IndexBase):
         self.store = HostVectorStore(dim, metric, block, growth)
         self._tracked: Dict[str, int] = {}
         self._lock = threading.RLock()
-        self._ivf = None  # epoch-memoized IVF mirror (ops/ivf.py)
+        self._ivf = None  # drift-throttled IVF mirror (ops/ivf.py)
         self._ivf_epoch = -1
+        self._ivf_muts = -1  # store.mutations at build time
+        self._ivf_building = threading.Lock()
 
     # -- IVF mirror (large-corpus sub-linear path) --------------------------
     def ivf_mirror(self):
-        """Epoch-memoized IVF index over the present rows, or None below
-        search.ivf-threshold. Like the AoS traversal mirror, it is
-        rebuilt per publish epoch — at the row counts where it engages
-        (millions), corpora are bulk-loaded/backfilled and epochs change
-        rarely; steady mutation workloads below the threshold never pay
-        a build."""
+        """IVF index over the present rows, or None below
+        search.ivf-threshold.
+
+        Rebuild policy: a build is k-means + reorder + quantize over the
+        whole corpus — seconds to minutes at the sizes where this path
+        engages — so it must neither run per epoch bump nor hold the
+        index lock. The mirror rebuilds only when mutation DRIFT since
+        the last build is material (>5% of rows or >16k writes); in
+        between, a slightly-stale mirror serves: deletions ride the
+        caller's dense ~invalid mask, modified rows rescore against the
+        CURRENT fp32 snapshot, and rows added since the build (a bounded
+        fraction) are temporarily invisible to this path — the standard
+        refresh-cadence contract of IVF serving systems. Row data is
+        copied under the lock; the build itself runs unlocked (one
+        builder at a time; concurrent searches keep the stale mirror)."""
         thresh = int(config.get("search.ivf-threshold"))
         n = self.count()
         if thresh == 0 or n < thresh:
@@ -290,18 +310,64 @@ class VectorIndexBase(IndexBase):
 
         with self._lock:
             self.store.device_snapshot()  # settle epoch for memo key
-            if self._ivf is not None and self._ivf_epoch == self.store.epoch:
+            epoch = self.store.epoch
+            muts = self.store.mutations
+            if self._ivf is not None:
+                if self._ivf_epoch == epoch:
+                    return self._ivf
+                drift = muts - self._ivf_muts
+                if drift <= max(16384, n // 20):
+                    return self._ivf
+        if not self._ivf_building.acquire(blocking=False):
+            # another thread is building: serve the stale mirror if any
+            # (first-ever build: block until it lands so results exist)
+            if self._ivf is not None:
                 return self._ivf
-            docs = np.nonzero(self.store.present)[0]
-            self._ivf = ivf_ops.build_ivf(
-                self.store.vectors[docs],
+            with self._ivf_building:
+                return self._ivf
+        try:
+            with self._lock:
+                docs = np.nonzero(self.store.present)[0]
+                vecs = self.store.vectors[docs].copy()
+                epoch = self.store.epoch
+                muts = self.store.mutations
+                # the new mirror absorbs everything up to this copy;
+                # writes landing during the (unlocked) build re-enter
+                # the delta set and overlay the finished mirror
+                self.store.ivf_written_since = set()
+            new = ivf_ops.build_ivf(
+                vecs,
                 docs.astype(np.int64),
                 block_rows=int(config.get("search.ivf-block-rows")),
                 n_clusters=int(config.get("search.ivf-clusters")),
             )
-            self._ivf_epoch = self.store.epoch
+            with self._lock:
+                self._ivf = new
+                self._ivf_epoch = epoch
+                self._ivf_muts = muts
             STATS.incr("ivf_mirror_builds")
-            return self._ivf
+            return new
+        finally:
+            self._ivf_building.release()
+
+    def ivf_delta_ids(self, pad_pow2: bool = True) -> np.ndarray:
+        """Rows written since the last mirror build, -1-padded to a power
+        of two so the overlay kernel's compiled shapes stay few."""
+        with self.store._lock:
+            if not self.store.ivf_written_since:
+                return np.empty(0, np.int64)
+            ids = np.fromiter(
+                self.store.ivf_written_since, np.int64,
+                len(self.store.ivf_written_since),
+            )
+        if not pad_pow2:
+            return ids
+        p = 1
+        while p < len(ids):
+            p *= 2
+        out = np.full(p, -1, np.int64)
+        out[: len(ids)] = ids
+        return out
 
     # -- IndexBase ----------------------------------------------------------
     def add_record(self, key: str, value: VectorLike) -> RecordResult:
@@ -372,6 +438,8 @@ class VectorIndexBase(IndexBase):
             st.vectors[docs] = vecs
             st.norms_sq[docs] = (vecs * vecs).sum(1)
             st.present[docs] = True
+            st.mutations += len(docs)
+            st.ivf_written_since.update(int(x) for x in docs)
             st._device = None  # full re-upload on next publish
             for k, d in zip(keys, docs):
                 self._tracked[k] = int(d)

@@ -809,6 +809,50 @@ def ivf_search_batch(
     return out_d, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def delta_overlay_merge(
+    queries: jnp.ndarray,      # [B, d] f32
+    corpus: jnp.ndarray,       # [cap, d] f32 (current snapshot)
+    delta_ids: jnp.ndarray,    # [m] int32 rows written since mirror build
+    invalid: jnp.ndarray,      # [cap] bool (True = not a result)
+    base_d: jnp.ndarray,       # [B, k] mirror-path distances
+    base_i: jnp.ndarray,       # [B, k] mirror-path ids
+    k: int,
+    metric: str = "l2",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-score the delta rows (those the throttled IVF mirror has not
+    absorbed yet) and merge into the mirror results — restores exact
+    read-your-writes on the sub-linear path: the mirror serves the bulk,
+    the (small, bounded-by-rebuild-threshold) delta is scanned precisely.
+    Callers exclude delta ids from the mirror query via the filter mask,
+    so no id appears twice."""
+    q = queries.astype(jnp.float32)
+    vecs = jnp.take(corpus, jnp.maximum(delta_ids, 0), axis=0)  # [m, d]
+    # dot form on the MXU: [B, m] scores without a [B, m, d] broadcast
+    # (m is bounded by the mirror-rebuild threshold but B can be a full
+    # serving batch)
+    dots = q @ vecs.T
+    if metric == "l2":
+        cd = (
+            jnp.sum(q * q, axis=1)[:, None]
+            + jnp.sum(vecs * vecs, axis=1)[None, :]
+            - 2.0 * dots
+        )
+    else:
+        cd = 1.0 - dots
+    bad = jnp.take(invalid, jnp.maximum(delta_ids, 0)) | (delta_ids < 0)
+    cd = jnp.where(bad[None, :], INF, cd)
+    kk = min(k, cd.shape[-1])
+    neg, pos = jax.lax.top_k(-cd, kk)
+    dd = -neg
+    di = jnp.take(delta_ids, pos)
+    di = jnp.where(jnp.isfinite(dd), di, -1)
+    md = jnp.concatenate([base_d, dd], axis=1)
+    mi = jnp.concatenate([base_i, di], axis=1)
+    neg, pos = jax.lax.top_k(-md, k)
+    return -neg, jnp.take_along_axis(mi, pos, axis=-1)
+
+
 def ivf_search_rescored(
     index: IvfDeviceIndex,
     queries: jnp.ndarray,

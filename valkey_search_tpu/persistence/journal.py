@@ -220,12 +220,18 @@ class OpJournal:
             with open(self.path, "rb") as rf:
                 rf.seek(offset)
                 tail = rf.read()
+            # temp + atomic rename: a crash at any instant leaves either
+            # the full old journal or the complete rewritten one — never
+            # a zero-length window that loses fsynced post-fork records
+            tmp = self.path + ".rewrite"
+            with open(tmp, "wb") as wf:
+                wf.write(_HEADER)
+                wf.write(tail)
+                wf.flush()
+                os.fsync(wf.fileno())
             self._f.close()
-            self._f = open(self.path, "wb")
-            self._f.write(_HEADER)
-            self._f.write(tail)
-            self._f.flush()
-            os.fsync(self._f.fileno())
+            os.replace(tmp, self.path)
+            self._f = open(self.path, "ab")
             self._last_fsync = time.monotonic()
             self._dirty = False
 

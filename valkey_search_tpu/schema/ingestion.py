@@ -33,8 +33,13 @@ from valkey_search_tpu.runtime.metrics import STATS
 class Mutation:
     schema: object
     key: str
-    fields: Optional[Dict[str, object]]  # None → delete
+    fields: Optional[Dict[str, object]]  # None → delete (unless fields_fn)
     seq: int = 0
+    # refresh mutation (backfill): the worker fetches CURRENT fields at
+    # apply time — a snapshot captured at enqueue time could resurrect a
+    # concurrently-deleted key (r3 review finding). None → key gone → skip.
+    fields_fn: Optional[object] = None
+    on_done: Optional[object] = None  # completion callback (backfill gauge)
 
 
 PRIORITIES = ("max", "high", "low")  # reference ThreadPool::Priority
@@ -92,15 +97,17 @@ class IngestionEngine:
         self._enqueue(Mutation(schema, key, None), priority)
 
     def _enqueue(self, m: Mutation, priority: str = "high") -> None:
+        displaced_done = None
         with self._cv:
             self._seq += 1
             m.seq = self._seq
             qk = (id(m.schema), m.key)
             existing = None
             for p in PRIORITIES:
-                if qk in self._queues[p]:
+                old = self._queues[p].pop(qk, None)
+                if old is not None:
                     existing = p
-                    del self._queues[p][qk]
+                    displaced_done = old.on_done  # fire below, unlocked
                     break
             if existing is not None:
                 # combine: replace the pending mutation for this key
@@ -114,6 +121,31 @@ class IngestionEngine:
             self._queues[priority][qk] = m
             STATS.incr("mutations_enqueued")
             self._cv.notify()
+        if displaced_done is not None:
+            displaced_done()
+
+    def enqueue_refresh(
+        self, schema, key: str, fetch, on_done=None, priority: str = "low"
+    ) -> None:
+        """Backfill-style enqueue: the worker resolves the key's CURRENT
+        fields via ``fetch(key)`` at apply time (None → skip). If ANY
+        mutation for the key is already pending, this one is dropped —
+        the pending mutation is by definition newer than backfill data."""
+        with self._cv:
+            if self._pending_for_key_locked(schema, key):
+                pending = True
+            else:
+                pending = False
+                self._seq += 1
+                m = Mutation(
+                    schema, key, None, seq=self._seq,
+                    fields_fn=fetch, on_done=on_done,
+                )
+                self._queues[priority][(id(schema), key)] = m
+                STATS.incr("mutations_enqueued")
+                self._cv.notify()
+        if pending and on_done is not None:
+            on_done()
 
     def enqueue_multi(self, muts) -> None:
         """Ordered group enqueue, exempt from per-key combining (reference
@@ -221,7 +253,14 @@ class IngestionEngine:
             # (integration/test_fulltext_inflight_blocking.py)
             PAUSEPOINTS.test("mutation_processing")
             try:
-                if m.fields is None:
+                if m.fields_fn is not None:
+                    # refresh (backfill): CURRENT fields at apply time; a
+                    # key deleted since the scan snapshot yields None and
+                    # is skipped — never resurrected
+                    fields = m.fields_fn(m.key)
+                    if fields is not None:
+                        m.schema.upsert(m.key, fields)
+                elif m.fields is None:
                     m.schema.delete(m.key)
                 else:
                     m.schema.upsert(m.key, m.fields)
@@ -229,6 +268,11 @@ class IngestionEngine:
             except Exception:
                 STATS.incr("mutation_failures")
             finally:
+                if m.on_done is not None:
+                    try:
+                        m.on_done()
+                    except Exception:
+                        pass
                 with self._cv:
                     self._inflight -= 1
                     self._inflight_keys.discard((id(m.schema), m.key))

@@ -113,6 +113,7 @@ class SchemaManager:
         keyspace: Dict[str, Dict[str, object]],
         batch_size: Optional[int] = None,
         ingestion=None,
+        fetch=None,
     ) -> int:
         """Advance one cursor-batched backfill step (reference
         SchemaManager::PerformBackfill driven from server cron,
@@ -131,28 +132,65 @@ class SchemaManager:
         cursor = getattr(schema, "backfill_cursor", 0)
         chunk = keys[cursor : cursor + batch_size]
         if not chunk:
+            if ingestion is not None and getattr(
+                schema, "backfill_outstanding", 0
+            ) > 0:
+                # every key is enqueued but some are still applying:
+                # completion (percent_indexed=100) must mean APPLIED,
+                # not merely queued (r3 review finding) — stay
+                # in-progress until the on_done callbacks settle
+                return 0
             schema.backfill_in_progress = False
             schema.backfill_cursor = 0
             return 0
         schema.backfill_in_progress = True
-        for key in chunk:
-            fields = keyspace.get(key)
-            if fields is not None:
-                if ingestion is not None:
-                    # writer pool at LOW priority (reference
-                    # index_schema.cc:994 from_backfill → kLow): live
-                    # keyspace writes at high priority overtake a bulk
-                    # backfill under the weighted scheduler
-                    ingestion.enqueue_upsert(
-                        schema, key, fields, priority="low"
-                    )
-                else:
+        if ingestion is not None:
+            # writer pool at LOW priority (reference index_schema.cc:994
+            # from_backfill → kLow): live writes overtake a bulk backfill
+            # under the weighted scheduler. Mutations are REFRESHES — the
+            # worker fetches CURRENT fields at apply time (a snapshot
+            # value could resurrect a concurrently-deleted key), and a
+            # key with any pending mutation is skipped outright.
+            if fetch is None:
+                fetch = lambda key: keyspace.get(key)  # noqa: E731
+            if not hasattr(schema, "_backfill_ctr_lock"):
+                import threading as _threading
+
+                schema._backfill_ctr_lock = _threading.Lock()
+                schema.backfill_outstanding = 0
+
+            def _done(s=schema):
+                with s._backfill_ctr_lock:
+                    s.backfill_outstanding -= 1
+
+            for key in chunk:
+                if keyspace.get(key) is None:
+                    continue
+                with schema._backfill_ctr_lock:
+                    schema.backfill_outstanding = getattr(
+                        schema, "backfill_outstanding", 0
+                    ) + 1
+                ingestion.enqueue_refresh(
+                    schema, key, fetch, on_done=_done, priority="low"
+                )
+        else:
+            for key in chunk:
+                fields = keyspace.get(key)
+                if fields is not None:
                     schema.upsert(key, fields)
         schema.backfill_cursor = cursor + len(chunk)
         schema.backfill_scanned = schema.backfill_cursor
         if schema.backfill_cursor >= len(keys):
-            schema.backfill_in_progress = False
-            schema.backfill_cursor = 0
+            if ingestion is not None and getattr(
+                schema, "backfill_outstanding", 0
+            ) > 0:
+                # cursor done but refreshes still queued/applying: a
+                # later cron tick (empty-chunk path) finalizes once the
+                # outstanding gauge settles
+                pass
+            else:
+                schema.backfill_in_progress = False
+                schema.backfill_cursor = 0
         STATS.incr("backfilled_records", len(chunk))
         return len(chunk)
 

@@ -509,6 +509,12 @@ class Engine:
         EnqueueMultiMutation ordered queue, index_schema.cc:834)."""
         return Transaction(self)
 
+    def _backfill_fetch(self, key: str):
+        """Apply-time field resolution for pooled backfill refreshes:
+        the key's CURRENT content, or None once it no longer exists."""
+        fields = self.hgetall(key)
+        return fields or None
+
     def drain(self) -> None:
         """Wait for async ingestion to settle (tests/shutdown)."""
         if self._ingestion is not None:
@@ -572,8 +578,10 @@ class Engine:
                 stats["backfilled"] += self.manager.backfill_batch(
                     schema, snapshot,
                     # async mode: batches ride the writer pool at LOW
-                    # priority so live writes stay responsive
+                    # priority so live writes stay responsive; fields are
+                    # re-fetched from the LIVE keyspace at apply time
                     ingestion=None if self._sync_ingest else self._queue(),
+                    fetch=None if self._sync_ingest else self._backfill_fetch,
                 )
         stats["expired"] = self.sweep_expired()
         # tombstone reclamation (cron-driven vacuum; reference reuses

@@ -981,6 +981,38 @@ class _ThreadingTCPServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
+def _engine_aux_locks(engine):
+    """Deterministically-ordered per-index / native-gating locks for the
+    fork barrier (bgsave_forked): every Python lock that wraps a resource
+    the forked child's save path reads — vector index rows, the native
+    HNSW graph, the native text dictionary, the key interner. Holding
+    them in the forking thread guarantees no OTHER thread (cron vacuum, a
+    reader inside a native call) has one locked at fork, which would
+    leave it locked forever in the child."""
+    locks = []
+    seen = set()
+
+    def add(lk):
+        if lk is not None and id(lk) not in seen:
+            seen.add(id(lk))
+            locks.append(lk)
+
+    try:
+        schemas = sorted(engine.manager.all_schemas(), key=lambda s: s.name)
+    except Exception:
+        return locks
+    for schema in schemas:
+        add(getattr(getattr(schema, "interner", None), "_lock", None))
+        for attr_name in sorted(schema.attributes):
+            idx = schema.attributes[attr_name].index
+            add(getattr(idx, "_lock", None))
+            add(getattr(idx, "_graph_lock", None))
+        te = getattr(schema, "text_engine", None)
+        nt = getattr(te, "_nt", None) if te is not None else None
+        add(getattr(nt, "_lock", None))
+    return locks
+
+
 class RespServer:
     """Standalone RESP server wrapping an Engine.
 
@@ -1165,37 +1197,91 @@ class RespServer:
         Returns the child pid."""
         import contextlib
         import os as _os
+        import time as _time
 
         from valkey_search_tpu.runtime.metrics import STATS
 
+        # one BGSAVE at a time (valkey: "Background save already in
+        # progress"); overlapping forks would race their journal-prefix
+        # truncations against each other (r3 review finding)
         with self._db_lock:
-            engines = sorted(self.engines.items())
-        pools = []
-        for _db, eng in engines:
-            ing = getattr(eng, "_ingestion", None)
-            if ing is not None and ing.suspend():
-                pools.append(ing)
-        self._db_lock.acquire()
-        held = []
+            if self.bgsave_pid is not None:
+                raise RespError("Background save already in progress")
+            self.bgsave_pid = -1  # reserved until the fork lands
+
+        pools: list = []
+        held: list = []
+        aux_held: list = []
+        db_locked = False
         try:
-            # re-snapshot under the lock: a db created while suspending
-            # pools must be inside the barrier too
-            engines = sorted(self.engines.items())
+            # Quiesce protocol. The queues must be EMPTY at fork, not
+            # merely parked: queued-but-unapplied writes are already in
+            # the journal's pre-fork prefix (append happens at dispatch),
+            # so a snapshot that missed their effects plus a truncated
+            # prefix would lose them. Drain first, then take the write
+            # barrier, then re-check — loop if a write slipped between.
+            deadline = _time.monotonic() + 60.0
+            while True:
+                with self._db_lock:
+                    engines = sorted(self.engines.items())
+                for _db, eng in engines:
+                    ing = getattr(eng, "_ingestion", None)
+                    if ing is not None:
+                        ing.drain(
+                            timeout=max(0.1, deadline - _time.monotonic())
+                        )
+                self._db_lock.acquire()
+                db_locked = True
+                engines = sorted(self.engines.items())
+                for _db, eng in engines:
+                    eng._lock.acquire()
+                    held.append(eng)
+                if all(
+                    getattr(eng, "_ingestion", None) is None
+                    or not eng._ingestion.pending()
+                    for _db, eng in engines
+                ):
+                    break
+                for eng in reversed(held):
+                    eng._lock.release()
+                held.clear()
+                self._db_lock.release()
+                db_locked = False
+                if _time.monotonic() > deadline:
+                    raise RespError("BGSAVE quiesce timed out")
+            # park the (idle) workers so none wakes mid-fork
             for _db, eng in engines:
-                eng._lock.acquire()
-                held.append(eng)
+                ing = getattr(eng, "_ingestion", None)
+                if ing is not None:
+                    if not ing.suspend(timeout=10.0):
+                        raise RespError("BGSAVE worker suspension timed out")
+                    pools.append(ing)
+            # widen the barrier to per-index and native-gating locks:
+            # a cron vacuum or a reader inside a native call must not
+            # hold a mutex the child's save path will need (locks taken
+            # by the forking thread transfer cleanly to the child)
+            for _db, eng in engines:
+                for lk in _engine_aux_locks(eng):
+                    lk.acquire()
+                    aux_held.append(lk)
             fork_off = self.journal.size() if self.journal is not None else 0
             pid = _os.fork()
         except BaseException:
+            for lk in reversed(aux_held):
+                lk.release()
             for eng in reversed(held):
                 eng._lock.release()
-            self._db_lock.release()
+            if db_locked:
+                self._db_lock.release()
             for p in pools:
                 p.resume()
+            self.bgsave_pid = None
             raise
         if pid == 0:
             # ---- child ----------------------------------------------------
             try:
+                for lk in reversed(aux_held):
+                    lk.release()
                 for eng in reversed(held):
                     eng._lock.release()
                 self._db_lock.release()
@@ -1207,6 +1293,8 @@ class RespServer:
             except BaseException:
                 _os._exit(1)
         # ---- parent -------------------------------------------------------
+        for lk in reversed(aux_held):
+            lk.release()
         for eng in reversed(held):
             eng._lock.release()
         self._db_lock.release()
