@@ -112,3 +112,49 @@ def test_corrupt_schema_definition_unwinds_created_schemas(tmp_path):
     with pytest.raises(Exception):
         load_engine(path, engine=target)
     assert target.ft_list() == []
+
+
+def test_hnsw_add_after_reload_with_tombstones(tmp_path, rng):
+    """Reference test_hnsw_allow_replace_deleted: delete vectors, save,
+    reload, then ADD into the reloaded graph containing tombstones —
+    inserts must succeed and searches stay correct (the hnswlib
+    replace-deleted path had a reload bug; the rebuild/vacuum design here
+    must honor the same contract)."""
+    import numpy as np
+
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.execute("FT.CREATE", "rz", "ON", "HASH", "PREFIX", "1", "rdoc:",
+              "SCHEMA", "v", "VECTOR", "HNSW", "6",
+              "TYPE", "FLOAT32", "DIM", "4", "DISTANCE_METRIC", "L2")
+    vecs = {}
+    for i in range(10):
+        v = np.asarray([float(i) + 0.1 * d for d in range(4)], np.float32)
+        vecs[i] = v
+        e.execute("HSET", f"rdoc:{i}", "v", v.tobytes())
+    for i in (8, 9):
+        e.execute("DEL", f"rdoc:{i}")
+    path = str(tmp_path / "tomb.vstpu")
+    e.save(path)
+    r = Engine.load(path)
+    # tombstoned keys stay gone after reload
+    out = r.execute("FT.SEARCH", "rz", "*", "NOCONTENT", "LIMIT", "0", "20")
+    assert int(out[0]) == 8 and "rdoc:8" not in out[1:]
+    # adds into the reloaded (tombstone-bearing) graph work
+    for i in range(10, 14):
+        v = np.asarray([float(i) + 0.1 * d for d in range(4)], np.float32)
+        vecs[i] = v
+        r.execute("HSET", f"rdoc:{i}", "v", v.tobytes())
+    out = r.execute("FT.SEARCH", "rz", "*", "NOCONTENT", "LIMIT", "0", "20")
+    assert int(out[0]) == 12
+    # nearest-neighbor of a fresh vector is itself
+    q = vecs[12]
+    out = r.execute("FT.SEARCH", "rz", "*=>[KNN 1 @v $q]",
+                    "PARAMS", "2", "q", q.tobytes(), "NOCONTENT")
+    assert out[1] == "rdoc:12"
+    # and a re-added previously-deleted key serves again
+    r.execute("HSET", "rdoc:8", "v", vecs[8].tobytes())
+    out = r.execute("FT.SEARCH", "rz", "*=>[KNN 1 @v $q]",
+                    "PARAMS", "2", "q", vecs[8].tobytes(), "NOCONTENT")
+    assert out[1] == "rdoc:8"
