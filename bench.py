@@ -402,6 +402,14 @@ def main():
             "platform": jax.default_backend(),
             "topk_mode": "fused pallas int8 packed coarse scan + exact fp32 rescore",
             "corpus": "sift-like clustered bytes (1024 centers)",
+            # real SIFT1M/GloVe downloads are impossible here (zero
+            # egress — BASELINE.md records the blocker); the synthetic
+            # clustered-byte corpus matches SIFT's shape (byte-valued,
+            # heavily clustered 128-d) and the REFERENCE BASELINE runs
+            # on the identical corpus (scripts/ref_baseline.py, seed 42),
+            # so vs_baseline compares like for like
+            "datasets": "synthetic (network-blocked; same corpus as the "
+                        "measured reference baseline)",
         },
     }
 

@@ -163,7 +163,7 @@ def _search_vector(schema, ctx, pred, knn, sp) -> SearchResponse:
             continue
         key = schema.interner.key_of(int(doc))
         if key is not None:
-            neighbors.append(Neighbor(key=key, distance=float(dist), doc=int(doc)))
+            neighbors.append(Neighbor(key, float(dist), int(doc)))
     return SearchResponse(
         total=len(neighbors), neighbors=neighbors, score_field=score_field
     )
@@ -197,8 +197,10 @@ def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
     if token is not None:
         token.check()  # cancel checkpoint (search.cc:672)
     keys = schema.interner.keys_of(docs)
+    # positional construction: kwargs add ~40% per-object overhead and a
+    # hot-term window builds thousands of rows
     neighbors = [
-        Neighbor(key=key, doc=doc)
+        Neighbor(key, None, doc)
         for key, doc in zip(keys, docs) if key is not None
     ]
     STATS.incr("non_vector_searches")

