@@ -201,3 +201,22 @@ def test_json_multivalue_tag_path_stays_scalar(engine):
                     "DIALECT", "3")
     row = dict(zip(res[1][::2], res[1][1::2]))
     assert row["t"] == "[a,b]"
+
+
+def test_groupby_key_fast_path_parity():
+    """GROUPBY @__key must yield one group per key (the columnar COUNT
+    fast path previously collapsed everything into one keyless bucket —
+    r3 review regression)."""
+    from valkey_search_tpu.server.engine import Engine
+
+    e = Engine()
+    e.execute("FT.CREATE", "gk", "ON", "HASH", "PREFIX", "1", "d:",
+              "SCHEMA", "t", "TAG")
+    for i in range(4):
+        e.execute("HSET", f"d:{i}", "t", "x")
+    r = e.execute("FT.AGGREGATE", "gk", "*", "LOAD", "1", "@__key",
+                  "GROUPBY", "1", "@__key",
+                  "REDUCE", "COUNT", "0", "AS", "c")
+    assert r[0] == 4
+    rows = {tuple(x) for x in map(tuple, r[1:])}
+    assert ("__key", "d:0", "c", "1") in rows

@@ -562,30 +562,30 @@ def aggregate_rows(schema, spec: AggregateSpec, rows, score_field,
         and all(r.name == "COUNT" and not r.args for r in stages[0].reducers)
         and stages[0].fields[0] != score_field
     ):
-        from collections import Counter
-
         g = stages[0]
         gf = g.fields[0]
-        counts: Counter = Counter()
-        order_keys: List[str] = []
-        seen_keys = set()
-        for nb, fields in rows:
-            fv = fetch_field(fields or {}, gf)
-            key = E.to_string(_coerce(fv) if fv is not None else None)
-            if key not in seen_keys:
-                seen_keys.add(key)
-                order_keys.append(key)
-            counts[key] += 1
+        if token is not None:
+            token.check()  # stage-boundary cancel checkpoint (parity
+            # with the generic pipeline's pre-stage check)
+        counts: Dict[Optional[str], int] = {}  # insertion-ordered
+        if gf == "__key":
+            for nb, _fields in rows:
+                counts[nb.key] = counts.get(nb.key, 0) + 1
+        else:
+            for nb, fields in rows:
+                fv = fetch_field(fields or {}, gf)
+                key = E.to_string(_coerce(fv) if fv is not None else None)
+                counts[key] = counts.get(key, 0) + 1
         STATS.incr("agg_input_records", len(rows))
         STATS.incr("agg_group_by_stages")
         STATS.incr("agg_group_by_input_records", len(rows))
         records = []
-        for key in order_keys:
+        for key, cnt in counts.items():
             rec: Record = {}
             if key is not None:
                 rec[gf] = key
             for red in g.reducers:
-                rec[red.alias] = float(counts[key])
+                rec[red.alias] = float(cnt)
             records.append(rec)
         STATS.incr("agg_reducer_stages", len(records) * len(g.reducers))
         STATS.incr("agg_group_by_output_records", len(records))
