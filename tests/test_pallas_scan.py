@@ -179,6 +179,28 @@ def test_i8_invalid_rows_cross_threshold(rng):
     assert (v[:, :, 1:] <= thresh).all()
 
 
+@pytest.mark.parametrize("span", [1, 2, 4])
+def test_i8_packed_kernel_matches_reference(rng, span):
+    # span=1 exercises the fused 2-op epilogue (pre_shift==0 at d=128);
+    # span=2/4 exercise the shifted chunk_ref path — same oracle
+    b, n, d = 16, 4 * ps.GROUP, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    sq = np.abs(q).max() / 127
+    sc = np.abs(c).max() / 127
+    qi = jnp.asarray(_quant(q, sq))
+    ci = jnp.asarray(_quant(c, sc))
+    inv_two = jnp.float32(1.0 / (2 * sq * sc))
+    bias = ps.make_bias_i8_packed(
+        n, d, span, "l2", jnp.asarray((c ** 2).sum(1)), inv_two, None, None
+    )
+    packed = ps.bucket_min_scan_i8_packed(
+        qi, ci, bias, span=span, block_b=8, interpret=True
+    )
+    ref = ps.bucket_min_scan_i8_packed_reference(qi, ci, bias, span=span)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(ref))
+
+
 def test_i8_fused_pipeline_recall(rng):
     from valkey_search_tpu.ops import topk as tk
 

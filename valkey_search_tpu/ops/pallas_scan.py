@@ -297,6 +297,47 @@ def i8_packed_layout(d: int, span: int) -> Tuple[int, int, int, int, int]:
     return dotmax, bias_clamp, sentinel, pre_shift, invalid_thresh
 
 
+def _kernel_i8_packed_fused(q_ref, c_ref, bias_ref, out_ref, sv_ref,
+                            *, block_n: int, flush_every: int,
+                            chunk_bits: int):
+    """pre_shift == 0 fast path: the wrapper pre-folds the chunk id into
+    the bias row (bias_c = (bias << chunk_bits) | chunk), so the packed
+    key is exactly ``bias_c - (dots << chunk_bits)`` — 2 VPU ops per
+    score element instead of 4. Algebra: both shifted terms have zero low
+    chunk_bits and the offset bias keeps bias - dots >= 0, so the
+    subtraction never borrows out of the chunk field; the result is
+    bit-identical to ((bias - dots) << chunk_bits) | chunk. pre_shift==0
+    is also precisely the no-overflow condition ((sentinel + dotmax) <<
+    chunk_bits < 2^31, see i8_packed_layout). At D=128 the epilogue — not
+    the int8 MXU — is this kernel's speed limit, so halving its op count
+    is the single biggest lever on the coarse scan."""
+    j = pl.program_id(1)
+    jm = j % flush_every
+    dots = jax.lax.dot_general(
+        q_ref[...],
+        c_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    packed = bias_ref[...] - (dots << chunk_bits)
+    w = block_n
+    while w > BUCKET:
+        w //= 2
+        packed = jnp.minimum(packed[:, :w], packed[:, w:2 * w])
+
+    @pl.when(jm == 0)
+    def _init():
+        sv_ref[...] = packed
+
+    @pl.when(jm != 0)
+    def _acc():
+        sv_ref[...] = jnp.minimum(sv_ref[...], packed)
+
+    @pl.when(jm == flush_every - 1)
+    def _flush():
+        out_ref[...] = sv_ref[...]
+
+
 def _kernel_i8_packed(q_ref, c_ref, bias_ref, chunk_ref, out_ref, sv_ref,
                       *, block_n: int, flush_every: int, pre_shift: int,
                       chunk_bits: int):
@@ -367,6 +408,36 @@ def bucket_min_scan_i8_packed(
     flush_every = span * GROUP // block_n
     nsv = n // (BUCKET * span)
     grid = (b // block_b, n // block_n)
+    if pre_shift == 0:
+        # fold the per-column chunk id into the bias row once (O(N) host
+        # of the launch, vs O(B*N) in the epilogue) — see
+        # _kernel_i8_packed_fused
+        col = jnp.arange(n, dtype=jnp.int32)
+        chunk_col = (col % (span * GROUP)) // BUCKET
+        bias_c = ((bias[0] << chunk_bits) | chunk_col)[None, :]
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_i8_packed_fused, block_n=block_n,
+                flush_every=flush_every, chunk_bits=chunk_bits,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_b, OUT_W), lambda i, j, f=flush_every: (i, j // f)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, nsv), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((block_b, BUCKET), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(queries, corpus, bias_c)
     chunk = _chunk_rows(block_n, flush_every)
     return pl.pallas_call(
         functools.partial(

@@ -222,7 +222,13 @@ def flat_topk_fused(
     # survivor array stays >= ~2k columns for the top-k's bucketing
     if use_i8:
         if span is None:
-            span = 4 if cap >= 786432 else (2 if cap >= 262144 else 1)
+            # span=1 keeps pre_shift at 0 for d <= ~512, which unlocks the
+            # fused 2-op kernel epilogue (pallas_scan._kernel_i8_packed_fused)
+            # AND keeps one survivor per 128 rows (no span-bucket recall
+            # loss). Its cost is 4x the survivor bytes — acceptable until
+            # multi-million-row corpora, where span=4 keeps the survivor
+            # array (and its top-k) inside the HBM budget.
+            span = 4 if cap >= 2_097_152 else 1
         quantum = ps.GROUP * span
     else:
         span = 1
