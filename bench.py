@@ -56,8 +56,12 @@ BATCH = int(os.environ.get("VSTPU_BENCH_BATCH",
 HNSW_N = min(N, int(os.environ.get("VSTPU_BENCH_HNSW_N", str(N))))
 
 
+_T0 = time.perf_counter()
+
+
 def log(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench {time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 _EMIT_LOCK = threading.Lock()
@@ -128,7 +132,11 @@ def main():
     from valkey_search_tpu.runtime import config as cfg0
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("VSTPU_BENCH_BUDGET_S", "2100"))
+    # 2600s default: the full section list (text + 1M flat/HNSW/cosine +
+    # 10M scan/IVF + 100M IVF) measured ~2150s end-to-end on this host;
+    # 2100 forced the remaining-headroom gate to drop the 100M datum.
+    # Watchdog hard-stop = budget*1.25+120 (~56 min).
+    budget_s = float(os.environ.get("VSTPU_BENCH_BUDGET_S", "2600"))
 
     # hard watchdog: a hung device (tunnel outage / wedged chip) must
     # still produce a JSON line — print whatever accrued and exit
@@ -721,13 +729,26 @@ def main():
             })
             del gcorp, gn, sims, cos
 
+        # ---- free every 1M-section device buffer -------------------------------
+        # The flat snapshot (~0.9GB), the 1M HNSW device graph + AoS
+        # traversal tables, and the pipelined query batches together hold
+        # several GB of HBM; with them still alive the 10M upload OOMed
+        # (r3 full-run post-mortem: RESOURCE_EXHAUSTED at bench 1995s
+        # aborted both large-scale sections). Dropping the refs frees the
+        # device buffers.
+        snap = launch = q_batches = outs = flat = None
+        hnsw = trav = d = ids = docs = dg = docsg = hq = None
+        gt_h = gt_sets = gt_hs = trav_gt = c32 = c32_sq = None
+
         # ---- 10M-scale datum (BASELINE.md #5 shape, single chip) --------------
         # At this scale the planner's justified choice on one chip is the
         # fused scan (graph traversal loses: gathers are row-bound and the
         # AoS mirror would need ~41GB); multi-chip sharding extends linearly
         # (parallel/mesh.py, validated on the virtual mesh).
+        gt_b = None
         if (not QUICK and os.environ.get("VSTPU_BENCH_10M", "1") == "1"
                 and not over_budget("10m")):
+          try:  # a failure here must not abort the 100M section below
             BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
             log(f"10M-scale corpus {BN} x {D} (int8 coarse + fp32 rescore)")
             rngb = np.random.default_rng(29)
@@ -740,12 +761,17 @@ def main():
                     centers[a]
                     + rngb.standard_normal((m, D)).astype(np.float32) * 20,
                     0, 255)
+            log("10M corpus generated; bulk_load + device upload")
             big = FlatVectorIndex(dim=D, metric="l2")
             t0 = time.perf_counter()
             big.bulk_load([f"b:{i}" for i in range(BN)], bcorp)
             big.store.device_snapshot()
             big_build_s = time.perf_counter() - t0
-            bq = queries  # same query distribution
+            log(f"10M bulk_load+upload: {big_build_s:.0f}s")
+            # 16k query batch: the fused kernel's packed-survivor array is
+            # [B, N/512] int32 — at B=65536 x N=10M that alone is 5.1GB,
+            # which with the 6.4GB corpus mirrors OOMs a 16GB chip
+            bq = queries[:min(BATCH, 16384)]  # same query distribution
             b_sq = None
             # gt on 64 queries
             gt_b = []
@@ -756,6 +782,7 @@ def main():
                 s2 = dd - 2.0 * (bcorp @ q)
                 part = np.argpartition(s2, K)[:K]
                 gt_b.append(set(part.tolist()))
+            log("10M ground truth done; compiling + measuring scan")
             d, ids = big.search_batch(bq, K)
             t0 = time.perf_counter()
             for _ in range(3):
@@ -817,6 +844,10 @@ def main():
                 })
                 del iv
             del bcorp
+          except Exception as exc:  # noqa: BLE001 — isolate section failure
+            log(f"10M section aborted: {type(exc).__name__}: {exc}")
+            result["details"]["skip_10m"] = f"{type(exc).__name__}: {exc}"
+            big = bcorp = iv = None  # release host + device memory
 
         # ---- 100M-on-one-chip datum (VERDICT r3 target; BASELINE.md #5
         # scaled to a single chip) ------------------------------------------
@@ -824,10 +855,16 @@ def main():
         # v5e HBM with no fp32 corpus on device, so scores are the exact
         # distances to the residual-quantized reconstructions (no rescore).
         # Gated to the real chip: the CPU fallback cannot hold or serve it.
+        # the section needs ~15 min end-to-end (51GB corpus gen on one
+        # core + sample-mode IVF build + 13.7GB upload); starting it
+        # without that much headroom just hands the watchdog a partial,
+        # so gate on REMAINING budget, not merely "not over yet"
+        t_100m_need = float(os.environ.get("VSTPU_BENCH_100M_NEED_S", "900"))
         if (not QUICK
                 and os.environ.get("VSTPU_BENCH_100M", "1") == "1"
                 and jax.default_backend() == "tpu"
-                and not over_budget("100m")):
+                and not over_budget("100m")
+                and budget_s - (time.perf_counter() - t_start) > t_100m_need):
             import psutil  # stdlib-absent guard below if unavailable
             HN = int(os.environ.get("VSTPU_BENCH_100M_N", "100000000"))
             host_free = psutil.virtual_memory().available
