@@ -50,6 +50,10 @@ class SearchParameters:
     withsortkeys: bool = False
     ef_runtime: Optional[int] = None
     local_only: bool = False
+    # columnar consumers (FT.AGGREGATE's index-columnar GROUPBY) want the
+    # raw doc-id ndarray, not materialized Neighbor rows — building tens
+    # of thousands of row objects is the non-vector path's top cost
+    docs_only: bool = False
 
 
 class Neighbor:
@@ -82,6 +86,9 @@ class SearchResponse:
     # PerformKeyContentionCheck compares per-key sequence numbers,
     # index_schema.cc:1917 — an unchanged epoch proves no key changed)
     epoch: int = -1
+    # docs_only result: ascending doc-id ndarray instead of neighbors
+    # (materialize_neighbors() converts on fallback)
+    doc_array: Optional["np.ndarray"] = None
 
 
 def execute_search(schema, sp: SearchParameters, token=None) -> SearchResponse:
@@ -193,9 +200,13 @@ def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
     # match most of the corpus while LIMIT wants a handful
     if cap_results < total:
         arr = np.partition(arr, cap_results - 1)[:cap_results]
-    docs = np.sort(arr).tolist()
+    arr = np.sort(arr)
     if token is not None:
         token.check()  # cancel checkpoint (search.cc:672)
+    STATS.incr("non_vector_searches")
+    if sp.docs_only:
+        return SearchResponse(total=total, neighbors=[], doc_array=arr)
+    docs = arr.tolist()
     keys = schema.interner.keys_of(docs)
     # positional construction: kwargs add ~40% per-object overhead and a
     # hot-term window builds thousands of rows
@@ -203,5 +214,18 @@ def _search_non_vector(schema, ctx, pred, sp, token=None) -> SearchResponse:
         Neighbor(key, None, doc)
         for key, doc in zip(keys, docs) if key is not None
     ]
-    STATS.incr("non_vector_searches")
     return SearchResponse(total=total, neighbors=neighbors)
+
+
+def materialize_neighbors(schema, resp: SearchResponse) -> None:
+    """Fallback for a docs_only response whose consumer could not stay
+    columnar: build the Neighbor rows the normal path would have."""
+    if resp.doc_array is None:
+        return
+    docs = resp.doc_array.tolist()
+    keys = schema.interner.keys_of(docs)
+    resp.neighbors = [
+        Neighbor(key, None, doc)
+        for key, doc in zip(keys, docs) if key is not None
+    ]
+    resp.doc_array = None

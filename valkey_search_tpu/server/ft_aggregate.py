@@ -498,16 +498,63 @@ def run_ft_aggregate(engine, args: List[Value]) -> list:
         raise
 
 
+def _columnar_groupby_index(schema, spec: AggregateSpec):
+    """(group_field, index) when the request is the columnar GROUPBY shape:
+    first stage groups by ONE field whose schema attribute is an indexed
+    TAG (alias == identifier, so the raw field the index ingested is the
+    field the generic path would fetch), and every reducer is arg-less
+    COUNT. The index's raw-value column then answers the whole GROUPBY
+    with one vectorized pass — no keyspace fetch per row."""
+    from valkey_search_tpu.indexes.tag import TagIndex
+
+    if spec.load_all or not spec.stages:
+        return None
+    if getattr(schema, "on", "HASH") != "HASH":
+        # ON JSON group values pass through JSONPath extraction (arrays,
+        # bracket wrapping) that the ingest-time raw column does not model
+        return None
+    g = spec.stages[0]
+    if not isinstance(g, _GroupBy) or len(g.fields) != 1:
+        return None
+    if not all(r.name == "COUNT" and not r.args for r in g.reducers):
+        return None
+    gf = g.fields[0]
+    if gf == "__key":
+        return None
+    attr = schema.attributes.get(gf)
+    if attr is None or attr.identifier != gf:
+        return None
+    if not isinstance(attr.index, TagIndex):
+        return None
+    return gf, attr.index
+
+
+def _engine_quiescent(engine, schema, resp) -> bool:
+    """Same currency proof as resolve_content's epoch fast path: nothing
+    mutated since the snapshot search, no pending ingestion, and no TTLs
+    that could lazily expire a matched key."""
+    if engine is None:
+        return False
+    if resp.epoch < 0 or resp.epoch != getattr(schema, "mutation_epoch", -2):
+        return False
+    queue = getattr(engine, "_ingestion", None)
+    if queue is not None and queue.pending():
+        return False
+    return not engine._expiry and not engine._field_expiry
+
+
 def _run_ft_aggregate_inner(engine, args: List[Value]) -> list:
     spec = parse_ft_aggregate(args)
 
     # ---- step 1: query ----------------------------------------------------
     schema = engine.manager.get(spec.index_name)
     validate_load_fields(schema, spec)
+    columnar = _columnar_groupby_index(schema, spec)
     sp = SearchParameters(
         index_name=spec.index_name, query=spec.query, params=spec.params,
         timeout_ms=spec.timeout_ms, no_content=False,
         limit_offset=0, limit_num=10**9,
+        docs_only=columnar is not None,
     )
     # one deadline covers query + content resolution + stage pipeline
     # (reference: a single cancellation token spans the whole FT.AGGREGATE,
@@ -517,6 +564,47 @@ def _run_ft_aggregate_inner(engine, args: List[Value]) -> list:
 
     token = cancel.from_timeout_ms(spec.timeout_ms)
     resp = execute_search(schema, sp, token=token)
+
+    # ---- index-columnar GROUPBY+COUNT (zero keyspace fetches) -------------
+    if (
+        columnar is not None
+        and resp.knn is None
+        and resp.doc_array is not None
+        and _engine_quiescent(engine, schema, resp)
+    ):
+        gf, index = columnar
+        token.check()
+        counts = index.value_counts(resp.doc_array)
+        if counts is not None:
+            g = spec.stages[0]
+            n_rows = int(resp.doc_array.size)
+            STATS.incr("agg_input_records", n_rows)
+            STATS.incr("agg_group_by_stages")
+            STATS.incr("agg_group_by_input_records", n_rows)
+            records: List[Record] = []
+            for key, cnt in counts:
+                rec: Record = {}
+                if key is not None:
+                    rec[gf] = key
+                for red in g.reducers:
+                    rec[red.alias] = float(cnt)
+                records.append(rec)
+            STATS.incr("agg_reducer_stages", len(records) * len(g.reducers))
+            STATS.incr("agg_group_by_output_records", len(records))
+            eparams = {k: v for k, v in spec.params.items()
+                       if not k.startswith("__")}
+            for st in spec.stages[1:]:
+                token.check()
+                records = st.run(records, eparams)
+            STATS.incr("agg_output_records", len(records))
+            return _shape_reply(spec, schema, records)
+
+    # fallback: a docs_only response must grow its Neighbor rows before
+    # the generic per-row pipeline can run
+    if resp.doc_array is not None:
+        from valkey_search_tpu.query.search import materialize_neighbors
+
+        materialize_neighbors(schema, resp)
     rows = fts.resolve_content(engine, schema, resp)
     return aggregate_rows(schema, spec, rows, resp.score_field, resp.knn,
                           token=token)
