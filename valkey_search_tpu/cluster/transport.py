@@ -525,13 +525,23 @@ class NodeServer:
             # executes against the connection's SELECTed db engine
             db = getattr(getattr(CURRENT_CONN, "handler", None), "db", 0)
             eng = self.engine if db == 0 else self.resp.engine_for(db)
-            if cmd in writes and self.resp.write_observer is not None:
+            journal = self.resp.journal
+            if cmd in writes and (
+                self.resp.write_observer is not None or journal is not None
+            ):
                 # apply + capture under the engine lock so the replica
-                # stream order equals the apply order
+                # stream order equals the apply order; the op journal
+                # appends at the same point (journal order == apply order
+                # == stream order) — cluster-routed writes used to bypass
+                # the journal entirely (r4 kill -9 drill caught it: every
+                # post-checkpoint write on the node was lost)
                 with eng._lock:
                     result = eng.execute(cmd, *rest)
-                    self.resp.write_observer([cmd.encode()] + list(rest),
-                                             db=db)
+                    argv = [cmd.encode()] + list(rest)
+                    if self.resp.write_observer is not None:
+                        self.resp.write_observer(argv, db=db)
+                    if journal is not None:
+                        journal.append(argv, db=db)
             else:
                 result = eng.execute(cmd, *rest)
             return _ok(result)
@@ -1175,8 +1185,10 @@ class ClusterClient:
     def execute(self, *argv):
         """Slot-routed single-key commands + cluster FT.* dispatch."""
         cmd = _s(argv[0]).upper()
-        if cmd in ("HSET", "HGETALL", "DEL", "JSON.SET", "JSON.GET",
-                   "EXPIRE", "PEXPIRE", "TTL", "PERSIST"):
+        if cmd in ("HSET", "HGETALL", "HGET", "HMGET", "HDEL", "DEL",
+                   "EXISTS", "TYPE", "JSON.SET", "JSON.GET",
+                   "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
+                   "HEXPIRE", "HPEXPIRE", "HTTL", "HPTTL", "HPERSIST"):
             if cmd == "DEL" and len(argv) > 2:
                 return sum(
                     self._keyspace_cmd(_s(k), "DEL", k) for k in argv[1:]
@@ -1607,8 +1619,18 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--replica-of", default="",
                     help="primary host:port to replicate from")
     ap.add_argument("--async-ingest", action="store_true")
+    ap.add_argument("--journal", default="",
+                    help="op-journal path (AOF analog): replayed on boot, "
+                         "appended under the engine lock")
+    ap.add_argument("--checkpoint", default="",
+                    help="checkpoint path for SAVE/BGSAVE")
     ns = ap.parse_args(argv)
 
+    if ns.journal:
+        config.set_config("search.journal-path", ns.journal)
+        config.set_config("search.journal-fsync-ms", 0)  # appendfsync=always
+    if ns.checkpoint:
+        config.set_config("search.checkpoint-path", ns.checkpoint)
     lo, hi = (int(x) for x in ns.slots.split(":"))
     peers = [p for p in ns.peers.split(",") if p]
     node = NodeServer(
