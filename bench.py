@@ -132,11 +132,15 @@ def main():
     from valkey_search_tpu.runtime import config as cfg0
 
     t_start = time.perf_counter()
-    # 2600s default: the full section list (text + 1M flat/HNSW/cosine +
-    # 10M scan/IVF + 100M IVF) measured ~2150s end-to-end on this host;
-    # 2100 forced the remaining-headroom gate to drop the 100M datum.
-    # Watchdog hard-stop = budget*1.25+120 (~56 min).
-    budget_s = float(os.environ.get("VSTPU_BENCH_BUDGET_S", "2600"))
+    # 2000s default, sized to the DRIVER's observed kill window (~2100-
+    # 2200s: r3's run died to an external SIGTERM right after its cosine
+    # section — VERDICT r3 weak#1), not to an internal wish list. Section
+    # order matches priority: headline + honest vs_baseline land in the
+    # first ~4 min, the 10M scan + IVF probe sweep (the one unproven
+    # SURVEY axis) before any optional 1M extra; HNSW/cosine follow; 100M
+    # only with >= t_100m_need headroom. Watchdog hard-stop =
+    # budget*1.25+120; the SIGTERM handler emits the partial either way.
+    budget_s = float(os.environ.get("VSTPU_BENCH_BUDGET_S", "2000"))
 
     # hard watchdog: a hung device (tunnel outage / wedged chip) must
     # still produce a JSON line — print whatever accrued and exit
@@ -210,12 +214,51 @@ def main():
                         for _ in range(200)]
             hybrid_t = [f"(@tag:{{odd}} @body:{vocab[tycoon.integers(100, 2000)]})"
                         for _ in range(300)]
+            # expansion matchers (VERDICT r3 next#7): the native wide-matcher
+            # path (tix_docs_union_expand) serves suffix/infix/fuzzy —
+            # only prefix was evidenced before. Reference structures:
+            # /root/reference/src/indexes/text/radix_tree.h:14-56.
+            suffixes = [f"@body:*{tycoon.integers(100, 999)}"
+                        for _ in range(200)]  # *123 → w00123, w01123, ...
+            infixes = [f"@body:*0{tycoon.integers(100, 999)}*"
+                       for _ in range(100)]
+            fuzzy1 = [f"@body:%w{tycoon.integers(100, 5000):05d}%"
+                      for _ in range(100)]
+            fuzzy2 = [f"@body:%%w{tycoon.integers(100, 5000):05d}%%"
+                      for _ in range(50)]
+            # adjacent-word phrases drawn from real documents, plus the
+            # same pairs at SLOP 1 / unordered (reference phrase iterators:
+            # SLOP/INORDER postings walks)
+            phrases = []
+            for _ in range(100):
+                di = int(tycoon.integers(0, 20000))
+                w = zipf[di]
+                phrases.append(f'@body:"{vocab[w[3]]} {vocab[w[4]]}"')
+
+            def qps_slop(queries_list, *extra, reps=1):
+                t0 = time.perf_counter()
+                c = 0
+                for _ in range(reps):
+                    for q in queries_list:
+                        eng.ft_search("t", q, *extra,
+                                      "NOCONTENT", "LIMIT", "0", "10")
+                        c += 1
+                return c / (time.perf_counter() - t0)
+
             r_term = qps_of(terms)
             r_and = qps_of(ands)
             r_pref = qps_of(prefixes)
             r_hyb = qps_of(hybrid_t)
+            r_suf = qps_of(suffixes)
+            r_inf = qps_of(infixes)
+            r_fz1 = qps_of(fuzzy1)
+            r_fz2 = qps_of(fuzzy2)
+            r_phr = qps_of(phrases)
+            r_slop = qps_slop(phrases, "SLOP", "1")
             log(f"text QPS (1 core): term={r_term:.0f} and={r_and:.0f} "
-                f"prefix={r_pref:.0f} tag+text={r_hyb:.0f}")
+                f"prefix={r_pref:.0f} tag+text={r_hyb:.0f} "
+                f"suffix={r_suf:.0f} infix={r_inf:.0f} fuzzy1={r_fz1:.0f} "
+                f"fuzzy2={r_fz2:.0f} phrase={r_phr:.0f} slop1={r_slop:.0f}")
             # FT.AGGREGATE: GROUPBY+REDUCE over a selective slice and over
             # the hot-term match set (the reference FTS benchmark's
             # aggregation mix analog)
@@ -229,8 +272,10 @@ def main():
                     )
                 return reps / (time.perf_counter() - t0)
 
-            r_agg_sel = agg_qps(f"@body:{vocab[3000]}")
-            r_agg_hot = agg_qps(f"@body:{vocab[5]}", reps=10)
+            # 200 reps: the columnar GROUPBY fast path serves the hot-term
+            # shape at >1k qps — 10 reps measured mostly timer noise
+            r_agg_sel = agg_qps(f"@body:{vocab[3000]}", reps=200)
+            r_agg_hot = agg_qps(f"@body:{vocab[5]}", reps=200)
             log(f"aggregate QPS (1 core): selective={r_agg_sel:.0f} "
                 f"hot-term={r_agg_hot:.0f}")
             text_details.update({
@@ -239,6 +284,12 @@ def main():
                 "text_and_qps_1core": round(r_and, 1),
                 "text_prefix_qps_1core": round(r_pref, 1),
                 "text_hybrid_qps_1core": round(r_hyb, 1),
+                "text_suffix_qps_1core": round(r_suf, 1),
+                "text_infix_qps_1core": round(r_inf, 1),
+                "text_fuzzy1_qps_1core": round(r_fz1, 1),
+                "text_fuzzy2_qps_1core": round(r_fz2, 1),
+                "text_phrase_qps_1core": round(r_phr, 1),
+                "text_phrase_slop1_qps_1core": round(r_slop, 1),
                 "aggregate_selective_qps_1core": round(r_agg_sel, 1),
                 "aggregate_hotterm_qps_1core": round(r_agg_hot, 1),
             })
@@ -425,6 +476,36 @@ def main():
         k: v for k, v in partial["details"].items() if k != "watchdog"
     })
 
+    # ---- honest headline denominator, applied IMMEDIATELY ------------------
+    # The reference's OWN engine (vendored hnswlib measured by
+    # scripts/ref_baseline.py at recall@10 >= 0.99 — BASELINE.md "Measured
+    # reference-engine numbers"). r3 post-mortem (VERDICT weak#1): this
+    # fixup ran only at the very end, so the driver's SIGTERM shipped a
+    # vs_baseline computed against the in-process CPU scan (5x overstated).
+    # Now the honest ratio is in the result dict the moment the headline
+    # exists; the CPU-HNSW fallback below NEVER overwrites it.
+    ref_qps_99 = None
+    try:
+        ref_json = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_ref_1m.json"
+        )
+        if os.path.exists(ref_json):
+            with open(ref_json) as f:
+                ref = json.load(f)
+            cand = [
+                q for q, r in ref.get("sweep", {}).values() if r >= 0.99
+            ]
+            if cand and ref.get("n", 0) >= min(N, 1_000_000):
+                ref_qps_99 = max(cand)
+                result["details"]["ref_hnsw_qps_1core_recall99"] = ref_qps_99
+                result["details"]["baseline_source"] = (
+                    "reference vendored hnswlib, M=16 efC=200 "
+                    "(BASELINE_ref_1m.json)"
+                )
+                result["vs_baseline"] = round(flat_qps / ref_qps_99, 1)
+    except Exception as exc:
+        log(f"reference-baseline read failed: {exc!r}")
+
     # every section below only ENRICHES result[details]; a failure or
     # timeout must never lose the headline JSON already assembled
     try:
@@ -555,10 +636,154 @@ def main():
                 log(f"hybrid {sel_pct}% selectivity: {qps:.0f} qps")
             result["details"].update(hybrid)
 
+        # ---- free the 1M flat-scan device buffers ------------------------------
+        # Per-section frees (ADVICE r3 #3: the old end-of-1M hardcoded name
+        # list silently rotted as sections changed). The flat snapshot
+        # (~0.9GB of mirrors) plus the pipelined query batches hold GBs of
+        # HBM; with them alive the 10M upload OOMed (r3 post-mortem:
+        # RESOURCE_EXHAUSTED at 1995s aborted both large-scale sections).
+        snap = launch = q_batches = outs = flat = d = ids = None
+
+        # ---- 10M-scale datum (BASELINE.md #5 shape, single chip) --------------
+        # At this scale the planner's justified choice on one chip is the
+        # fused scan (graph traversal loses: gathers are row-bound and the
+        # AoS mirror would need ~41GB); multi-chip sharding extends linearly
+        # (parallel/mesh.py, validated on the virtual mesh).
+        gt_b = None
+        stage10 = "corpus-gen"
+        if (not QUICK and os.environ.get("VSTPU_BENCH_10M", "1") == "1"
+                and not over_budget("10m")):
+          try:  # a failure here must not abort the sections below
+            det10 = {}  # merged into result only as sub-stages COMPLETE
+            # (ADVICE r3 #2: an aborted section must not leave a
+            # complete-looking half-datum in details)
+            BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
+            log(f"10M-scale corpus {BN} x {D} (int8 coarse + fp32 rescore)")
+            rngb = np.random.default_rng(29)
+            bcorp = np.empty((BN, D), np.float32)
+            step = min(1_000_000, BN)
+            for i0 in range(0, BN, step):
+                m = min(step, BN - i0)
+                a = rngb.integers(0, n_centers, m)
+                bcorp[i0:i0 + m] = np.clip(
+                    centers[a]
+                    + rngb.standard_normal((m, D)).astype(np.float32) * 20,
+                    0, 255)
+            stage10 = "bulk-load"
+            log("10M corpus generated; bulk_load + device upload")
+            big = FlatVectorIndex(dim=D, metric="l2")
+            t0 = time.perf_counter()
+            big.bulk_load([f"b:{i}" for i in range(BN)], bcorp)
+            big.store.device_snapshot()
+            big_build_s = time.perf_counter() - t0
+            log(f"10M bulk_load+upload: {big_build_s:.0f}s")
+            # 16k query batch: the fused kernel's packed-survivor array is
+            # [B, N/512] int32 — at B=65536 x N=10M that alone is 5.1GB,
+            # which with the 6.4GB corpus mirrors OOMs a 16GB chip
+            bq = queries[:min(BATCH, 16384)]  # same query distribution
+            stage10 = "ground-truth"
+            # gt on 64 queries: ONE chunked [64, m] BLAS matmul per 2M-row
+            # slab with a running top-k merge (the per-query matvec loop
+            # cost ~65 single-core seconds)
+            gtq32 = gt_q.astype(np.float32)
+            n_gt_b = len(gtq32)
+            best_d = np.full((n_gt_b, K), np.inf, np.float64)
+            best_i = np.full((n_gt_b, K), -1, np.int64)
+            chunk = 2_000_000
+            for i0 in range(0, BN, chunk):
+                blkc = bcorp[i0:i0 + chunk]
+                sq = np.einsum("ij,ij->i", blkc, blkc)
+                dd = sq[None, :] - 2.0 * (gtq32 @ blkc.T)
+                part = np.argpartition(dd, K, axis=1)[:, :K]
+                rows = np.arange(n_gt_b)[:, None]
+                alld = np.concatenate([best_d, dd[rows, part]], axis=1)
+                alli = np.concatenate([best_i, part + i0], axis=1)
+                sel = np.argsort(alld, axis=1)[:, :K]
+                best_d = alld[rows, sel]
+                best_i = alli[rows, sel]
+            gt_b = [set(r.tolist()) for r in best_i]
+            stage10 = "scan"
+            log("10M ground truth done; compiling + measuring scan")
+            d, ids = big.search_batch(bq, K)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                d, ids = big.search_batch(bq, K)
+            big_qps = 3 * len(bq) / (time.perf_counter() - t0)
+            big_recall = float(np.mean([
+                len(set(ids[b, :K].tolist()) & gt_b[b]) / K
+                for b in range(len(gt_b))
+            ]))
+            log(f"10M scan: {big_qps:.0f} qps recall@10={big_recall:.4f} "
+                f"(build+upload {big_build_s:.0f}s)")
+            det10.update({
+                "scan_10m_qps": round(big_qps, 1),
+                "scan_10m_batch": len(bq),  # ADVICE r3 #1: the 10M
+                # serving batch differs from the 1M headline BATCH
+                "scan_10m_recall_at_10": round(big_recall, 4),
+                "scan_10m_build_s": round(big_build_s, 1),
+            })
+            result["details"].update(det10)  # scan sub-stage complete
+            del big
+
+            # ---- IVF sub-linear path on the same 10M corpus ---------------
+            # (ops/ivf.py): probe sweep shows the recall/QPS frontier vs the
+            # O(N) scan above — the planner's justified switch at this scale
+            if (os.environ.get("VSTPU_BENCH_IVF", "1") == "1"
+                    and not over_budget("ivf-10m")):
+                from valkey_search_tpu.ops import ivf as ivf_ops
+
+                stage10 = "ivf-build"
+                t0 = time.perf_counter()
+                iv = ivf_ops.build_ivf(bcorp, block_rows=1024)
+                ivf_build_s = time.perf_counter() - t0
+                log(f"IVF build 10M: {ivf_build_s:.0f}s "
+                    f"({iv.n_blocks} blocks, "
+                    f"{iv.device_bytes()/2**30:.1f} GiB on device)")
+                stage10 = "ivf-sweep"
+                IB = 4096  # serving batch for the gather-bound stage
+                ivq = jnp.asarray(queries[:IB])
+                ivf_sweep = {}
+                for probe in (16, 32, 64):
+                    dd, ii = ivf_ops.ivf_search_batch(
+                        iv, ivq, k=K, probe=probe, probe_chunk=4
+                    )  # compile+warm
+                    np.asarray(dd)
+                    t0 = time.perf_counter()
+                    for _ in range(3):
+                        dd, ii = ivf_ops.ivf_search_batch(
+                            iv, ivq, k=K, probe=probe, probe_chunk=4
+                        )
+                        np.asarray(dd), np.asarray(ii)
+                    q_ivf = 3 * IB / (time.perf_counter() - t0)
+                    ii = np.asarray(ii)
+                    rec = float(np.mean([
+                        len(set(ii[b, :K].tolist()) & gt_b[b]) / K
+                        for b in range(len(gt_b))
+                    ]))
+                    ivf_sweep[str(probe)] = [round(q_ivf, 1), round(rec, 4)]
+                    log(f"IVF 10M probe={probe}: {q_ivf:.0f} qps "
+                        f"recall@10={rec:.4f}")
+                result["details"].update({
+                    "ivf_10m_build_s": round(ivf_build_s, 1),
+                    "ivf_10m_device_gib": round(iv.device_bytes() / 2**30, 2),
+                    "ivf_10m_batch": IB,
+                    "ivf_10m_probe_sweep": ivf_sweep,
+                })
+                del iv
+            del bcorp
+          except Exception as exc:  # noqa: BLE001 — isolate section failure
+            log(f"10M section aborted at {stage10}: "
+                f"{type(exc).__name__}: {exc}")
+            result["details"]["skip_10m"] = (
+                f"at {stage10}: {type(exc).__name__}: {exc}"
+            )
+            big = bcorp = iv = None  # release host + device memory
+
         # ---- HNSW: north-star config (BASELINE.md #2) -------------------------
-        # Full-corpus graph at the reference defaults M=16 / ef_construction=200,
-        # recall over >= 1000 queries (round-1 gap: 100k corpus, efC=100, 64-q
-        # recall). The traversal datum runs on a 100k graph (AoS fast path).
+        # Full-corpus graph at the reference defaults M=16 / ef_construction
+        # = 200, recall over >= 1000 queries. Runs AFTER the 10M/IVF story
+        # (VERDICT r4 next#1: the large-N datum is the unproven axis; this
+        # section is the expensive optional one).
         if not QUICK and HNSW_N > 0 and not over_budget("hnsw"):
             from valkey_search_tpu.runtime import config as _cfg
 
@@ -613,8 +838,8 @@ def main():
                 for b in range(n_gt_h)
             ]))
 
-            # CPU HNSW baseline on the same graph (single core, native) — the
-            # honest reference-equivalent ANN baseline for vs_baseline
+            # CPU HNSW baseline on the same graph (single core, native) —
+            # correctness ORACLE (see vs_baseline note below)
             t0 = time.perf_counter()
             for i in range(200):
                 hnsw.builder.search(queries[i % BATCH], K, ef=100)
@@ -623,25 +848,12 @@ def main():
                 f"recall@10={hnsw_recall:.4f}; CPU HNSW 1-core: "
                 f"{cpu_hnsw_qps:.0f} qps")
 
-            # graph-traversal datum on a 100k graph (AoS int8 fast path):
-            # beyond the single-chip scan crossover the per-shard graphs are
-            # this scale, so this is the number that matters there
-            TRAV_N = min(HNSW_N, 100_000)
-            if HNSW_N <= 150_000:
-                trav = hnsw
-                trav_gt = gt_hs
-            else:
-                log(f"building traversal graph on {TRAV_N} vectors")
-                trav = HnswVectorIndex(dim=D, m=16, ef_construction=EF_C)
-                trav.bulk_load([f"doc:{i}" for i in range(TRAV_N)],
-                               corpus[:TRAV_N])
-                sub = corpus[:TRAV_N]
-                sub_sq = np.einsum("ij,ij->i", sub, sub)
-                trav_gt = []
-                for q in gt_q_h:
-                    dd = sub_sq - 2.0 * (sub @ q)
-                    part = np.argpartition(dd, K)[:K]
-                    trav_gt.append(set(part.tolist()))
+            # graph-traversal datum ON THE GRAPH JUST BUILT (VERDICT r3
+            # next#6: r3 measured traversal on a separate 100k graph; the
+            # planner claim needs the number at real scale)
+            TRAV_N = HNSW_N
+            trav = hnsw
+            trav_gt = gt_hs
             _cfg.set_config("search.hnsw-scan-threshold", 0)
             sweep = {}
             try:
@@ -681,12 +893,19 @@ def main():
                     for ef, (qv, rv) in sweep.items()
                 },
             })
-            # honest headline ratio: TPU QPS vs the reference-equivalent CPU
-            # ANN baseline at recall parity (round-1 published the ratio vs a
-            # 5-qps exact scan; the CPU HNSW at recall>=0.99 is the fair bar)
-            result["vs_baseline"] = round(flat_qps / max(cpu_hnsw_qps, 1e-9), 1)
+            # the measured reference engine (applied right after the flat
+            # section) is the headline denominator whenever its artifact
+            # exists; the in-process CPU HNSW is an ORACLE, not a baseline
+            # (VERDICT r3 next#10) — denominator only when the artifact is
+            # absent
+            if ref_qps_99 is None:
+                result["vs_baseline"] = round(
+                    flat_qps / max(cpu_hnsw_qps, 1e-9), 1)
             result["details"]["vs_cpu_exact_scan"] = round(
                 flat_qps / max(cpu_flat_qps, 1e-9), 1)
+            # free this section's device buffers (graph + AoS tables)
+            hnsw = trav = d = docs = dg = docsg = hq = None
+            gt_h = gt_sets = gt_hs = trav_gt = c32 = c32_sq = None
 
         # ---- GloVe-shape cosine datum (BASELINE.md #3) ------------------------
         if (not QUICK and os.environ.get("VSTPU_BENCH_COSINE", "1") == "1"
@@ -728,126 +947,6 @@ def main():
                 "cosine_build_s": round(cos_build_s, 2),
             })
             del gcorp, gn, sims, cos
-
-        # ---- free every 1M-section device buffer -------------------------------
-        # The flat snapshot (~0.9GB), the 1M HNSW device graph + AoS
-        # traversal tables, and the pipelined query batches together hold
-        # several GB of HBM; with them still alive the 10M upload OOMed
-        # (r3 full-run post-mortem: RESOURCE_EXHAUSTED at bench 1995s
-        # aborted both large-scale sections). Dropping the refs frees the
-        # device buffers.
-        snap = launch = q_batches = outs = flat = None
-        hnsw = trav = d = ids = docs = dg = docsg = hq = None
-        gt_h = gt_sets = gt_hs = trav_gt = c32 = c32_sq = None
-
-        # ---- 10M-scale datum (BASELINE.md #5 shape, single chip) --------------
-        # At this scale the planner's justified choice on one chip is the
-        # fused scan (graph traversal loses: gathers are row-bound and the
-        # AoS mirror would need ~41GB); multi-chip sharding extends linearly
-        # (parallel/mesh.py, validated on the virtual mesh).
-        gt_b = None
-        if (not QUICK and os.environ.get("VSTPU_BENCH_10M", "1") == "1"
-                and not over_budget("10m")):
-          try:  # a failure here must not abort the 100M section below
-            BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
-            log(f"10M-scale corpus {BN} x {D} (int8 coarse + fp32 rescore)")
-            rngb = np.random.default_rng(29)
-            bcorp = np.empty((BN, D), np.float32)
-            step = min(1_000_000, BN)
-            for i0 in range(0, BN, step):
-                m = min(step, BN - i0)
-                a = rngb.integers(0, n_centers, m)
-                bcorp[i0:i0 + m] = np.clip(
-                    centers[a]
-                    + rngb.standard_normal((m, D)).astype(np.float32) * 20,
-                    0, 255)
-            log("10M corpus generated; bulk_load + device upload")
-            big = FlatVectorIndex(dim=D, metric="l2")
-            t0 = time.perf_counter()
-            big.bulk_load([f"b:{i}" for i in range(BN)], bcorp)
-            big.store.device_snapshot()
-            big_build_s = time.perf_counter() - t0
-            log(f"10M bulk_load+upload: {big_build_s:.0f}s")
-            # 16k query batch: the fused kernel's packed-survivor array is
-            # [B, N/512] int32 — at B=65536 x N=10M that alone is 5.1GB,
-            # which with the 6.4GB corpus mirrors OOMs a 16GB chip
-            bq = queries[:min(BATCH, 16384)]  # same query distribution
-            b_sq = None
-            # gt on 64 queries
-            gt_b = []
-            c_sq_b = None
-            for q in gt_q.astype(np.float32):
-                dd = np.einsum("ij,ij->i", bcorp, bcorp) if c_sq_b is None else c_sq_b
-                c_sq_b = dd
-                s2 = dd - 2.0 * (bcorp @ q)
-                part = np.argpartition(s2, K)[:K]
-                gt_b.append(set(part.tolist()))
-            log("10M ground truth done; compiling + measuring scan")
-            d, ids = big.search_batch(bq, K)
-            t0 = time.perf_counter()
-            for _ in range(3):
-                d, ids = big.search_batch(bq, K)
-            big_qps = 3 * len(bq) / (time.perf_counter() - t0)
-            big_recall = float(np.mean([
-                len(set(ids[b, :K].tolist()) & gt_b[b]) / K
-                for b in range(len(gt_b))
-            ]))
-            log(f"10M scan: {big_qps:.0f} qps recall@10={big_recall:.4f} "
-                f"(build+upload {big_build_s:.0f}s)")
-            result["details"].update({
-                "scan_10m_qps": round(big_qps, 1),
-                "scan_10m_recall_at_10": round(big_recall, 4),
-                "scan_10m_build_s": round(big_build_s, 1),
-            })
-            del big
-
-            # ---- IVF sub-linear path on the same 10M corpus ---------------
-            # (ops/ivf.py): probe sweep shows the recall/QPS frontier vs the
-            # O(N) scan above — the planner's justified switch at this scale
-            if (os.environ.get("VSTPU_BENCH_IVF", "1") == "1"
-                    and not over_budget("ivf-10m")):
-                from valkey_search_tpu.ops import ivf as ivf_ops
-
-                t0 = time.perf_counter()
-                iv = ivf_ops.build_ivf(bcorp, block_rows=1024)
-                ivf_build_s = time.perf_counter() - t0
-                log(f"IVF build 10M: {ivf_build_s:.0f}s "
-                    f"({iv.n_blocks} blocks, "
-                    f"{iv.device_bytes()/2**30:.1f} GiB on device)")
-                IB = 4096  # serving batch for the gather-bound stage
-                ivq = jnp.asarray(queries[:IB])
-                ivf_sweep = {}
-                for probe in (16, 32, 64):
-                    dd, ii = ivf_ops.ivf_search_batch(
-                        iv, ivq, k=K, probe=probe, probe_chunk=4
-                    )  # compile+warm
-                    np.asarray(dd)
-                    t0 = time.perf_counter()
-                    for _ in range(3):
-                        dd, ii = ivf_ops.ivf_search_batch(
-                            iv, ivq, k=K, probe=probe, probe_chunk=4
-                        )
-                        np.asarray(dd), np.asarray(ii)
-                    q_ivf = 3 * IB / (time.perf_counter() - t0)
-                    ii = np.asarray(ii)
-                    rec = float(np.mean([
-                        len(set(ii[b, :K].tolist()) & gt_b[b]) / K
-                        for b in range(len(gt_b))
-                    ]))
-                    ivf_sweep[str(probe)] = [round(q_ivf, 1), round(rec, 4)]
-                    log(f"IVF 10M probe={probe}: {q_ivf:.0f} qps "
-                        f"recall@10={rec:.4f}")
-                result["details"].update({
-                    "ivf_10m_build_s": round(ivf_build_s, 1),
-                    "ivf_10m_device_gib": round(iv.device_bytes() / 2**30, 2),
-                    "ivf_10m_probe_sweep": ivf_sweep,
-                })
-                del iv
-            del bcorp
-          except Exception as exc:  # noqa: BLE001 — isolate section failure
-            log(f"10M section aborted: {type(exc).__name__}: {exc}")
-            result["details"]["skip_10m"] = f"{type(exc).__name__}: {exc}"
-            big = bcorp = iv = None  # release host + device memory
 
         # ---- 100M-on-one-chip datum (VERDICT r3 target; BASELINE.md #5
         # scaled to a single chip) ------------------------------------------
@@ -961,31 +1060,6 @@ def main():
 
     except Exception as exc:
         log(f"optional sections aborted: {type(exc).__name__}: {exc}")
-
-    # honest headline denominator: the reference's OWN engine (vendored
-    # hnswlib measured by scripts/ref_baseline.py — BASELINE.md "Measured
-    # reference-engine numbers") at recall@10 >= 0.99, when the artifact
-    # exists; else the in-process CPU HNSW set by the section above.
-    try:
-        ref_json = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BASELINE_ref_1m.json"
-        )
-        if os.path.exists(ref_json):
-            with open(ref_json) as f:
-                ref = json.load(f)
-            cand = [
-                q for q, r in ref.get("sweep", {}).values() if r >= 0.99
-            ]
-            if cand and ref.get("n", 0) >= min(N, 1_000_000):
-                best = max(cand)
-                result["details"]["ref_hnsw_qps_1core_recall99"] = best
-                result["details"]["baseline_source"] = (
-                    "reference vendored hnswlib, M=16 efC=200 "
-                    "(BASELINE_ref_1m.json)"
-                )
-                result["vs_baseline"] = round(flat_qps / best, 1)
-    except Exception as exc:
-        log(f"reference-baseline read failed: {exc!r}")
 
     state["done"] = True
     emit_once(result)
