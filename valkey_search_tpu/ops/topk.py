@@ -222,13 +222,17 @@ def flat_topk_fused(
     # survivor array stays >= ~2k columns for the top-k's bucketing
     if use_i8:
         if span is None:
-            # span=1 keeps pre_shift at 0 for d <= ~512, which unlocks the
-            # fused 2-op kernel epilogue (pallas_scan._kernel_i8_packed_fused)
-            # AND keeps one survivor per 128 rows (no span-bucket recall
-            # loss). Its cost is 4x the survivor bytes — acceptable until
-            # multi-million-row corpora, where span=4 keeps the survivor
-            # array (and its top-k) inside the HBM budget.
-            span = 4 if cap >= 2_097_152 else 1
+            # span=1 keeps pre_shift at 0 for d <= ~512 (fused 2-op kernel
+            # epilogue, pallas_scan._kernel_i8_packed_fused) and one
+            # survivor per 128 rows — but it 4x-es the survivor array, and
+            # the SELECTION over it dominates long before HBM does:
+            # profiled at 1M x 128, B=65536 (scripts/profile_scan.py, r4)
+            # the coarse kernel is ~equal (583k vs 575k qps) while the
+            # survivor top-k is 184ms at span=1 (7936 cols) vs 99ms at
+            # span=4 (2048 cols); end-to-end span=1/cf=5 = 177k qps
+            # @0.9984 vs span=4/cf=5 = 271k @0.9938. span=4 once the
+            # span=1 survivor width would exceed ~4k columns.
+            span = 4 if cap >= 524_288 else 1
         quantum = ps.GROUP * span
     else:
         span = 1
@@ -345,7 +349,10 @@ def flat_topk_fused(
             # take_along gather over the survivor matrix
             packed = ps.bucket_min_scan_i8_packed(
                 q_i8, c_blk, bias_blk, span=span,
-                block_b=block_b, block_n=1024, interpret=interpret,
+                # block_n swept on-chip at 1M/span=4 (profile_scan r4):
+                # 512/1024/2048/4096 -> 126/112/104/101 ms; 4096 keeps the
+                # [block_b, block_n] f32 tile at 16MB of VMEM
+                block_b=block_b, block_n=4096, interpret=interpret,
             )
             pf = jax.lax.bitcast_convert_type(packed, jnp.float32)
             kk = min(kc, pf.shape[-1])
