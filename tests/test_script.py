@@ -1,15 +1,16 @@
-"""EVAL-lite: the redis.call subset of Lua scripting (server/script.py).
+"""EVAL/EVALSHA scripting over the embedded Lua interpreter
+(server/lua.py wired through server/resp.py).
 
 Mirrors reference integration/test_multi_lua.py::test_lua_all_commands
 (FT.* through EVAL) and the CME single-slot restriction drilled by
-TestMultiLuaCME; adds the subset's own contract tests (KEYS/ARGV
-substitution, atomicity, SCRIPT LOAD/EVALSHA, fail-closed on unsupported
-Lua)."""
+TestMultiLuaCME; adds the engine-integration contracts: KEYS/ARGV,
+atomicity, SCRIPT LOAD/EVALSHA, reply conversion in both directions,
+real-Lua control flow against the live keyspace, and the step budget
+that replaces valkey's busy-script watchdog."""
 
-import numpy as np
 import pytest
 
-from valkey_search_tpu.server import script as script_mod
+from valkey_search_tpu.server import lua as lua_mod
 from valkey_search_tpu.server.resp import RespServer
 
 from tests.test_resp_server import RespClient, ReplyError
@@ -35,30 +36,23 @@ def _lua_call(cmd, *args):
     return f"return redis.call('{cmd}', {quoted})"
 
 
-# -- parser contract ----------------------------------------------------------
+# -- compile contract ----------------------------------------------------------
 
-def test_parse_rejects_real_lua():
+def test_compile_accepts_real_lua():
     for src in (
-        "for i=1,10 do redis.call('DEL', 'k') end",
-        "if x then return 1 end",
+        "for i=1,10 do redis.call('DEL', 'k'..i) end",
+        "if redis.call('EXISTS', KEYS[1]) == 1 then return 1 end return 0",
+        "local t = {} t[#t+1] = 'x' return cjson.encode(t)",
         "return KEYS",
-        "os.execute('rm -rf /')",
-        "return redis.call('GET', KEYS[0])",  # 1-based indexes only
+        "while true do end",  # parses; the step budget stops it at run
     ):
-        with pytest.raises(script_mod.ScriptError):
-            script_mod.parse(src)
+        lua_mod.compile_script(src)
 
 
-def test_parse_accepts_supported_shapes():
-    script_mod.parse("return redis.call('FT._LIST')")
-    script_mod.parse(
-        "redis.call('HSET', KEYS[1], 'f', ARGV[1]); "
-        "return redis.call('HGET', KEYS[1], 'f')"
-    )
-    script_mod.parse("local v = redis.call('HGET', KEYS[1], 'f')\n"
-                     "return v")
-    script_mod.parse("return 42")
-    script_mod.parse("-- comment\nreturn 'ok'")
+def test_compile_rejects_malformed():
+    for src in ("return 1 +", "if x then", "local = 3", "return 'abc"):
+        with pytest.raises(lua_mod.LuaError):
+            lua_mod.compile_script(src)
 
 
 # -- reference test_lua_all_commands analog -----------------------------------
@@ -133,6 +127,58 @@ def test_eval_literal_returns_and_locals(client):
         client.cmd("EVAL", "return redis.error_reply('boom')", "0")
 
 
+def test_eval_real_lua_control_flow(client):
+    # loop writes, conditional reads, table construction through cjson
+    client.cmd(
+        "EVAL",
+        "for i=1,5 do redis.call('HSET', 'it:'..i, 'n', tostring(i)) end",
+        "0",
+    )
+    assert client.cmd("HGET", "it:4", "n") == b"4"
+    out = client.cmd(
+        "EVAL",
+        "local t = {}\n"
+        "for i=1,5 do\n"
+        "  local v = redis.call('HGET', 'it:'..i, 'n')\n"
+        "  if tonumber(v) % 2 == 1 then table.insert(t, v) end\n"
+        "end\n"
+        "return cjson.encode(t)",
+        "0",
+    )
+    assert out == b'["1","3","5"]'
+    # pcall survives a command error and the script keeps running
+    assert client.cmd(
+        "EVAL",
+        "local e = redis.pcall('NOSUCHCMD')\n"
+        "if e.err then return 'caught' end return 'missed'",
+        "0",
+    ) == b"caught"
+    # string library against reply data
+    client.cmd("HSET", "s", "csv", "a,b,c")
+    assert client.cmd(
+        "EVAL",
+        "local v = redis.call('HGET', KEYS[1], 'csv')\n"
+        "local parts = {}\n"
+        "for w in string.gmatch(v, '[^,]+') do parts[#parts+1] = w end\n"
+        "return #parts",
+        "1", "s",
+    ) == 3
+
+
+def test_eval_step_budget(client):
+    with pytest.raises(ReplyError, match="instruction budget"):
+        client.cmd("EVAL", "while true do end", "0")
+    # the connection stays usable afterwards
+    assert client.cmd("EVAL", "return 1", "0") == 1
+
+
+def test_eval_sandbox(client):
+    with pytest.raises(ReplyError, match="nil"):
+        client.cmd("EVAL", "os.execute('rm -rf /tmp/x')", "0")
+    with pytest.raises(ReplyError, match="not allowed from script"):
+        client.cmd("EVAL", "redis.call('EVAL', 'return 1', '0')", "0")
+
+
 def test_script_load_evalsha(client):
     sha = client.cmd("SCRIPT", "LOAD", "return redis.call('DBSIZE')")
     sha = sha.decode() if isinstance(sha, bytes) else sha
@@ -143,9 +189,9 @@ def test_script_load_evalsha(client):
     assert client.cmd("EVALSHA", sha, "0") == 1
     with pytest.raises(ReplyError, match="NOSCRIPT"):
         client.cmd("EVALSHA", "f" * 40, "0")
-    # unsupported Lua refused at LOAD time, not silently stored
-    with pytest.raises(ReplyError, match="EVAL-lite"):
-        client.cmd("SCRIPT", "LOAD", "while true do end")
+    # malformed Lua refused at LOAD time, not silently stored
+    with pytest.raises(ReplyError, match="parse error"):
+        client.cmd("SCRIPT", "LOAD", "return 1 +")
     client.cmd("SCRIPT", "FLUSH")
     assert client.cmd("SCRIPT", "EXISTS", sha) == [0]
 
@@ -157,6 +203,15 @@ def test_eval_writes_reach_replication_stream(server, client):
     )
     client.cmd("EVAL", "redis.call('HSET', KEYS[1], 'f', 'v')", "1", "rk")
     assert [b"HSET", b"rk", b"f", b"v"] in seen
+    # loop writes land once per applied command, in order
+    seen.clear()
+    client.cmd(
+        "EVAL",
+        "for i=1,3 do redis.call('HSET', 'lk:'..i, 'f', tostring(i)) end",
+        "0",
+    )
+    hsets = [a for a in seen if a[0] == b"HSET"]
+    assert [a[1] for a in hsets] == [b"lk:1", b"lk:2", b"lk:3"]
 
 
 def test_eval_single_slot_restriction_cluster():

@@ -579,8 +579,9 @@ class _Handler(socketserver.StreamRequestHandler):
             return _ok(result)
         return _ok(engine.execute(*argv, user=self.user))
 
-    # -- EVAL-lite (server/script.py; reference integration/test_multi_lua.py
-    #    drives exactly this redis.call subset through valkey's Lua) --------
+    # -- Lua scripting (server/lua.py, a Lua 5.1 subset interpreter; the
+    #    reference rides valkey-server's embedded Lua — integration/
+    #    test_multi_lua.py drives FT.* and ingest-then-query scripts) -----
     def _script_cmd(self, srv: "RespServer", rest: List[bytes]):
         import hashlib
 
@@ -593,16 +594,17 @@ class _Handler(socketserver.StreamRequestHandler):
         if sub == "LOAD":
             if len(rest) != 2:
                 raise RespError("SCRIPT LOAD script")
-            from valkey_search_tpu.server import script as script_mod
+            from valkey_search_tpu.server import lua as lua_mod
 
             src = _s(rest[1])
             try:
-                script_mod.parse(src)  # refuse unsupported scripts at load
-            except script_mod.ScriptError as exc:
+                ast = lua_mod.compile_script(src)  # syntax-check at load
+            except lua_mod.LuaError as exc:
                 raise RespError(str(exc))
             sha = hashlib.sha1(rest[1] if isinstance(rest[1], bytes)
                                else src.encode()).hexdigest()
             scripts[sha] = src
+            self._script_asts(srv)[sha] = ast
             return sha
         if sub == "EXISTS":
             return [1 if _s(h).lower() in scripts else 0 for h in rest[1:]]
@@ -611,15 +613,35 @@ class _Handler(socketserver.StreamRequestHandler):
             return SimpleString("OK")
         raise RespError(f"Unknown SCRIPT subcommand {sub!r}")
 
+    @staticmethod
+    def _script_asts(srv: "RespServer") -> Dict[str, Any]:
+        asts = getattr(srv, "_script_ast_cache", None)
+        if asts is None:
+            asts = srv._script_ast_cache = {}
+        return asts
+
+    @staticmethod
+    def _script_error(msg: str) -> RespError:
+        """A Lua-side error string back to a RESP error. Script-visible
+        error strings embed the code as the first word (that's what a
+        redis.pcall err field looks like), so split it back out to keep
+        -MOVED / -NOPERM etc. wire-exact through a script hop."""
+        msg = msg.replace("\r", " ").replace("\n", " ")
+        head, _, tail = msg.partition(" ")
+        if tail and head.isupper() and head.isalpha():
+            return RespError(tail, code=head)
+        return RespError(msg)
+
     def _eval_lite(self, srv: "RespServer", engine: Engine, cmd: str,
                    rest: List[bytes]):
-        """EVAL/EVALSHA over the supported redis.call subset. Runs
-        atomically under the engine lock (a Lua script is a transaction);
-        redis.call errors abort the script; writes feed the replication
-        stream and op journal in apply order, exactly like EXEC."""
+        """EVAL/EVALSHA over the embedded Lua 5.1 interpreter
+        (server/lua.py). Runs atomically under the engine lock (a Lua
+        script is a transaction); redis.call errors abort the script
+        (redis.pcall returns them as {err=...} tables); writes feed the
+        replication stream and op journal in apply order, like EXEC."""
         import hashlib
 
-        from valkey_search_tpu.server import script as script_mod
+        from valkey_search_tpu.server import lua as lua_mod
 
         if len(rest) < 2:
             raise RespError(f"wrong number of arguments for '{cmd.lower()}'")
@@ -649,65 +671,63 @@ class _Handler(socketserver.StreamRequestHandler):
                 for x in rest[2:2 + numkeys]]
         argv_in = [bytes(x) if not isinstance(x, bytes) else x
                    for x in rest[2 + numkeys:]]
-        try:
-            script = script_mod.parse(src)
-        except script_mod.ScriptError as exc:
-            raise RespError(str(exc))
+        asts = self._script_asts(srv)
+        ast = asts.get(sha)
+        if ast is None:
+            try:
+                ast = lua_mod.compile_script(src)
+            except lua_mod.LuaError as exc:
+                raise RespError(str(exc))
+            asts[sha] = ast
 
-        variables: Dict[str, Any] = {}
         repl: List[List[bytes]] = []
         txn = engine.multi()
 
-        def run_call(call):
-            if call.fn == "status_reply":
-                a = script_mod.resolve_args(call, keys, argv_in, variables)
-                return SimpleString(_s(a[0]) if a else "OK")
-            if call.fn == "error_reply":
-                a = script_mod.resolve_args(call, keys, argv_in, variables)
-                raise RespError(_s(a[0]) if a else "error")
-            if call.fn == "sha1hex":
-                a = script_mod.resolve_args(call, keys, argv_in, variables)
-                return hashlib.sha1(a[0] if a else b"").hexdigest()
-            cargv = script_mod.resolve_args(call, keys, argv_in, variables)
-            if not cargv:
-                raise RespError("EVAL-lite: redis.call needs a command")
+        def host_call(cargv: List[bytes]):
             inner = _s(cargv[0]).upper()
-            if inner in ("EVAL", "EVALSHA", "MULTI", "EXEC", "SCRIPT"):
-                raise RespError(
+            if inner in ("EVAL", "EVALSHA", "MULTI", "EXEC", "SCRIPT",
+                         "WATCH"):
+                raise lua_mod.RedisCallError(
                     f"This Redis command is not allowed from script: {inner}"
                 )
-            # pcall approximation: errors propagate either way (real Lua
-            # pcall yields an error table; the supported script shapes
-            # immediately return it, which replies the error identically)
-            return self._exec_one(srv, txn, inner, cargv, repl)
+            # map the same error family the connection loop maps (so
+            # redis.pcall can catch ANY command failure as {err=...})
+            try:
+                return self._exec_one(srv, txn, inner, cargv, repl)
+            except RespError as exc:
+                msg = str(exc)
+                if exc.code != "ERR" and msg.split(" ", 1)[0] != exc.code:
+                    msg = f"{exc.code} {msg}"
+                raise lua_mod.RedisCallError(msg)
+            except OutOfMemoryError as exc:
+                raise lua_mod.RedisCallError(f"OOM {exc}")
+            except PermissionError as exc:
+                raise lua_mod.RedisCallError(f"NOPERM {exc}")
+            except (CommandError, config.ConfigError, ValueError,
+                    KeyError) as exc:
+                msg = exc.args[0] if exc.args else str(exc)
+                raise lua_mod.RedisCallError(str(msg))
 
+        rt = lua_mod.LuaRuntime(
+            host_call, keys=keys, argv=argv_in,
+            resp_to_lua_fn=lambda rep: lua_mod.resp_to_lua(
+                rep, status_class=SimpleString),
+            random_seed=int(sha[:8], 16),
+        )
         was_in_exec = self._in_exec
         self._in_exec = True  # scripts are atomic: inline FT.SEARCH, no pool
         try:
             with engine._lock:
                 try:
-                    for idx, call in enumerate(script.stmts):
-                        r = run_call(call)
-                        var = script.assigns.get(idx)
-                        if var is not None:
-                            variables[var] = r
-                    result = None
-                    if isinstance(script.ret, script_mod._Call):
-                        result = run_call(script.ret)
-                    elif script.ret is not None:
-                        kind, v = script.ret
-                        if kind == "lit":
-                            try:
-                                # Lua number returns truncate to integer
-                                result = int(float(v))
-                            except ValueError:
-                                result = v
-                        elif kind == "key":
-                            result = keys[v] if v < len(keys) else None
-                        elif kind == "arg":
-                            result = argv_in[v] if v < len(argv_in) else None
-                        else:
-                            result = variables.get(v)
+                    rets = rt.run(ast)
+                except lua_mod.LuaError as exc:
+                    v = exc.value
+                    if isinstance(v, lua_mod.LuaTable):
+                        e = v.data.get(b"err")
+                        if e is not None:
+                            raise self._script_error(
+                                _s(e) if isinstance(e, bytes) else str(e))
+                    raise self._script_error(str(exc))
                 finally:
                     txn.flush_notifications()
                     if repl and srv.write_observer is not None:
@@ -718,7 +738,14 @@ class _Handler(socketserver.StreamRequestHandler):
                             srv.journal.append(a, db=self.db)
         finally:
             self._in_exec = was_in_exec
-        return result
+
+        def _raise_err(msg: str):
+            raise self._script_error(msg)
+
+        return lua_mod.lua_to_resp(
+            rets[0] if rets else None,
+            status_factory=SimpleString, error_factory=_raise_err,
+        )
 
     def _authenticate(self, engine: Engine, user: str, password: str) -> None:
         """Verify credentials before switching the connection's ACL user.
