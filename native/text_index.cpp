@@ -11,6 +11,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <map>
 #include <memory>
 #include <mutex>
@@ -355,11 +356,10 @@ void collect_expansion(TextIndex* ix, int kind, const char* term_c, int dist,
   }
 }
 
-// Sorted unique doc-id union over a word-id list (shared by
-// tix_docs_union and tix_docs_union_expand).
-int64_t union_ids(TextIndex* ix, const std::vector<int32_t>& wids,
-                  uint64_t mask, int64_t* out, int64_t cap) {
-  std::vector<int64_t> ids;
+// Sorted unique doc-id union over a word-id list.
+void union_docs_vec(TextIndex* ix, const std::vector<int32_t>& wids,
+                    uint64_t mask, std::vector<int64_t>& ids) {
+  ids.clear();
   for (int32_t wid : wids) {
     Posting* post = ix->postings[wid].get();
     if (!post) continue;
@@ -381,9 +381,163 @@ int64_t union_ids(TextIndex* ix, const std::vector<int32_t>& wids,
   }
   std::sort(ids.begin(), ids.end());
   ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+}
+
+// Copy-out with the -(needed) grow protocol (shared by tix_docs_union
+// and tix_docs_union_expand).
+int64_t union_ids(TextIndex* ix, const std::vector<int32_t>& wids,
+                  uint64_t mask, int64_t* out, int64_t cap) {
+  std::vector<int64_t> ids;
+  union_docs_vec(ix, wids, mask, ids);
   if ((int64_t)ids.size() > cap) return -(int64_t)ids.size();
   std::memcpy(out, ids.data(), ids.size() * sizeof(int64_t));
   return (int64_t)ids.size();
+}
+
+// ---- phrase / SLOP / INORDER verification (reference: the proximity
+// iterators, src/indexes/text/text_iterator.cc — semantics mirrored from
+// the Python tier in text/text_index.py::_phrase_positions_ok*) ----------
+
+// Sorted unique positions of `doc` under one field bit, merged over a
+// slot's word variants (stem-expanded spellings of one phrase slot).
+void slot_positions(TextIndex* ix, const std::vector<int32_t>& wids,
+                    int32_t doc, uint64_t bit, std::vector<int32_t>& out) {
+  out.clear();
+  for (int32_t wid : wids) {
+    Posting* post = ix->postings[wid].get();
+    if (!post) continue;
+    auto [lo, hi] = post->span(doc);
+    for (size_t i = lo; i < hi; ++i)
+      if (Posting::emask(post->base[i]) & bit)
+        out.push_back(Posting::epos(post->base[i]));
+    if (!post->wide.empty()) {
+      auto wit = post->wide.find(doc);
+      if (wit != post->wide.end())
+        for (const auto& [pos, m] : wit->second)
+          if (m & bit) out.push_back(pos);
+    }
+  }
+  std::sort(out.begin(), out.end());
+  out.erase(std::unique(out.begin(), out.end()), out.end());
+}
+
+// Ordered existence: greedy min-next per start (exact for INORDER).
+bool phrase_ordered_ok(const std::vector<std::vector<int32_t>>& pls,
+                       int slop) {
+  const int n = (int)pls.size();
+  for (int32_t p0 : pls[0]) {
+    int32_t t = p0;
+    bool ok = true;
+    for (int i = 1; i < n; ++i) {
+      auto it = std::upper_bound(pls[i].begin(), pls[i].end(), t);
+      if (it == pls[i].end()) {
+        ok = false;
+        break;
+      }
+      t = *it;
+    }
+    if (ok && (t - p0) - (n - 1) <= slop) return true;
+  }
+  return false;
+}
+
+// Can each slot pick a distinct position from its window list?
+// Backtracking on slots sorted by fewest options (windows are tiny).
+bool distinct_assignment(std::vector<std::vector<int32_t>>& window) {
+  const int n = (int)window.size();
+  std::vector<int> order(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    return window[a].size() < window[b].size();
+  });
+  std::vector<int32_t> used;
+  std::function<bool(int)> rec = [&](int k) -> bool {
+    if (k == n) return true;
+    for (int32_t p : window[order[k]]) {
+      if (std::find(used.begin(), used.end(), p) == used.end()) {
+        used.push_back(p);
+        if (rec(k + 1)) return true;
+        used.pop_back();
+      }
+    }
+    return false;
+  };
+  return rec(0);
+}
+
+// Unordered: a width-(n+slop) window containing one distinct position
+// per slot.
+bool phrase_unordered_ok(const std::vector<std::vector<int32_t>>& pls,
+                         int slop) {
+  const int n = (int)pls.size();
+  std::vector<int32_t> events;
+  for (const auto& l : pls)
+    events.insert(events.end(), l.begin(), l.end());
+  std::sort(events.begin(), events.end());
+  events.erase(std::unique(events.begin(), events.end()), events.end());
+  const int width = n + slop;
+  std::vector<std::vector<int32_t>> window(n);
+  for (int32_t start : events) {
+    bool all = true;
+    for (int i = 0; i < n; ++i) {
+      window[i].clear();
+      for (int32_t p : pls[i])
+        if (p >= start && p < start + width) window[i].push_back(p);
+      if (window[i].empty()) {
+        all = false;
+        break;
+      }
+    }
+    if (all && distinct_assignment(window)) return true;
+  }
+  return false;
+}
+
+// One doc: does the phrase land inside a single field of `mask`?
+// (Position spaces are per-field, so the check runs per field bit.)
+bool phrase_doc_ok(TextIndex* ix,
+                   const std::vector<std::vector<int32_t>>& slots,
+                   int32_t doc, uint64_t mask, int slop, bool inorder,
+                   std::vector<std::vector<int32_t>>& pls) {
+  const int n = (int)slots.size();
+  for (int b = 0; b < 64; ++b) {
+    const uint64_t bit = 1ull << b;
+    if (!(mask & bit)) continue;
+    bool all = true;
+    for (int s = 0; s < n; ++s) {
+      slot_positions(ix, slots[s], doc, bit, pls[s]);
+      if (pls[s].empty()) {
+        all = false;
+        break;
+      }
+    }
+    if (!all) continue;
+    if (inorder ? phrase_ordered_ok(pls, slop)
+                : phrase_unordered_ok(pls, slop))
+      return true;
+  }
+  return false;
+}
+
+// Resolve NUL-separated words into per-slot live word-id lists. Returns
+// false when any slot has no live word (the phrase cannot match).
+bool resolve_slots(TextIndex* ix, const char* words,
+                   const int32_t* slot_counts, int n_slots,
+                   std::vector<std::vector<int32_t>>& slots) {
+  slots.assign(n_slots, {});
+  const char* p = words;
+  bool any_empty = false;
+  for (int s = 0; s < n_slots; ++s) {
+    for (int i = 0; i < slot_counts[s]; ++i) {
+      string w(p);
+      p += w.size() + 1;
+      auto it = ix->word_ids.find(w);
+      if (it != ix->word_ids.end() && ix->postings[it->second])
+        slots[s].push_back(it->second);
+    }
+    if (slots[s].empty()) any_empty = true;
+  }
+  return !any_empty;
 }
 }  // namespace
 
@@ -646,6 +800,73 @@ int tix_positions(void* h, const char* word, int32_t doc, uint64_t mask,
   if ((int)ps.size() > cap) return -(int)ps.size();
   std::memcpy(out, ps.data(), ps.size() * sizeof(int32_t));
   return (int)ps.size();
+}
+
+// Phrase query in one call: per-slot variant unions -> candidate-doc
+// intersection -> positional SLOP/INORDER verification (reference:
+// proximity/phrase iterators over postings; Python-tier mirror:
+// text/text_index.py::_phrase_docs, kept as the differential oracle).
+// words: sum(slot_counts) NUL-separated words in slot order. Writes the
+// sorted matching doc ids; returns the count or -(needed) when out is
+// too small.
+int64_t tix_phrase_docs(void* h, const char* words,
+                        const int32_t* slot_counts, int n_slots,
+                        uint64_t mask, int slop, int inorder, int64_t* out,
+                        int64_t cap) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  if (n_slots <= 0) return 0;
+  std::vector<std::vector<int32_t>> slots;
+  if (!resolve_slots(ix, words, slot_counts, n_slots, slots)) return 0;
+  // candidate docs: intersect per-slot unions, smallest first
+  std::vector<std::vector<int64_t>> unions(n_slots);
+  for (int s = 0; s < n_slots; ++s) {
+    union_docs_vec(ix, slots[s], mask, unions[s]);
+    if (unions[s].empty()) return 0;
+  }
+  std::sort(unions.begin(), unions.end(),
+            [](const auto& a, const auto& b) { return a.size() < b.size(); });
+  std::vector<int64_t> cand = std::move(unions[0]);
+  std::vector<int64_t> tmp;
+  for (int s = 1; s < n_slots && !cand.empty(); ++s) {
+    tmp.clear();
+    std::set_intersection(cand.begin(), cand.end(), unions[s].begin(),
+                          unions[s].end(), std::back_inserter(tmp));
+    cand.swap(tmp);
+  }
+  std::vector<int64_t> result;
+  if (n_slots == 1) {
+    result = std::move(cand);  // single slot: a plain term union
+  } else {
+    std::vector<std::vector<int32_t>> pls(n_slots);
+    for (int64_t doc : cand)
+      if (phrase_doc_ok(ix, slots, (int32_t)doc, mask, slop,
+                        inorder != 0, pls))
+        result.push_back(doc);
+  }
+  if ((int64_t)result.size() > cap) return -(int64_t)result.size();
+  std::memcpy(out, result.data(), result.size() * sizeof(int64_t));
+  return (int64_t)result.size();
+}
+
+// Per-row phrase re-verification (content resolution calls this once per
+// result row): does ONE doc contain the phrase?
+int tix_phrase_check(void* h, const char* words, const int32_t* slot_counts,
+                     int n_slots, int32_t doc, uint64_t mask, int slop,
+                     int inorder) {
+  auto* ix = (TextIndex*)h;
+  std::lock_guard<std::mutex> g(ix->mu);
+  if (n_slots <= 0) return 0;
+  std::vector<std::vector<int32_t>> slots;
+  if (!resolve_slots(ix, words, slot_counts, n_slots, slots)) return 0;
+  if (n_slots == 1) {
+    std::vector<int32_t> pls0;
+    slot_positions(ix, slots[0], doc, mask, pls0);
+    return pls0.empty() ? 0 : 1;
+  }
+  std::vector<std::vector<int32_t>> pls(n_slots);
+  return phrase_doc_ok(ix, slots, doc, mask, slop, inorder != 0, pls) ? 1
+                                                                      : 0;
 }
 
 int32_t tix_key_count(void* h, const char* word) {

@@ -337,8 +337,18 @@ def test_native_vs_python_text_engines_agree():
     preds.append(TextPredicate("ning", match="suffix"))
     preds.append(TextPredicate("an", match="infix"))
     preds.append(TextPredicate("runing", match="fuzzy", distance=1))
-    preds.append(TextPredicate("", match="phrase",
-                               phrase=("quick", "jumped")))
+    # phrases ride the native tix_phrase_docs fast path vs the Python
+    # position walk — cover slop/inorder variants and 3-word shapes
+    for slop, inorder in ((0, True), (1, True), (0, False), (2, False)):
+        preds.append(TextPredicate("", match="phrase",
+                                   phrase=("quick", "jumped"),
+                                   slop=slop, inorder=inorder))
+        preds.append(TextPredicate("", match="phrase", field="a",
+                                   phrase=("running", "quick"),
+                                   slop=slop, inorder=inorder))
+        preds.append(TextPredicate("", match="phrase",
+                                   phrase=("banana", "band", "apple"),
+                                   slop=slop, inorder=inorder))
 
     for pred in preds:
         e_n, e_p = s_native.text_engine, s_py.text_engine

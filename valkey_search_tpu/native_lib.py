@@ -505,6 +505,17 @@ class NativeTextIndex:
                 ct.c_void_p, ct.c_char_p, ct.c_int32, ct.c_uint64,
                 ct.POINTER(ct.c_int32), ct.c_int,
             ]
+            L.tix_phrase_docs.restype = ct.c_int64
+            L.tix_phrase_docs.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.POINTER(ct.c_int32),
+                ct.c_int, ct.c_uint64, ct.c_int, ct.c_int,
+                ct.POINTER(ct.c_int64), ct.c_int64,
+            ]
+            L.tix_phrase_check.restype = ct.c_int
+            L.tix_phrase_check.argtypes = [
+                ct.c_void_p, ct.c_char_p, ct.POINTER(ct.c_int32),
+                ct.c_int, ct.c_int32, ct.c_uint64, ct.c_int, ct.c_int,
+            ]
             L.tix_key_count.restype = ct.c_int32
             L.tix_key_count.argtypes = [ct.c_void_p, ct.c_char_p]
             L.tix_position_count.restype = ct.c_int64
@@ -653,6 +664,45 @@ class NativeTextIndex:
                 if n >= 0:
                     return self._ids[:n].copy()
                 self._ids = np.empty(max(-n, len(self._ids) * 2), np.int64)
+
+    @staticmethod
+    def _phrase_blob(groups):
+        """Flatten per-slot variant word lists for tix_phrase_docs/check:
+        (NUL-separated words in slot order, int32 per-slot counts)."""
+        blob = b"".join(
+            w.encode() + b"\x00" for g in groups for w in g
+        )
+        counts = (ct.c_int32 * len(groups))(*[len(g) for g in groups])
+        return blob, counts
+
+    def phrase_docs(
+        self, groups, mask: int, slop: int, inorder: bool
+    ) -> np.ndarray:
+        """Sorted doc ids matching a phrase: per-slot unions, candidate
+        intersection, and the positional SLOP/INORDER walk all in one C
+        call (tix_phrase_docs)."""
+        blob, counts = self._phrase_blob(groups)
+        with self._lock:
+            while True:
+                n = self._lib.tix_phrase_docs(
+                    self._h, blob, counts, len(groups),
+                    mask & 0xFFFFFFFFFFFFFFFF, int(slop), int(inorder),
+                    self._ids.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                    len(self._ids),
+                )
+                if n >= 0:
+                    return self._ids[:n].copy()
+                self._ids = np.empty(max(-n, len(self._ids) * 2), np.int64)
+
+    def phrase_check(
+        self, groups, doc: int, mask: int, slop: int, inorder: bool
+    ) -> bool:
+        """Does ONE doc contain the phrase? (per-result-row verification)"""
+        blob, counts = self._phrase_blob(groups)
+        return bool(self._lib.tix_phrase_check(
+            self._h, blob, counts, len(groups), doc,
+            mask & 0xFFFFFFFFFFFFFFFF, int(slop), int(inorder),
+        ))
 
     def contains(self, word: str, doc: int, mask: int) -> bool:
         return bool(self._lib.tix_contains(

@@ -544,8 +544,26 @@ class TextEngine:
     def _doc_set(self, pred) -> Set[int]:
         mask = self.field_mask(pred.field)
         if pred.match == "phrase":
-            return self._phrase_docs(pred, mask)
+            return set(self._phrase_doc_ids(pred, mask).tolist())
         return set(self._doc_ids_sorted(pred).tolist())
+
+    def _phrase_doc_ids(self, pred, mask: int) -> "np.ndarray":
+        """Sorted doc ids matching a phrase predicate. Native path: ONE C
+        call does per-slot unions, candidate intersection, and the
+        positional walk (tix_phrase_docs) — the per-candidate Python
+        position checks below were the 3.6-qps phrase bottleneck
+        (BENCH r4 flat run). The Python tier stays as the differential
+        oracle and the no-native fallback."""
+        groups = self._phrase_word_groups(pred)
+        if not groups:
+            return np.empty(0, np.int64)
+        slop = int(getattr(pred, "slop", 0))
+        inorder = bool(getattr(pred, "inorder", True))
+        if self._nt is not None:
+            return self._nt.phrase_docs(groups, mask, slop, inorder)
+        return np.fromiter(
+            sorted(self._phrase_docs(pred, mask)), np.int64
+        )
 
     def _doc_ids_sorted(self, pred) -> "np.ndarray":
         """Sorted unique doc-id array for one matcher — the vectorized
@@ -554,10 +572,7 @@ class TextEngine:
         re-walking the tree per query or per result row is the round-1
         127-qps prefix bottleneck)."""
         if pred.match == "phrase":
-            mask = self.field_mask(pred.field)
-            return np.fromiter(
-                sorted(self._phrase_docs(pred, mask)), np.int64
-            )
+            return self._phrase_doc_ids(pred, self.field_mask(pred.field))
         key = (pred.match, pred.term, pred.field,
                getattr(pred, "distance", 0),
                int(config.get("search.max-term-expansions")))
@@ -717,6 +732,10 @@ class TextEngine:
         groups = self._phrase_word_groups(pred)
         if not groups:
             return False
+        slop = int(getattr(pred, "slop", 0))
+        inorder = bool(getattr(pred, "inorder", True))
+        if self._nt is not None:
+            return self._nt.phrase_check(groups, doc, mask, slop, inorder)
         for g in groups:
             if not any(
                 (p := self._words.get(w)) is not None
@@ -726,11 +745,7 @@ class TextEngine:
                 return False
         if len(groups) == 1:
             return True
-        return self._phrase_positions_ok(
-            groups, doc, mask,
-            int(getattr(pred, "slop", 0)),
-            bool(getattr(pred, "inorder", True)),
-        )
+        return self._phrase_positions_ok(groups, doc, mask, slop, inorder)
 
     def device_mask(self, pred, cap: int):
         import jax.numpy as jnp
