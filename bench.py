@@ -665,9 +665,13 @@ def main():
             for i0 in range(0, BN, step):
                 m = min(step, BN - i0)
                 a = rngb.integers(0, n_centers, m)
+                # dtype=float32 draws straight into f32 (the f64 draw +
+                # astype cast made this loop ~4x slower — diag r4); GT is
+                # computed in-run from this same corpus, so the changed
+                # stream is self-consistent
                 bcorp[i0:i0 + m] = np.clip(
                     centers[a]
-                    + rngb.standard_normal((m, D)).astype(np.float32) * 20,
+                    + rngb.standard_normal((m, D), dtype=np.float32) * 20,
                     0, 255)
             stage10 = "bulk-load"
             log("10M corpus generated; bulk_load + device upload")

@@ -456,3 +456,60 @@ def test_ivf_delta_overlay_read_your_writes(rng):
         config.set_config("search.ivf-threshold", 4_000_000)
         config.set_config("search.ivf-block-rows", 1024)
         config.set_config("search.ivf-probe", 64)
+
+
+class TestDeviceBuild:
+    """build_ivf_device: the link-free build from an already-uploaded
+    mirror must match the host build's quality and layout invariants."""
+
+    def test_partitions_every_row_once(self, rng):
+        x = clustered(rng, 4096, 32)
+        idx = ivf.build_ivf_device(
+            jnp.asarray(x), block_rows=128, n_clusters=8, train_sample=2048
+        )
+        ids = np.asarray(idx.block_ids).reshape(-1)
+        live = ids[ids >= 0]
+        assert len(live) == 4096
+        assert len(np.unique(live)) == 4096
+
+    def test_present_mask_and_row_ids(self, rng):
+        x = clustered(rng, 2048, 32)
+        present = np.zeros(2048, bool)
+        present[::2] = True
+        row_ids = np.arange(2048) * 7 + 3
+        idx = ivf.build_ivf_device(
+            jnp.asarray(x), row_ids, present=present,
+            block_rows=64, n_clusters=4, train_sample=512,
+        )
+        ids = np.asarray(idx.block_ids).reshape(-1)
+        live = np.sort(ids[ids >= 0])
+        assert np.array_equal(live, np.sort(row_ids[::2]))
+
+    def test_recall_matches_host_build(self, rng):
+        x = clustered(rng, 20000, 48, centers=32)
+        q = x[:128]
+        truth = brute(q, x, 10)
+        dev = ivf.build_ivf_device(
+            jnp.asarray(x), block_rows=256, n_clusters=16,
+            train_sample=8192,
+        )
+        host = ivf.build_ivf(
+            x, block_rows=256, n_clusters=16, train_sample=8192,
+        )
+        _, ids_d = ivf.ivf_search_batch(dev, jnp.asarray(q), k=10, probe=8)
+        _, ids_h = ivf.ivf_search_batch(host, jnp.asarray(q), k=10, probe=8)
+        r_d = recall_at_k(np.asarray(ids_d), truth)
+        r_h = recall_at_k(np.asarray(ids_h), truth)
+        assert r_d >= 0.9
+        assert r_d >= r_h - 0.05  # sample-refined level 2 vs exact refine
+
+    def test_bf16_mirror_accepted(self, rng):
+        x = clustered(rng, 4096, 32)
+        q = x[:64]
+        truth = brute(q, x, 5)
+        idx = ivf.build_ivf_device(
+            jnp.asarray(x, jnp.bfloat16), block_rows=128, n_clusters=8,
+            train_sample=2048,
+        )
+        _, ids = ivf.ivf_search_batch(idx, jnp.asarray(q), k=5, probe=8)
+        assert recall_at_k(np.asarray(ids), truth) >= 0.85

@@ -126,6 +126,26 @@ def test_fused_multiblock_merge(rng):
     assert rec >= 0.95, rec
 
 
+def test_fused_block_rows_not_a_divisor(rng):
+    """Regression (r4 diag): a block_rows that does not divide the padded
+    capacity must shrink to the largest quantum-aligned divisor instead
+    of raising 'capacity not divisible' (callers pass arbitrary config
+    values; 10,027,008 % 262,144 != 0 killed the first 10M diagnosis)."""
+    b, n, d, k = 8, 3 * ps.GROUP, 32, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    dists, ids = topk_ops.flat_topk_fused(
+        jnp.asarray(q), jnp.asarray(c), jnp.asarray(c, jnp.bfloat16),
+        k=k, metric="l2", block_rows=2 * ps.GROUP, interpret=True,
+    )
+    gt = np.argsort(((q[:, None, :] - c[None, :, :]) ** 2).sum(-1), 1)[:, :k]
+    rec = np.mean([
+        len(set(np.asarray(ids)[i].tolist()) & set(gt[i].tolist())) / k
+        for i in range(b)
+    ])
+    assert rec >= 0.95, rec
+
+
 # ---------------------------------------------------------------------------
 # int8 variant
 # ---------------------------------------------------------------------------

@@ -594,6 +594,162 @@ def refine_oversized(
     return dense.astype(np.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _assign_proj_at(vec, start, cent1, cents2, c2_valid, pc1, rows):
+    """Level-1 + level-2 assignment and principal-axis projection of one
+    ``rows``-sized window of a device-resident corpus (start clamps)."""
+    xc = jax.lax.dynamic_slice_in_dim(vec, start, rows, axis=0).astype(
+        jnp.float32
+    )
+    a1 = _assign_chunk(xc, cent1)
+    a2 = _assign_chunk2(xc, a1, cents2, c2_valid)
+    return a1, a2, xc @ pc1
+
+
+def build_ivf_device(
+    dev_vectors: jnp.ndarray,
+    row_ids: Optional[np.ndarray] = None,
+    *,
+    present: Optional[np.ndarray] = None,
+    block_rows: int = 1024,
+    n_clusters: int = 0,
+    kmeans_iters: int = 12,
+    train_sample: int = 0,
+    seed: int = 0x1BF,
+    chunk_rows: int = 262144,
+    chunk_blocks: int = 0,
+) -> IvfDeviceIndex:
+    """Build an IvfDeviceIndex from an ALREADY-UPLOADED [cap, d] mirror.
+
+    ``build_ivf`` streams the fp32 corpus across the host↔device link
+    roughly twice (assignment matmuls + block upload); on a link-bound
+    deployment that dominates the build — the r4 bench moved 5 GiB at
+    ~20 MB/s through the axon tunnel while the chip's HBM moves
+    ~800 GB/s. Here the corpus never crosses the link again: the k-means
+    sample, assignment matmuls, projection matvec, the block-layout
+    gather AND the residual quantization all read the resident device
+    array; only O(cap) int32/float32 vectors (assignments, projections)
+    come back for numpy's bincount/lexsort.
+
+    dev_vectors rows are addressed by POSITION; ``present`` (bool [cap])
+    masks live rows (default: all), ``row_ids`` maps position → external
+    id (default: identity). Level 2 uses the sample-fit path
+    (sample_refined_assign quality tier — no full-corpus re-gathers).
+    """
+    cap, d = dev_vectors.shape
+    s = int(block_rows)
+    if row_ids is None:
+        row_ids = np.arange(cap, dtype=np.int64)
+    row_ids = np.asarray(row_ids, np.int64)
+    if present is None:
+        pos_live = np.arange(cap, dtype=np.int64)
+    else:
+        pos_live = np.nonzero(np.asarray(present))[0]
+    n = len(pos_live)
+    if n == 0:
+        raise ValueError("build_ivf_device: no live rows")
+    if n_clusters <= 0:
+        n_clusters = int(np.clip(n // (s * 8), 8, 4096))
+    n_clusters = min(n_clusters, max(1, n))
+    if train_sample <= 0:
+        train_sample = int(np.clip(256 * n_clusters, 131072, 4_000_000))
+    train_sample = min(train_sample, max(1, n))
+    stride = max(1, n // train_sample)
+    # one small pull: the k-means sample (needed host-side for the
+    # cluster tables + principal axis)
+    samp_pos = pos_live[::stride][:train_sample]
+    sample_h = np.asarray(
+        jnp.take(dev_vectors, jnp.asarray(samp_pos), axis=0),
+        np.float32,
+    )
+
+    # level 1 + sample-fit level 2 (mirrors sample_refined_assign, with
+    # device-resident chunk reads instead of host chunk uploads)
+    cent1 = kmeans_fit(
+        jnp.asarray(sample_h), n_clusters, iters=kmeans_iters, seed=seed
+    )
+    a1s = assign_clusters(sample_h, cent1,
+                          chunk_rows=min(max(len(sample_h), 1), 262144))
+    sizes_s = np.bincount(a1s, minlength=n_clusters)
+    r_max = _pow2_at_least(min(4096, max(int(sizes_s.max()), 1)))
+    tables, valid, _ = _cluster_row_tables(sample_h, a1s, n_clusters, r_max)
+    est = sizes_s * (n / max(1, len(sample_h)))
+    c2 = np.maximum(1, -(-est.astype(np.int64) // s))
+    c2 = np.minimum(c2, np.maximum(sizes_s, 1))
+    c2max = int(_pow2_at_least(int(c2.max())))
+    cents2 = np.array(
+        kmeans_fit_batched(
+            jnp.asarray(tables), jnp.asarray(valid), c2max,
+            iters=max(4, kmeans_iters // 2), seed=seed,
+        )
+    )
+    thin = sizes_s < 2
+    cents2[thin, 0] = np.asarray(cent1)[thin]
+    c2_valid = np.arange(c2max)[None, :] < c2[:, None]
+    cents2_d, c2v_d = jnp.asarray(cents2), jnp.asarray(c2_valid)
+    pc1_d = jnp.asarray(principal_axis(sample_h))
+
+    assign64 = np.empty(cap, np.int64)
+    proj = np.empty(cap, np.float32)
+    chunk_rows = min(chunk_rows, cap)
+    # one jitted program serves every chunk (a python-int slice per chunk
+    # would bake 39 distinct programs at 10M rows); dynamic_slice clamps,
+    # so the tail chunk re-reads overlap instead of recompiling
+    for st in range(0, cap, chunk_rows):
+        start = min(st, cap - chunk_rows)
+        a1c, a2c, pc = _assign_proj_at(
+            dev_vectors, start, cent1, cents2_d, c2v_d, pc1_d, chunk_rows
+        )
+        off = st - start
+        a1h = np.asarray(a1c)[off:]
+        a2h = np.asarray(a2c)[off:]
+        en = min(st + chunk_rows, cap)
+        assign64[st:en] = (
+            a1h[: en - st].astype(np.int64) * c2max + a2h[: en - st]
+        )
+        proj[st:en] = np.asarray(pc)[off:][: en - st]
+    _, dense = np.unique(assign64[pos_live], return_inverse=True)
+    assign = dense.astype(np.int32)
+
+    # host layout planning (cheap O(n) int work), device gather+quantize
+    order = np.lexsort((proj[pos_live], assign))
+    pos, _nb, nb_pad = plan_blocks(assign, order, s)
+    src_flat = np.full(nb_pad * s, -1, np.int64)   # slot -> device row
+    src_flat[pos] = pos_live[order]
+    ids_flat = np.full(nb_pad * s, -1, np.int64)   # slot -> external id
+    ids_flat[pos] = row_ids[pos_live[order]]
+    if chunk_blocks <= 0:
+        chunk_blocks = _pow2_at_least(max(1, (1 << 26) // max(1, s * d * 4)))
+    parts = [[] for _ in range(6)]
+    src2 = src_flat.reshape(nb_pad, s)
+    ids2 = ids_flat.reshape(nb_pad, s).astype(np.int32)
+    for st in range(0, nb_pad, chunk_blocks):
+        en = min(st + chunk_blocks, nb_pad)
+        idx = jnp.asarray(np.maximum(src2[st:en], 0).reshape(-1))
+        bv = (
+            jnp.take(dev_vectors, idx, axis=0)
+            .astype(jnp.float32)
+            .reshape(en - st, s, d)
+        )
+        ids_c = jnp.asarray(ids2[st:en])
+        bv = jnp.where((ids_c >= 0)[:, :, None], bv, 0.0)
+        out = quantize_blocks(bv, ids_c)
+        for lst, arr in zip(parts, out):
+            lst.append(arr)
+    codes, cent, cent_sq, scale, row_sq, bvalid = (
+        jnp.concatenate(p) if len(p) > 1 else p[0] for p in parts
+    )
+    return IvfDeviceIndex(
+        centroids=cent,
+        cent_sq=cent_sq,
+        block_valid=bvalid,
+        blocks_i8=codes,
+        block_scale=scale,
+        row_sq=row_sq,
+        block_ids=jnp.asarray(ids2),
+    )
+
+
 def build_ivf(
     vectors: np.ndarray,
     row_ids: Optional[np.ndarray] = None,

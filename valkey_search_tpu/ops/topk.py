@@ -326,11 +326,16 @@ def flat_topk_fused(
             return b_padded * (width // (ps.BUCKET * span)) * 8
         return b_padded * (width // ps.BUCKET) * 8
 
-    if _surv_bytes(bs) > surv_budget:
+    if _surv_bytes(bs) > surv_budget or n % bs:
+        # largest quantum-aligned divisor of n that fits both the
+        # caller's block_rows and the survivor budget (callers pass
+        # arbitrary block_rows; n is quantum-padded, so m=n//quantum
+        # always terminates the search)
         m = 2
         while not (
             n % m == 0
             and (n // m) % quantum == 0
+            and n // m <= max(bs, quantum)
             and _surv_bytes(n // m) <= surv_budget
         ):
             m += 1
@@ -340,6 +345,42 @@ def flat_topk_fused(
                 )
         bs = n // m
     block_rows = bs
+
+    def _survivor_min_k(vals, kk, recall_target=0.98):
+        """Min-k over survivor rows. approx_min_k at wide rows is
+        pathological through the axon backend (r4 diag: one call at
+        [16384, 19584] wedged the device for >8 min — the r4 bench's
+        10M-scan stall), so wide rows are chunked to the proven
+        2048-column shape: batched approx per chunk, then an exact
+        top_k merge over the chunks*kk candidates. inf-padding decodes
+        to INVALID_ID downstream in both key spaces."""
+        w = vals.shape[-1]
+        if interpret or w < 2048:
+            neg, pos = jax.lax.top_k(-vals, kk)
+            return -neg, pos
+        if w <= 4096:
+            return jax.lax.approx_min_k(
+                vals, kk, recall_target=recall_target
+            )
+        cw = 2048
+        pad_w = -w % cw
+        rows = vals.shape[0]
+        if pad_w:
+            vals = jnp.pad(
+                vals, ((0, 0), (0, pad_w)), constant_values=jnp.inf
+            )
+        c = vals.shape[-1] // cw
+        kchunk = min(kk, cw)
+        v3 = vals.reshape(rows, c, cw)
+        bf3, p3 = jax.lax.approx_min_k(
+            v3, kchunk, recall_target=recall_target
+        )
+        cand_v = bf3.reshape(rows, c * kchunk)
+        cand_p = (
+            p3 + (jnp.arange(c, dtype=p3.dtype) * cw)[None, :, None]
+        ).reshape(rows, c * kchunk)
+        neg, sel = jax.lax.top_k(-cand_v, kk)
+        return -neg, jnp.take_along_axis(cand_p, sel, axis=-1)
 
     def coarse_block(c_blk, bias_blk, row0):
         if use_i8:
@@ -356,13 +397,9 @@ def flat_topk_fused(
             )
             pf = jax.lax.bitcast_convert_type(packed, jnp.float32)
             kk = min(kc, pf.shape[-1])
-            if pf.shape[-1] >= 2048 and not interpret:
-                # survivors are span*128x smaller than the score matrix, so
-                # a tight selection recall target is nearly free here
-                bf, pos = jax.lax.approx_min_k(pf, kk, recall_target=0.98)
-            else:
-                neg_top, pos = jax.lax.top_k(-pf, kk)
-                bf = -neg_top
+            # survivors are span*128x smaller than the score matrix, so
+            # a tight selection recall target is nearly free here
+            bf, pos = _survivor_min_k(pf, kk, recall_target=0.98)
             key = jax.lax.bitcast_convert_type(bf, jnp.int32)
             chunk = key & ((span * 128) - 1)
             score = (key >> chunk_bits) << pre_shift_i
@@ -381,11 +418,7 @@ def flat_topk_fused(
             block_b=block_b, block_n=1024, interpret=interpret,
         )
         kk = min(kc, vals.shape[-1])
-        if vals.shape[-1] >= 2048 and not interpret:
-            bd, pos = jax.lax.approx_min_k(vals, kk, recall_target=0.95)
-        else:
-            neg_top, pos = jax.lax.top_k(-vals, kk)
-            bd = -neg_top
+        bd, pos = _survivor_min_k(vals, kk, recall_target=0.95)
         bi = jnp.take_along_axis(idx, pos, axis=-1) + row0
         bi = jnp.where(jnp.isinf(bd), INVALID_ID, bi)
         return bd, bi

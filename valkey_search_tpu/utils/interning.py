@@ -48,6 +48,32 @@ class KeyInterner:
             self.epoch += 1
             return doc
 
+    def intern_many(self, keys) -> "list":
+        """Batch intern: one lock hold and bound dict methods (the
+        per-key ``intern`` call loop was a large slice of 10M-row
+        bulk_load host time). Returns a list of doc ids aligned to
+        ``keys``."""
+        out = [0] * len(keys)
+        with self._lock:
+            k2i = self._key_to_id
+            i2k = self._id_to_key
+            free = self._free
+            get = k2i.get
+            append = i2k.append
+            for i, key in enumerate(keys):
+                doc = get(key)
+                if doc is None:
+                    if free:
+                        doc = free.pop()
+                        i2k[doc] = key
+                    else:
+                        doc = len(i2k)
+                        append(key)
+                    k2i[key] = doc
+                out[i] = doc
+            self.epoch += 1
+        return out
+
     def lookup(self, key: str) -> Optional[int]:
         with self._lock:
             return self._key_to_id.get(key)
