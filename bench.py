@@ -686,33 +686,41 @@ def main():
             # which with the 6.4GB corpus mirrors OOMs a 16GB chip
             bq = queries[:min(BATCH, 16384)]  # same query distribution
             stage10 = "ground-truth"
-            # gt on 64 queries: ONE chunked [64, m] BLAS matmul per 2M-row
-            # slab with a running top-k merge (the per-query matvec loop
-            # cost ~65 single-core seconds)
+            # gt on the DEVICE via the exact f32 blocked scan (the host
+            # BLAS version took 170-530s on the 1-core box depending on
+            # agent contention; 64 x 10M x 128 is ~164 GFLOP — seconds on
+            # the MXU, and the f32 mirror is already resident)
             gtq32 = gt_q.astype(np.float32)
             n_gt_b = len(gtq32)
-            best_d = np.full((n_gt_b, K), np.inf, np.float64)
-            best_i = np.full((n_gt_b, K), -1, np.int64)
-            chunk = 2_000_000
-            for i0 in range(0, BN, chunk):
-                blkc = bcorp[i0:i0 + chunk]
-                sq = np.einsum("ij,ij->i", blkc, blkc)
-                dd = sq[None, :] - 2.0 * (gtq32 @ blkc.T)
-                part = np.argpartition(dd, K, axis=1)[:, :K]
-                rows = np.arange(n_gt_b)[:, None]
-                alld = np.concatenate([best_d, dd[rows, part]], axis=1)
-                alli = np.concatenate([best_i, part + i0], axis=1)
-                sel = np.argsort(alld, axis=1)[:, :K]
-                best_d = alld[rows, sel]
-                best_i = alli[rows, sel]
+            snap10 = big.store.device_snapshot()
+            cap10 = int(snap10["invalid"].shape[0])
+            br10 = next(
+                cand for cand in range(min(262144, cap10), 0, -1)
+                if cap10 % cand == 0
+            )
+            gdd, gii = topk_ops.flat_topk(
+                jnp.asarray(gtq32), snap10["vectors"], k=K, metric="l2",
+                corpus_sq=snap10["norms_sq"], invalid=snap10["invalid"],
+                block_rows=br10, precision="highest", mode="exact",
+            )
+            best_i = np.asarray(gii)
             gt_b = [set(r.tolist()) for r in best_i]
             stage10 = "scan"
             log("10M ground truth done; compiling + measuring scan")
-            d, ids = big.search_batch(bq, K)
-            t0 = time.perf_counter()
-            for _ in range(3):
+            # this datum is the EXACT fused scan: pin the router above N
+            # (at 10M > search.ivf-threshold the product path would build
+            # and serve the IVF mirror — which r4 run 1 spent 946s doing
+            # through the tunnel-bound host build; the IVF story is
+            # measured explicitly in the next stage)
+            cfg0.set_config("search.ivf-threshold", 1 << 40)
+            try:
                 d, ids = big.search_batch(bq, K)
-            big_qps = 3 * len(bq) / (time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    d, ids = big.search_batch(bq, K)
+                big_qps = 3 * len(bq) / (time.perf_counter() - t0)
+            finally:
+                cfg0.set_config("search.ivf-threshold", 4_000_000)
             big_recall = float(np.mean([
                 len(set(ids[b, :K].tolist()) & gt_b[b]) / K
                 for b in range(len(gt_b))
@@ -727,7 +735,7 @@ def main():
                 "scan_10m_build_s": round(big_build_s, 1),
             })
             result["details"].update(det10)  # scan sub-stage complete
-            del big
+            del bcorp  # the IVF build below reads the DEVICE mirror
 
             # ---- IVF sub-linear path on the same 10M corpus ---------------
             # (ops/ivf.py): probe sweep shows the recall/QPS frontier vs the
@@ -738,8 +746,15 @@ def main():
 
                 stage10 = "ivf-build"
                 t0 = time.perf_counter()
-                iv = ivf_ops.build_ivf(bcorp, block_rows=1024)
+                # device-resident build: the 5 GiB fp32 corpus never
+                # re-crosses the tunnel (build_ivf re-streams it twice;
+                # at the observed 20-170 MB/s that alone is 1-8 minutes)
+                iv = ivf_ops.build_ivf_device(
+                    big.store.device_snapshot()["vectors"],
+                    block_rows=1024,
+                )
                 ivf_build_s = time.perf_counter() - t0
+                del big  # flat mirrors (6.4 GiB HBM) freed before sweep
                 log(f"IVF build 10M: {ivf_build_s:.0f}s "
                     f"({iv.n_blocks} blocks, "
                     f"{iv.device_bytes()/2**30:.1f} GiB on device)")
@@ -774,7 +789,8 @@ def main():
                     "ivf_10m_probe_sweep": ivf_sweep,
                 })
                 del iv
-            del bcorp
+            else:
+                del big  # IVF skipped: still free the 6.4 GiB of mirrors
           except Exception as exc:  # noqa: BLE001 — isolate section failure
             log(f"10M section aborted at {stage10}: "
                 f"{type(exc).__name__}: {exc}")
@@ -997,7 +1013,7 @@ def main():
                     a = rngh.integers(0, n_centers, m)
                     hcorp[i0:i0 + m] = np.clip(
                         centers[a]
-                        + rngh.standard_normal((m, D)).astype(np.float32) * 20,
+                        + rngh.standard_normal((m, D), dtype=np.float32) * 20,
                         0, 255)
                 log(f"gen {time.perf_counter()-t_gen:.0f}s; IVF build (sample "
                     f"refine, host quantize)")

@@ -327,20 +327,40 @@ class VectorIndexBase(IndexBase):
                 return self._ivf
         try:
             with self._lock:
-                docs = np.nonzero(self.store.present)[0]
-                vecs = self.store.vectors[docs].copy()
-                epoch = self.store.epoch
-                muts = self.store.mutations
+                st = self.store
+                docs = np.nonzero(st.present)[0]
+                epoch = st.epoch
+                muts = st.mutations
+                # device-resident build when the published mirror is
+                # CURRENT (no pending dirty rows): the corpus then never
+                # re-crosses the host↔device link — on a link-bound
+                # deployment the transfer, not compute, bounds the build
+                dev = st._device
+                dev_fresh = (
+                    dev is not None and "vectors" in dev and not st._dirty
+                )
+                if dev_fresh:
+                    present = st.present.copy()
+                else:
+                    vecs = st.vectors[docs].copy()
                 # the new mirror absorbs everything up to this copy;
                 # writes landing during the (unlocked) build re-enter
                 # the delta set and overlay the finished mirror
-                self.store.ivf_written_since = set()
-            new = ivf_ops.build_ivf(
-                vecs,
-                docs.astype(np.int64),
-                block_rows=int(config.get("search.ivf-block-rows")),
-                n_clusters=int(config.get("search.ivf-clusters")),
-            )
+                st.ivf_written_since = set()
+            if dev_fresh:
+                new = ivf_ops.build_ivf_device(
+                    dev["vectors"],
+                    present=present,
+                    block_rows=int(config.get("search.ivf-block-rows")),
+                    n_clusters=int(config.get("search.ivf-clusters")),
+                )
+            else:
+                new = ivf_ops.build_ivf(
+                    vecs,
+                    docs.astype(np.int64),
+                    block_rows=int(config.get("search.ivf-block-rows")),
+                    n_clusters=int(config.get("search.ivf-clusters")),
+                )
             with self._lock:
                 self._ivf = new
                 self._ivf_epoch = epoch

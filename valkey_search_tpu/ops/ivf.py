@@ -691,6 +691,14 @@ def build_ivf_device(
 
     assign64 = np.empty(cap, np.int64)
     proj = np.empty(cap, np.float32)
+    # bound the [chunk, c2max, d] level-2 centroid gather to ~1 GB of
+    # HLO temp (same formula as sample_refined_assign — an unbounded
+    # 262144-row chunk at c2max=128, d=128 is a 16 GB temp that OOMs
+    # the compile, r4 bench run 2)
+    chunk_rows = int(
+        np.clip((1 << 30) // max(1, c2max * d * 2), 32768, chunk_rows)
+    )
+    chunk_rows = 1 << (chunk_rows.bit_length() - 1)
     chunk_rows = min(chunk_rows, cap)
     # one jitted program serves every chunk (a python-int slice per chunk
     # would bake 39 distinct programs at 10M rows); dynamic_slice clamps,
