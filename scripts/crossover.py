@@ -1,0 +1,141 @@
+"""Measured scan-vs-IVF crossover at 1M/2M/4M (VERDICT r3 next#5).
+
+The planner's routing claim — exact fused scan below `search.ivf-threshold`,
+IVF coarse-pruned search above — was set by argument, not measurement. This
+script measures BOTH serving paths on the real chip at N in {1M, 2M, 4M}
+with the same clustered SIFT-shape recipe as bench.py (seed 42 family) and
+the same serving batch as the bench's 10M section (16384), so its datums
+compose with bench.py's 10M scan + 10M IVF sweep into one curve.
+
+Graph traversal is intentionally absent above 1M: bench.py measures it on
+the 1M graph it already builds (tpu_hnsw_graph_traversal_qps_ef100); a 4M+
+bulk build on this 1-core host is multi-hour, and the AoS mirror at 10M is
+~41 GB — the graph walk's retained roles are filtered traversal,
+persistence parity, and the CPU oracle (docs/PARITY.md "planner roles").
+
+Reference hot loop this table replaces: the hnswlib searchKnn walk
+(/root/reference/third_party/hnswlib/hnswalg.h:1611) — the reference has no
+IVF; its answer at every N is the graph.
+
+Run:  env PYTHONPATH=/root/repo:/root/.axon_site python scripts/crossover.py
+Prints one JSON line: {"points": {"1000000": {...}, ...}}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from valkey_search_tpu.runtime import jaxinit  # noqa: E402
+
+jaxinit.init()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from valkey_search_tpu.indexes.flat import FlatVectorIndex  # noqa: E402
+from valkey_search_tpu.ops import ivf as ivf_ops  # noqa: E402
+from valkey_search_tpu.ops import topk as topk_ops  # noqa: E402
+from valkey_search_tpu.runtime import config as cfg  # noqa: E402
+
+D, K, B = 128, 10, 16384
+N_MAX = int(os.environ.get("VSTPU_XOVER_NMAX", str(4_000_000)))
+SIZES = [n for n in (1_000_000, 2_000_000, 4_000_000) if n <= N_MAX]
+N_GT = 64
+PROBES = (8, 16, 32, 64)
+
+t0_all = time.perf_counter()
+
+
+def log(msg):
+    print(f"[xover {time.perf_counter() - t0_all:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+log(f"platform={jax.default_backend()}")
+
+rng = np.random.default_rng(42)
+n_centers = 1024
+centers = rng.standard_normal((n_centers, D)).astype(np.float32) * 60 + 128
+log(f"generating corpus N={N_MAX}")
+corpus = np.empty((N_MAX, D), np.float32)
+for i0 in range(0, N_MAX, 1_000_000):
+    m = min(1_000_000, N_MAX - i0)
+    a = rng.integers(0, n_centers, m)
+    corpus[i0:i0 + m] = np.clip(
+        centers[a] + rng.standard_normal((m, D), dtype=np.float32) * 20,
+        0, 255)
+qa = rng.integers(0, n_centers, B)
+queries = np.clip(
+    centers[qa] + rng.standard_normal((B, D), dtype=np.float32) * 20,
+    0, 255).astype(np.float32)
+
+points = {}
+for n in SIZES:
+    log(f"=== N={n}: bulk_load + upload")
+    idx = FlatVectorIndex(dim=D, metric="l2")
+    t0 = time.perf_counter()
+    idx.bulk_load([f"x:{i}" for i in range(n)], corpus[:n])
+    snap = idx.store.device_snapshot()
+    load_s = time.perf_counter() - t0
+    cap = int(snap["invalid"].shape[0])
+    br = next(c for c in range(min(262144, cap), 0, -1) if cap % c == 0)
+    # ground truth on-device: exact f32 blocked scan over N_GT queries
+    gq = jnp.asarray(queries[:N_GT])
+    _, gii = topk_ops.flat_topk(
+        gq, snap["vectors"], k=K, metric="l2", corpus_sq=snap["norms_sq"],
+        invalid=snap["invalid"], block_rows=br, precision="highest",
+        mode="exact")
+    gt = [set(r.tolist()) for r in np.asarray(gii)]
+    # ---- exact fused scan (router pinned off) ----
+    cfg.set_config("search.ivf-threshold", 1 << 40)
+    try:
+        d, ids = idx.search_batch(queries, K)  # compile + warm
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            d, ids = idx.search_batch(queries, K)
+        scan_qps = reps * B / (time.perf_counter() - t0)
+    finally:
+        cfg.REGISTRY.reset_all()
+    scan_rec = float(np.mean([
+        len(set(ids[b, :K].tolist()) & gt[b]) / K for b in range(N_GT)]))
+    log(f"N={n} scan: {scan_qps:.0f} qps recall@10={scan_rec:.4f}")
+    # ---- IVF (device-resident build) ----
+    t0 = time.perf_counter()
+    iv = ivf_ops.build_ivf_device(snap["vectors"], block_rows=1024)
+    ivf_build_s = time.perf_counter() - t0
+    del idx, snap  # free the flat mirrors before the sweep
+    qd = jnp.asarray(queries)
+    sweep = {}
+    for probe in PROBES:
+        dd, ii = ivf_ops.ivf_search_batch(iv, qd, k=K, probe=probe,
+                                          probe_chunk=4)
+        np.asarray(dd)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dd, ii = ivf_ops.ivf_search_batch(iv, qd, k=K, probe=probe,
+                                              probe_chunk=4)
+            np.asarray(dd), np.asarray(ii)
+        q_ivf = 3 * B / (time.perf_counter() - t0)
+        ii = np.asarray(ii)
+        rec = float(np.mean([
+            len(set(ii[b, :K].tolist()) & gt[b]) / K for b in range(N_GT)]))
+        sweep[str(probe)] = [round(q_ivf, 1), round(rec, 4)]
+        log(f"N={n} ivf probe={probe}: {q_ivf:.0f} qps recall@10={rec:.4f}")
+    del iv
+    ok99 = [(p, v) for p, v in sweep.items() if v[1] >= 0.99]
+    ivf99 = max((v[0] for _, v in ok99), default=None)
+    points[str(n)] = {
+        "scan_qps": round(scan_qps, 1),
+        "scan_recall_at_10": round(scan_rec, 4),
+        "ivf_build_s": round(ivf_build_s, 1),
+        "ivf_probe_sweep": sweep,
+        "ivf_qps_at_recall99": ivf99,
+        "load_s": round(load_s, 1),
+    }
+
+print(json.dumps({"batch": B, "points": points}), flush=True)

@@ -167,7 +167,6 @@ def kmeans_fit_batched(
     seed_pos = jnp.argsort(u, axis=1)[:, :k_each]             # [C, k]
     cent0 = jnp.take_along_axis(x, seed_pos[:, :, None], axis=1)
     w = valid.astype(jnp.float32)
-    xw = x * w[:, :, None]
     xbf = x.astype(jnp.bfloat16)
 
     def body(cent, _):
@@ -177,8 +176,12 @@ def kmeans_fit_batched(
             preferred_element_type=jnp.float32,
         )
         a = jnp.argmin(csq[:, None, :] - 2.0 * dots, axis=2)  # [C, R]
+        # oh already carries the validity weight (w in {0,1}, so w^2 == w);
+        # summing against x directly avoids materialising a second full
+        # [C, R, d] f32 copy — at C=1220, R=4096, d=128 that copy alone was
+        # 2.56 GiB and tipped the 10M IVF build over HBM (r4 bench run 3)
         oh = jax.nn.one_hot(a, k_each, dtype=jnp.float32) * w[:, :, None]
-        sums = jnp.einsum("crk,crd->ckd", oh, xw)
+        sums = jnp.einsum("crk,crd->ckd", oh, x)
         cnt = jnp.sum(oh, axis=1)                             # [C, k]
         return (
             jnp.where(
@@ -495,6 +498,12 @@ def sample_refined_assign(
     )
     sizes_s = np.bincount(a1s, minlength=n_clusters)
     r_max = _pow2_at_least(min(fit_rows_cap, max(int(sizes_s.max()), 1)))
+    # same ~768 MB table cap as build_ivf_device: at 100M rows n_clusters
+    # hits 4096 and an uncapped 4096x4096x128 f32 table is 8.6 GiB before
+    # the batched-kmeans temps even land
+    d_fit = sample.shape[1]
+    while n_clusters * r_max * d_fit * 4 > (768 << 20) and r_max > 256:
+        r_max //= 2
     tables, valid, _ = _cluster_row_tables(sample, a1s, n_clusters, r_max)
     est = sizes_s * (n / max(1, len(sample)))
     c2 = np.maximum(1, -(-est.astype(np.int64) // s))
@@ -513,10 +522,11 @@ def sample_refined_assign(
     if chunk_rows <= 0:
         # chunk large enough that host↔device round trips don't dominate
         # a 100M-row pass (each chunk is 2 device calls), bounded so the
-        # [chunk, c2max, d] level-2 gather stays ~1GB
+        # [chunk, c2max, d] level-2 gather (f32 + bf16 copy + f32 dots,
+        # ~6 B/elem) stays ~1.5 GB of working set
         d_ = vectors.shape[1]
         chunk_rows = int(
-            np.clip((1 << 30) // max(1, c2max * d_ * 2), 32768, 262144)
+            np.clip((3 << 28) // max(1, c2max * d_), 16384, 262144)
         )
         chunk_rows = 1 << (chunk_rows.bit_length() - 1)  # round down to pow2
 
@@ -594,16 +604,23 @@ def refine_oversized(
     return dense.astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("rows",))
-def _assign_proj_at(vec, start, cent1, cents2, c2_valid, pc1, rows):
+@functools.partial(jax.jit, static_argnames=("rows", "c2max"))
+def _assign_proj_at(vec, start, cent1, cents2, c2_valid, pc1, rows, c2max):
     """Level-1 + level-2 assignment and principal-axis projection of one
-    ``rows``-sized window of a device-resident corpus (start clamps)."""
+    ``rows``-sized window of a device-resident corpus (start clamps).
+
+    Returns ONE [2, rows] f32 array (combined assignment a1*c2max+a2, and
+    the projection) so the caller can drain every chunk with a single
+    device pull: per-chunk np.asarray costs a ~60ms tunnel round trip, and
+    3 pulls x ~300 chunks was ~55s of pure RTT at 10M rows. The combined
+    index is < n_clusters*c2max <= 4096*128 < 2^24, exact in f32."""
     xc = jax.lax.dynamic_slice_in_dim(vec, start, rows, axis=0).astype(
         jnp.float32
     )
     a1 = _assign_chunk(xc, cent1)
     a2 = _assign_chunk2(xc, a1, cents2, c2_valid)
-    return a1, a2, xc @ pc1
+    comb = (a1 * c2max + a2).astype(jnp.float32)
+    return jnp.stack([comb, xc @ pc1])
 
 
 def build_ivf_device(
@@ -672,6 +689,15 @@ def build_ivf_device(
                           chunk_rows=min(max(len(sample_h), 1), 262144))
     sizes_s = np.bincount(a1s, minlength=n_clusters)
     r_max = _pow2_at_least(min(4096, max(int(sizes_s.max()), 1)))
+    # bound the padded [C, r_max, d] fit table to ~768 MB of f32: the
+    # batched-kmeans device program holds the table, its bf16 copy and two
+    # [C, r_max, k] per-iter temps at once — uncapped (C=1220, r_max=4096)
+    # the fit alone needed ~6.5 GiB next to the 6.4 GiB flat mirrors and
+    # OOM'd the 16 GiB chip (r4 bench run 3). Level-2 centroids fit from a
+    # per-cluster row sample just as well (they only steer block layout;
+    # recall comes from probe+rescore).
+    while n_clusters * r_max * d * 4 > (768 << 20) and r_max > 256:
+        r_max //= 2
     tables, valid, _ = _cluster_row_tables(sample_h, a1s, n_clusters, r_max)
     est = sizes_s * (n / max(1, len(sample_h)))
     c2 = np.maximum(1, -(-est.astype(np.int64) // s))
@@ -689,33 +715,37 @@ def build_ivf_device(
     cents2_d, c2v_d = jnp.asarray(cents2), jnp.asarray(c2_valid)
     pc1_d = jnp.asarray(principal_axis(sample_h))
 
-    assign64 = np.empty(cap, np.int64)
-    proj = np.empty(cap, np.float32)
-    # bound the [chunk, c2max, d] level-2 centroid gather to ~1 GB of
-    # HLO temp (same formula as sample_refined_assign — an unbounded
-    # 262144-row chunk at c2max=128, d=128 is a 16 GB temp that OOMs
-    # the compile, r4 bench run 2)
+    # bound the [chunk, c2max, d] level-2 centroid gather: the gather
+    # materialises in f32 (+ a bf16 copy and the f32 dots), so budget
+    # ~6 bytes/element for ~1.5 GB of working set. (The old /2 estimate
+    # assumed bf16-only and let a 65536-row chunk at c2max=64 allocate a
+    # 2.1 GB f32 gather — part of the 10M OOM stack, r4 bench run 3.)
     chunk_rows = int(
-        np.clip((1 << 30) // max(1, c2max * d * 2), 32768, chunk_rows)
+        np.clip((3 << 28) // max(1, c2max * d), 16384, chunk_rows)
     )
     chunk_rows = 1 << (chunk_rows.bit_length() - 1)
     chunk_rows = min(chunk_rows, cap)
     # one jitted program serves every chunk (a python-int slice per chunk
     # would bake 39 distinct programs at 10M rows); dynamic_slice clamps,
-    # so the tail chunk re-reads overlap instead of recompiling
-    for st in range(0, cap, chunk_rows):
-        start = min(st, cap - chunk_rows)
-        a1c, a2c, pc = _assign_proj_at(
-            dev_vectors, start, cent1, cents2_d, c2v_d, pc1_d, chunk_rows
+    # so the tail chunk re-reads overlap instead of recompiling. Chunk
+    # launches are dispatched async and drained with ONE host pull.
+    starts = [min(st, cap - chunk_rows) for st in range(0, cap, chunk_rows)]
+    outs = [
+        _assign_proj_at(
+            dev_vectors, start, cent1, cents2_d, c2v_d, pc1_d,
+            chunk_rows, c2max,
         )
+        for start in starts
+    ]
+    outs = np.asarray(jnp.stack(outs))  # one device->host transfer
+    assign64 = np.empty(cap, np.int64)
+    proj = np.empty(cap, np.float32)
+    for st, start, o in zip(range(0, cap, chunk_rows), starts, outs):
         off = st - start
-        a1h = np.asarray(a1c)[off:]
-        a2h = np.asarray(a2c)[off:]
         en = min(st + chunk_rows, cap)
-        assign64[st:en] = (
-            a1h[: en - st].astype(np.int64) * c2max + a2h[: en - st]
-        )
-        proj[st:en] = np.asarray(pc)[off:][: en - st]
+        assign64[st:en] = o[0, off:off + en - st].astype(np.int64)
+        proj[st:en] = o[1, off:off + en - st]
+    del outs
     _, dense = np.unique(assign64[pos_live], return_inverse=True)
     assign = dense.astype(np.int32)
 
