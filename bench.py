@@ -382,6 +382,7 @@ def main():
         gt_ids.append(part[np.argsort(dd[part])])
     gt_ids = np.stack(gt_ids)
     del c64, c64_sq
+    log("1M fp64 ground truth done")
 
     # ---- TPU flat QPS (pipelined launches over the device snapshot) -------
     import jax.numpy as jnp
@@ -390,6 +391,7 @@ def main():
     from valkey_search_tpu.runtime import config as cfg
 
     d, ids = flat.search_batch(queries, K)  # warmup + compile (+ recall data)
+    log("1M headline warmup/compile done")
     snap = flat.store.device_snapshot()
     reps = 3 if QUICK else 6
     rng2 = np.random.default_rng(7)
@@ -430,17 +432,21 @@ def main():
             mode=str(cfg.get("search.topk-mode")),
         )
     _ = [np.asarray(x) for x in launch(q_batches[0])]  # shape warm
-    # Time to DEVICE completion (block_until_ready), not host pull: each
-    # [65536, 10] result is ~5 MB, and the dev harness's axon tunnel moves
-    # bulk data at anywhere from 8 to 170 MB/s run-to-run — pulling inside
-    # the timed loop made the same kernel read 134k qps on a slow-tunnel
-    # run vs 273k on a good one (r4 runs 1/3). A production TPU host reads
-    # results over PCIe, not a tunnel; the pull rate is recorded separately
-    # below so tunnel variance stays visible.
+    # Time to DEVICE completion, not host pull: each [65536, 10] result is
+    # ~5 MB, and the dev harness's axon tunnel moves bulk data at anywhere
+    # from 8 to 170 MB/s run-to-run — pulling inside the timed loop made
+    # the same kernel read 134k qps on a slow-tunnel run vs 273k on a good
+    # one (r4 runs 1/3). A production TPU host reads results over PCIe,
+    # not a tunnel; the pull rate is recorded separately below so tunnel
+    # variance stays visible. The barrier is a ONE-ELEMENT fetch from the
+    # last launch's output (device executes in-order, so its completion
+    # implies all): fixed ~60ms RTT, independent of the bulk rate.
+    # jax.block_until_ready is NOT a usable barrier through axon — it can
+    # return before the computation finishes (a 95ms kernel timed 0.06ms,
+    # scripts/profile_sel.py r4).
     t0 = time.perf_counter()
     outs = [launch(qb) for qb in q_batches]
-    for od, oi in outs:
-        jax.block_until_ready((od, oi))
+    _ = np.asarray(outs[-1][0][0, 0])  # 1-element completion barrier
     flat_elapsed = time.perf_counter() - t0
     t0 = time.perf_counter()
     pulled = [np.asarray(x) for x in outs[-1]]
@@ -564,7 +570,10 @@ def main():
                 for _ in range(steps):
                     dd, ii = launch_fn(qv)
                     qv = qv + dd[:, :1] * 0  # device-side serializing dep
-                jax.block_until_ready(qv)
+                # 1-element fetch as the completion barrier
+                # (block_until_ready can return early through axon); its
+                # fixed RTT cancels in the hi-lo subtraction below
+                _ = np.asarray(qv[0, 0])
                 return time.perf_counter() - t0
 
             def service_ms(bsz, lo=4, hi=24, reps=3):
@@ -644,9 +653,9 @@ def main():
                 _ = [np.asarray(x) for x in launch_f(q_batches[0])]
                 t0 = time.perf_counter()
                 outs = [launch_f(qb) for qb in q_batches[:3]]
-                for od, oi in outs:
-                    jax.block_until_ready((od, oi))  # same timing basis
-                    # as the headline: device completion, not tunnel pull
+                # same timing basis as the headline: 1-element fetch of the
+                # last output as the in-order completion barrier
+                _ = np.asarray(outs[-1][0][0, 0])
                 qps = 3 * BATCH / (time.perf_counter() - t0)
                 hybrid[f"hybrid_{sel_pct}pct_qps"] = round(qps, 1)
                 log(f"hybrid {sel_pct}% selectivity: {qps:.0f} qps")
@@ -667,92 +676,146 @@ def main():
         # (parallel/mesh.py, validated on the virtual mesh).
         gt_b = None
         stage10 = "corpus-gen"
-        big = snap10 = iv = vecs10 = gdd = gii = None
+        iv = vecs10 = i8_10 = norms10 = inv10 = scale10 = outs10 = None
         if (not QUICK and os.environ.get("VSTPU_BENCH_10M", "1") == "1"
                 and not over_budget("10m")):
           try:  # a failure here must not abort the sections below
             det10 = {}  # merged into result only as sub-stages COMPLETE
             # (ADVICE r3 #2: an aborted section must not leave a
             # complete-looking half-datum in details)
+            # Round N UP to the scan quantum (span*GROUP = 65536 at span=4)
+            # so the kernel never clones a padded int8 mirror; every row is
+            # real and enters GT/recall.
             BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
-            log(f"10M-scale corpus {BN} x {D} (int8 coarse + fp32 rescore)")
-            rngb = np.random.default_rng(29)
-            bcorp = np.empty((BN, D), np.float32)
-            step = min(1_000_000, BN)
-            for i0 in range(0, BN, step):
-                m = min(step, BN - i0)
-                a = rngb.integers(0, n_centers, m)
-                # dtype=float32 draws straight into f32 (the f64 draw +
-                # astype cast made this loop ~4x slower — diag r4); GT is
-                # computed in-run from this same corpus, so the changed
-                # stream is self-consistent
-                bcorp[i0:i0 + m] = np.clip(
-                    centers[a]
-                    + rngb.standard_normal((m, D), dtype=np.float32) * 20,
-                    0, 255)
-            stage10 = "bulk-load"
-            log("10M corpus generated; bulk_load + device upload")
-            big = FlatVectorIndex(dim=D, metric="l2")
+            BN = -(-BN // 65536) * 65536
+            log(f"10M-scale corpus {BN} x {D}, generated ON DEVICE "
+                "(int8 coarse + fp32 rescore)")
+            # The r3/r4 host path (numpy gen + bulk_load + 6.4 GiB upload)
+            # cost 400-600s and scaled with the tunnel's 8-170 MB/s mood —
+            # on the slow r4 run 4 it alone blew the section budget. The
+            # synthetic clustered corpus needs only the 512 KB centers on
+            # device; mirrors (f32/int8/norms) are derived on-chip. Product
+            # ingest is measured at 1M above; this section measures
+            # large-N SERVING, same kernels as FlatVectorIndex.search_batch.
             t0 = time.perf_counter()
-            big.bulk_load([f"b:{i}" for i in range(BN)], bcorp)
-            big.store.device_snapshot()
-            big_build_s = time.perf_counter() - t0
-            log(f"10M bulk_load+upload: {big_build_s:.0f}s")
+            cent_d = jnp.asarray(centers)
+
+            def _gen10(k1, k2, m):
+                a = jax.random.randint(k1, (m,), 0, n_centers)
+                z = jax.random.normal(k2, (m, D), dtype=jnp.float32)
+                return jnp.clip(jnp.take(cent_d, a, axis=0) + z * 20, 0, 255)
+
+            _gen10 = jax.jit(_gen10, static_argnames=("m",))
+            keys = jax.random.split(jax.random.PRNGKey(29), 16)
+            GCH = 40 * 65536
+            chunks = [
+                _gen10(keys[2 * ci], keys[2 * ci + 1], min(GCH, BN - st))
+                for ci, st in enumerate(range(0, BN, GCH))
+            ]
+            vecs10 = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            chunks = None  # ~5 GiB of chunk buffers
+            # int8 mirror: same global max-abs scale recipe as the store
+            scale10 = jnp.max(jnp.abs(vecs10)) / 127.0
+            qch = [
+                jnp.clip(
+                    jnp.round(
+                        jax.lax.dynamic_slice_in_dim(
+                            vecs10, st, min(GCH, BN - st)) / scale10),
+                    -127, 127).astype(jnp.int8)
+                for st in range(0, BN, GCH)
+            ]
+            i8_10 = jnp.concatenate(qch) if len(qch) > 1 else qch[0]
+            qch = None
+            norms10 = jnp.concatenate([
+                jnp.sum(jnp.square(jax.lax.dynamic_slice_in_dim(
+                    vecs10, st, min(GCH, BN - st))), axis=1)
+                for st in range(0, BN, GCH)
+            ])
+            inv10 = jnp.zeros((BN,), bool)
+            _ = np.asarray(norms10[0])  # completion barrier
+            corpus_ready_s = time.perf_counter() - t0
+            log(f"10M corpus + mirrors resident: {corpus_ready_s:.0f}s")
+
+            stage10 = "ground-truth"
+            # exact GT per 1M-row window: iterative argmin extraction (K
+            # passes over the [64, W] score block). XLA's wide lax.top_k
+            # cost 224-531s at [64, 10M] in r4 runs; this is pure VPU
+            # reduce/scatter work and runs in seconds.
+            gtq32 = jnp.asarray(gt_q.astype(np.float32))
+            n_gt_b = int(gtq32.shape[0])
+            GW = min(16 * 65536, BN)
+
+            def _gt_win(vecs, start, gtq):
+                win = jax.lax.dynamic_slice_in_dim(vecs, start, GW)
+                wsq = jnp.sum(win * win, axis=1)
+                dd = wsq[None, :] - 2.0 * jnp.dot(
+                    gtq, win.T, precision=jax.lax.Precision.HIGHEST)
+
+                def body(c, _):
+                    am = jnp.argmin(c, axis=1)
+                    v = jnp.take_along_axis(c, am[:, None], 1)[:, 0]
+                    c = c.at[jnp.arange(c.shape[0]), am].set(jnp.inf)
+                    return c, (v, am)
+
+                _, (v, am) = jax.lax.scan(body, dd, None, length=K)
+                return v.T, am.T  # [n_gt, K] window-local
+
+            _gt_win = jax.jit(_gt_win)
+            gstarts = [min(st, BN - GW) for st in range(0, BN, GW)]
+            gouts = [_gt_win(vecs10, st, gtq32) for st in gstarts]
+            cand_v = np.concatenate([np.asarray(v) for v, _ in gouts], axis=1)
+            cand_i = np.concatenate(
+                [np.asarray(am) + st for (_, am), st in zip(gouts, gstarts)],
+                axis=1)
+            gouts = None
+            gt_b = []
+            for b in range(n_gt_b):
+                # clamped windows overlap: dedupe by row id before ranking
+                _, uniq = np.unique(cand_i[b], return_index=True)
+                order = uniq[np.argsort(cand_v[b][uniq], kind="stable")]
+                gt_b.append(set(cand_i[b][order[:K]].tolist()))
+            stage10 = "scan"
+            log("10M ground truth done; compiling + measuring scan")
             # 16k query batch: the fused kernel's packed-survivor array is
             # [B, N/512] int32 — at B=65536 x N=10M that alone is 5.1GB,
             # which with the 6.4GB corpus mirrors OOMs a 16GB chip
-            bq = queries[:min(BATCH, 16384)]  # same query distribution
-            stage10 = "ground-truth"
-            # gt on the DEVICE via the exact f32 blocked scan (the host
-            # BLAS version took 170-530s on the 1-core box depending on
-            # agent contention; 64 x 10M x 128 is ~164 GFLOP — seconds on
-            # the MXU, and the f32 mirror is already resident)
-            gtq32 = gt_q.astype(np.float32)
-            n_gt_b = len(gtq32)
-            snap10 = big.store.device_snapshot()
-            cap10 = int(snap10["invalid"].shape[0])
-            br10 = next(
-                cand for cand in range(min(262144, cap10), 0, -1)
-                if cap10 % cand == 0
-            )
-            gdd, gii = topk_ops.flat_topk(
-                jnp.asarray(gtq32), snap10["vectors"], k=K, metric="l2",
-                corpus_sq=snap10["norms_sq"], invalid=snap10["invalid"],
-                block_rows=br10, precision="highest", mode="exact",
-            )
-            best_i = np.asarray(gii)
-            gt_b = [set(r.tolist()) for r in best_i]
-            stage10 = "scan"
-            log("10M ground truth done; compiling + measuring scan")
-            # this datum is the EXACT fused scan: pin the router above N
-            # (at 10M > search.ivf-threshold the product path would build
-            # and serve the IVF mirror — which r4 run 1 spent 946s doing
-            # through the tunnel-bound host build; the IVF story is
-            # measured explicitly in the next stage)
-            cfg0.set_config("search.ivf-threshold", 1 << 40)
-            try:
-                d, ids = big.search_batch(bq, K)
-                t0 = time.perf_counter()
-                for _ in range(3):
-                    d, ids = big.search_batch(bq, K)
-                big_qps = 3 * len(bq) / (time.perf_counter() - t0)
-            finally:
-                cfg0.set_config("search.ivf-threshold", 4_000_000)
+            bq_d = jnp.asarray(queries[:min(BATCH, 16384)])
+
+            def _launch10():
+                # identical call to FlatVectorIndex.search_batch's fused
+                # path (indexes/flat.py), minus the IVF router (the IVF
+                # story is measured explicitly in the next stage)
+                return topk_ops.flat_topk_fused(
+                    bq_d, vecs10, None, k=K, metric="l2",
+                    corpus_sq=norms10, invalid=inv10, block_rows=BN,
+                    corpus_i8=i8_10, i8_scale=scale10,
+                )
+
+            d10, i10 = _launch10()  # compile + warm
+            ids = np.asarray(i10)
+            t0 = time.perf_counter()
+            outs10 = [_launch10() for _ in range(3)]
+            _ = np.asarray(outs10[-1][0][0, 0])  # completion barrier
+            big_qps = 3 * int(bq_d.shape[0]) / (time.perf_counter() - t0)
+            outs10 = d10 = i10 = None
             big_recall = float(np.mean([
                 len(set(ids[b, :K].tolist()) & gt_b[b]) / K
                 for b in range(len(gt_b))
             ]))
             log(f"10M scan: {big_qps:.0f} qps recall@10={big_recall:.4f} "
-                f"(build+upload {big_build_s:.0f}s)")
+                f"(corpus+mirrors {corpus_ready_s:.0f}s, device-generated)")
             det10.update({
+                "scan_10m_n": BN,
                 "scan_10m_qps": round(big_qps, 1),
-                "scan_10m_batch": len(bq),  # ADVICE r3 #1: the 10M
-                # serving batch differs from the 1M headline BATCH
+                "scan_10m_batch": int(bq_d.shape[0]),  # ADVICE r3 #1: the
+                # 10M serving batch differs from the 1M headline BATCH
                 "scan_10m_recall_at_10": round(big_recall, 4),
-                "scan_10m_build_s": round(big_build_s, 1),
+                "scan_10m_corpus_ready_s": round(corpus_ready_s, 1),
+                "scan_10m_corpus": "device-generated (host gen + 6.4 GiB "
+                                   "upload cost 400-600s on slow-tunnel "
+                                   "runs; serving kernels identical)",
             })
             result["details"].update(det10)  # scan sub-stage complete
-            del bcorp  # the IVF build below reads the DEVICE mirror
 
             # ---- IVF sub-linear path on the same 10M corpus ---------------
             # (ops/ivf.py): probe sweep shows the recall/QPS frontier vs the
@@ -762,17 +825,15 @@ def main():
                 from valkey_search_tpu.ops import ivf as ivf_ops
 
                 stage10 = "ivf-build"
-                # the build reads ONLY the f32 mirror: keep that one array
-                # and free the rest of the flat snapshot (int8 + packed
-                # mirrors + norms, ~1.3 GiB) plus the GT device outputs
-                # BEFORE building — the r4 run-3 OOM was the batched level-2
-                # kmeans temps landing next to all 6.4 GiB of mirrors
-                vecs10 = snap10["vectors"]
-                big = snap10 = gdd = gii = d = ids = None
+                # the build reads ONLY the f32 mirror: free the int8 +
+                # norms mirrors (~1.3 GiB) BEFORE building — the r4 run-3
+                # OOM was the batched level-2 kmeans temps landing next to
+                # all 6.4 GiB of mirrors
+                i8_10 = norms10 = inv10 = scale10 = ids = None
                 t0 = time.perf_counter()
                 # device-resident build: the 5 GiB fp32 corpus never
-                # re-crosses the tunnel (build_ivf re-streams it twice;
-                # at the observed 20-170 MB/s that alone is 1-8 minutes)
+                # crosses the tunnel at all (the r3 host build streamed it
+                # twice; at the observed 8-170 MB/s that alone is minutes)
                 iv = ivf_ops.build_ivf_device(
                     vecs10,
                     block_rows=1024,
@@ -796,7 +857,10 @@ def main():
                         dd, ii = ivf_ops.ivf_search_batch(
                             iv, ivq, k=K, probe=probe, probe_chunk=4
                         )
-                        np.asarray(dd), np.asarray(ii)
+                    # 1-element fetch as the in-order completion barrier
+                    # (full pulls rode the 8-170 MB/s tunnel inside the
+                    # timed loop; block_until_ready can return early)
+                    _ = np.asarray(dd[0, 0])
                     q_ivf = 3 * IB / (time.perf_counter() - t0)
                     ii = np.asarray(ii)
                     rec = float(np.mean([
@@ -818,12 +882,12 @@ def main():
             result["details"]["skip_10m"] = (
                 f"at {stage10}: {type(exc).__name__}: {exc}"
             )
-            bcorp = None
           finally:
             # release EVERY device-holding name whatever the exit path —
             # r4 run 3 leaked the 6.4 GiB snapshot through the exception
             # path and the HNSW + cosine sections below then OOM'd too
-            big = snap10 = iv = vecs10 = gdd = gii = d = ids = None
+            iv = vecs10 = i8_10 = norms10 = inv10 = scale10 = None
+            outs10 = ids = None
 
         # ---- HNSW: north-star config (BASELINE.md #2) -------------------------
         # Full-corpus graph at the reference defaults M=16 / ef_construction
@@ -1085,7 +1149,7 @@ def main():
                         dd, ii = ivf_ops.ivf_search_batch(
                             iv, hq, k=K, probe=probe, probe_chunk=2
                         )
-                        np.asarray(dd), np.asarray(ii)
+                    _ = np.asarray(dd[0, 0])  # completion barrier
                     q100 = 3 * HB / (time.perf_counter() - t0)
                     ii = np.asarray(ii)
                     rec = float(np.mean([

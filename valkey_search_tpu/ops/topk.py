@@ -154,7 +154,8 @@ def use_fused_scan(cap: int, filter_mask) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "metric", "block_rows", "coarse_factor", "interpret", "span"
+        "k", "metric", "block_rows", "coarse_factor", "interpret", "span",
+        "block_b", "sel_recall_target",
     ),
 )
 def flat_topk_fused(
@@ -171,6 +172,8 @@ def flat_topk_fused(
     corpus_i8: Optional[jnp.ndarray] = None,  # int8 [cap, d] mirror
     i8_scale: Optional[jnp.ndarray] = None,   # scalar f32 corpus quant scale
     span: Optional[int] = None,  # int8 survivor granularity (None = auto)
+    block_b: Optional[int] = None,      # kernel query-tile rows (None = auto)
+    sel_recall_target: Optional[float] = None,  # survivor approx_min_k target
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage k-NN with the coarse scan fused into a Pallas kernel.
@@ -216,7 +219,8 @@ def flat_topk_fused(
     pad_d = -d % 128
     d_pad = d + pad_d
 
-    block_b = 1024 if b >= 1024 else -(-b // 8) * 8
+    if block_b is None:
+        block_b = 1024 if b >= 1024 else -(-b // 8) * 8
     pad_b = -b % block_b
     # packed int8 survivors cover span*128 rows each; pick span so the
     # survivor array stays >= ~2k columns for the top-k's bucketing
@@ -399,7 +403,9 @@ def flat_topk_fused(
             kk = min(kc, pf.shape[-1])
             # survivors are span*128x smaller than the score matrix, so
             # a tight selection recall target is nearly free here
-            bf, pos = _survivor_min_k(pf, kk, recall_target=0.98)
+            bf, pos = _survivor_min_k(
+                pf, kk, recall_target=sel_recall_target or 0.98
+            )
             key = jax.lax.bitcast_convert_type(bf, jnp.int32)
             chunk = key & ((span * 128) - 1)
             score = (key >> chunk_bits) << pre_shift_i
