@@ -683,11 +683,11 @@ def main():
             det10 = {}  # merged into result only as sub-stages COMPLETE
             # (ADVICE r3 #2: an aborted section must not leave a
             # complete-looking half-datum in details)
-            # Round N UP to the scan quantum (span*GROUP = 65536 at span=4)
-            # so the kernel never clones a padded int8 mirror; every row is
-            # real and enters GT/recall.
+            # Round N UP to the scan quantum (span*GROUP = 131072 at the
+            # span=8 default for >=1M corpora) so the kernel never clones
+            # a padded int8 mirror; every row is real and enters GT/recall.
             BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
-            BN = -(-BN // 65536) * 65536
+            BN = -(-BN // 131072) * 131072
             log(f"10M-scale corpus {BN} x {D}, generated ON DEVICE "
                 "(int8 coarse + fp32 rescore)")
             # The r3/r4 host path (numpy gen + bulk_load + 6.4 GiB upload)
@@ -839,7 +839,6 @@ def main():
                     block_rows=1024,
                 )
                 ivf_build_s = time.perf_counter() - t0
-                vecs10 = None  # f32 mirror (5.1 GiB HBM) freed before sweep
                 log(f"IVF build 10M: {ivf_build_s:.0f}s "
                     f"({iv.n_blocks} blocks, "
                     f"{iv.device_bytes()/2**30:.1f} GiB on device)")
@@ -848,14 +847,19 @@ def main():
                 ivq = jnp.asarray(queries[:IB])
                 ivf_sweep = {}
                 for probe in (16, 32, 64):
-                    dd, ii = ivf_ops.ivf_search_batch(
-                        iv, ivq, k=K, probe=probe, probe_chunk=4
+                    # ivf_search_rescored = the engine's routing path: the
+                    # fp32 mirror (kept resident, 5.2 GiB + 1.4 GiB index)
+                    # repairs residual-int8 ordering noise with an exact
+                    # rescore. Reconstruction-only scoring saturates
+                    # recall ~0.95 (measured, scripts/crossover.py r4).
+                    dd, ii = ivf_ops.ivf_search_rescored(
+                        iv, ivq, vecs10, k=K, probe=probe, probe_chunk=4
                     )  # compile+warm
                     np.asarray(dd)
                     t0 = time.perf_counter()
                     for _ in range(3):
-                        dd, ii = ivf_ops.ivf_search_batch(
-                            iv, ivq, k=K, probe=probe, probe_chunk=4
+                        dd, ii = ivf_ops.ivf_search_rescored(
+                            iv, ivq, vecs10, k=K, probe=probe, probe_chunk=4
                         )
                     # 1-element fetch as the in-order completion barrier
                     # (full pulls rode the 8-170 MB/s tunnel inside the
@@ -1060,112 +1064,118 @@ def main():
 
         # ---- 100M-on-one-chip datum (VERDICT r3 target; BASELINE.md #5
         # scaled to a single chip) ------------------------------------------
-        # int8-only residency: the IVF index (~13.7 GiB at 100M x 128) fits
-        # v5e HBM with no fp32 corpus on device, so scores are the exact
-        # distances to the residual-quantized reconstructions (no rescore).
-        # Gated to the real chip: the CPU fallback cannot hold or serve it.
-        # the section needs ~15 min end-to-end (51GB corpus gen on one
-        # core + sample-mode IVF build + 13.7GB upload); starting it
-        # without that much headroom just hands the watchdog a partial,
-        # so gate on REMAINING budget, not merely "not over yet"
+        # int8-only residency: the IVF index (~13.3 GiB at ~100M x 128)
+        # fits v5e HBM with no fp32 corpus ANYWHERE — ops/ivf.py
+        # build_ivf_streaming reads the corpus as a deterministic chunk
+        # source in three on-chip passes (the r3 host path generated a
+        # 51 GiB numpy corpus on one core, ~2000s before the build even
+        # started). Scores are the exact distances to the residual-
+        # quantized reconstructions (no rescore). Gated to the real chip:
+        # the CPU fallback cannot hold or serve it. Gate on REMAINING
+        # budget: starting without headroom hands the watchdog a partial.
         t_100m_need = float(os.environ.get("VSTPU_BENCH_100M_NEED_S", "900"))
         if (not QUICK
                 and os.environ.get("VSTPU_BENCH_100M", "1") == "1"
                 and jax.default_backend() == "tpu"
                 and not over_budget("100m")
                 and budget_s - (time.perf_counter() - t_start) > t_100m_need):
-            import psutil  # stdlib-absent guard below if unavailable
-            HN = int(os.environ.get("VSTPU_BENCH_100M_N", "100000000"))
-            host_free = psutil.virtual_memory().available
-            try:
-                stats = jax.devices()[0].memory_stats() or {}
-                hbm = int(stats.get("bytes_limit", 0))
-            except Exception:
-                hbm = 0
-            need_host = HN * D * 4 * 2.1  # corpus + block layout + slack
-            need_hbm = HN * D * 1.08 + HN * 8.4  # codes + row_sq/ids/cents
-            if host_free < need_host or (hbm and hbm < need_hbm):
-                log(f"skipping 100M: host_free={host_free/2**30:.0f}GiB "
-                    f"hbm={hbm/2**30:.1f}GiB")
-                result["details"]["skip_100m"] = (
-                    f"host_free={host_free/2**30:.0f}GiB hbm={hbm/2**30:.1f}GiB"
-                )
-            else:
-                from valkey_search_tpu.ops import ivf as ivf_ops
+            from valkey_search_tpu.ops import ivf as ivf_ops
 
-                log(f"100M corpus gen ({HN} x {D}, clustered bytes)")
-                rngh = np.random.default_rng(31)
-                hcorp = np.empty((HN, D), np.float32)
-                t_gen = time.perf_counter()
-                step = 2_000_000
-                for i0 in range(0, HN, step):
-                    m = min(step, HN - i0)
-                    a = rngh.integers(0, n_centers, m)
-                    hcorp[i0:i0 + m] = np.clip(
-                        centers[a]
-                        + rngh.standard_normal((m, D), dtype=np.float32) * 20,
-                        0, 255)
-                log(f"gen {time.perf_counter()-t_gen:.0f}s; IVF build (sample "
-                    f"refine, host quantize)")
+            HCH = 20 * 65536  # 1,310,720-row generator chunks
+            HN = int(os.environ.get("VSTPU_BENCH_100M_N", "100000000"))
+            n_ch100 = max(1, -(-HN // HCH))
+            HN = n_ch100 * HCH  # 100,925,440 at the default
+            log(f"100M-scale IVF: {HN} x {D}, streaming build "
+                f"({n_ch100} device-generated chunks, no fp32 residency)")
+            cent_d100 = jnp.asarray(centers)
+            k100 = jax.random.split(jax.random.PRNGKey(31), 2 * n_ch100)
+
+            def _gen100(k1, k2):
+                a = jax.random.randint(k1, (HCH,), 0, n_centers)
+                z = jax.random.normal(k2, (HCH, D), dtype=jnp.float32)
+                return jnp.clip(
+                    jnp.take(cent_d100, a, axis=0) + z * 20, 0, 255)
+
+            _gen100 = jax.jit(_gen100)  # one program for all chunks
+
+            def _chunk100(ci):
+                return _gen100(k100[2 * ci], k100[2 * ci + 1])
+            t0 = time.perf_counter()
+            iv = ivf_ops.build_ivf_streaming(
+                _chunk100, n_ch100, block_rows=1024, block_align=1024,
+            )
+            ivf100_build_s = time.perf_counter() - t0
+            log(f"100M IVF build: {ivf100_build_s:.0f}s, "
+                f"{iv.n_blocks} blocks, "
+                f"{iv.device_bytes()/2**30:.1f} GiB HBM")
+            # exact GT per regenerated chunk (iterative argmin — same
+            # pattern as the 10M section; queries[:64] == gt_q)
+            n_gt_h100 = 32
+            gtq_d = jnp.asarray(queries[:n_gt_h100].astype(np.float32))
+
+            def _gt100(xc, gtq):
+                wsq = jnp.sum(xc * xc, axis=1)
+                dd = wsq[None, :] - 2.0 * jnp.dot(
+                    gtq, xc.T, precision=jax.lax.Precision.HIGHEST)
+
+                def body(c, _):
+                    am = jnp.argmin(c, axis=1)
+                    v = jnp.take_along_axis(c, am[:, None], 1)[:, 0]
+                    c = c.at[jnp.arange(c.shape[0]), am].set(jnp.inf)
+                    return c, (v, am)
+
+                _, (v, am) = jax.lax.scan(body, dd, None, length=K)
+                return v.T, am.T
+
+            _gt100 = jax.jit(_gt100)
+            cv, ci_ = [], []
+            for ci in range(n_ch100):
+                v, am = _gt100(_chunk100(ci), gtq_d)
+                cv.append(np.asarray(v))
+                ci_.append(np.asarray(am) + ci * HCH)
+            cand_v = np.concatenate(cv, axis=1)
+            cand_i = np.concatenate(ci_, axis=1)
+            cv = ci_ = None
+            order100 = np.argsort(cand_v, axis=1, kind="stable")[:, :K]
+            gt100 = [
+                set(cand_i[b][order100[b]].tolist())
+                for b in range(n_gt_h100)
+            ]
+            log("100M exact ground truth done")
+            HB = 1024
+            hq = jnp.asarray(queries[:HB])
+            sweep100 = {}
+            for probe in (32, 64, 128):
+                dd, ii = ivf_ops.ivf_search_batch(
+                    iv, hq, k=K, probe=probe, probe_chunk=2
+                )
+                np.asarray(dd)
                 t0 = time.perf_counter()
-                iv = ivf_ops.build_ivf(hcorp, block_rows=1024)
-                ivf100_build_s = time.perf_counter() - t0
-                log(f"100M IVF build: {ivf100_build_s:.0f}s, "
-                    f"{iv.n_blocks} blocks, "
-                    f"{iv.device_bytes()/2**30:.1f} GiB HBM")
-                # ground truth over 32 queries (chunked host BLAS)
-                n_gt_h100 = 32
-                gtq = queries[:n_gt_h100].astype(np.float32)
-                gt100 = []
-                chunk = 4_000_000
-                best_d = np.full((n_gt_h100, K), np.inf, np.float64)
-                best_i = np.full((n_gt_h100, K), -1, np.int64)
-                for i0 in range(0, HN, chunk):
-                    blkc = hcorp[i0:i0 + chunk]
-                    sq = np.einsum("ij,ij->i", blkc, blkc)
-                    dd = sq[None, :] - 2.0 * (gtq @ blkc.T)
-                    part = np.argpartition(dd, K, axis=1)[:, :K]
-                    rows = np.arange(n_gt_h100)[:, None]
-                    cand_d = dd[rows, part]
-                    cand_i = part + i0
-                    alld = np.concatenate([best_d, cand_d], axis=1)
-                    alli = np.concatenate([best_i, cand_i], axis=1)
-                    sel = np.argsort(alld, axis=1)[:, :K]
-                    best_d = alld[rows, sel]
-                    best_i = alli[rows, sel]
-                # |q|^2 omitted above: constant per row — ordering only
-                gt100 = [set(r.tolist()) for r in best_i]
-                del hcorp  # free 51GB before serving
-                HB = 1024
-                hq = jnp.asarray(queries[:HB])
-                sweep100 = {}
-                for probe in (32, 64, 128):
+                for _ in range(3):
                     dd, ii = ivf_ops.ivf_search_batch(
                         iv, hq, k=K, probe=probe, probe_chunk=2
                     )
-                    np.asarray(dd)
-                    t0 = time.perf_counter()
-                    for _ in range(3):
-                        dd, ii = ivf_ops.ivf_search_batch(
-                            iv, hq, k=K, probe=probe, probe_chunk=2
-                        )
-                    _ = np.asarray(dd[0, 0])  # completion barrier
-                    q100 = 3 * HB / (time.perf_counter() - t0)
-                    ii = np.asarray(ii)
-                    rec = float(np.mean([
-                        len(set(ii[b, :K].tolist()) & gt100[b]) / K
-                        for b in range(n_gt_h100)
-                    ]))
-                    sweep100[str(probe)] = [round(q100, 1), round(rec, 4)]
-                    log(f"100M IVF probe={probe}: {q100:.0f} qps "
-                        f"recall@10={rec:.4f}")
-                result["details"].update({
-                    "ivf_100m_n": HN,
-                    "ivf_100m_build_s": round(ivf100_build_s, 1),
-                    "ivf_100m_device_gib": round(iv.device_bytes() / 2**30, 2),
-                    "ivf_100m_probe_sweep": sweep100,
-                })
-                del iv
+                _ = np.asarray(dd[0, 0])  # completion barrier
+                q100 = 3 * HB / (time.perf_counter() - t0)
+                ii = np.asarray(ii)
+                rec = float(np.mean([
+                    len(set(ii[b, :K].tolist()) & gt100[b]) / K
+                    for b in range(n_gt_h100)
+                ]))
+                sweep100[str(probe)] = [round(q100, 1), round(rec, 4)]
+                log(f"100M IVF probe={probe}: {q100:.0f} qps "
+                    f"recall@10={rec:.4f}")
+            result["details"].update({
+                "ivf_100m_n": HN,
+                "ivf_100m_build_s": round(ivf100_build_s, 1),
+                "ivf_100m_device_gib": round(iv.device_bytes() / 2**30, 2),
+                "ivf_100m_probe_sweep": sweep100,
+                "ivf_100m_scoring": "residual-int8 reconstruction (no fp32 "
+                                    "anywhere at this scale — recall is the "
+                                    "quantizer's ceiling, ~0.95; the <=10M "
+                                    "tier rescores exactly)",
+            })
+            del iv
 
 
     except Exception as exc:

@@ -41,6 +41,11 @@ from valkey_search_tpu.ops import ivf as ivf_ops  # noqa: E402
 from valkey_search_tpu.ops import topk as topk_ops  # noqa: E402
 from valkey_search_tpu.runtime import config as cfg  # noqa: E402
 
+# int8 coarse mirror = the serving config every headline datum uses;
+# without it search_batch silently serves the bf16/exact path (first
+# crossover attempt measured that: 29k qps scan at recall 1.0000)
+cfg.set_config("search.corpus-dtype", "int8")
+
 D, K, B = 128, 10, 16384
 N_MAX = int(os.environ.get("VSTPU_XOVER_NMAX", str(4_000_000)))
 SIZES = [n for n in (1_000_000, 2_000_000, 4_000_000) if n <= N_MAX]
@@ -90,43 +95,59 @@ for n in SIZES:
         invalid=snap["invalid"], block_rows=br, precision="highest",
         mode="exact")
     gt = [set(r.tolist()) for r in np.asarray(gii)]
-    # ---- exact fused scan (router pinned off) ----
-    cfg.set_config("search.ivf-threshold", 1 << 40)
-    try:
-        d, ids = idx.search_batch(queries, K)  # compile + warm
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            d, ids = idx.search_batch(queries, K)
-        scan_qps = reps * B / (time.perf_counter() - t0)
-    finally:
-        cfg.REGISTRY.reset_all()
+    # ---- fused int8 scan (same kernel call search_batch serves with;
+    # timing to device completion via a 1-element fetch — full host pulls
+    # at B=16384 ride the 8-170 MB/s tunnel and would dominate) ----
+    qd = jnp.asarray(queries)
+
+    def _scan():
+        return topk_ops.flat_topk_fused(
+            qd, snap["vectors"], snap.get("vectors_lp"), k=K, metric="l2",
+            corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
+            block_rows=cap, corpus_i8=snap.get("vectors_i8"),
+            i8_scale=snap.get("i8_scale"),
+        )
+
+    d, ids_d = _scan()  # compile + warm
+    ids = np.asarray(ids_d)
+    t0 = time.perf_counter()
+    reps = 3
+    outs = [_scan() for _ in range(reps)]
+    _ = np.asarray(outs[-1][0][0, 0])
+    scan_qps = reps * B / (time.perf_counter() - t0)
+    outs = d = ids_d = None
     scan_rec = float(np.mean([
         len(set(ids[b, :K].tolist()) & gt[b]) / K for b in range(N_GT)]))
     log(f"N={n} scan: {scan_qps:.0f} qps recall@10={scan_rec:.4f}")
-    # ---- IVF (device-resident build) ----
+    # ---- IVF (device-resident build; mask the store's padded rows) ----
     t0 = time.perf_counter()
-    iv = ivf_ops.build_ivf_device(snap["vectors"], block_rows=1024)
+    iv = ivf_ops.build_ivf_device(
+        snap["vectors"], present=~np.asarray(snap["invalid"]),
+        block_rows=1024,
+    )
     ivf_build_s = time.perf_counter() - t0
-    del idx, snap  # free the flat mirrors before the sweep
-    qd = jnp.asarray(queries)
+    vecs = snap["vectors"]  # fp32 mirror stays resident for the rescore
+    del idx, snap  # free the other flat mirrors before the sweep
     sweep = {}
     for probe in PROBES:
-        dd, ii = ivf_ops.ivf_search_batch(iv, qd, k=K, probe=probe,
-                                          probe_chunk=4)
+        # ivf_search_rescored = the engine's routing path (exact fp32
+        # rescore over the resident mirror); ivf_search_batch alone
+        # scores reconstructions and saturates ~0.95 recall
+        dd, ii = ivf_ops.ivf_search_rescored(iv, qd, vecs, k=K,
+                                             probe=probe, probe_chunk=4)
         np.asarray(dd)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(3):
-            dd, ii = ivf_ops.ivf_search_batch(iv, qd, k=K, probe=probe,
-                                              probe_chunk=4)
-            np.asarray(dd), np.asarray(ii)
+            dd, ii = ivf_ops.ivf_search_rescored(iv, qd, vecs, k=K,
+                                                 probe=probe, probe_chunk=4)
+        _ = np.asarray(dd[0, 0])  # in-order completion barrier
         q_ivf = 3 * B / (time.perf_counter() - t0)
         ii = np.asarray(ii)
         rec = float(np.mean([
             len(set(ii[b, :K].tolist()) & gt[b]) / K for b in range(N_GT)]))
         sweep[str(probe)] = [round(q_ivf, 1), round(rec, 4)]
         log(f"N={n} ivf probe={probe}: {q_ivf:.0f} qps recall@10={rec:.4f}")
-    del iv
+    del iv, vecs
     ok99 = [(p, v) for p, v in sweep.items() if v[1] >= 0.99]
     ivf99 = max((v[0] for _, v in ok99), default=None)
     points[str(n)] = {

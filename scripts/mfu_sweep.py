@@ -36,6 +36,12 @@ import jax.numpy as jnp  # noqa: E402
 
 from valkey_search_tpu.indexes.flat import FlatVectorIndex  # noqa: E402
 from valkey_search_tpu.ops import topk as topk_ops  # noqa: E402
+from valkey_search_tpu.runtime import config as cfg  # noqa: E402
+
+# int8 coarse mirror — without this the snapshot has no vectors_i8 and
+# flat_topk_fused silently serves the bf16 kernel (first sweep attempt
+# measured exactly that: ~500ms/launch, span/cf inert)
+cfg.set_config("search.corpus-dtype", "int8")
 
 N, D, B, K = 1_000_000, 128, 65536, 10
 N_GT = 256
@@ -85,14 +91,44 @@ queries = np.clip(
 idx = FlatVectorIndex(dim=D, metric="l2")
 idx.bulk_load([f"m:{i}" for i in range(N)], corpus)
 snap = idx.store.device_snapshot()
+assert "vectors_i8" in snap, "int8 mirror missing — sweep would silently " \
+    "measure the bf16 kernel"
 log("mirrors uploaded")
 
 gq = jnp.asarray(queries[:N_GT])
-_, gii = topk_ops.flat_topk(
-    gq, snap["vectors"], k=K, metric="l2", corpus_sq=snap["norms_sq"],
-    invalid=snap["invalid"], block_rows=250000, precision="highest",
-    mode="exact")
-gt = [set(r.tolist()) for r in np.asarray(gii)]
+GW = 262144  # exact GT per window: iterative argmin extraction (bench.py
+# 10M GT pattern — XLA's wide lax.top_k is pathologically slow here)
+vecs_d = snap["vectors"]
+
+
+def _gt_win(vecs, start, gtq):
+    win = jax.lax.dynamic_slice_in_dim(vecs, start, GW)
+    wsq = jnp.sum(win * win, axis=1)
+    dd = wsq[None, :] - 2.0 * jnp.dot(
+        gtq, win.T, precision=jax.lax.Precision.HIGHEST)
+
+    def body(c, _):
+        am = jnp.argmin(c, axis=1)
+        v = jnp.take_along_axis(c, am[:, None], 1)[:, 0]
+        c = c.at[jnp.arange(c.shape[0]), am].set(jnp.inf)
+        return c, (v, am)
+
+    _, (v, am) = jax.lax.scan(body, dd, None, length=K)
+    return v.T, am.T
+
+
+_gt_win = jax.jit(_gt_win)
+BNv = vecs_d.shape[0]
+gstarts = [min(st, BNv - GW) for st in range(0, BNv, GW)]
+gouts = [_gt_win(vecs_d, st, gq) for st in gstarts]
+cand_v = np.concatenate([np.asarray(v) for v, _ in gouts], axis=1)
+cand_i = np.concatenate(
+    [np.asarray(am) + st for (_, am), st in zip(gouts, gstarts)], axis=1)
+gt = []
+for b in range(N_GT):
+    _, uniq = np.unique(cand_i[b], return_index=True)
+    order = uniq[np.argsort(cand_v[b][uniq], kind="stable")]
+    gt.append(set(cand_i[b][order[:K]].tolist()))
 log("ground truth done")
 
 qd = jnp.asarray(queries)
@@ -110,15 +146,17 @@ def launch(span, cf, block_b=None, sel_rt=None):
 
 
 CONFIGS = [
-    # (span, cf, block_b, sel_rt) — None = product default
-    (4, 5, None, None),   # current default at 1M
-    (4, 4, None, None),
-    (4, 3, None, None),
-    (8, 5, None, None),   # half the survivor cols; pre_shift>0 kernel
-    (8, 6, None, None),
-    (4, 5, 2048, None),   # coarse_blockb sweep said 2048 is ~8% faster
-    (4, 4, 2048, None),
-    (4, 4, 2048, 0.8),    # cheaper selection target
+    # (span, cf, block_b, sel_rt) — None = product default. Round 1
+    # measured: span4/cf5 401.7k @0.9965 (26.1% MFU), span4/cf4 432.3k
+    # @0.9957, span4/cf3 448.2k @0.9910, span8/cf5 462.7k @0.9930,
+    # span8/cf6 441.5k @0.9930 (recall survivor-limited at span8 — extra
+    # rescore buys nothing); block_b=2048 with block_n=4096 exceeds the
+    # 16 MB scoped-VMEM limit (20.25M stack alloc, compile error). This
+    # round probes the span8 frontier.
+    (8, 4, None, None),
+    (8, 3, None, None),
+    (8, 5, None, 0.8),    # cheaper selection target
+    (16, 5, None, None),  # frontier edge: 512 survivor cols at 1M
 ]
 for span, cf, bb, rt in CONFIGS:
     try:

@@ -513,3 +513,81 @@ class TestDeviceBuild:
         )
         _, ids = ivf.ivf_search_batch(idx, jnp.asarray(q), k=5, probe=8)
         assert recall_at_k(np.asarray(ids), truth) >= 0.85
+
+
+class TestStreamingBuild:
+    """build_ivf_streaming: the chunk-source build (nothing fp32 resident)
+    must match build_ivf_device quality on the same materialized corpus.
+    Reference scale story being replaced: hnswlib holds every fp32 vector
+    resident (hnswalg.h addPoint) and the reference scales past HBM only
+    by sharding; the streaming build serves 100M x 128 from one chip."""
+
+    @staticmethod
+    def _source(x, n_chunks):
+        ch = len(x) // n_chunks
+        chunks = [jnp.asarray(x[i * ch:(i + 1) * ch]) for i in range(n_chunks)]
+        return (lambda ci: chunks[ci]), ch
+
+    def test_partitions_every_row_once(self, rng):
+        x = clustered(rng, 8192, 32, centers=16)
+        src, _ = self._source(x, 4)
+        idx = ivf.build_ivf_streaming(
+            src, 4, block_rows=128, n_clusters=8, block_align=4,
+        )
+        ids = np.asarray(idx.block_ids).reshape(-1)
+        live = ids[ids >= 0]
+        assert len(live) == 8192
+        assert len(np.unique(live)) == 8192
+        assert idx.n_blocks % 4 == 0  # block_align honored, not pow2
+
+    def test_recall_matches_device_build(self, rng):
+        x = clustered(rng, 20480, 48, centers=32)
+        q = x[:128]
+        truth = brute(q, x, 10)
+        src, _ = self._source(x, 5)
+        stream = ivf.build_ivf_streaming(
+            src, 5, block_rows=256, n_clusters=16, block_align=8,
+        )
+        dev = ivf.build_ivf_device(
+            jnp.asarray(x), block_rows=256, n_clusters=16,
+            train_sample=4096,
+        )
+        _, ids_s = ivf.ivf_search_batch(stream, jnp.asarray(q), k=10, probe=8)
+        _, ids_d = ivf.ivf_search_batch(dev, jnp.asarray(q), k=10, probe=8)
+        r_s = recall_at_k(np.asarray(ids_s), truth)
+        r_d = recall_at_k(np.asarray(ids_d), truth)
+        assert r_s >= 0.88
+        # fit sample comes from chunk 0 only (iid chunks): small slack
+        assert r_s >= r_d - 0.07
+
+    def test_codes_match_quantize_blocks(self, rng):
+        # the scatter-quantize passes must reproduce quantize_blocks'
+        # residual coding (same cent/scale/codes semantics) block by block
+        x = clustered(rng, 4096, 16, centers=4)
+        src, _ = self._source(x, 2)
+        idx = ivf.build_ivf_streaming(
+            src, 2, block_rows=64, n_clusters=4, block_align=1,
+        )
+        ids = np.asarray(idx.block_ids)
+        codes = np.asarray(idx.blocks_i8)
+        cents = np.asarray(idx.centroids)
+        scale = np.asarray(idx.block_scale)
+        rowsq = np.asarray(idx.row_sq)
+        for b in range(idx.n_blocks):
+            rows = ids[b][ids[b] >= 0]
+            if not len(rows):
+                continue
+            got_rows = x[rows]
+            cent_ref = got_rows.mean(axis=0)
+            np.testing.assert_allclose(cents[b], cent_ref, rtol=2e-5,
+                                       atol=2e-5)
+            resid = got_rows - cent_ref
+            assert scale[b] >= np.abs(resid).max() / 127.0 * 0.999
+            recon = cents[b] + codes[b][ids[b] >= 0].astype(np.float32) \
+                * scale[b]
+            np.testing.assert_allclose(
+                rowsq[b][ids[b] >= 0], (recon * recon).sum(1),
+                rtol=1e-4, atol=1e-3,
+            )
+            # quantization error bounded by scale/2 per component
+            assert np.abs(recon - got_rows).max() <= scale[b] * 0.51

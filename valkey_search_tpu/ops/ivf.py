@@ -246,17 +246,27 @@ def _pow2_at_least(v: int) -> int:
 
 
 def plan_blocks(
-    assign: np.ndarray, order: np.ndarray, block_rows: int
+    assign: np.ndarray, order: np.ndarray, block_rows: int,
+    block_align: int = 0,
 ) -> Tuple[np.ndarray, int, int]:
     """Map each corpus row (in cluster-major ``order``) to its slot in the
     flat [nb_pad * S] block layout. Each cluster occupies ceil(size/S)
-    whole blocks; tails pad with -1 rows. Returns (pos [N], nb, nb_pad)."""
+    whole blocks; tails pad with -1 rows. Returns (pos [N], nb, nb_pad).
+
+    block_align 0 pads the block count to a power of two — that keeps the
+    serve program's shape stable across the product mirror's throttled
+    rebuilds as the corpus grows. Very large one-shot builds pass a small
+    alignment instead: pow2 wastes up to 2x codes HBM (at 100M x 128 that
+    is a 4-17 GiB difference — the whole chip)."""
     s = block_rows
     n_clusters = int(assign.max()) + 1 if len(assign) else 1
     sizes = np.bincount(assign, minlength=n_clusters)
     nblk = -(-sizes // s)  # ceil
     nb = int(nblk.sum())
-    nb_pad = _pow2_at_least(max(nb, 1))
+    if block_align > 0:
+        nb_pad = -(-nb // block_align) * block_align
+    else:
+        nb_pad = _pow2_at_least(max(nb, 1))
     base_blk = np.zeros(n_clusters + 1, np.int64)
     np.cumsum(nblk, out=base_blk[1:])
     cluster_start = np.zeros(n_clusters + 1, np.int64)
@@ -784,6 +794,196 @@ def build_ivf_device(
         blocks_i8=codes,
         block_scale=scale,
         row_sq=row_sq,
+        block_ids=jnp.asarray(ids2),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("s",))
+def _acc_block_means(csum, cnt, xc, dslot, s):
+    blk = dslot // s
+    return csum.at[blk].add(xc), cnt.at[blk].add(1.0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("s",))
+def _acc_block_amax(amax, xc, dslot, cents, s):
+    blk = dslot // s
+    r = jnp.max(jnp.abs(xc - jnp.take(cents, blk, axis=0)), axis=1)
+    return amax.at[blk].max(r)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("s",))
+def _quant_scatter(codes, rowsq, xc, dslot, cents, scale, s):
+    blk = dslot // s
+    c = jnp.take(cents, blk, axis=0)
+    sc = jnp.take(scale, blk)[:, None]
+    q8 = jnp.clip(jnp.round((xc - c) / sc), -127, 127).astype(jnp.int8)
+    recon = c + q8.astype(jnp.float32) * sc
+    # reconstruction norm, not row norm — see quantize_blocks
+    return (
+        codes.at[dslot].set(q8),
+        rowsq.at[dslot].set(jnp.sum(recon * recon, axis=1)),
+    )
+
+
+def build_ivf_streaming(
+    chunk_source: Callable[[int], jnp.ndarray],
+    n_chunks: int,
+    *,
+    block_rows: int = 1024,
+    n_clusters: int = 0,
+    kmeans_iters: int = 12,
+    train_sample: int = 0,
+    seed: int = 0x1BF,
+    sub_rows: int = 262144,
+    block_align: int = 1024,
+) -> IvfDeviceIndex:
+    """Build an IvfDeviceIndex from a CHUNK SOURCE, never holding the fp32
+    corpus anywhere — not on the host, not in HBM.
+
+    ``chunk_source(ci)`` returns chunk ci as a device [chunk_rows, d] f32
+    array and must be deterministic per ci: the build reads the corpus in
+    three streaming passes (assign, block means + residual max, quantize +
+    scatter), regenerating/re-reading each chunk instead of storing it.
+    That is what makes 100M x 128 on a 16 GiB chip possible at all: the
+    fp32 corpus is 51 GiB, but the build's residency is just the final
+    int8 block store (~12.9 GiB) plus one chunk of f32 (the reference's
+    answer at this scale is horizontal sharding only — hnswlib holds every
+    fp32 vector resident, hnswalg.h addPoint; here one chip serves it).
+
+    Same partition quality tier as build_ivf_device (sample-fit level 2):
+    the k-means sample comes from chunk 0 — chunks must be iid-equivalent
+    (true for generated corpora and shuffled datasets; shard-ordered real
+    datasets should pass a shuffled reader).
+
+    Scatter passes run donated (in-place) device updates keyed by the
+    host-planned slot of each row; per-chunk HBM transient is one f32
+    chunk + gather/round temps, bounded by ``sub_rows`` sub-slices.
+    block_align pads the block count to a multiple (NOT pow2 — at 100M
+    pow2 padding would waste 4+ GiB of codes, see plan_blocks).
+    """
+    probe = chunk_source(0)
+    ch, d = probe.shape
+    s = int(block_rows)
+    n = n_chunks * ch
+    if n_clusters <= 0:
+        n_clusters = int(np.clip(n // (s * 8), 8, 4096))
+    n_clusters = min(n_clusters, max(1, n))
+    if train_sample <= 0:
+        train_sample = int(np.clip(256 * n_clusters, 131072, 1_048_576))
+    train_sample = min(train_sample, ch)
+    # one bounded pull: the fit sample (needed host-side for the cluster
+    # tables + principal axis; <=512 MB at the 1M cap)
+    sample_h = np.asarray(probe[:train_sample], np.float32)
+
+    cent1 = kmeans_fit(
+        jnp.asarray(sample_h), n_clusters, iters=kmeans_iters, seed=seed
+    )
+    a1s = assign_clusters(sample_h, cent1,
+                          chunk_rows=min(max(len(sample_h), 1), 262144))
+    sizes_s = np.bincount(a1s, minlength=n_clusters)
+    r_max = _pow2_at_least(min(4096, max(int(sizes_s.max()), 1)))
+    while n_clusters * r_max * d * 4 > (768 << 20) and r_max > 256:
+        r_max //= 2  # same fit-table HBM cap as build_ivf_device
+    tables, valid, _ = _cluster_row_tables(sample_h, a1s, n_clusters, r_max)
+    est = sizes_s * (n / max(1, len(sample_h)))
+    c2 = np.maximum(1, -(-est.astype(np.int64) // s))
+    c2 = np.minimum(c2, np.maximum(sizes_s, 1))
+    c2max = int(_pow2_at_least(int(c2.max())))
+    cents2 = np.array(
+        kmeans_fit_batched(
+            jnp.asarray(tables), jnp.asarray(valid), c2max,
+            iters=max(4, kmeans_iters // 2), seed=seed,
+        )
+    )
+    thin = sizes_s < 2
+    cents2[thin, 0] = np.asarray(cent1)[thin]
+    c2_valid = np.arange(c2max)[None, :] < c2[:, None]
+    cents2_d, c2v_d = jnp.asarray(cents2), jnp.asarray(c2_valid)
+    pc1_d = jnp.asarray(principal_axis(sample_h))
+    tables = valid = None
+
+    # ---- pass 1: assignment + projection, chunk by chunk -------------------
+    chunk_sub = int(np.clip((3 << 28) // max(1, c2max * d), 16384, sub_rows))
+    chunk_sub = 1 << (chunk_sub.bit_length() - 1)
+    chunk_sub = min(chunk_sub, ch)
+    assign64 = np.empty(n, np.int64)
+    proj = np.empty(n, np.float32)
+    for ci in range(n_chunks):
+        xc = probe if ci == 0 else chunk_source(ci)
+        starts = [min(st, ch - chunk_sub) for st in range(0, ch, chunk_sub)]
+        outs = [
+            _assign_proj_at(xc, st, cent1, cents2_d, c2v_d, pc1_d,
+                            chunk_sub, c2max)
+            for st in starts
+        ]
+        o = np.asarray(jnp.stack(outs))  # one pull per chunk
+        base = ci * ch
+        for st, start, oo in zip(range(0, ch, chunk_sub), starts, o):
+            off = st - start
+            en = min(st + chunk_sub, ch)
+            assign64[base + st:base + en] = oo[0, off:off + en - st].astype(
+                np.int64)
+            proj[base + st:base + en] = oo[1, off:off + en - st]
+        xc = outs = o = None
+    probe = None
+    _, dense = np.unique(assign64, return_inverse=True)
+    assign = dense.astype(np.int32)
+    assign64 = dense = None
+
+    # ---- layout plan (host int work) ---------------------------------------
+    order = np.lexsort((proj, assign))
+    pos, _nb, nb_pad = plan_blocks(assign, order, s, block_align=block_align)
+    dst = np.empty(n, np.int64)
+    dst[order] = pos                      # row -> slot in [nb_pad * s]
+    ids_flat = np.full(nb_pad * s, -1, np.int64)
+    ids_flat[pos] = order                 # slot -> row id (identity ids)
+    proj = assign = order = pos = None
+
+    def _dst_dev(ci):
+        return jnp.asarray(dst[ci * ch:(ci + 1) * ch].astype(np.int32))
+
+    # ---- pass 2: block means, then residual amax (scatter reductions) ------
+    csum = jnp.zeros((nb_pad, d), jnp.float32)
+    cnt = jnp.zeros((nb_pad,), jnp.float32)
+    for ci in range(n_chunks):
+        csum, cnt = _acc_block_means(
+            csum, cnt, chunk_source(ci), _dst_dev(ci), s)
+    cents = csum / jnp.maximum(cnt, 1.0)[:, None]
+    csum = None
+    amax = jnp.zeros((nb_pad,), jnp.float32)
+    for ci in range(n_chunks):
+        amax = _acc_block_amax(amax, chunk_source(ci), _dst_dev(ci), cents, s)
+    scale = (jnp.maximum(amax, 1e-30) / 127.0).astype(jnp.float32)
+    amax = None
+
+    # ---- pass 3: quantize + scatter into the donated block store -----------
+    qsub = ch
+    while qsub * d * 4 * 4 > (1 << 30) and qsub % 2 == 0:
+        qsub //= 2  # bound the per-step gather/round temps: at 100M the
+        # donated block store alone is ~13 GiB, so the whole pass must
+        # fit in the ~3 GiB that remain
+    codes = jnp.zeros((nb_pad * s, d), jnp.int8)
+    rowsq = jnp.zeros((nb_pad * s,), jnp.float32)
+    for ci in range(n_chunks):
+        xc = chunk_source(ci)
+        dslot = _dst_dev(ci)
+        for st in range(0, ch, qsub):
+            m = min(qsub, ch - st)
+            codes, rowsq = _quant_scatter(
+                codes, rowsq,
+                jax.lax.dynamic_slice_in_dim(xc, st, m),
+                jax.lax.dynamic_slice_in_dim(dslot, st, m),
+                cents, scale, s)
+        xc = dslot = None
+
+    ids2 = ids_flat.reshape(nb_pad, s).astype(np.int32)
+    return IvfDeviceIndex(
+        centroids=cents,
+        cent_sq=jnp.sum(cents * cents, axis=1),
+        block_valid=jnp.asarray((ids2 >= 0).any(axis=1)),
+        blocks_i8=codes.reshape(nb_pad, s, d),
+        block_scale=scale,
+        row_sq=rowsq.reshape(nb_pad, s),
         block_ids=jnp.asarray(ids2),
     )
 

@@ -205,14 +205,22 @@ def flat_topk_fused(
     positive = metric == "l2"
     use_i8 = corpus_i8 is not None
     if coarse_factor is None:
-        # swept on clustered byte data (B=65536, k=10): 1M — bf16 cf3 =
-        # 248k qps on-chip @ recall ~0.995, int8 cf5/span4 = 274k @
-        # 0.9965; 10M int8 — cf5 = 0.9938, cf8 = 0.9996 at ~17% QPS cost
-        # (the survivor pool spans more blocks, so per-block over-
-        # retrieval must rise to keep the merged top-k covered). Packed
-        # survivors keep selection + rescore cheap either way.
+        # swept on clustered byte data (B=65536, k=10, device-completion
+        # timing — scripts/mfu_sweep.py r4): 1M int8 span8 — cf5 462.7k
+        # qps @0.9930, cf4 513.7k @0.9922, cf3 534.3k @0.9875 (below the
+        # 0.99 floor), cf6 441.5k @0.9930 (recall survivor-limited: extra
+        # rescore buys nothing) → cf4 is the frontier point at >=0.99.
+        # 10M int8 — cf5 = 0.9938, cf8 = 0.9996 at ~17% QPS cost (the
+        # survivor pool spans more blocks, so per-block over-retrieval
+        # must rise to keep the merged top-k covered). bf16 path: cf3 =
+        # 125k qps @0.9973 at 1M (measured r4).
         if use_i8:
-            coarse_factor = 8 if cap >= 4_000_000 else 5
+            if cap >= 4_000_000:
+                coarse_factor = 8
+            elif cap >= 1_048_576:
+                coarse_factor = 4
+            else:
+                coarse_factor = 5
         else:
             coarse_factor = 3
     kc = min(coarse_factor * k, cap)
@@ -234,9 +242,19 @@ def flat_topk_fused(
             # the coarse kernel is ~equal (583k vs 575k qps) while the
             # survivor top-k is 184ms at span=1 (7936 cols) vs 99ms at
             # span=4 (2048 cols); end-to-end span=1/cf=5 = 177k qps
-            # @0.9984 vs span=4/cf=5 = 271k @0.9938. span=4 once the
-            # span=1 survivor width would exceed ~4k columns.
-            span = 4 if cap >= 524_288 else 1
+            # @0.9984 vs span=4/cf=5 = 271k @0.9938. The device-completion
+            # sweep (scripts/mfu_sweep.py r4) pushed further: span=8 at 1M
+            # is 462.7k @0.9930 (cf5) / 513.7k @0.9922 (cf4) vs span=4's
+            # 401.7k @0.9965 — but span=16 (512 survivor cols at 1M)
+            # drops to 0.9844, below the 0.99 floor. So: span 8 while the
+            # survivor width stays >= ~1k columns, 4 down to ~1k at
+            # span 4, 1 below that.
+            if cap >= 1_048_576:
+                span = 8
+            elif cap >= 524_288:
+                span = 4
+            else:
+                span = 1
         quantum = ps.GROUP * span
     else:
         span = 1
