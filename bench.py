@@ -1081,7 +1081,9 @@ def main():
                 and budget_s - (time.perf_counter() - t_start) > t_100m_need):
             from valkey_search_tpu.ops import ivf as ivf_ops
 
-            HCH = 20 * 65536  # 1,310,720-row generator chunks
+            HCH = 10 * 65536  # 655,360-row generator chunks (~0.34 GiB
+            # f32 each: pass-3 peak = the ~13.3 GiB donated block store
+            # + one chunk + quantize temps on a 15.75 GiB chip)
             HN = int(os.environ.get("VSTPU_BENCH_100M_N", "100000000"))
             n_ch100 = max(1, -(-HN // HCH))
             HN = n_ch100 * HCH  # 100,925,440 at the default
@@ -1103,6 +1105,7 @@ def main():
             t0 = time.perf_counter()
             iv = ivf_ops.build_ivf_streaming(
                 _chunk100, n_ch100, block_rows=1024, block_align=1024,
+                log_fn=log,
             )
             ivf100_build_s = time.perf_counter() - t0
             log(f"100M IVF build: {ivf100_build_s:.0f}s, "
@@ -1142,7 +1145,9 @@ def main():
                 for b in range(n_gt_h100)
             ]
             log("100M exact ground truth done")
-            HB = 1024
+            # serve batch 512: stage-1 dots + probe gathers next to the
+            # ~13.3 GiB block store must fit the 15.75 GiB HBM limit
+            HB = 512
             hq = jnp.asarray(queries[:HB])
             sweep100 = {}
             for probe in (32, 64, 128):

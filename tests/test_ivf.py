@@ -213,9 +213,9 @@ class TestEngineRouting:
     def _reset(self):
         from valkey_search_tpu.runtime import config
 
-        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-threshold", 6_000_000)
         config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 64)
+        config.set_config("search.ivf-probe", 8)
 
     def test_flat_routes_and_recalls(self, rng):
         from valkey_search_tpu.indexes.flat import FlatVectorIndex
@@ -387,9 +387,9 @@ def test_hnsw_ef_runtime_raises_probe(rng, monkeypatch):
         idx.search_batch(x[:2], 3, ef=100)
         assert seen["probe"] == 2  # covered by the floor already
     finally:
-        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-threshold", 6_000_000)
         config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 64)
+        config.set_config("search.ivf-probe", 8)
 
 
 def test_filtered_searches_bypass_ivf(rng):
@@ -419,9 +419,9 @@ def test_filtered_searches_bypass_ivf(rng):
         live = ids[ids >= 0]
         assert len(live) and np.isin(live, allowed).all()
     finally:
-        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-threshold", 6_000_000)
         config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 64)
+        config.set_config("search.ivf-probe", 8)
 
 
 def test_ivf_delta_overlay_read_your_writes(rng):
@@ -453,9 +453,9 @@ def test_ivf_delta_overlay_read_your_writes(rng):
         assert idx.interner.key_of(int(ids[0, 0])) != "fresh"
         assert STATS.get("ivf_mirror_builds") == builds
     finally:
-        config.set_config("search.ivf-threshold", 4_000_000)
+        config.set_config("search.ivf-threshold", 6_000_000)
         config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 64)
+        config.set_config("search.ivf-probe", 8)
 
 
 class TestDeviceBuild:

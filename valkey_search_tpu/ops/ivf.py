@@ -115,6 +115,11 @@ def kmeans_fit(
     pow2 shapes and reuse one compiled program. Returns [n_clusters, d]
     f32."""
     n = x.shape[0]
+    # bound the per-iteration [rows, k] dots/one-hot working set: an
+    # unchunked body at n=1M, k=4096 allocates a 17 GB f32 dots matrix
+    # (the r4 100M streaming build's OOM). Rows are processed in
+    # lax.scan sub-chunks with running (sums, cnt) accumulators.
+    chunk = max(1, min(n, (1 << 27) // max(1, n_clusters)))
     x = x.astype(jnp.float32)
     key = jax.random.PRNGKey(seed)
     if valid is None:
@@ -124,20 +129,42 @@ def kmeans_fit(
         u = jax.random.uniform(key, (n,)) + jnp.where(valid, 0.0, 1e9)
         perm = jnp.argsort(u)
     cent0 = jnp.take(x, perm[:n_clusters], axis=0)
-    xbf = x.astype(jnp.bfloat16)
     w = (
         jnp.ones((n, 1), jnp.float32)
         if valid is None
         else valid.astype(jnp.float32)[:, None]
     )
-    xw = x * w
+    pad = -n % chunk
+    if pad:  # padded rows carry w=0: they join no cluster update
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+    d = x.shape[1]
+    n_ch = (n + pad) // chunk
+    xbf3 = x.astype(jnp.bfloat16).reshape(n_ch, chunk, d)
+    xw3 = (x * w).reshape(n_ch, chunk, d)
+    w3 = w.reshape(n_ch, chunk, 1)
 
     def body(cent, _):
         csq = jnp.sum(cent * cent, axis=1)
-        dots = (xbf @ cent.T.astype(jnp.bfloat16)).astype(jnp.float32)
-        a = jnp.argmin(csq[None, :] - 2.0 * dots, axis=1)
-        sums = jax.ops.segment_sum(xw, a, num_segments=n_clusters)
-        cnt = jax.ops.segment_sum(w, a, num_segments=n_clusters)
+        centbf = cent.T.astype(jnp.bfloat16)
+
+        def cstep(carry, xs):
+            sums_c, cnt_c = carry
+            xbf_c, xw_c, w_c = xs
+            dots = (xbf_c @ centbf).astype(jnp.float32)
+            a = jnp.argmin(csq[None, :] - 2.0 * dots, axis=1)
+            sums_c += jax.ops.segment_sum(xw_c, a, num_segments=n_clusters)
+            cnt_c += jax.ops.segment_sum(w_c, a, num_segments=n_clusters)
+            return (sums_c, cnt_c), None
+
+        (sums, cnt), _ = jax.lax.scan(
+            cstep,
+            (
+                jnp.zeros((n_clusters, d), jnp.float32),
+                jnp.zeros((n_clusters, 1), jnp.float32),
+            ),
+            (xbf3, xw3, w3),
+        )
         return jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), cent), None
 
     cent, _ = jax.lax.scan(body, cent0, None, length=iters)
@@ -213,6 +240,11 @@ def assign_clusters(
     """Chunked nearest-centroid assignment (host loop, device matmuls).
     ``chunks`` is either the full [N, d] array or an iterable of row
     chunks. Last chunk is padded so program shapes stay stable."""
+    # bound the [chunk, k] f32 dots to ~512 MB — at k=4096 an unbounded
+    # 262144-row chunk is a 4.3 GB temp (100M-build OOM stack, r4)
+    chunk_rows = max(
+        1024, min(chunk_rows, (1 << 27) // max(1, int(cent.shape[0])))
+    )
     if isinstance(chunks, np.ndarray):
         n = chunks.shape[0]
         it = (
@@ -836,6 +868,7 @@ def build_ivf_streaming(
     seed: int = 0x1BF,
     sub_rows: int = 262144,
     block_align: int = 1024,
+    log_fn: Optional[Callable[[str], None]] = None,
 ) -> IvfDeviceIndex:
     """Build an IvfDeviceIndex from a CHUNK SOURCE, never holding the fp32
     corpus anywhere — not on the host, not in HBM.
@@ -861,6 +894,10 @@ def build_ivf_streaming(
     block_align pads the block count to a multiple (NOT pow2 — at 100M
     pow2 padding would waste 4+ GiB of codes, see plan_blocks).
     """
+    def _log(msg):
+        if log_fn is not None:
+            log_fn(f"ivf-streaming: {msg}")
+
     probe = chunk_source(0)
     ch, d = probe.shape
     s = int(block_rows)
@@ -874,6 +911,7 @@ def build_ivf_streaming(
     # one bounded pull: the fit sample (needed host-side for the cluster
     # tables + principal axis; <=512 MB at the 1M cap)
     sample_h = np.asarray(probe[:train_sample], np.float32)
+    _log(f"fit: {train_sample} sample rows, {n_clusters} clusters")
 
     cent1 = kmeans_fit(
         jnp.asarray(sample_h), n_clusters, iters=kmeans_iters, seed=seed
@@ -902,8 +940,14 @@ def build_ivf_streaming(
     pc1_d = jnp.asarray(principal_axis(sample_h))
     tables = valid = None
 
+    _log("fit done; pass 1 (assign)")
     # ---- pass 1: assignment + projection, chunk by chunk -------------------
-    chunk_sub = int(np.clip((3 << 28) // max(1, c2max * d), 16384, sub_rows))
+    # two working sets bound the sub-chunk: the [rows, c2max, d] level-2
+    # gather and the [rows, n_clusters] level-1 dots (0.5 GB each)
+    chunk_sub = int(np.clip(
+        min((3 << 28) // max(1, c2max * d),
+            (1 << 27) // max(1, n_clusters)),
+        16384, sub_rows))
     chunk_sub = 1 << (chunk_sub.bit_length() - 1)
     chunk_sub = min(chunk_sub, ch)
     assign64 = np.empty(n, np.int64)
@@ -926,35 +970,60 @@ def build_ivf_streaming(
             proj[base + st:base + en] = oo[1, off:off + en - st]
         xc = outs = o = None
     probe = None
-    _, dense = np.unique(assign64, return_inverse=True)
-    assign = dense.astype(np.int32)
-    assign64 = dense = None
+    _, cell = np.unique(assign64, return_inverse=True)
+    cell = cell.astype(np.int32)
+    _, l1 = np.unique(assign64 // c2max, return_inverse=True)
+    l1 = l1.astype(np.int32)
+    assign64 = None
 
     # ---- layout plan (host int work) ---------------------------------------
-    order = np.lexsort((proj, assign))
-    pos, _nb, nb_pad = plan_blocks(assign, order, s, block_align=block_align)
+    # rows are ordered cell-major (L2 within L1, principal-axis within a
+    # cell) but blocks pad only at L1-cluster boundaries: per-CELL padding
+    # at ~1-block cell sizes wasted 38% of the block store (161,792 vs
+    # ~98,560 blocks at ~100M — 21 GB of codes on a 15.75 GB chip, the r4
+    # OOM). A block may straddle adjacent cells of one cluster; its
+    # centroid/scale are computed from its actual members, so the cost is
+    # a slightly larger residual range in straddle blocks — absorbed by
+    # the rescore tier and measured honestly by the no-rescore sweep.
+    _log("pass 1 done; layout plan")
+    order = np.lexsort((proj, cell))
+    pos, _nb, nb_pad = plan_blocks(l1, order, s, block_align=block_align)
+    _log(f"layout: {_nb} blocks, padded {nb_pad} "
+         f"({nb_pad * s * d / 2**30:.1f} GiB codes)")
+    cell = l1 = None
     dst = np.empty(n, np.int64)
     dst[order] = pos                      # row -> slot in [nb_pad * s]
     ids_flat = np.full(nb_pad * s, -1, np.int64)
     ids_flat[pos] = order                 # slot -> row id (identity ids)
-    proj = assign = order = pos = None
+    proj = order = pos = None
 
     def _dst_dev(ci):
         return jnp.asarray(dst[ci * ch:(ci + 1) * ch].astype(np.int32))
 
     # ---- pass 2: block means, then residual amax (scatter reductions) ------
+    # Two axon-tunnel rules shape these loops (measured r4):
+    #  * per-chunk SYNC (a 1-element fetch) — async dispatch with no sync
+    #    queues every pending chunk's 0.5-1.3 GiB gen buffer at once
+    #    (~52 GiB at 77 chunks: the r4 run-3 RESOURCE_EXHAUSTED);
+    #  * device buffers are created by JITTED fills — a plain jnp.zeros
+    #    materializes host-side and ships through the 8-170 MB/s tunnel
+    #    (10 GiB measured at 94.7s; the jitted fill is 0.05s warm).
     csum = jnp.zeros((nb_pad, d), jnp.float32)
     cnt = jnp.zeros((nb_pad,), jnp.float32)
     for ci in range(n_chunks):
         csum, cnt = _acc_block_means(
             csum, cnt, chunk_source(ci), _dst_dev(ci), s)
+        np.asarray(cnt[0])  # sync: bound the queued-chunk footprint
     cents = csum / jnp.maximum(cnt, 1.0)[:, None]
     csum = None
+    _log("pass 2a (means) done")
     amax = jnp.zeros((nb_pad,), jnp.float32)
     for ci in range(n_chunks):
         amax = _acc_block_amax(amax, chunk_source(ci), _dst_dev(ci), cents, s)
+        np.asarray(amax[0])  # sync
     scale = (jnp.maximum(amax, 1e-30) / 127.0).astype(jnp.float32)
     amax = None
+    _log("pass 2b (residual max) done")
 
     # ---- pass 3: quantize + scatter into the donated block store -----------
     qsub = ch
@@ -962,8 +1031,11 @@ def build_ivf_streaming(
         qsub //= 2  # bound the per-step gather/round temps: at 100M the
         # donated block store alone is ~13 GiB, so the whole pass must
         # fit in the ~3 GiB that remain
-    codes = jnp.zeros((nb_pad * s, d), jnp.int8)
-    rowsq = jnp.zeros((nb_pad * s,), jnp.float32)
+    nslot = nb_pad * s
+    codes = jax.jit(
+        lambda: jnp.zeros((nslot, d), jnp.int8)
+    )()  # on-device fill — see tunnel rules above
+    rowsq = jax.jit(lambda: jnp.zeros((nslot,), jnp.float32))()
     for ci in range(n_chunks):
         xc = chunk_source(ci)
         dslot = _dst_dev(ci)
@@ -974,8 +1046,12 @@ def build_ivf_streaming(
                 jax.lax.dynamic_slice_in_dim(xc, st, m),
                 jax.lax.dynamic_slice_in_dim(dslot, st, m),
                 cents, scale, s)
+        np.asarray(rowsq[0])  # sync
         xc = dslot = None
+        if ci % 16 == 15:
+            _log(f"pass 3 (quantize+scatter): chunk {ci + 1}/{n_chunks}")
 
+    _log("pass 3 done; uploading block ids")
     ids2 = ids_flat.reshape(nb_pad, s).astype(np.int32)
     return IvfDeviceIndex(
         centroids=cents,

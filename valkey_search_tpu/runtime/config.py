@@ -257,14 +257,22 @@ _bool("search.bgsave-fork", True)
 # residual-quantized block index instead of the O(N) exact scan — the
 # sub-linear regime the reference gets from hnswlib graph walks, built
 # from MXU matmuls + contiguous block gathers instead. 0 disables.
-_num("search.ivf-threshold", 4_000_000, 0, 1 << 40)
+# Threshold MEASURED on-chip (scripts/crossover.py r4, B=16384, 128d
+# clustered bytes, recall@10 >= 0.99 both paths): the fused scan is
+# O(N) at ~517k/N[M] qps (399k/253k/129k at 1M/2M/4M) while rescored
+# IVF holds ~83-85k qps at probe=8 independent of N — they cross at
+# ~6.2M rows. Below it the scan strictly dominates.
+_num("search.ivf-threshold", 6_000_000, 0, 1 << 40)
 # rows per IVF block: the gather/scoring tile. 1024 x 128d int8 = 128KB
 # per tile — the contiguous-read shape HBM likes.
 _num("search.ivf-block-rows", 1024, 128, 65536)
 # blocks probed per query — the recall/throughput dial (IVF analog of
-# ef_runtime; swept in bench.py: 64 holds recall@10 >= 0.99 on clustered
-# 100M-shape corpora at ~1/1500 of the scan's per-query row traffic)
-_num("search.ivf-probe", 64, 1, 65536)
+# ef_runtime, EF_RUNTIME maps here). Measured with the exact-rescore
+# path (crossover r4): probe=8 already holds recall@10 0.991-0.998 at
+# 1-4M and ~85k qps; each doubling halves qps (gather-bound) for ~+0.3%
+# recall. Raise for the no-rescore >HBM tier (recall there is the
+# residual quantizer's, ~0.95 at probe 64+).
+_num("search.ivf-probe", 8, 1, 65536)
 # coarse k-means cell count; 0 = auto (~N / (8 * block-rows), refined by
 # a second in-cluster k-means level for oversized cells)
 _num("search.ivf-clusters", 0, 0, 65536)
