@@ -4,24 +4,36 @@ Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
 
 Primary metric (BASELINE.json): QPS/chip at recall@10 ≥ 0.99 on a
-SIFT1M-shaped corpus (1M × 128-d fp32, L2). The engine serves this at
-recall 1.0 with the flat MXU path (blocked matmul + streaming top-k) —
-per the TPU-KNN observation (PAPERS.md), exact brute force at MXU speed
-beats graph traversal at this scale. HNSW numbers (build rate + QPS at
-recall@10) are reported alongside on a subset.
+SIFT1M-shaped corpus (1M × 128-d fp32, L2), served by the fused int8
+Pallas coarse scan + exact fp32 rescore. The baseline denominator is the
+reference engine's own vendored hnswlib measured on this host
+(BASELINE_ref_1m.json — 2,227 qps/core at recall@10 ≥ 0.99).
 
-The baseline is the reference's own algorithm measured on this host's CPU:
-the hnswlib-equivalent exact scan (native bf_topk) and the HNSW graph
-search (native builder), both single-core C++ at -O3 -march=native (this
-container has exactly 1 core; the reference claims linear core scaling, so
-per-core QPS is the honest unit).
+SECTION-ISOLATED ARCHITECTURE (round 5; VERDICT r4 next#2): the TPU chip
+is exclusively held by whichever process first initializes the backend
+(measured: a child matmul wedges >120s while the parent holds buffers),
+and a sticky backend failure in one section used to poison every later
+one (r4: the 10M IVF OOM erased HNSW, cosine AND the 100M attempt). So:
+
+  * the PARENT process never touches the TPU at all — it runs the
+    host-only sections (full-text, CPU baseline), probes the chip
+    out-of-process, and orchestrates;
+  * every device section runs as its own fresh child process
+    (`bench.py --section NAME`), sequentially. A child streams its
+    results incrementally as single-line JSON merges on stdout, so a
+    crash/OOM/timeout mid-section preserves every sub-stage already
+    landed, and the NEXT section starts with a pristine backend;
+  * anything absent gets an explicit `skip_<section>` marker.
 
 Env knobs: VSTPU_BENCH_N (corpus size, default 1_000_000),
-VSTPU_BENCH_QUICK=1 (small corpus, skip HNSW build).
+VSTPU_BENCH_QUICK=1 (small corpus, flat section only),
+VSTPU_BENCH_BUDGET_S (default 2000 — sized to the driver's observed
+~2620s kill window at budget*1.25+120).
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import threading
@@ -30,18 +42,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from valkey_search_tpu.runtime import jaxinit  # noqa: E402
-
-jaxinit.init()
-
-import jax  # noqa: E402
-
-if os.environ.get("VSTPU_BENCH_CPU") == "1":
-    # debug/smoke knob: pin XLA's host platform (the axon sitecustomize
-    # sets jax_platforms to the TPU tunnel, which can hang when wedged —
-    # see docs; the env var alone is not enough because config beats env)
-    jax.config.update("jax_platforms", "cpu")
 
 QUICK = os.environ.get("VSTPU_BENCH_QUICK") == "1"
 N = int(os.environ.get("VSTPU_BENCH_N", "50000" if QUICK else "1000000"))
@@ -52,351 +52,162 @@ K = 10
 # D2H); launches are pipelined so transport overlaps compute. 65536
 # measured ~35% faster than 16384 end-to-end at identical recall.
 BATCH = int(os.environ.get("VSTPU_BENCH_BATCH",
-                            "2048" if QUICK else "65536"))
+                           "2048" if QUICK else "65536"))
 HNSW_N = min(N, int(os.environ.get("VSTPU_BENCH_HNSW_N", str(N))))
-
+N_GT = 64  # fp64 ground-truth queries shared by flat/10M/100M sections
 
 _T0 = time.perf_counter()
+_SECTION = None
+if "--section" in sys.argv:
+    _SECTION = sys.argv[sys.argv.index("--section") + 1]
 
 
 def log(msg):
-    print(f"[bench {time.perf_counter() - _T0:7.1f}s] {msg}",
+    tag = f" {_SECTION}" if _SECTION else ""
+    print(f"[bench{tag} {time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
 
-_EMIT_LOCK = threading.Lock()
-_EMITTED = [False]
+# ---------------------------------------------------------------------------
+# shared corpus recipe (identical in parent and children: seeded)
+# ---------------------------------------------------------------------------
+
+N_CENTERS = 1024
 
 
-def emit_once(obj):
-    """Print the ONE result JSON line exactly once, from whichever path
-    gets there first (normal completion, exception handler, watchdog).
-
-    Round-2 post-mortem (VERDICT r2 weak#1): bench.py:212 touched the
-    device unguarded, the axon backend raised UNAVAILABLE, and the
-    already-computed host sections died with the process because the
-    watchdog only fired on *hangs*. Every exit path now funnels here."""
-    with _EMIT_LOCK:
-        if _EMITTED[0]:
-            return False
-        _EMITTED[0] = True
-    print(json.dumps(obj), flush=True)
-    return True
-
-
-# whatever has accrued when anything goes wrong: populated by main(),
-# flushed by the exception handler in __main__ / the watchdog / normal exit
-_PARTIAL = {
-    "metric": "SIFT1M-shape k-NN QPS/chip at recall@10 >= 0.99",
-    "value": 0.0,
-    "unit": "qps",
-    "vs_baseline": 0.0,
-    "details": {"watchdog": "fired before the headline completed"},
-}
-_STATE = {"state": None}
-
-
-def probe_tpu(timeout_s=None):
-    """Touch the TPU backend in a SUBPROCESS with a hard timeout.
-
-    The axon tunnel has two known failure modes: it *hangs* jax.devices()
-    for hours, or it raises UNAVAILABLE. Either way, first contact from
-    the bench process itself would poison jax's backend cache (a failed
-    backends() is sticky), so we probe out-of-process and only let the
-    main process touch the device when the probe proves it healthy.
-    Returns (ok, detail)."""
-    if timeout_s is None:
-        timeout_s = float(os.environ.get("VSTPU_PROBE_TIMEOUT_S", "150"))
-    code = (
-        "import jax, sys\n"
-        "ds = jax.devices()\n"
-        "import jax.numpy as jnp\n"
-        "x = jnp.ones((128, 128), jnp.bfloat16)\n"
-        "(x @ x).block_until_ready()\n"
-        "print(jax.default_backend(), len(ds))\n"
-    )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        return False, f"probe timed out after {timeout_s:.0f}s (tunnel wedge)"
-    if r.returncode != 0:
-        tail = (r.stderr or r.stdout or "").strip().splitlines()
-        return False, "probe rc=%d: %s" % (r.returncode, tail[-1] if tail else "")
-    return True, r.stdout.strip()
-
-
-def main():
-    from valkey_search_tpu.runtime import config as cfg0
-
-    t_start = time.perf_counter()
-    # 2000s default, sized to the DRIVER's observed kill window (~2100-
-    # 2200s: r3's run died to an external SIGTERM right after its cosine
-    # section — VERDICT r3 weak#1), not to an internal wish list. Section
-    # order matches priority: headline + honest vs_baseline land in the
-    # first ~4 min, the 10M scan + IVF probe sweep (the one unproven
-    # SURVEY axis) before any optional 1M extra; HNSW/cosine follow; 100M
-    # only with >= t_100m_need headroom. Watchdog hard-stop =
-    # budget*1.25+120; the SIGTERM handler emits the partial either way.
-    budget_s = float(os.environ.get("VSTPU_BENCH_BUDGET_S", "2000"))
-
-    # hard watchdog: a hung device (tunnel outage / wedged chip) must
-    # still produce a JSON line — print whatever accrued and exit
-    partial = _PARTIAL
-    state = {"result": partial, "done": False}
-    _STATE["state"] = state
-
-    def _watchdog():
-        deadline = budget_s * 1.25 + 120
-        while time.perf_counter() - t_start < deadline:
-            time.sleep(5)
-            if state["done"]:
-                return
-        log("WATCHDOG: budget exceeded — emitting partial result")
-        emit_once(state["result"])
-        os._exit(2)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-
-    def over_budget(section):
-        if time.perf_counter() - t_start > budget_s:
-            log(f"time budget exceeded - skipping {section}")
-            return True
-        return False
-
-
-    from valkey_search_tpu.indexes.flat import FlatVectorIndex
-    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
-    from valkey_search_tpu.native_lib import cpu_brute_force_topk
-
-    def run_text_section(text_details):
-        """Host-only full-text micro-bench (no device contact): runs
-        BEFORE the first jax.devices() touch so a wedged tunnel still
-        yields real host metrics in the watchdog's partial JSON."""
-        # ---- full-text: ingest + query throughput (reference FTS benchmark
-        # analog, .github/benchmark_configs/fts-benchmarks-arm.json) ----------
-        if not QUICK and not over_budget("text"):
-            from valkey_search_tpu.server import Engine as _Engine
-
-            tycoon = np.random.default_rng(5)
-            vocab = [f"w{i:05d}" for i in range(20000)]
-            zipf = np.minimum(tycoon.zipf(1.3, size=(20000, 12)) - 1, 19999)
-            eng = _Engine()
-            eng.execute("FT.CREATE", "t", "ON", "HASH", "PREFIX", "1", "d:",
-                        "SCHEMA", "body", "TEXT", "tag", "TAG")
-            n_docs = 100_000
-            t0 = time.perf_counter()
-            for i in range(n_docs):
-                words = zipf[i % 20000]
-                eng.hset(f"d:{i}", {
-                    "body": " ".join(vocab[w] for w in words),
-                    "tag": "even" if i % 2 == 0 else "odd",
-                })
-            text_ingest = n_docs / (time.perf_counter() - t0)
-            log(f"text ingest: {text_ingest:.0f} docs/s (12-word docs)")
-
-            def qps_of(queries_list, reps=1):
-                t0 = time.perf_counter()
-                c = 0
-                for _ in range(reps):
-                    for q in queries_list:
-                        eng.ft_search("t", q, "NOCONTENT", "LIMIT", "0", "10")
-                        c += 1
-                return c / (time.perf_counter() - t0)
-
-            terms = [f"@body:{vocab[tycoon.integers(100, 5000)]}"
-                     for _ in range(500)]
-            ands = [f"@body:({vocab[tycoon.integers(100, 2000)]} "
-                    f"{vocab[tycoon.integers(100, 2000)]})" for _ in range(300)]
-            prefixes = [f"@body:w0{tycoon.integers(10, 99)}*"
-                        for _ in range(200)]
-            hybrid_t = [f"(@tag:{{odd}} @body:{vocab[tycoon.integers(100, 2000)]})"
-                        for _ in range(300)]
-            # expansion matchers (VERDICT r3 next#7): the native wide-matcher
-            # path (tix_docs_union_expand) serves suffix/infix/fuzzy —
-            # only prefix was evidenced before. Reference structures:
-            # /root/reference/src/indexes/text/radix_tree.h:14-56.
-            suffixes = [f"@body:*{tycoon.integers(100, 999)}"
-                        for _ in range(200)]  # *123 → w00123, w01123, ...
-            infixes = [f"@body:*0{tycoon.integers(100, 999)}*"
-                       for _ in range(100)]
-            fuzzy1 = [f"@body:%w{tycoon.integers(100, 5000):05d}%"
-                      for _ in range(100)]
-            fuzzy2 = [f"@body:%%w{tycoon.integers(100, 5000):05d}%%"
-                      for _ in range(50)]
-            # adjacent-word phrases drawn from real documents, plus the
-            # same pairs at SLOP 1 / unordered (reference phrase iterators:
-            # SLOP/INORDER postings walks)
-            phrases = []
-            for _ in range(100):
-                di = int(tycoon.integers(0, 20000))
-                w = zipf[di]
-                phrases.append(f'@body:"{vocab[w[3]]} {vocab[w[4]]}"')
-
-            def qps_slop(queries_list, *extra, reps=1):
-                t0 = time.perf_counter()
-                c = 0
-                for _ in range(reps):
-                    for q in queries_list:
-                        eng.ft_search("t", q, *extra,
-                                      "NOCONTENT", "LIMIT", "0", "10")
-                        c += 1
-                return c / (time.perf_counter() - t0)
-
-            r_term = qps_of(terms)
-            r_and = qps_of(ands)
-            r_pref = qps_of(prefixes)
-            r_hyb = qps_of(hybrid_t)
-            r_suf = qps_of(suffixes)
-            r_inf = qps_of(infixes)
-            r_fz1 = qps_of(fuzzy1)
-            r_fz2 = qps_of(fuzzy2)
-            r_phr = qps_of(phrases)
-            r_slop = qps_slop(phrases, "SLOP", "1")
-            log(f"text QPS (1 core): term={r_term:.0f} and={r_and:.0f} "
-                f"prefix={r_pref:.0f} tag+text={r_hyb:.0f} "
-                f"suffix={r_suf:.0f} infix={r_inf:.0f} fuzzy1={r_fz1:.0f} "
-                f"fuzzy2={r_fz2:.0f} phrase={r_phr:.0f} slop1={r_slop:.0f}")
-            # FT.AGGREGATE: GROUPBY+REDUCE over a selective slice and over
-            # the hot-term match set (the reference FTS benchmark's
-            # aggregation mix analog)
-            def agg_qps(q, reps=30):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    eng.ft_aggregate(
-                        "t", q, "LOAD", "1", "@tag",
-                        "GROUPBY", "1", "@tag",
-                        "REDUCE", "COUNT", "0", "AS", "c",
-                    )
-                return reps / (time.perf_counter() - t0)
-
-            # 200 reps: the columnar GROUPBY fast path serves the hot-term
-            # shape at >1k qps — 10 reps measured mostly timer noise
-            r_agg_sel = agg_qps(f"@body:{vocab[3000]}", reps=200)
-            r_agg_hot = agg_qps(f"@body:{vocab[5]}", reps=200)
-            log(f"aggregate QPS (1 core): selective={r_agg_sel:.0f} "
-                f"hot-term={r_agg_hot:.0f}")
-            text_details.update({
-                "text_ingest_docs_per_s": round(text_ingest, 1),
-                "text_term_qps_1core": round(r_term, 1),
-                "text_and_qps_1core": round(r_and, 1),
-                "text_prefix_qps_1core": round(r_pref, 1),
-                "text_hybrid_qps_1core": round(r_hyb, 1),
-                "text_suffix_qps_1core": round(r_suf, 1),
-                "text_infix_qps_1core": round(r_inf, 1),
-                "text_fuzzy1_qps_1core": round(r_fz1, 1),
-                "text_fuzzy2_qps_1core": round(r_fz2, 1),
-                "text_phrase_qps_1core": round(r_phr, 1),
-                "text_phrase_slop1_qps_1core": round(r_slop, 1),
-                "aggregate_selective_qps_1core": round(r_agg_sel, 1),
-                "aggregate_hotterm_qps_1core": round(r_agg_hot, 1),
-            })
-
-
-    run_text_section(partial["details"])
-
+def gen_centers():
     rng = np.random.default_rng(42)
-    log(f"generating corpus N={N} d={D}")
-    # SIFT-like data: byte-valued features with strong cluster structure.
-    # (Real SIFT descriptors are heavily clustered; uniform-random 128-d
-    # data suffers distance concentration that degrades *any* HNSW —
-    # including the reference's hnswlib — far below its published recall.)
-    n_centers = 1024
-    centers = rng.standard_normal((n_centers, D)).astype(np.float32) * 60 + 128
-    assign = rng.integers(0, n_centers, size=N)
+    return rng.standard_normal((N_CENTERS, D)).astype(np.float32) * 60 + 128
+
+
+def gen_corpus_and_queries():
+    """SIFT-like data: byte-valued features with strong cluster structure.
+    (Real SIFT descriptors are heavily clustered; uniform-random 128-d
+    data suffers distance concentration that degrades *any* HNSW —
+    including the reference's hnswlib — far below its published recall.)
+    Identical stream to rounds 1-4 (seed 42) and to the measured
+    reference baseline (scripts/ref_baseline.py)."""
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((N_CENTERS, D)).astype(np.float32) * 60 + 128
+    assign = rng.integers(0, N_CENTERS, size=N)
     corpus = np.clip(
         centers[assign] + rng.standard_normal((N, D)).astype(np.float32) * 20,
         0, 255,
     ).astype(np.float32)
-    q_assign = rng.integers(0, n_centers, size=BATCH)
+    q_assign = rng.integers(0, N_CENTERS, size=BATCH)
     queries = np.clip(
-        centers[q_assign] + rng.standard_normal((BATCH, D)).astype(np.float32) * 20,
+        centers[q_assign]
+        + rng.standard_normal((BATCH, D)).astype(np.float32) * 20,
         0, 255,
     ).astype(np.float32)
+    return centers, corpus, queries
 
-    # ---- CPU baseline: reference-equivalent exact scan --------------------
-    n_cpu = 8 if QUICK else 16
-    t0 = time.perf_counter()
-    for i in range(n_cpu):
-        cpu_brute_force_topk(corpus, queries[i], K)
-    cpu_flat_qps = n_cpu / (time.perf_counter() - t0)
-    log(f"CPU flat (1 core, C++ -O3): {cpu_flat_qps:.2f} qps")
 
-    partial["details"]["cpu_flat_qps_1core"] = round(cpu_flat_qps, 2)
-    # ---- device gate ------------------------------------------------------
-    # Probe the TPU out-of-process (bounded) BEFORE any in-process device
-    # contact. A dead/wedged tunnel downgrades the whole bench to the XLA
-    # host platform instead of crashing: host numbers are weak but real,
-    # and the JSON still lands (VERDICT r2 next#1).
+_SHM = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+_CORPUS_PATH = os.path.join(_SHM, f"vstpu_bench_corpus_{N}.npy")
+_QUERIES_PATH = os.path.join(_SHM, f"vstpu_bench_queries_{N}.npy")
+
+
+def load_shared_corpus():
+    """Children mmap the parent's corpus instead of regenerating (saves
+    ~30-60s of 1-core numpy per child); regenerate if absent."""
+    if os.path.exists(_CORPUS_PATH) and os.path.exists(_QUERIES_PATH):
+        return (gen_centers(),
+                np.load(_CORPUS_PATH, mmap_mode="r"),
+                np.load(_QUERIES_PATH, mmap_mode="r"))
+    return gen_corpus_and_queries()
+
+
+# ---------------------------------------------------------------------------
+# child protocol: one JSON object per stdout line
+#   {"m": {...}}   merge these keys into result["details"]
+#   {"skip": "x"}  the section died; parent records skip_<name>
+#   {"done": 1}    clean completion
+# ---------------------------------------------------------------------------
+
+
+def emit_merge(d):
+    print(json.dumps({"m": d}), flush=True)
+
+
+def emit_skip(reason):
+    print(json.dumps({"skip": str(reason)[:500]}), flush=True)
+
+
+def emit_done():
+    print(json.dumps({"done": 1}), flush=True)
+
+
+def child_jax_init():
+    """Initialize jax inside a section child. The parent has already
+    probed the tunnel out-of-process; a sticky failure here is reported
+    as a skip, not a crash."""
+    from valkey_search_tpu.runtime import jaxinit
+
+    jaxinit.init()
+    import jax
+
     if os.environ.get("VSTPU_BENCH_CPU") == "1":
-        ok, probe_detail = True, "forced cpu (VSTPU_BENCH_CPU=1)"
-    else:
-        ok, probe_detail = probe_tpu()
-        if not ok:
-            log(f"TPU probe failed ({probe_detail}); retrying once in 20s")
-            time.sleep(20)
-            ok, probe_detail = probe_tpu()
-        if not ok:
-            log(f"TPU unavailable ({probe_detail}) — falling back to CPU")
-            jax.config.update("jax_platforms", "cpu")
-            partial["details"]["platform_fallback"] = probe_detail
-    log(f"device probe: {probe_detail}")
-    try:
-        log(f"platform={jax.default_backend()} devices={jax.devices()}")
-    except Exception as exc:  # sticky backend failure despite probe
-        log(f"backend init failed in-process: {exc!r} — emitting host partial")
-        partial["details"]["backend_error"] = f"{type(exc).__name__}: {exc}"
-        state["done"] = True
-        emit_once(partial)
-        return
+        jax.config.update("jax_platforms", "cpu")
+    log(f"platform={jax.default_backend()} devices={jax.devices()}")
+    return jax
 
-    # ---- build flat index (bulk load) -------------------------------------
+
+def fp64_gt(corpus, queries, k):
+    """fp64 ground truth via BLAS matvec (|c|^2 - 2 c·q ordering) — the
+    elementwise form allocates GB-sized temporaries per query."""
+    c64 = np.asarray(corpus, np.float64)
+    c64_sq = np.einsum("ij,ij->i", c64, c64)
+    out = []
+    for q in np.asarray(queries, np.float64):
+        dd = c64_sq - 2.0 * (c64 @ q)  # + |q|^2 constant: same ordering
+        part = np.argpartition(dd, k)[:k]
+        out.append(part[np.argsort(dd[part])])
+    return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# section: flat1m — headline + latency + hybrid + load (device)
+# ---------------------------------------------------------------------------
+
+
+def section_flat1m():
+    jax = child_jax_init()
+    import jax.numpy as jnp
+
+    from valkey_search_tpu.indexes.flat import FlatVectorIndex
+    from valkey_search_tpu.ops import topk as topk_ops
+    from valkey_search_tpu.runtime import config as cfg
+
+    _, corpus, queries = load_shared_corpus()
+    corpus = np.ascontiguousarray(corpus, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+
     # int8 coarse mirror: 2x MXU rate + packed single-int32 survivors
     # (ops/pallas_scan int8 section); exact fp32 rescore keeps the final
     # ordering. Recall measured below against fp64 ground truth.
-    cfg0.set_config(
-        "search.corpus-dtype",
-        os.environ.get("VSTPU_BENCH_DTYPE", "int8"),
-    )
+    cfg.set_config("search.corpus-dtype",
+                   os.environ.get("VSTPU_BENCH_DTYPE", "int8"))
     t0 = time.perf_counter()
     flat = FlatVectorIndex(dim=D, metric="l2")
     flat.bulk_load([f"doc:{i}" for i in range(N)], corpus)
     flat.store.device_snapshot()  # publish (upload) now
     build_flat_s = time.perf_counter() - t0
     log(f"flat bulk_load+upload: {build_flat_s:.2f}s")
+    emit_merge({"flat_build_s": round(build_flat_s, 2),
+                "platform": jax.default_backend()})
 
-    # ---- recall ground truth on a query subset ----------------------------
-    n_gt = 64
-    # fp64 ground truth via BLAS matvec (|c|^2 - 2 c·q ordering) — the
-    # elementwise form allocates GB-sized temporaries per query and spends
-    # minutes in kernel page-zeroing on this box
-    gt_ids = []
-    gt_q = queries[:n_gt].astype(np.float64)
-    c64 = corpus.astype(np.float64)
-    c64_sq = np.einsum("ij,ij->i", c64, c64)
-    for q in gt_q:
-        dd = c64_sq - 2.0 * (c64 @ q)  # + |q|^2 constant: same ordering
-        part = np.argpartition(dd, K)[:K]
-        gt_ids.append(part[np.argsort(dd[part])])
-    gt_ids = np.stack(gt_ids)
-    del c64, c64_sq
+    gt_ids = fp64_gt(corpus, queries[:N_GT], K)
     log("1M fp64 ground truth done")
 
-    # ---- TPU flat QPS (pipelined launches over the device snapshot) -------
-    import jax.numpy as jnp
-
-    from valkey_search_tpu.ops import topk as topk_ops
-    from valkey_search_tpu.runtime import config as cfg
-
-    d, ids = flat.search_batch(queries, K)  # warmup + compile (+ recall data)
+    d, ids = flat.search_batch(queries, K)  # warmup + compile (+ recall)
     log("1M headline warmup/compile done")
     snap = flat.store.device_snapshot()
     reps = 3 if QUICK else 6
     rng2 = np.random.default_rng(7)
     q_batches = [
-        jnp.asarray(queries + rng2.standard_normal(queries.shape).astype(np.float32))
+        jnp.asarray(queries
+                    + rng2.standard_normal(queries.shape).astype(np.float32))
         for _ in range(reps)
     ]
     jax.block_until_ready(q_batches)
@@ -428,22 +239,22 @@ def main():
         return topk_ops.flat_topk(
             qb, snap["vectors"], k=K, metric="l2",
             corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
-            block_rows=blk, precision=str(cfg.get("search.distance-precision")),
+            block_rows=blk,
+            precision=str(cfg.get("search.distance-precision")),
             mode=str(cfg.get("search.topk-mode")),
         )
+
     _ = [np.asarray(x) for x in launch(q_batches[0])]  # shape warm
     # Time to DEVICE completion, not host pull: each [65536, 10] result is
     # ~5 MB, and the dev harness's axon tunnel moves bulk data at anywhere
     # from 8 to 170 MB/s run-to-run — pulling inside the timed loop made
     # the same kernel read 134k qps on a slow-tunnel run vs 273k on a good
-    # one (r4 runs 1/3). A production TPU host reads results over PCIe,
-    # not a tunnel; the pull rate is recorded separately below so tunnel
-    # variance stays visible. The barrier is a ONE-ELEMENT fetch from the
-    # last launch's output (device executes in-order, so its completion
-    # implies all): fixed ~60ms RTT, independent of the bulk rate.
-    # jax.block_until_ready is NOT a usable barrier through axon — it can
-    # return before the computation finishes (a 95ms kernel timed 0.06ms,
-    # scripts/profile_sel.py r4).
+    # one (r4 runs 1/3). A production TPU host reads results over PCIe.
+    # The barrier is a ONE-ELEMENT fetch from the last launch's output
+    # (device executes in-order, so its completion implies all): fixed
+    # ~60ms RTT, independent of the bulk rate. jax.block_until_ready is
+    # NOT a usable barrier through axon — it can return before the
+    # computation finishes (scripts/profile_sel.py r4).
     t0 = time.perf_counter()
     outs = [launch(qb) for qb in q_batches]
     _ = np.asarray(outs[-1][0][0, 0])  # 1-element completion barrier
@@ -452,759 +263,1191 @@ def main():
     pulled = [np.asarray(x) for x in outs[-1]]
     pull_s = time.perf_counter() - t0
     pull_mb = sum(p.nbytes for p in pulled) / 2**20
-    tunnel_pull_mbps = pull_mb / max(pull_s, 1e-9)
     flat_qps = reps * BATCH / flat_elapsed
     flat_recall = float(
         np.mean([
             len(set(ids[b, :K].tolist()) & set(gt_ids[b].tolist())) / K
-            for b in range(n_gt)
+            for b in range(N_GT)
         ])
     )
     log(f"TPU flat: {flat_qps:.0f} qps, recall@10={flat_recall:.4f}")
-
-    result = state["result"] = {
-        "metric": "SIFT1M-shape k-NN QPS/chip at recall@10 >= 0.99",
-        "value": round(flat_qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(flat_qps / max(cpu_flat_qps, 1e-9), 1),
-        "details": {
-            "n": N,
-            "d": D,
-            "k": K,
-            "batch": BATCH,
-            "tpu_flat_qps": round(flat_qps, 1),
-            "tpu_flat_recall_at_10": round(flat_recall, 4),
-            "cpu_flat_qps_1core": round(cpu_flat_qps, 2),
-            "flat_build_s": round(build_flat_s, 2),
-            "platform": jax.default_backend(),
-            "topk_mode": "fused pallas int8 packed coarse scan + exact fp32 rescore",
-            "timing": "to device completion; result pull rate recorded as "
-                      "tunnel_pull_mbps (dev-harness tunnel varies 8-170 MB/s)",
-            "tunnel_pull_mbps": round(tunnel_pull_mbps, 1),
-            "corpus": "sift-like clustered bytes (1024 centers)",
-            # real SIFT1M/GloVe downloads are impossible here (zero
-            # egress — BASELINE.md records the blocker); the synthetic
-            # clustered-byte corpus matches SIFT's shape (byte-valued,
-            # heavily clustered 128-d) and the REFERENCE BASELINE runs
-            # on the identical corpus (scripts/ref_baseline.py, seed 42),
-            # so vs_baseline compares like for like
-            "datasets": "synthetic (network-blocked; same corpus as the "
-                        "measured reference baseline)",
-        },
-    }
-
-    result["details"].update({
-        k: v for k, v in partial["details"].items() if k != "watchdog"
+    emit_merge({
+        "tpu_flat_qps": round(flat_qps, 1),
+        "tpu_flat_recall_at_10": round(flat_recall, 4),
+        "tunnel_pull_mbps": round(pull_mb / max(pull_s, 1e-9), 1),
+        "topk_mode": "fused pallas int8 packed coarse scan + exact fp32 "
+                     "rescore",
+        "timing": "to device completion; result pull rate recorded as "
+                  "tunnel_pull_mbps (dev-harness tunnel varies 8-170 MB/s)",
     })
 
-    # ---- honest headline denominator, applied IMMEDIATELY ------------------
-    # The reference's OWN engine (vendored hnswlib measured by
-    # scripts/ref_baseline.py at recall@10 >= 0.99 — BASELINE.md "Measured
-    # reference-engine numbers"). r3 post-mortem (VERDICT weak#1): this
-    # fixup ran only at the very end, so the driver's SIGTERM shipped a
-    # vs_baseline computed against the in-process CPU scan (5x overstated).
-    # Now the honest ratio is in the result dict the moment the headline
-    # exists; the CPU-HNSW fallback below NEVER overwrites it.
-    ref_qps_99 = None
-    try:
-        ref_json = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BASELINE_ref_1m.json"
-        )
-        if os.path.exists(ref_json):
-            with open(ref_json) as f:
-                ref = json.load(f)
-            cand = [
-                q for q, r in ref.get("sweep", {}).values() if r >= 0.99
-            ]
-            if cand and ref.get("n", 0) >= min(N, 1_000_000):
-                ref_qps_99 = max(cand)
-                result["details"]["ref_hnsw_qps_1core_recall99"] = ref_qps_99
-                result["details"]["baseline_source"] = (
-                    "reference vendored hnswlib, M=16 efC=200 "
-                    "(BASELINE_ref_1m.json)"
+    # ---- latency percentiles (single-query round trips) --------------------
+    lat = []
+    q1 = queries[:1]
+    for i in range(30):
+        t0 = time.perf_counter()
+        flat.search_batch(q1 + np.float32(i), K)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    log(f"single-query latency p50={p50:.1f}ms p99={p99:.1f}ms "
+        f"(incl. ~60ms tunnel RTT)")
+    emit_merge({
+        "single_query_p50_ms": round(p50, 1),
+        "single_query_p99_ms": round(p99, 1),
+        "amortized_us_per_query": round(1e6 / flat_qps, 2),
+    })
+
+    # ---- latency-honest batch sweep (VERDICT r2 next#4) ---------------------
+    # Device-only per-launch service time across realistic serving batches
+    # 1..512, via RTT-cancelled dependent chains: launches are dispatched
+    # asynchronously (no host sync inside the chain), each consuming the
+    # previous output, so wall(chain of N) = RTT + dispatch-fill +
+    # N * service; service = (wall(hi) - wall(lo)) / (hi - lo) cancels the
+    # constant terms. The reference's headline claim is single-digit-ms
+    # latency (README.md:4-5); this is the comparable datum on one chip.
+    def chain_launch(qb0, steps, launch_fn):
+        t0 = time.perf_counter()
+        qv = qb0
+        for _ in range(steps):
+            dd, ii = launch_fn(qv)
+            qv = qv + dd[:, :1] * 0  # device-side serializing dep
+        _ = np.asarray(qv[0, 0])
+        return time.perf_counter() - t0
+
+    def service_ms(bsz, lo=4, hi=24, reps_=3):
+        qb = jnp.asarray(queries[:bsz])
+        if topk_ops.use_fused_scan(snap["vectors"].shape[0], None):
+            def launch_b(qv):
+                return topk_ops.flat_topk_fused(
+                    qv, snap["vectors"], snap.get("vectors_lp"), k=K,
+                    metric="l2", corpus_sq=snap["norms_sq"],
+                    invalid=snap["invalid"],
+                    block_rows=max(blk, snap["vectors"].shape[0]),
+                    corpus_i8=snap.get("vectors_i8"),
+                    i8_scale=snap.get("i8_scale"),
                 )
-                result["vs_baseline"] = round(flat_qps / ref_qps_99, 1)
-    except Exception as exc:
-        log(f"reference-baseline read failed: {exc!r}")
+        else:
+            def launch_b(qv):
+                return topk_ops.flat_topk(
+                    qv, snap["vectors"], k=K, metric="l2",
+                    corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
+                    block_rows=blk,
+                )
 
-    # every section below only ENRICHES result[details]; a failure or
-    # timeout must never lose the headline JSON already assembled
-    try:
-        # ---- latency percentiles (BASELINE: p50 query latency) -----------------
-        # single-query round-trip through the serving path; on this dev
-        # harness the axon tunnel adds ~60ms fixed per round trip, so the
-        # batch-amortized per-query service time is reported alongside
-        lat = []
-        q1 = queries[:1]
-        for i in range(30):
-            t0 = time.perf_counter()
-            d1, i1 = flat.search_batch(q1 + np.float32(i), K)
-            lat.append((time.perf_counter() - t0) * 1000)
-        lat.sort()
-        p50 = lat[len(lat) // 2]
-        p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
-        log(f"single-query latency p50={p50:.1f}ms p99={p99:.1f}ms "
-            f"(incl. ~60ms tunnel RTT); amortized "
-            f"{1e6 / flat_qps:.1f}us/query at batch {BATCH}")
-        result["details"]["single_query_p50_ms"] = round(p50, 1)
-        result["details"]["single_query_p99_ms"] = round(p99, 1)
-        result["details"]["amortized_us_per_query"] = round(1e6 / flat_qps, 2)
+        chain_launch(qb, 2, launch_b)  # warm/compile this shape
+        t_lo = min(chain_launch(qb, lo, launch_b) for _ in range(reps_))
+        t_hi = min(chain_launch(qb, hi, launch_b) for _ in range(reps_))
+        return max((t_hi - t_lo) / (hi - lo) * 1000, 0.0)
 
-        # ---- latency-honest batch sweep (VERDICT r2 next#4) --------------------
-        # Device-only per-launch service time across realistic serving
-        # batches 1..512, via RTT-cancelled dependent chains: launches are
-        # dispatched asynchronously (no host sync inside the chain), each
-        # consuming the previous output, so wall(chain of N) = RTT +
-        # dispatch-fill + N * service. service = (wall(N_hi) - wall(N_lo))
-        # / (N_hi - N_lo) cancels the constant terms. (The r2 version
-        # re-entered the host each step via np.asarray, so it measured the
-        # ~80ms dev-harness tunnel RTT per step and recorded 0 qps at
-        # p50<=10ms — the production serving path never leaves the device
-        # between dependent launches.) The reference's headline claim is
-        # single-digit-ms latency (README.md:4-5); this is the comparable
-        # datum on one chip at 1M x 128.
-        if not over_budget("latency-sweep"):
-            def chain_launch(qb0, steps, launch_fn):
-                t0 = time.perf_counter()
-                qv = qb0
-                for _ in range(steps):
-                    dd, ii = launch_fn(qv)
-                    qv = qv + dd[:, :1] * 0  # device-side serializing dep
-                # 1-element fetch as the completion barrier
-                # (block_until_ready can return early through axon); its
-                # fixed RTT cancels in the hi-lo subtraction below
-                _ = np.asarray(qv[0, 0])
-                return time.perf_counter() - t0
+    sweep_lat = {}
+    for bsz in (1, 8, 64, 512):
+        sweep_lat[str(bsz)] = round(service_ms(bsz), 2)
+    qps_10ms = max(
+        (int(b) / (ms / 1000) for b, ms in sweep_lat.items()
+         if 0 < ms <= 10.0),
+        default=0.0,
+    )
+    log("batch sweep device service ms/launch: " + ", ".join(
+        f"B={b}:{ms}" for b, ms in sweep_lat.items())
+        + f" -> {qps_10ms:.0f} qps at p50<=10ms")
+    emit_merge({
+        "device_batch1_ms": sweep_lat["1"],
+        "batch_service_ms": sweep_lat,
+        "qps_at_p50_le_10ms": round(qps_10ms, 1),
+    })
 
-            def service_ms(bsz, lo=4, hi=24, reps=3):
-                qb = jnp.asarray(queries[:bsz])
-                # per-shape device search on the published snapshot (same
-                # kernel selection as the headline `launch`)
-                if topk_ops.use_fused_scan(snap["vectors"].shape[0], None):
-                    def launch_b(qv):
-                        return topk_ops.flat_topk_fused(
-                            qv, snap["vectors"], snap.get("vectors_lp"), k=K,
-                            metric="l2", corpus_sq=snap["norms_sq"],
-                            invalid=snap["invalid"],
-                            block_rows=max(blk, snap["vectors"].shape[0]),
-                            corpus_i8=snap.get("vectors_i8"),
-                            i8_scale=snap.get("i8_scale"),
-                        )
-                else:
-                    def launch_b(qv):
-                        return topk_ops.flat_topk(
-                            qv, snap["vectors"], k=K, metric="l2",
-                            corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
-                            block_rows=blk,
-                        )
+    # ---- concurrent-load latency distribution (VERDICT r4 next#8) ----------
+    # Open-loop Poisson-ish arrivals through the query batcher (the
+    # serving admission point: every FT.SEARCH KNN rides
+    # query/batcher.py submit -> coalesced device launch -> future). A
+    # small submitter pool keeps arrivals flowing while a leader thread
+    # blocks in its batch window + device call. p50/p99 measured from
+    # admission to reply; on this dev harness each launch carries the
+    # ~60ms axon tunnel RTT (a production host reads over PCIe), so the
+    # device-only floor is batch_service_ms above — both are recorded.
+    if not QUICK:
+        from valkey_search_tpu.query import batcher as batcher_mod
 
-                chain_launch(qb, 2, launch_b)  # warm/compile this shape
-                t_lo = min(chain_launch(qb, lo, launch_b) for _ in range(reps))
-                t_hi = min(chain_launch(qb, hi, launch_b) for _ in range(reps))
-                return max((t_hi - t_lo) / (hi - lo) * 1000, 0.0)
+        def load_point(rate_qps, seconds=3.0, n_threads=8):
+            lats = []
+            lat_lock = threading.Lock()
+            stop_t = time.perf_counter() + seconds
+            submitted = [0]
+            idx_pool = np.random.default_rng(13).integers(
+                0, len(queries), 4096)
 
-            sweep_lat = {}
-            for bsz in (1, 8, 64, 512):
-                sweep_lat[str(bsz)] = round(service_ms(bsz), 2)
-            b1_ms = sweep_lat["1"]
-            log(f"device batch-1 service time: {b1_ms:.2f} ms/query "
-                f"(RTT-cancelled chain)")
-            result["details"]["device_batch1_ms"] = b1_ms
-            qps_10ms = max(
-                (int(b) / (ms / 1000) for b, ms in sweep_lat.items()
-                 if 0 < ms <= 10.0),
-                default=0.0,
-            )
-            log("batch sweep device service ms/launch: " + ", ".join(
-                f"B={b}:{ms}" for b, ms in sweep_lat.items())
-                + f" -> {qps_10ms:.0f} qps at p50<=10ms")
-            result["details"]["batch_service_ms"] = sweep_lat
-            result["details"]["qps_at_p50_le_10ms"] = round(qps_10ms, 1)
+            def on_done(t_sub):
+                def cb(fut):
+                    dt = (time.perf_counter() - t_sub) * 1000
+                    if fut.exception() is None:
+                        with lat_lock:
+                            lats.append(dt)
+                return cb
 
-        # ---- hybrid filter sweep (BASELINE config #4: selectivity 1/10/50%) ----
-        if not QUICK and not over_budget("hybrid"):
-            hybrid = {}
-            rng3 = np.random.default_rng(11)
-            for sel_pct in (1, 10, 50):
-                mask_host = rng3.random(snap["vectors"].shape[0]) < (sel_pct / 100)
-                fmask = jnp.asarray(mask_host)
+            # each submitter drains its share of a global tick schedule
+            per_tick = max(1, int(rate_qps * 0.002))  # 2ms ticks
 
-                def launch_f(qb, fm=fmask):
-                    if topk_ops.use_fused_scan(snap["vectors"].shape[0], fm):
-                        return topk_ops.flat_topk_fused(
-                            qb, snap["vectors"], snap.get("vectors_lp"), k=K,
-                            metric="l2", corpus_sq=snap["norms_sq"],
-                            invalid=snap["invalid"], filter_mask=fm,
-                            block_rows=max(blk, snap["vectors"].shape[0]),
-                            corpus_i8=snap.get("vectors_i8"),
-                            i8_scale=snap.get("i8_scale"),
-                        )
-                    if "vectors_lp" not in snap:
-                        return topk_ops.flat_topk(
-                            qb, snap["vectors"], k=K, metric="l2",
-                            corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
-                            filter_mask=fm, block_rows=blk,
-                        )
-                    return topk_ops.flat_topk_two_stage(
-                        qb, snap["vectors"], snap["vectors_lp"], k=K, metric="l2",
+            def submitter(tid):
+                rng = np.random.default_rng(100 + tid)
+                next_t = time.perf_counter()
+                while True:
+                    now = time.perf_counter()
+                    if now >= stop_t:
+                        return
+                    if now < next_t:
+                        time.sleep(min(next_t - now, 0.002))
+                        continue
+                    next_t += 0.002 * n_threads / 1.0
+                    for _ in range(per_tick):
+                        qi = int(idx_pool[rng.integers(0, 4096)])
+                        t_sub = time.perf_counter()
+                        fut = batcher_mod.submit(flat, queries[qi], K)
+                        fut.add_done_callback(on_done(t_sub))
+                        submitted[0] += 1
+
+            threads = [threading.Thread(target=submitter, args=(t,))
+                       for t in range(n_threads)]
+            t_start = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # drain in-flight futures (bounded)
+            deadline = time.perf_counter() + 30
+            while len(lats) < submitted[0] and time.perf_counter() < deadline:
+                time.sleep(0.05)
+            wall = time.perf_counter() - t_start
+            lats.sort()
+            if not lats:
+                return None
+            return {
+                "offered_qps": rate_qps,
+                "achieved_qps": round(len(lats) / wall, 1),
+                "p50_ms": round(lats[len(lats) // 2], 1),
+                "p99_ms": round(lats[min(len(lats) - 1,
+                                         int(len(lats) * 0.99))], 1),
+            }
+
+        # warm the batcher's shapes (leader path pads to pow2 batches)
+        for _ in range(3):
+            batcher_mod.submit(flat, queries[0], K).result()
+        under_load = {}
+        for rate in (2000, 10000, 50000):
+            pt = load_point(rate)
+            if pt:
+                under_load[str(rate)] = pt
+                log(f"load {rate} qps offered: achieved "
+                    f"{pt['achieved_qps']}, p50 {pt['p50_ms']}ms "
+                    f"p99 {pt['p99_ms']}ms")
+        emit_merge({
+            "latency_under_load": under_load,
+            "latency_under_load_note": (
+                "open-loop through the query batcher (admission->reply); "
+                "each coalesced launch pays the dev harness's ~60ms axon "
+                "tunnel RTT — the device-only service time is "
+                "batch_service_ms"),
+        })
+
+    # ---- hybrid filter sweep (BASELINE config #4: selectivity 1/10/50%) ----
+    if not QUICK:
+        hybrid = {}
+        rng3 = np.random.default_rng(11)
+        for sel_pct in (1, 10, 50):
+            mask_host = rng3.random(snap["vectors"].shape[0]) < (sel_pct / 100)
+            fmask = jnp.asarray(mask_host)
+
+            def launch_f(qb, fm=fmask):
+                if topk_ops.use_fused_scan(snap["vectors"].shape[0], fm):
+                    return topk_ops.flat_topk_fused(
+                        qb, snap["vectors"], snap.get("vectors_lp"), k=K,
+                        metric="l2", corpus_sq=snap["norms_sq"],
+                        invalid=snap["invalid"], filter_mask=fm,
+                        block_rows=max(blk, snap["vectors"].shape[0]),
+                        corpus_i8=snap.get("vectors_i8"),
+                        i8_scale=snap.get("i8_scale"),
+                    )
+                if "vectors_lp" not in snap:
+                    return topk_ops.flat_topk(
+                        qb, snap["vectors"], k=K, metric="l2",
                         corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
                         filter_mask=fm, block_rows=blk,
                     )
-                _ = [np.asarray(x) for x in launch_f(q_batches[0])]
-                t0 = time.perf_counter()
-                outs = [launch_f(qb) for qb in q_batches[:3]]
-                # same timing basis as the headline: 1-element fetch of the
-                # last output as the in-order completion barrier
-                _ = np.asarray(outs[-1][0][0, 0])
-                qps = 3 * BATCH / (time.perf_counter() - t0)
-                hybrid[f"hybrid_{sel_pct}pct_qps"] = round(qps, 1)
-                log(f"hybrid {sel_pct}% selectivity: {qps:.0f} qps")
-            result["details"].update(hybrid)
-
-        # ---- free the 1M flat-scan device buffers ------------------------------
-        # Per-section frees (ADVICE r3 #3: the old end-of-1M hardcoded name
-        # list silently rotted as sections changed). The flat snapshot
-        # (~0.9GB of mirrors) plus the pipelined query batches hold GBs of
-        # HBM; with them alive the 10M upload OOMed (r3 post-mortem:
-        # RESOURCE_EXHAUSTED at 1995s aborted both large-scale sections).
-        snap = launch = q_batches = outs = flat = d = ids = None
-
-        # ---- 10M-scale datum (BASELINE.md #5 shape, single chip) --------------
-        # At this scale the planner's justified choice on one chip is the
-        # fused scan (graph traversal loses: gathers are row-bound and the
-        # AoS mirror would need ~41GB); multi-chip sharding extends linearly
-        # (parallel/mesh.py, validated on the virtual mesh).
-        gt_b = None
-        stage10 = "corpus-gen"
-        iv = vecs10 = i8_10 = norms10 = inv10 = scale10 = outs10 = None
-        if (not QUICK and os.environ.get("VSTPU_BENCH_10M", "1") == "1"
-                and not over_budget("10m")):
-          try:  # a failure here must not abort the sections below
-            det10 = {}  # merged into result only as sub-stages COMPLETE
-            # (ADVICE r3 #2: an aborted section must not leave a
-            # complete-looking half-datum in details)
-            # Round N UP to the scan quantum (span*GROUP = 131072 at the
-            # span=8 default for >=1M corpora) so the kernel never clones
-            # a padded int8 mirror; every row is real and enters GT/recall.
-            BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
-            BN = -(-BN // 131072) * 131072
-            log(f"10M-scale corpus {BN} x {D}, generated ON DEVICE "
-                "(int8 coarse + fp32 rescore)")
-            # The r3/r4 host path (numpy gen + bulk_load + 6.4 GiB upload)
-            # cost 400-600s and scaled with the tunnel's 8-170 MB/s mood —
-            # on the slow r4 run 4 it alone blew the section budget. The
-            # synthetic clustered corpus needs only the 512 KB centers on
-            # device; mirrors (f32/int8/norms) are derived on-chip. Product
-            # ingest is measured at 1M above; this section measures
-            # large-N SERVING, same kernels as FlatVectorIndex.search_batch.
-            t0 = time.perf_counter()
-            cent_d = jnp.asarray(centers)
-
-            def _gen10(k1, k2, m):
-                a = jax.random.randint(k1, (m,), 0, n_centers)
-                z = jax.random.normal(k2, (m, D), dtype=jnp.float32)
-                return jnp.clip(jnp.take(cent_d, a, axis=0) + z * 20, 0, 255)
-
-            _gen10 = jax.jit(_gen10, static_argnames=("m",))
-            keys = jax.random.split(jax.random.PRNGKey(29), 16)
-            GCH = 40 * 65536
-            chunks = [
-                _gen10(keys[2 * ci], keys[2 * ci + 1], min(GCH, BN - st))
-                for ci, st in enumerate(range(0, BN, GCH))
-            ]
-            vecs10 = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-            chunks = None  # ~5 GiB of chunk buffers
-            # int8 mirror: same global max-abs scale recipe as the store
-            scale10 = jnp.max(jnp.abs(vecs10)) / 127.0
-            qch = [
-                jnp.clip(
-                    jnp.round(
-                        jax.lax.dynamic_slice_in_dim(
-                            vecs10, st, min(GCH, BN - st)) / scale10),
-                    -127, 127).astype(jnp.int8)
-                for st in range(0, BN, GCH)
-            ]
-            i8_10 = jnp.concatenate(qch) if len(qch) > 1 else qch[0]
-            qch = None
-            norms10 = jnp.concatenate([
-                jnp.sum(jnp.square(jax.lax.dynamic_slice_in_dim(
-                    vecs10, st, min(GCH, BN - st))), axis=1)
-                for st in range(0, BN, GCH)
-            ])
-            inv10 = jnp.zeros((BN,), bool)
-            _ = np.asarray(norms10[0])  # completion barrier
-            corpus_ready_s = time.perf_counter() - t0
-            log(f"10M corpus + mirrors resident: {corpus_ready_s:.0f}s")
-
-            stage10 = "ground-truth"
-            # exact GT per 1M-row window: iterative argmin extraction (K
-            # passes over the [64, W] score block). XLA's wide lax.top_k
-            # cost 224-531s at [64, 10M] in r4 runs; this is pure VPU
-            # reduce/scatter work and runs in seconds.
-            gtq32 = jnp.asarray(gt_q.astype(np.float32))
-            n_gt_b = int(gtq32.shape[0])
-            GW = min(16 * 65536, BN)
-
-            def _gt_win(vecs, start, gtq):
-                win = jax.lax.dynamic_slice_in_dim(vecs, start, GW)
-                wsq = jnp.sum(win * win, axis=1)
-                dd = wsq[None, :] - 2.0 * jnp.dot(
-                    gtq, win.T, precision=jax.lax.Precision.HIGHEST)
-
-                def body(c, _):
-                    am = jnp.argmin(c, axis=1)
-                    v = jnp.take_along_axis(c, am[:, None], 1)[:, 0]
-                    c = c.at[jnp.arange(c.shape[0]), am].set(jnp.inf)
-                    return c, (v, am)
-
-                _, (v, am) = jax.lax.scan(body, dd, None, length=K)
-                return v.T, am.T  # [n_gt, K] window-local
-
-            _gt_win = jax.jit(_gt_win)
-            gstarts = [min(st, BN - GW) for st in range(0, BN, GW)]
-            gouts = [_gt_win(vecs10, st, gtq32) for st in gstarts]
-            cand_v = np.concatenate([np.asarray(v) for v, _ in gouts], axis=1)
-            cand_i = np.concatenate(
-                [np.asarray(am) + st for (_, am), st in zip(gouts, gstarts)],
-                axis=1)
-            gouts = None
-            gt_b = []
-            for b in range(n_gt_b):
-                # clamped windows overlap: dedupe by row id before ranking
-                _, uniq = np.unique(cand_i[b], return_index=True)
-                order = uniq[np.argsort(cand_v[b][uniq], kind="stable")]
-                gt_b.append(set(cand_i[b][order[:K]].tolist()))
-            stage10 = "scan"
-            log("10M ground truth done; compiling + measuring scan")
-            # 16k query batch: the fused kernel's packed-survivor array is
-            # [B, N/512] int32 — at B=65536 x N=10M that alone is 5.1GB,
-            # which with the 6.4GB corpus mirrors OOMs a 16GB chip
-            bq_d = jnp.asarray(queries[:min(BATCH, 16384)])
-
-            def _launch10():
-                # identical call to FlatVectorIndex.search_batch's fused
-                # path (indexes/flat.py), minus the IVF router (the IVF
-                # story is measured explicitly in the next stage)
-                return topk_ops.flat_topk_fused(
-                    bq_d, vecs10, None, k=K, metric="l2",
-                    corpus_sq=norms10, invalid=inv10, block_rows=BN,
-                    corpus_i8=i8_10, i8_scale=scale10,
+                return topk_ops.flat_topk_two_stage(
+                    qb, snap["vectors"], snap["vectors_lp"], k=K,
+                    metric="l2", corpus_sq=snap["norms_sq"],
+                    invalid=snap["invalid"], filter_mask=fm, block_rows=blk,
                 )
 
-            d10, i10 = _launch10()  # compile + warm
-            ids = np.asarray(i10)
+            _ = [np.asarray(x) for x in launch_f(q_batches[0])]
             t0 = time.perf_counter()
-            outs10 = [_launch10() for _ in range(3)]
-            _ = np.asarray(outs10[-1][0][0, 0])  # completion barrier
-            big_qps = 3 * int(bq_d.shape[0]) / (time.perf_counter() - t0)
-            outs10 = d10 = i10 = None
-            big_recall = float(np.mean([
-                len(set(ids[b, :K].tolist()) & gt_b[b]) / K
-                for b in range(len(gt_b))
-            ]))
-            log(f"10M scan: {big_qps:.0f} qps recall@10={big_recall:.4f} "
-                f"(corpus+mirrors {corpus_ready_s:.0f}s, device-generated)")
-            det10.update({
-                "scan_10m_n": BN,
-                "scan_10m_qps": round(big_qps, 1),
-                "scan_10m_batch": int(bq_d.shape[0]),  # ADVICE r3 #1: the
-                # 10M serving batch differs from the 1M headline BATCH
-                "scan_10m_recall_at_10": round(big_recall, 4),
-                "scan_10m_corpus_ready_s": round(corpus_ready_s, 1),
-                "scan_10m_corpus": "device-generated (host gen + 6.4 GiB "
-                                   "upload cost 400-600s on slow-tunnel "
-                                   "runs; serving kernels identical)",
-            })
-            result["details"].update(det10)  # scan sub-stage complete
+            outs = [launch_f(qb) for qb in q_batches[:3]]
+            _ = np.asarray(outs[-1][0][0, 0])  # completion barrier
+            qps = 3 * BATCH / (time.perf_counter() - t0)
+            hybrid[f"hybrid_{sel_pct}pct_qps"] = round(qps, 1)
+            log(f"hybrid {sel_pct}% selectivity: {qps:.0f} qps")
+        emit_merge(hybrid)
 
-            # ---- IVF sub-linear path on the same 10M corpus ---------------
-            # (ops/ivf.py): probe sweep shows the recall/QPS frontier vs the
-            # O(N) scan above — the planner's justified switch at this scale
-            if (os.environ.get("VSTPU_BENCH_IVF", "1") == "1"
-                    and not over_budget("ivf-10m")):
-                from valkey_search_tpu.ops import ivf as ivf_ops
 
-                stage10 = "ivf-build"
-                # the build reads ONLY the f32 mirror: free the int8 +
-                # norms mirrors (~1.3 GiB) BEFORE building — the r4 run-3
-                # OOM was the batched level-2 kmeans temps landing next to
-                # all 6.4 GiB of mirrors
-                i8_10 = norms10 = inv10 = scale10 = ids = None
-                t0 = time.perf_counter()
-                # device-resident build: the 5 GiB fp32 corpus never
-                # crosses the tunnel at all (the r3 host build streamed it
-                # twice; at the observed 8-170 MB/s that alone is minutes)
-                iv = ivf_ops.build_ivf_device(
-                    vecs10,
-                    block_rows=1024,
-                )
-                ivf_build_s = time.perf_counter() - t0
-                log(f"IVF build 10M: {ivf_build_s:.0f}s "
-                    f"({iv.n_blocks} blocks, "
-                    f"{iv.device_bytes()/2**30:.1f} GiB on device)")
-                stage10 = "ivf-sweep"
-                IB = 4096  # serving batch for the gather-bound stage
-                ivq = jnp.asarray(queries[:IB])
-                ivf_sweep = {}
-                for probe in (16, 32, 64):
-                    # ivf_search_rescored = the engine's routing path: the
-                    # fp32 mirror (kept resident, 5.2 GiB + 1.4 GiB index)
-                    # repairs residual-int8 ordering noise with an exact
-                    # rescore. Reconstruction-only scoring saturates
-                    # recall ~0.95 (measured, scripts/crossover.py r4).
-                    dd, ii = ivf_ops.ivf_search_rescored(
-                        iv, ivq, vecs10, k=K, probe=probe, probe_chunk=4
-                    )  # compile+warm
-                    np.asarray(dd)
-                    t0 = time.perf_counter()
-                    for _ in range(3):
-                        dd, ii = ivf_ops.ivf_search_rescored(
-                            iv, ivq, vecs10, k=K, probe=probe, probe_chunk=4
-                        )
-                    # 1-element fetch as the in-order completion barrier
-                    # (full pulls rode the 8-170 MB/s tunnel inside the
-                    # timed loop; block_until_ready can return early)
-                    _ = np.asarray(dd[0, 0])
-                    q_ivf = 3 * IB / (time.perf_counter() - t0)
-                    ii = np.asarray(ii)
-                    rec = float(np.mean([
-                        len(set(ii[b, :K].tolist()) & gt_b[b]) / K
-                        for b in range(len(gt_b))
-                    ]))
-                    ivf_sweep[str(probe)] = [round(q_ivf, 1), round(rec, 4)]
-                    log(f"IVF 10M probe={probe}: {q_ivf:.0f} qps "
-                        f"recall@10={rec:.4f}")
-                result["details"].update({
-                    "ivf_10m_build_s": round(ivf_build_s, 1),
-                    "ivf_10m_device_gib": round(iv.device_bytes() / 2**30, 2),
-                    "ivf_10m_batch": IB,
-                    "ivf_10m_probe_sweep": ivf_sweep,
-                })
-          except Exception as exc:  # noqa: BLE001 — isolate section failure
-            log(f"10M section aborted at {stage10}: "
-                f"{type(exc).__name__}: {exc}")
-            result["details"]["skip_10m"] = (
-                f"at {stage10}: {type(exc).__name__}: {exc}"
-            )
-          finally:
-            # release EVERY device-holding name whatever the exit path —
-            # r4 run 3 leaked the 6.4 GiB snapshot through the exception
-            # path and the HNSW + cosine sections below then OOM'd too
-            iv = vecs10 = i8_10 = norms10 = inv10 = scale10 = None
-            outs10 = ids = None
+# ---------------------------------------------------------------------------
+# section: big10m — 10M exact scan + 10M IVF probe sweep (device)
+# ---------------------------------------------------------------------------
 
-        # ---- HNSW: north-star config (BASELINE.md #2) -------------------------
-        # Full-corpus graph at the reference defaults M=16 / ef_construction
-        # = 200, recall over >= 1000 queries. Runs AFTER the 10M/IVF story
-        # (VERDICT r4 next#1: the large-N datum is the unproven axis; this
-        # section is the expensive optional one).
-        if not QUICK and HNSW_N > 0 and not over_budget("hnsw"):
-            from valkey_search_tpu.runtime import config as _cfg
 
-            EF_C = int(os.environ.get("VSTPU_BENCH_EFC", "200"))
-            n_gt_h = min(1024, BATCH)
-            log(f"ground truth over {n_gt_h} queries (f32 BLAS, chunked)")
-            gt_q_h = queries[:n_gt_h].astype(np.float32)
-            c32 = corpus  # already f32
-            c32_sq = np.einsum("ij,ij->i", c32, c32)
-            gt_h = np.empty((n_gt_h, K), np.int64)
-            for i0 in range(0, n_gt_h, 128):
-                q_blk = gt_q_h[i0:i0 + 128]
-                dd = c32_sq[None, :] - 2.0 * (q_blk @ c32.T)
-                part = np.argpartition(dd, K, axis=1)[:, :K]
-                rows = np.arange(len(q_blk))[:, None]
-                order = np.argsort(dd[rows, part], axis=1)
-                gt_h[i0:i0 + len(q_blk)] = part[rows, order]
-            gt_sets = [set(g.tolist()) for g in gt_h]
+def section_big10m():
+    jax = child_jax_init()
+    import jax.numpy as jnp
 
-            log(f"building HNSW on {HNSW_N} vectors (M=16, efC={EF_C})")
-            hnsw = HnswVectorIndex(dim=D, m=16, ef_construction=EF_C)
-            t0 = time.perf_counter()
-            hnsw.bulk_load([f"doc:{i}" for i in range(HNSW_N)], corpus[:HNSW_N])
-            hnsw_build_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            hnsw.device_graph()
-            publish_s = time.perf_counter() - t0
-            log(f"HNSW build: {HNSW_N/hnsw_build_s:.0f} vec/s "
-                f"({hnsw_build_s:.1f}s), publish {publish_s:.1f}s")
+    from valkey_search_tpu.ops import topk as topk_ops
 
-            if HNSW_N == N:
-                gt_hs = gt_sets
-            else:
-                sub = corpus[:HNSW_N]
-                sub_sq = np.einsum("ij,ij->i", sub, sub)
-                gt_hs = []
-                for q in gt_q_h:
-                    dd = sub_sq - 2.0 * (sub @ q)
-                    part = np.argpartition(dd, K)[:K]
-                    gt_hs.append(set(part.tolist()))
+    centers = gen_centers()
+    cent_d = jnp.asarray(centers)
+    rng = np.random.default_rng(42)
+    _ = rng  # corpus itself is device-generated below
+    queries = np.ascontiguousarray(load_shared_corpus()[2], np.float32)
+    gt_q = queries[:N_GT].astype(np.float64)
 
-            hq = queries[:1024]
-            # product path: the scan-vs-graph planner serves on-chip corpora
-            # with the MXU exact scan at recall ~1.0
-            d, docs = hnsw.search_batch(hq, K, ef=100)  # warmup/compile
+    # Round N UP to the scan quantum (span*GROUP = 131072 at the span=8
+    # default for >=1M corpora) so the kernel never clones a padded int8
+    # mirror; every row is real and enters GT/recall.
+    BN = int(os.environ.get("VSTPU_BENCH_10M_N", "10000000"))
+    BN = -(-BN // 131072) * 131072
+    log(f"10M-scale corpus {BN} x {D}, generated ON DEVICE "
+        "(int8 coarse + fp32 rescore)")
+    # The r3/r4 host path (numpy gen + bulk_load + 6.4 GiB upload) cost
+    # 400-600s and scaled with the tunnel's 8-170 MB/s mood. The synthetic
+    # clustered corpus needs only the 512 KB centers on device; mirrors
+    # (f32/int8/norms) are derived on-chip. Product ingest is measured at
+    # 1M in flat1m; this section measures large-N SERVING, same kernels as
+    # FlatVectorIndex.search_batch.
+    t0 = time.perf_counter()
+
+    def _gen10(k1, k2, m):
+        a = jax.random.randint(k1, (m,), 0, N_CENTERS)
+        z = jax.random.normal(k2, (m, D), dtype=jnp.float32)
+        return jnp.clip(jnp.take(cent_d, a, axis=0) + z * 20, 0, 255)
+
+    _gen10 = jax.jit(_gen10, static_argnames=("m",))
+    keys = jax.random.split(jax.random.PRNGKey(29), 16)
+    GCH = 40 * 65536
+    chunks = [
+        _gen10(keys[2 * ci], keys[2 * ci + 1], min(GCH, BN - st))
+        for ci, st in enumerate(range(0, BN, GCH))
+    ]
+    vecs10 = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    chunks = None  # ~5 GiB of chunk buffers
+    # int8 mirror: same global max-abs scale recipe as the store
+    scale10 = jnp.max(jnp.abs(vecs10)) / 127.0
+    qch = [
+        jnp.clip(
+            jnp.round(
+                jax.lax.dynamic_slice_in_dim(
+                    vecs10, st, min(GCH, BN - st)) / scale10),
+            -127, 127).astype(jnp.int8)
+        for st in range(0, BN, GCH)
+    ]
+    i8_10 = jnp.concatenate(qch) if len(qch) > 1 else qch[0]
+    qch = None
+    norms10 = jnp.concatenate([
+        jnp.sum(jnp.square(jax.lax.dynamic_slice_in_dim(
+            vecs10, st, min(GCH, BN - st))), axis=1)
+        for st in range(0, BN, GCH)
+    ])
+    inv10 = jnp.zeros((BN,), bool)
+    _ = np.asarray(norms10[0])  # completion barrier
+    corpus_ready_s = time.perf_counter() - t0
+    log(f"10M corpus + mirrors resident: {corpus_ready_s:.0f}s")
+
+    # exact GT per 1M-row window: iterative argmin extraction (K passes
+    # over the [64, W] score block). XLA's wide lax.top_k cost 224-531s at
+    # [64, 10M] in r4 runs; this is pure VPU reduce/scatter work.
+    gtq32 = jnp.asarray(gt_q.astype(np.float32))
+    n_gt_b = int(gtq32.shape[0])
+    GW = min(16 * 65536, BN)
+
+    def _gt_win(vecs, start, gtq):
+        win = jax.lax.dynamic_slice_in_dim(vecs, start, GW)
+        wsq = jnp.sum(win * win, axis=1)
+        dd = wsq[None, :] - 2.0 * jnp.dot(
+            gtq, win.T, precision=jax.lax.Precision.HIGHEST)
+
+        def body(c, _):
+            am = jnp.argmin(c, axis=1)
+            v = jnp.take_along_axis(c, am[:, None], 1)[:, 0]
+            c = c.at[jnp.arange(c.shape[0]), am].set(jnp.inf)
+            return c, (v, am)
+
+        _, (v, am) = jax.lax.scan(body, dd, None, length=K)
+        return v.T, am.T  # [n_gt, K] window-local
+
+    _gt_win = jax.jit(_gt_win)
+    gstarts = [min(st, BN - GW) for st in range(0, BN, GW)]
+    gouts = [_gt_win(vecs10, st, gtq32) for st in gstarts]
+    cand_v = np.concatenate([np.asarray(v) for v, _ in gouts], axis=1)
+    cand_i = np.concatenate(
+        [np.asarray(am) + st for (_, am), st in zip(gouts, gstarts)],
+        axis=1)
+    gouts = None
+    gt_b = []
+    for b in range(n_gt_b):
+        # clamped windows overlap: dedupe by row id before ranking
+        _, uniq = np.unique(cand_i[b], return_index=True)
+        order = uniq[np.argsort(cand_v[b][uniq], kind="stable")]
+        gt_b.append(set(cand_i[b][order[:K]].tolist()))
+    log("10M ground truth done; compiling + measuring scan")
+
+    # ---- exact scan datum ---------------------------------------------------
+    # 16k query batch: the fused kernel's packed-survivor array is
+    # [B, N/512] int32 — at B=65536 x N=10M that alone is 5.1GB
+    bq_d = jnp.asarray(queries[:min(BATCH, 16384)])
+
+    def _launch10():
+        # identical call to FlatVectorIndex.search_batch's fused path
+        # (indexes/flat.py), minus the IVF router (IVF measured next)
+        return topk_ops.flat_topk_fused(
+            bq_d, vecs10, None, k=K, metric="l2",
+            corpus_sq=norms10, invalid=inv10, block_rows=BN,
+            corpus_i8=i8_10, i8_scale=scale10,
+        )
+
+    d10, i10 = _launch10()  # compile + warm
+    ids = np.asarray(i10)
+    t0 = time.perf_counter()
+    outs10 = [_launch10() for _ in range(3)]
+    _ = np.asarray(outs10[-1][0][0, 0])  # completion barrier
+    big_qps = 3 * int(bq_d.shape[0]) / (time.perf_counter() - t0)
+    outs10 = d10 = i10 = None
+    big_recall = float(np.mean([
+        len(set(ids[b, :K].tolist()) & gt_b[b]) / K
+        for b in range(len(gt_b))
+    ]))
+    log(f"10M scan: {big_qps:.0f} qps recall@10={big_recall:.4f}")
+    emit_merge({
+        "scan_10m_n": BN,
+        "scan_10m_qps": round(big_qps, 1),
+        "scan_10m_batch": int(bq_d.shape[0]),
+        "scan_10m_recall_at_10": round(big_recall, 4),
+        "scan_10m_corpus_ready_s": round(corpus_ready_s, 1),
+        "scan_10m_corpus": "device-generated (host gen + 6.4 GiB upload "
+                           "cost 400-600s on slow-tunnel runs; serving "
+                           "kernels identical)",
+    })
+
+    # ---- IVF sub-linear path on the same 10M corpus -------------------------
+    # The engine's configured routing path (search.ivf-threshold=6M →
+    # vector_base.ivf_mirror → build_ivf_device): probe sweep shows the
+    # recall/QPS frontier vs the O(N) scan above. The r4 build OOM'd here;
+    # round 5 fixed the async-dispatch pileup (per-chunk sync), switched
+    # >4k-block layouts to 1024-alignment, and budget-tested the build
+    # (tests/test_ivf.py TestBuildResidency).
+    try:
+        from valkey_search_tpu.ops import ivf as ivf_ops
+
+        stage = "ivf-build"
+        # serving state during an engine build keeps the int8 mirror (the
+        # filtered-scan path needs it), so this drill keeps it resident
+        # too — the residency plan budgets for exactly this state
+        t0 = time.perf_counter()
+        iv = ivf_ops.build_ivf_device(vecs10, block_rows=1024)
+        ivf_build_s = time.perf_counter() - t0
+        log(f"IVF build 10M: {ivf_build_s:.0f}s ({iv.n_blocks} blocks, "
+            f"{iv.device_bytes()/2**30:.1f} GiB on device)")
+        emit_merge({
+            "ivf_10m_build_s": round(ivf_build_s, 1),
+            "ivf_10m_device_gib": round(iv.device_bytes() / 2**30, 2),
+        })
+        stage = "ivf-sweep"
+        # free the scan-only mirrors before serving sweeps (norms/int8
+        # are not read by ivf_search_rescored; the fp32 corpus is — it is
+        # the exact-rescore source)
+        i8_10 = norms10 = inv10 = scale10 = ids = None
+        IB = 4096  # serving batch for the gather-bound stage
+        ivq = jnp.asarray(queries[:IB])
+        ivf_sweep = {}
+        for probe in (8, 16, 32):
+            # ivf_search_rescored = the engine's routing path: the fp32
+            # mirror repairs residual-int8 ordering noise with an exact
+            # rescore. Reconstruction-only scoring saturates recall ~0.95.
+            dd, ii = ivf_ops.ivf_search_rescored(
+                iv, ivq, vecs10, k=K, probe=probe, probe_chunk=4
+            )  # compile+warm
+            np.asarray(dd)
             t0 = time.perf_counter()
             for _ in range(3):
-                d, docs = hnsw.search_batch(hq, K, ef=100)
-            hnsw_qps = 3 * len(hq) / (time.perf_counter() - t0)
-            hnsw_recall = float(np.mean([
-                len(set(docs[b, :K].tolist()) & gt_hs[b]) / K
+                dd, ii = ivf_ops.ivf_search_rescored(
+                    iv, ivq, vecs10, k=K, probe=probe, probe_chunk=4
+                )
+            _ = np.asarray(dd[0, 0])  # completion barrier
+            q_ivf = 3 * IB / (time.perf_counter() - t0)
+            ii = np.asarray(ii)
+            rec = float(np.mean([
+                len(set(ii[b, :K].tolist()) & gt_b[b]) / K
+                for b in range(len(gt_b))
+            ]))
+            ivf_sweep[str(probe)] = [round(q_ivf, 1), round(rec, 4)]
+            log(f"IVF 10M probe={probe}: {q_ivf:.0f} qps "
+                f"recall@10={rec:.4f}")
+            emit_merge({"ivf_10m_batch": IB,
+                        "ivf_10m_probe_sweep": dict(ivf_sweep)})
+    except Exception as exc:  # noqa: BLE001 — scan datum must survive
+        log(f"10M IVF stage aborted at {stage}: {type(exc).__name__}: {exc}")
+        emit_merge({"skip_ivf10m": f"at {stage}: {type(exc).__name__}: {exc}"})
+
+
+# ---------------------------------------------------------------------------
+# section: hnsw1m — build rate, product-path qps, graph traversal sweep
+# ---------------------------------------------------------------------------
+
+
+def section_hnsw1m():
+    child_jax_init()
+
+    from valkey_search_tpu.indexes.hnsw import HnswVectorIndex
+    from valkey_search_tpu.runtime import config as _cfg
+
+    _, corpus, queries = load_shared_corpus()
+    corpus = np.ascontiguousarray(corpus, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+
+    EF_C = int(os.environ.get("VSTPU_BENCH_EFC", "200"))
+    n_gt_h = min(1024, BATCH)
+    log(f"ground truth over {n_gt_h} queries (f32 BLAS, chunked)")
+    gt_q_h = queries[:n_gt_h].astype(np.float32)
+    c32 = corpus
+    c32_sq = np.einsum("ij,ij->i", c32, c32)
+    gt_h = np.empty((n_gt_h, K), np.int64)
+    for i0 in range(0, n_gt_h, 128):
+        q_blk = gt_q_h[i0:i0 + 128]
+        dd = c32_sq[None, :] - 2.0 * (q_blk @ c32.T)
+        part = np.argpartition(dd, K, axis=1)[:, :K]
+        rows = np.arange(len(q_blk))[:, None]
+        order = np.argsort(dd[rows, part], axis=1)
+        gt_h[i0:i0 + len(q_blk)] = part[rows, order]
+    gt_sets = [set(g.tolist()) for g in gt_h]
+
+    log(f"building HNSW on {HNSW_N} vectors (M=16, efC={EF_C})")
+    hnsw = HnswVectorIndex(dim=D, m=16, ef_construction=EF_C)
+    t0 = time.perf_counter()
+    hnsw.bulk_load([f"doc:{i}" for i in range(HNSW_N)], corpus[:HNSW_N])
+    hnsw_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hnsw.device_graph()
+    publish_s = time.perf_counter() - t0
+    log(f"HNSW build: {HNSW_N/hnsw_build_s:.0f} vec/s "
+        f"({hnsw_build_s:.1f}s), publish {publish_s:.1f}s")
+    emit_merge({
+        "hnsw_n": HNSW_N,
+        "ef_construction": EF_C,
+        "recall_queries": n_gt_h,
+        "hnsw_build_vecs_per_s": round(HNSW_N / hnsw_build_s, 1),
+        "hnsw_publish_s": round(publish_s, 2),
+    })
+
+    if HNSW_N == N:
+        gt_hs = gt_sets
+    else:
+        sub = corpus[:HNSW_N]
+        sub_sq = np.einsum("ij,ij->i", sub, sub)
+        gt_hs = []
+        for q in gt_q_h:
+            dd = sub_sq - 2.0 * (sub @ q)
+            part = np.argpartition(dd, K)[:K]
+            gt_hs.append(set(part.tolist()))
+
+    hq = queries[:1024]
+    # product path: the scan-vs-graph planner serves on-chip corpora with
+    # the MXU exact scan at recall ~1.0
+    d, docs = hnsw.search_batch(hq, K, ef=100)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        d, docs = hnsw.search_batch(hq, K, ef=100)
+    hnsw_qps = 3 * len(hq) / (time.perf_counter() - t0)
+    hnsw_recall = float(np.mean([
+        len(set(docs[b, :K].tolist()) & gt_hs[b]) / K
+        for b in range(n_gt_h)
+    ]))
+
+    # CPU HNSW baseline on the same graph (single core, native) —
+    # correctness ORACLE, not the headline denominator
+    t0 = time.perf_counter()
+    for i in range(200):
+        hnsw.builder.search(queries[i % BATCH], K, ef=100)
+    cpu_hnsw_qps = 200 / (time.perf_counter() - t0)
+    log(f"TPU HNSW (product path): {hnsw_qps:.0f} qps "
+        f"recall@10={hnsw_recall:.4f}; CPU HNSW 1-core: "
+        f"{cpu_hnsw_qps:.0f} qps")
+    emit_merge({
+        "tpu_hnsw_qps_ef100": round(hnsw_qps, 1),
+        "tpu_hnsw_recall_at_10": round(hnsw_recall, 4),
+        "cpu_hnsw_qps_1core_ef100": round(cpu_hnsw_qps, 1),
+    })
+
+    # graph-traversal datum ON THE GRAPH JUST BUILT at real scale
+    # (VERDICT r4 next#4: the planner narrative needs the 1M number)
+    _cfg.set_config("search.hnsw-scan-threshold", 0)
+    sweep = {}
+    try:
+        for ef_r in (10, 50, 100):
+            dg, docsg = hnsw.search_batch(hq, K, ef=ef_r)  # compile
+            t0 = time.perf_counter()
+            for _ in range(3):
+                dg, docsg = hnsw.search_batch(hq, K, ef=ef_r)
+            g_qps = 3 * len(hq) / (time.perf_counter() - t0)
+            g_rec = float(np.mean([
+                len(set(docsg[b, :K].tolist()) & gt_hs[b]) / K
                 for b in range(n_gt_h)
             ]))
-
-            # CPU HNSW baseline on the same graph (single core, native) —
-            # correctness ORACLE (see vs_baseline note below)
-            t0 = time.perf_counter()
-            for i in range(200):
-                hnsw.builder.search(queries[i % BATCH], K, ef=100)
-            cpu_hnsw_qps = 200 / (time.perf_counter() - t0)
-            log(f"TPU HNSW (product path): {hnsw_qps:.0f} qps "
-                f"recall@10={hnsw_recall:.4f}; CPU HNSW 1-core: "
-                f"{cpu_hnsw_qps:.0f} qps")
-
-            # graph-traversal datum ON THE GRAPH JUST BUILT (VERDICT r3
-            # next#6: r3 measured traversal on a separate 100k graph; the
-            # planner claim needs the number at real scale)
-            TRAV_N = HNSW_N
-            trav = hnsw
-            trav_gt = gt_hs
-            _cfg.set_config("search.hnsw-scan-threshold", 0)
-            sweep = {}
-            try:
-                for ef_r in (10, 50, 100):
-                    dg, docsg = trav.search_batch(hq, K, ef=ef_r)  # compile
-                    t0 = time.perf_counter()
-                    for _ in range(3):
-                        dg, docsg = trav.search_batch(hq, K, ef=ef_r)
-                    g_qps = 3 * len(hq) / (time.perf_counter() - t0)
-                    g_rec = float(np.mean([
-                        len(set(docsg[b, :K].tolist()) & trav_gt[b]) / K
-                        for b in range(n_gt_h)
-                    ]))
-                    sweep[ef_r] = (g_qps, g_rec)
-                    log(f"traversal ef={ef_r}: {g_qps:.0f} qps "
-                        f"recall@10={g_rec:.4f} (AoS path: "
-                        f"{trav._aos_tables is not None})")
-            finally:
-                _cfg.REGISTRY.reset_all()
-            hnsw_graph_qps, hnsw_graph_recall = sweep[100]
-
-            result["details"].update({
-                "hnsw_n": HNSW_N,
-                "ef_construction": EF_C,
-                "recall_queries": n_gt_h,
-                "hnsw_build_vecs_per_s": round(HNSW_N / hnsw_build_s, 1),
-                "hnsw_publish_s": round(publish_s, 2),
-                "tpu_hnsw_qps_ef100": round(hnsw_qps, 1),
-                "tpu_hnsw_recall_at_10": round(hnsw_recall, 4),
-                "cpu_hnsw_qps_1core_ef100": round(cpu_hnsw_qps, 1),
-                "hnsw_traversal_n": TRAV_N,
-                "tpu_hnsw_graph_traversal_qps_ef100": round(hnsw_graph_qps, 1),
-                "tpu_hnsw_graph_traversal_recall_at_10": round(
-                    hnsw_graph_recall, 4),
+            sweep[ef_r] = (g_qps, g_rec)
+            log(f"traversal ef={ef_r}: {g_qps:.0f} qps "
+                f"recall@10={g_rec:.4f} (AoS path: "
+                f"{hnsw._aos_tables is not None})")
+            emit_merge({
+                "hnsw_traversal_n": HNSW_N,
                 "traversal_ef_sweep": {
                     str(ef): [round(qv, 1), round(rv, 4)]
                     for ef, (qv, rv) in sweep.items()
                 },
             })
-            # the measured reference engine (applied right after the flat
-            # section) is the headline denominator whenever its artifact
-            # exists; the in-process CPU HNSW is an ORACLE, not a baseline
-            # (VERDICT r3 next#10) — denominator only when the artifact is
-            # absent
-            if ref_qps_99 is None:
-                result["vs_baseline"] = round(
-                    flat_qps / max(cpu_hnsw_qps, 1e-9), 1)
-            result["details"]["vs_cpu_exact_scan"] = round(
-                flat_qps / max(cpu_flat_qps, 1e-9), 1)
-            # free this section's device buffers (graph + AoS tables)
-            hnsw = trav = d = docs = dg = docsg = hq = None
-            gt_h = gt_sets = gt_hs = trav_gt = c32 = c32_sq = None
+    finally:
+        _cfg.REGISTRY.reset_all()
+    if 100 in sweep:
+        emit_merge({
+            "tpu_hnsw_graph_traversal_qps_ef100": round(sweep[100][0], 1),
+            "tpu_hnsw_graph_traversal_recall_at_10": round(sweep[100][1], 4),
+        })
 
-        # ---- GloVe-shape cosine datum (BASELINE.md #3) ------------------------
-        if (not QUICK and os.environ.get("VSTPU_BENCH_COSINE", "1") == "1"
-                and not over_budget("cosine")):
-            GN = int(os.environ.get("VSTPU_BENCH_COSINE_N", "1183514"))
-            GD = 100
-            log(f"cosine corpus {GN} x {GD} (GloVe-shape, angular)")
-            rngc = np.random.default_rng(23)
-            gcent = rngc.standard_normal((512, GD)).astype(np.float32)
-            gass = rngc.integers(0, 512, GN)
-            gcorp = gcent[gass] + rngc.standard_normal((GN, GD)).astype(np.float32) * 0.6
-            gq = gcent[rngc.integers(0, 512, 4096)] + \
-                rngc.standard_normal((4096, GD)).astype(np.float32) * 0.6
-            cos = FlatVectorIndex(dim=GD, metric="cosine")
-            t0 = time.perf_counter()
-            cos.bulk_load([f"g:{i}" for i in range(GN)], gcorp)
-            cos.store.device_snapshot()
-            cos_build_s = time.perf_counter() - t0
-            # angular ground truth (normalized dot) over 256 queries
-            gn = gcorp / np.linalg.norm(gcorp, axis=1, keepdims=True)
-            qn = gq[:256] / np.linalg.norm(gq[:256], axis=1, keepdims=True)
-            sims = qn @ gn.T
-            gt_c = np.argpartition(-sims, K, axis=1)[:, :K]
-            gt_c_sets = [set(r.tolist()) for r in gt_c]
-            d, ids = cos.search_batch(gq, K)  # warmup/compile
-            t0 = time.perf_counter()
-            for _ in range(3):
-                d, ids = cos.search_batch(gq, K)
-            cos_qps = 3 * len(gq) / (time.perf_counter() - t0)
-            cos_recall = float(np.mean([
-                len(set(ids[b, :K].tolist()) & gt_c_sets[b]) / K
-                for b in range(256)
-            ]))
-            log(f"cosine 1.18M x 100: {cos_qps:.0f} qps recall@10={cos_recall:.4f}")
-            result["details"].update({
-                "cosine_n": GN, "cosine_d": GD,
-                "cosine_qps": round(cos_qps, 1),
-                "cosine_recall_at_10": round(cos_recall, 4),
-                "cosine_build_s": round(cos_build_s, 2),
-            })
-            del gcorp, gn, sims, cos
 
-        # ---- 100M-on-one-chip datum (VERDICT r3 target; BASELINE.md #5
-        # scaled to a single chip) ------------------------------------------
-        # int8-only residency: the IVF index (~13.3 GiB at ~100M x 128)
-        # fits v5e HBM with no fp32 corpus ANYWHERE — ops/ivf.py
-        # build_ivf_streaming reads the corpus as a deterministic chunk
-        # source in three on-chip passes (the r3 host path generated a
-        # 51 GiB numpy corpus on one core, ~2000s before the build even
-        # started). Scores are the exact distances to the residual-
-        # quantized reconstructions (no rescore). Gated to the real chip:
-        # the CPU fallback cannot hold or serve it. Gate on REMAINING
-        # budget: starting without headroom hands the watchdog a partial.
-        t_100m_need = float(os.environ.get("VSTPU_BENCH_100M_NEED_S", "900"))
-        if (not QUICK
-                and os.environ.get("VSTPU_BENCH_100M", "1") == "1"
-                and jax.default_backend() == "tpu"
-                and not over_budget("100m")
-                and budget_s - (time.perf_counter() - t_start) > t_100m_need):
-            from valkey_search_tpu.ops import ivf as ivf_ops
+# ---------------------------------------------------------------------------
+# section: cosine — GloVe-shape angular datum (BASELINE.md #3)
+# ---------------------------------------------------------------------------
 
-            HCH = 10 * 65536  # 655,360-row generator chunks (~0.34 GiB
-            # f32 each: pass-3 peak = the ~13.3 GiB donated block store
-            # + one chunk + quantize temps on a 15.75 GiB chip)
-            HN = int(os.environ.get("VSTPU_BENCH_100M_N", "100000000"))
-            n_ch100 = max(1, -(-HN // HCH))
-            HN = n_ch100 * HCH  # 100,925,440 at the default
-            log(f"100M-scale IVF: {HN} x {D}, streaming build "
-                f"({n_ch100} device-generated chunks, no fp32 residency)")
-            cent_d100 = jnp.asarray(centers)
-            k100 = jax.random.split(jax.random.PRNGKey(31), 2 * n_ch100)
 
-            def _gen100(k1, k2):
-                a = jax.random.randint(k1, (HCH,), 0, n_centers)
-                z = jax.random.normal(k2, (HCH, D), dtype=jnp.float32)
-                return jnp.clip(
-                    jnp.take(cent_d100, a, axis=0) + z * 20, 0, 255)
+def section_cosine():
+    child_jax_init()
 
-            _gen100 = jax.jit(_gen100)  # one program for all chunks
+    from valkey_search_tpu.indexes.flat import FlatVectorIndex
+    from valkey_search_tpu.runtime import config as cfg
 
-            def _chunk100(ci):
-                return _gen100(k100[2 * ci], k100[2 * ci + 1])
-            t0 = time.perf_counter()
-            iv = ivf_ops.build_ivf_streaming(
-                _chunk100, n_ch100, block_rows=1024, block_align=1024,
-                log_fn=log,
+    cfg.set_config("search.corpus-dtype",
+                   os.environ.get("VSTPU_BENCH_DTYPE", "int8"))
+    GN = int(os.environ.get("VSTPU_BENCH_COSINE_N", "1183514"))
+    GD = 100
+    log(f"cosine corpus {GN} x {GD} (GloVe-shape, angular)")
+    rngc = np.random.default_rng(23)
+    gcent = rngc.standard_normal((512, GD)).astype(np.float32)
+    gass = rngc.integers(0, 512, GN)
+    gcorp = gcent[gass] + rngc.standard_normal((GN, GD)).astype(np.float32) * 0.6
+    gq = gcent[rngc.integers(0, 512, 4096)] + \
+        rngc.standard_normal((4096, GD)).astype(np.float32) * 0.6
+    cos = FlatVectorIndex(dim=GD, metric="cosine")
+    t0 = time.perf_counter()
+    cos.bulk_load([f"g:{i}" for i in range(GN)], gcorp)
+    cos.store.device_snapshot()
+    cos_build_s = time.perf_counter() - t0
+    # angular ground truth (normalized dot) over 256 queries
+    gn = gcorp / np.linalg.norm(gcorp, axis=1, keepdims=True)
+    qn = gq[:256] / np.linalg.norm(gq[:256], axis=1, keepdims=True)
+    sims = qn @ gn.T
+    gt_c = np.argpartition(-sims, K, axis=1)[:, :K]
+    gt_c_sets = [set(r.tolist()) for r in gt_c]
+    d, ids = cos.search_batch(gq, K)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        d, ids = cos.search_batch(gq, K)
+    cos_qps = 3 * len(gq) / (time.perf_counter() - t0)
+    cos_recall = float(np.mean([
+        len(set(ids[b, :K].tolist()) & gt_c_sets[b]) / K
+        for b in range(256)
+    ]))
+    log(f"cosine 1.18M x 100: {cos_qps:.0f} qps recall@10={cos_recall:.4f}")
+    emit_merge({
+        "cosine_n": GN, "cosine_d": GD,
+        "cosine_qps": round(cos_qps, 1),
+        "cosine_recall_at_10": round(cos_recall, 4),
+        "cosine_build_s": round(cos_build_s, 2),
+    })
+
+
+# ---------------------------------------------------------------------------
+# section: ivf100m — >HBM streaming build + probe sweep + rescore tier
+# ---------------------------------------------------------------------------
+
+
+def section_ivf100m():
+    jax = child_jax_init()
+    import jax.numpy as jnp
+
+    from valkey_search_tpu.ops import ivf as ivf_ops
+
+    if jax.default_backend() != "tpu":
+        emit_skip("100M requires the real chip (CPU cannot hold/serve it)")
+        return
+
+    centers = gen_centers()
+    queries = np.ascontiguousarray(load_shared_corpus()[2], np.float32)
+    HCH = 10 * 65536  # 655,360-row generator chunks (~0.34 GiB f32 each:
+    # pass-3 peak = the ~13.3 GiB donated block store + one chunk +
+    # quantize temps on a 15.75 GiB chip)
+    HN = int(os.environ.get("VSTPU_BENCH_100M_N", "100000000"))
+    n_ch100 = max(1, -(-HN // HCH))
+    HN = n_ch100 * HCH  # 100,925,440 at the default
+    log(f"100M-scale IVF: {HN} x {D}, streaming build "
+        f"({n_ch100} device-generated chunks, no fp32 residency)")
+    cent_d100 = jnp.asarray(centers)
+    k100 = jax.random.split(jax.random.PRNGKey(31), 2 * n_ch100)
+
+    def _gen100(k1, k2):
+        a = jax.random.randint(k1, (HCH,), 0, N_CENTERS)
+        z = jax.random.normal(k2, (HCH, D), dtype=jnp.float32)
+        return jnp.clip(jnp.take(cent_d100, a, axis=0) + z * 20, 0, 255)
+
+    _gen100 = jax.jit(_gen100)  # one program for all chunks
+
+    def _chunk100(ci):
+        return _gen100(k100[2 * ci], k100[2 * ci + 1])
+
+    t0 = time.perf_counter()
+    iv = ivf_ops.build_ivf_streaming(
+        _chunk100, n_ch100, block_rows=1024, block_align=1024,
+        log_fn=log,
+    )
+    ivf100_build_s = time.perf_counter() - t0
+    log(f"100M IVF build: {ivf100_build_s:.0f}s, {iv.n_blocks} blocks, "
+        f"{iv.device_bytes()/2**30:.1f} GiB HBM")
+    emit_merge({
+        "ivf_100m_n": HN,
+        "ivf_100m_build_s": round(ivf100_build_s, 1),
+        "ivf_100m_device_gib": round(iv.device_bytes() / 2**30, 2),
+    })
+
+    # exact GT per regenerated chunk (iterative argmin — same pattern as
+    # the 10M section; queries[:32] ⊂ the shared gt_q)
+    n_gt_h100 = 32
+    gtq_d = jnp.asarray(queries[:n_gt_h100].astype(np.float32))
+
+    def _gt100(xc, gtq):
+        wsq = jnp.sum(xc * xc, axis=1)
+        dd = wsq[None, :] - 2.0 * jnp.dot(
+            gtq, xc.T, precision=jax.lax.Precision.HIGHEST)
+
+        def body(c, _):
+            am = jnp.argmin(c, axis=1)
+            v = jnp.take_along_axis(c, am[:, None], 1)[:, 0]
+            c = c.at[jnp.arange(c.shape[0]), am].set(jnp.inf)
+            return c, (v, am)
+
+        _, (v, am) = jax.lax.scan(body, dd, None, length=K)
+        return v.T, am.T
+
+    _gt100 = jax.jit(_gt100)
+    cv, ci_ = [], []
+    for ci in range(n_ch100):
+        v, am = _gt100(_chunk100(ci), gtq_d)
+        cv.append(np.asarray(v))
+        ci_.append(np.asarray(am) + ci * HCH)
+    cand_v = np.concatenate(cv, axis=1)
+    cand_i = np.concatenate(ci_, axis=1)
+    cv = ci_ = None
+    order100 = np.argsort(cand_v, axis=1, kind="stable")[:, :K]
+    gt100 = [
+        set(cand_i[b][order100[b]].tolist())
+        for b in range(n_gt_h100)
+    ]
+    log("100M exact ground truth done")
+
+    # ---- no-rescore frontier (residual-int8 reconstruction scores) --------
+    HB = 512
+    hq = jnp.asarray(queries[:HB])
+    sweep100 = {}
+    for probe in (32, 64, 128):
+        dd, ii = ivf_ops.ivf_search_batch(
+            iv, hq, k=K, probe=probe, probe_chunk=2
+        )
+        np.asarray(dd)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dd, ii = ivf_ops.ivf_search_batch(
+                iv, hq, k=K, probe=probe, probe_chunk=2
             )
-            ivf100_build_s = time.perf_counter() - t0
-            log(f"100M IVF build: {ivf100_build_s:.0f}s, "
-                f"{iv.n_blocks} blocks, "
-                f"{iv.device_bytes()/2**30:.1f} GiB HBM")
-            # exact GT per regenerated chunk (iterative argmin — same
-            # pattern as the 10M section; queries[:64] == gt_q)
-            n_gt_h100 = 32
-            gtq_d = jnp.asarray(queries[:n_gt_h100].astype(np.float32))
+        _ = np.asarray(dd[0, 0])  # completion barrier
+        q100 = 3 * HB / (time.perf_counter() - t0)
+        ii = np.asarray(ii)
+        rec = float(np.mean([
+            len(set(ii[b, :K].tolist()) & gt100[b]) / K
+            for b in range(n_gt_h100)
+        ]))
+        sweep100[str(probe)] = [round(q100, 1), round(rec, 4)]
+        log(f"100M IVF probe={probe}: {q100:.0f} qps recall@10={rec:.4f}")
+        emit_merge({
+            "ivf_100m_probe_sweep": dict(sweep100),
+            "ivf_100m_scoring": "residual-int8 reconstruction (no fp32 "
+                                "resident at this scale; the >=0.99 tier "
+                                "below rescores exactly from the chunk "
+                                "source)",
+        })
 
-            def _gt100(xc, gtq):
-                wsq = jnp.sum(xc * xc, axis=1)
-                dd = wsq[None, :] - 2.0 * jnp.dot(
-                    gtq, xc.T, precision=jax.lax.Precision.HIGHEST)
-
-                def body(c, _):
-                    am = jnp.argmin(c, axis=1)
-                    v = jnp.take_along_axis(c, am[:, None], 1)[:, 0]
-                    c = c.at[jnp.arange(c.shape[0]), am].set(jnp.inf)
-                    return c, (v, am)
-
-                _, (v, am) = jax.lax.scan(body, dd, None, length=K)
-                return v.T, am.T
-
-            _gt100 = jax.jit(_gt100)
-            cv, ci_ = [], []
-            for ci in range(n_ch100):
-                v, am = _gt100(_chunk100(ci), gtq_d)
-                cv.append(np.asarray(v))
-                ci_.append(np.asarray(am) + ci * HCH)
-            cand_v = np.concatenate(cv, axis=1)
-            cand_i = np.concatenate(ci_, axis=1)
-            cv = ci_ = None
-            order100 = np.argsort(cand_v, axis=1, kind="stable")[:, :K]
-            gt100 = [
-                set(cand_i[b][order100[b]].tolist())
-                for b in range(n_gt_h100)
-            ]
-            log("100M exact ground truth done")
-            # serve batch 512: stage-1 dots + probe gathers next to the
-            # ~13.3 GiB block store must fit the 15.75 GiB HBM limit
-            HB = 512
-            hq = jnp.asarray(queries[:HB])
-            sweep100 = {}
-            for probe in (32, 64, 128):
-                dd, ii = ivf_ops.ivf_search_batch(
-                    iv, hq, k=K, probe=probe, probe_chunk=2
-                )
-                np.asarray(dd)
-                t0 = time.perf_counter()
-                for _ in range(3):
-                    dd, ii = ivf_ops.ivf_search_batch(
-                        iv, hq, k=K, probe=probe, probe_chunk=2
-                    )
-                _ = np.asarray(dd[0, 0])  # completion barrier
-                q100 = 3 * HB / (time.perf_counter() - t0)
-                ii = np.asarray(ii)
-                rec = float(np.mean([
-                    len(set(ii[b, :K].tolist()) & gt100[b]) / K
-                    for b in range(n_gt_h100)
-                ]))
-                sweep100[str(probe)] = [round(q100, 1), round(rec, 4)]
-                log(f"100M IVF probe={probe}: {q100:.0f} qps "
-                    f"recall@10={rec:.4f}")
-            result["details"].update({
-                "ivf_100m_n": HN,
-                "ivf_100m_build_s": round(ivf100_build_s, 1),
-                "ivf_100m_device_gib": round(iv.device_bytes() / 2**30, 2),
-                "ivf_100m_probe_sweep": sweep100,
-                "ivf_100m_scoring": "residual-int8 reconstruction (no fp32 "
-                                    "anywhere at this scale — recall is the "
-                                    "quantizer's ceiling, ~0.95; the <=10M "
-                                    "tier rescores exactly)",
-            })
-            del iv
+    # ---- >=0.99 tier: exact rescore from the chunk source ------------------
+    # (VERDICT r4 next#3) The corpus is >HBM, but the chunk source is
+    # deterministic by contract — so the tiny candidate set (cf*k rows
+    # per query) is re-scored EXACTLY by regenerating/re-reading each
+    # chunk and gathering only candidate rows. One full chunk-source pass
+    # per query batch: throughput is the generator's rate, recall is
+    # fp32-exact ordering over the coarse candidates.
+    sweep100r = {}
+    for probe in (32, 64):
+        dd, ii = ivf_ops.ivf_search_rescored_streaming(
+            iv, hq, _chunk100, n_ch100, HCH, k=K, probe=probe,
+            coarse_factor=4, probe_chunk=2,
+        )
+        np.asarray(dd)
+        t0 = time.perf_counter()
+        dd, ii = ivf_ops.ivf_search_rescored_streaming(
+            iv, hq, _chunk100, n_ch100, HCH, k=K, probe=probe,
+            coarse_factor=4, probe_chunk=2,
+        )
+        _ = np.asarray(dd[0, 0])
+        q100r = HB / (time.perf_counter() - t0)
+        ii = np.asarray(ii)
+        rec = float(np.mean([
+            len(set(ii[b, :K].tolist()) & gt100[b]) / K
+            for b in range(n_gt_h100)
+        ]))
+        sweep100r[str(probe)] = [round(q100r, 1), round(rec, 4)]
+        log(f"100M IVF rescored probe={probe}: {q100r:.0f} qps "
+            f"recall@10={rec:.4f}")
+        emit_merge({"ivf_100m_rescored_sweep": dict(sweep100r)})
 
 
+SECTIONS = {
+    "flat1m": section_flat1m,
+    "big10m": section_big10m,
+    "hnsw1m": section_hnsw1m,
+    "cosine": section_cosine,
+    "ivf100m": section_ivf100m,
+}
+
+
+def child_main(name):
+    try:
+        SECTIONS[name]()
+        emit_done()
+    except BaseException as exc:  # noqa: BLE001 — report, don't crash
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit_skip(f"{type(exc).__name__}: {exc}")
+        emit_done()
+
+
+# ---------------------------------------------------------------------------
+# parent
+# ---------------------------------------------------------------------------
+
+_EMIT_LOCK = threading.Lock()
+_EMITTED = [False]
+
+
+def emit_once(obj):
+    """Print the ONE result JSON line exactly once, from whichever path
+    gets there first (normal completion, exception handler, watchdog)."""
+    with _EMIT_LOCK:
+        if _EMITTED[0]:
+            return False
+        _EMITTED[0] = True
+    print(json.dumps(obj), flush=True)
+    return True
+
+
+_PARTIAL = {
+    "metric": "SIFT1M-shape k-NN QPS/chip at recall@10 >= 0.99",
+    "value": 0.0,
+    "unit": "qps",
+    "vs_baseline": 0.0,
+    "details": {"watchdog": "fired before the headline completed"},
+}
+_STATE = {"state": None}
+
+
+def probe_tpu(timeout_s=None):
+    """Touch the TPU backend in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel has two known failure modes: it *hangs* jax.devices()
+    for hours, or it raises UNAVAILABLE. The chip is exclusively held by
+    one process, so the parent must never touch it — the probe proves the
+    tunnel healthy before any section child is spent on it."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("VSTPU_PROBE_TIMEOUT_S", "150"))
+    code = (
+        "import jax, sys\n"
+        "ds = jax.devices()\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+        "(x @ x).block_until_ready()\n"
+        "print(jax.default_backend(), len(ds))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s (tunnel wedge)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()
+        return False, "probe rc=%d: %s" % (r.returncode, tail[-1] if tail else "")
+    return True, r.stdout.strip()
+
+
+def run_text_section(text_details):
+    """Host-only full-text micro-bench (no device contact): runs in the
+    PARENT so a wedged tunnel still yields real host metrics."""
+    if QUICK:
+        return
+    from valkey_search_tpu.server import Engine as _Engine
+
+    tycoon = np.random.default_rng(5)
+    vocab = [f"w{i:05d}" for i in range(20000)]
+    zipf = np.minimum(tycoon.zipf(1.3, size=(20000, 12)) - 1, 19999)
+    eng = _Engine()
+    eng.execute("FT.CREATE", "t", "ON", "HASH", "PREFIX", "1", "d:",
+                "SCHEMA", "body", "TEXT", "tag", "TAG")
+    n_docs = 100_000
+    t0 = time.perf_counter()
+    for i in range(n_docs):
+        words = zipf[i % 20000]
+        eng.hset(f"d:{i}", {
+            "body": " ".join(vocab[w] for w in words),
+            "tag": "even" if i % 2 == 0 else "odd",
+        })
+    text_ingest = n_docs / (time.perf_counter() - t0)
+    log(f"text ingest: {text_ingest:.0f} docs/s (12-word docs)")
+
+    def qps_of(queries_list, reps=1):
+        t0 = time.perf_counter()
+        c = 0
+        for _ in range(reps):
+            for q in queries_list:
+                eng.ft_search("t", q, "NOCONTENT", "LIMIT", "0", "10")
+                c += 1
+        return c / (time.perf_counter() - t0)
+
+    terms = [f"@body:{vocab[tycoon.integers(100, 5000)]}"
+             for _ in range(500)]
+    ands = [f"@body:({vocab[tycoon.integers(100, 2000)]} "
+            f"{vocab[tycoon.integers(100, 2000)]})" for _ in range(300)]
+    prefixes = [f"@body:w0{tycoon.integers(10, 99)}*" for _ in range(200)]
+    hybrid_t = [f"(@tag:{{odd}} @body:{vocab[tycoon.integers(100, 2000)]})"
+                for _ in range(300)]
+    # expansion matchers (VERDICT r3 next#7): the native wide-matcher path
+    # (tix_docs_union_expand) serves suffix/infix/fuzzy. Reference
+    # structures: /root/reference/src/indexes/text/radix_tree.h:14-56.
+    suffixes = [f"@body:*{tycoon.integers(100, 999)}"
+                for _ in range(200)]  # *123 → w00123, w01123, ...
+    infixes = [f"@body:*0{tycoon.integers(100, 999)}*" for _ in range(100)]
+    fuzzy1 = [f"@body:%w{tycoon.integers(100, 5000):05d}%"
+              for _ in range(100)]
+    fuzzy2 = [f"@body:%%w{tycoon.integers(100, 5000):05d}%%"
+              for _ in range(50)]
+    # adjacent-word phrases drawn from real documents, plus the same
+    # pairs at SLOP 1 (reference phrase iterators: SLOP/INORDER walks)
+    phrases = []
+    for _ in range(100):
+        di = int(tycoon.integers(0, 20000))
+        w = zipf[di]
+        phrases.append(f'@body:"{vocab[w[3]]} {vocab[w[4]]}"')
+
+    def qps_slop(queries_list, *extra, reps=1):
+        t0 = time.perf_counter()
+        c = 0
+        for _ in range(reps):
+            for q in queries_list:
+                eng.ft_search("t", q, *extra,
+                              "NOCONTENT", "LIMIT", "0", "10")
+                c += 1
+        return c / (time.perf_counter() - t0)
+
+    r_term = qps_of(terms)
+    r_and = qps_of(ands)
+    r_pref = qps_of(prefixes)
+    r_hyb = qps_of(hybrid_t)
+    r_suf = qps_of(suffixes)
+    r_inf = qps_of(infixes)
+    r_fz1 = qps_of(fuzzy1)
+    r_fz2 = qps_of(fuzzy2)
+    r_phr = qps_of(phrases)
+    r_slop = qps_slop(phrases, "SLOP", "1")
+    log(f"text QPS (1 core): term={r_term:.0f} and={r_and:.0f} "
+        f"prefix={r_pref:.0f} tag+text={r_hyb:.0f} "
+        f"suffix={r_suf:.0f} infix={r_inf:.0f} fuzzy1={r_fz1:.0f} "
+        f"fuzzy2={r_fz2:.0f} phrase={r_phr:.0f} slop1={r_slop:.0f}")
+
+    def agg_qps(q, reps=200):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            eng.ft_aggregate(
+                "t", q, "LOAD", "1", "@tag",
+                "GROUPBY", "1", "@tag",
+                "REDUCE", "COUNT", "0", "AS", "c",
+            )
+        return reps / (time.perf_counter() - t0)
+
+    r_agg_sel = agg_qps(f"@body:{vocab[3000]}")
+    r_agg_hot = agg_qps(f"@body:{vocab[5]}")
+    log(f"aggregate QPS (1 core): selective={r_agg_sel:.0f} "
+        f"hot-term={r_agg_hot:.0f}")
+    text_details.update({
+        "text_ingest_docs_per_s": round(text_ingest, 1),
+        "text_term_qps_1core": round(r_term, 1),
+        "text_and_qps_1core": round(r_and, 1),
+        "text_prefix_qps_1core": round(r_pref, 1),
+        "text_hybrid_qps_1core": round(r_hyb, 1),
+        "text_suffix_qps_1core": round(r_suf, 1),
+        "text_infix_qps_1core": round(r_inf, 1),
+        "text_fuzzy1_qps_1core": round(r_fz1, 1),
+        "text_fuzzy2_qps_1core": round(r_fz2, 1),
+        "text_phrase_qps_1core": round(r_phr, 1),
+        "text_phrase_slop1_qps_1core": round(r_slop, 1),
+        "aggregate_selective_qps_1core": round(r_agg_sel, 1),
+        "aggregate_hotterm_qps_1core": round(r_agg_hot, 1),
+    })
+
+
+def run_section_child(name, details, timeout_s):
+    """Launch `bench.py --section name` and stream-merge its JSON lines.
+    Returns True on clean completion. A timeout/crash records an explicit
+    skip marker; already-merged sub-stages are preserved (that is the
+    point of the protocol)."""
+    log(f"section {name}: launching child (timeout {timeout_s:.0f}s)")
+    t0 = time.perf_counter()
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--section", name],
+        stdout=subprocess.PIPE, stderr=None, text=True, bufsize=1,
+    )
+    done = False
+    skipped = None
+
+    lines = []
+    lines_lock = threading.Lock()
+
+    def reader():
+        for line in p.stdout:
+            with lines_lock:
+                lines.append(line)
+
+    rt = threading.Thread(target=reader, daemon=True)
+    rt.start()
+    consumed = 0
+    while True:
+        with lines_lock:
+            new = lines[consumed:]
+            consumed = len(lines)
+        for line in new:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except ValueError:
+                continue  # stray non-protocol output
+            if "m" in msg:
+                details.update(msg["m"])
+            elif "skip" in msg:
+                skipped = msg["skip"]
+            elif "done" in msg:
+                done = True
+        if p.poll() is not None and consumed == len(lines) and not rt.is_alive():
+            break
+        if done and p.poll() is not None:
+            break
+        if time.perf_counter() - t0 > timeout_s:
+            log(f"section {name}: deadline — terminating child")
+            p.terminate()
+            try:
+                p.wait(15)
+            except subprocess.TimeoutExpired:
+                p.kill()
+            skipped = skipped or f"timeout after {timeout_s:.0f}s"
+            break
+        time.sleep(0.2)
+    rc = p.poll()
+    took = time.perf_counter() - t0
+    if skipped is not None:
+        details[f"skip_{name}"] = skipped
+        log(f"section {name}: SKIPPED after {took:.0f}s — {skipped}")
+        return False
+    if not done:
+        details[f"skip_{name}"] = f"child exited rc={rc} without done marker"
+        log(f"section {name}: died rc={rc} after {took:.0f}s")
+        return False
+    log(f"section {name}: complete in {took:.0f}s")
+    return True
+
+
+def parent_main():
+    t_start = time.perf_counter()
+    # 2000s default, sized to the DRIVER's observed kill window (~2620s =
+    # budget*1.25+120). Sections run in priority order; each launches only
+    # with enough remaining budget, and anything absent gets an explicit
+    # skip marker. SIGTERM/watchdog emit whatever has merged.
+    budget_s = float(os.environ.get("VSTPU_BENCH_BUDGET_S", "2000"))
+
+    partial = _PARTIAL
+    state = {"result": partial, "done": False}
+    _STATE["state"] = state
+
+    def _watchdog():
+        deadline = budget_s * 1.25 + 120
+        while time.perf_counter() - t_start < deadline:
+            time.sleep(5)
+            if state["done"]:
+                return
+        log("WATCHDOG: budget exceeded — emitting partial result")
+        emit_once(state["result"])
+        os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    details = partial["details"]
+    run_text_section(details)
+
+    # ---- shared corpus + CPU baseline (host only) ---------------------------
+    log(f"generating corpus N={N} d={D}")
+    _, corpus, queries = gen_corpus_and_queries()
+    try:
+        np.save(_CORPUS_PATH, corpus)
+        np.save(_QUERIES_PATH, queries)
+    except OSError as exc:
+        log(f"shared-corpus save failed ({exc}); children will regenerate")
+
+    from valkey_search_tpu.native_lib import cpu_brute_force_topk
+
+    n_cpu = 8 if QUICK else 16
+    t0 = time.perf_counter()
+    for i in range(n_cpu):
+        cpu_brute_force_topk(corpus, queries[i], K)
+    cpu_flat_qps = n_cpu / (time.perf_counter() - t0)
+    log(f"CPU flat (1 core, C++ -O3): {cpu_flat_qps:.2f} qps")
+    details["cpu_flat_qps_1core"] = round(cpu_flat_qps, 2)
+    corpus = queries = None
+
+    # ---- device gate ---------------------------------------------------------
+    if os.environ.get("VSTPU_BENCH_CPU") == "1":
+        ok, probe_detail = True, "forced cpu (VSTPU_BENCH_CPU=1)"
+        tpu_ok = False
+    else:
+        ok, probe_detail = probe_tpu()
+        if not ok:
+            log(f"TPU probe failed ({probe_detail}); retrying once in 20s")
+            time.sleep(20)
+            ok, probe_detail = probe_tpu()
+        tpu_ok = ok
+        if not ok:
+            log(f"TPU unavailable ({probe_detail}) — children fall back "
+                "to CPU")
+            os.environ["VSTPU_BENCH_CPU"] = "1"
+            details["platform_fallback"] = probe_detail
+    log(f"device probe: {probe_detail}")
+
+    # headline bookkeeping: updated the moment flat1m's merges land
+    partial.update({"metric": "SIFT1M-shape k-NN QPS/chip at recall@10 "
+                              ">= 0.99"})
+    details.update({
+        "n": N, "d": D, "k": K, "batch": BATCH,
+        "corpus": "sift-like clustered bytes (1024 centers)",
+        # real SIFT1M/GloVe downloads are impossible here (zero egress —
+        # BASELINE.md records the blocker); the synthetic clustered-byte
+        # corpus matches SIFT's shape and the REFERENCE BASELINE runs on
+        # the identical corpus (scripts/ref_baseline.py, seed 42)
+        "datasets": "synthetic (network-blocked; same corpus as the "
+                    "measured reference baseline)",
+    })
+
+    # honest headline denominator: the reference's OWN engine (vendored
+    # hnswlib measured by scripts/ref_baseline.py at recall@10 >= 0.99)
+    ref_qps_99 = None
+    try:
+        ref_json = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BASELINE_ref_1m.json")
+        if os.path.exists(ref_json):
+            with open(ref_json) as f:
+                ref = json.load(f)
+            cand = [q for q, r in ref.get("sweep", {}).values() if r >= 0.99]
+            if cand and ref.get("n", 0) >= min(N, 1_000_000):
+                ref_qps_99 = max(cand)
+                details["ref_hnsw_qps_1core_recall99"] = ref_qps_99
+                details["baseline_source"] = (
+                    "reference vendored hnswlib, M=16 efC=200 "
+                    "(BASELINE_ref_1m.json)")
     except Exception as exc:
-        log(f"optional sections aborted: {type(exc).__name__}: {exc}")
+        log(f"reference-baseline read failed: {exc!r}")
+
+    def refresh_headline():
+        qps = details.get("tpu_flat_qps", 0.0)
+        partial["value"] = qps
+        denom = ref_qps_99 if ref_qps_99 else max(cpu_flat_qps, 1e-9)
+        partial["vs_baseline"] = round(qps / denom, 1) if qps else 0.0
+        if qps:
+            details["vs_cpu_exact_scan"] = round(
+                qps / max(cpu_flat_qps, 1e-9), 1)
+
+    # ---- sections (priority order; see module docstring) --------------------
+    # (name, need_s to launch, hard cap_s). 10M IVF is the round's #1
+    # deliverable; the 1M traversal datum (#4) precedes the long 100M
+    # attempt (#3) because its duration is deterministic; cosine is the
+    # cheapest and least at risk.
+    plan = [
+        ("flat1m", 180, 900),
+        ("big10m", 240, 900),
+        ("hnsw1m", 260, 700),
+        ("ivf100m", 600, 1500),
+        ("cosine", 80, 400),
+    ]
+    if QUICK:
+        plan = [("flat1m", 30, 600)]
+    for name, need, cap in plan:
+        if not tpu_ok and name in ("big10m", "ivf100m"):
+            details[f"skip_{name}"] = f"no TPU ({probe_detail})"
+            continue
+        rem = remaining()
+        if rem < need:
+            details[f"skip_{name}"] = (
+                f"insufficient budget: {rem:.0f}s left, need {need}s")
+            log(f"section {name}: skipped ({details[f'skip_{name}']})")
+            continue
+        run_section_child(name, details, min(cap, rem + 120))
+        refresh_headline()
 
     state["done"] = True
-    emit_once(result)
+    refresh_headline()
+    details.pop("watchdog", None)
+    for pth in (_CORPUS_PATH, _QUERIES_PATH):
+        try:
+            os.unlink(pth)
+        except OSError:
+            pass
+    emit_once(partial)
 
 
 def _term_handler(signum, frame):
     """External kills (the driver's `timeout`, SIGINT) must still land the
-    JSON line — raise so the BaseException funnel below emits the partial.
-    (A scaled-down run died to `timeout 1200` with ZERO output: SIGTERM
-    bypasses the except-BaseException handler unless converted.)"""
+    JSON line — raise so the BaseException funnel below emits the
+    partial."""
     raise SystemExit(f"signal {signum}")
 
 
 if __name__ == "__main__":
-    import signal
-
+    if _SECTION:
+        child_main(_SECTION)
+        sys.exit(0)
     signal.signal(signal.SIGTERM, _term_handler)
     signal.signal(signal.SIGINT, _term_handler)
     try:
-        main()
+        parent_main()
     except BaseException as exc:  # noqa: BLE001 — the JSON line must land
         import traceback
 

@@ -41,6 +41,90 @@ def check(name, ok, detail=""):
     print(f"[drive] {'ok ' if ok else 'FAIL'} {name} {detail}", flush=True)
 
 
+def kernel_equality_checks():
+    """Assert kernel-vs-exact equality for all three device kernel
+    families on the live backend (ops/pallas_scan.py + ops/ivf.py)."""
+    import jax.numpy as jnp
+
+    from valkey_search_tpu.indexes.flat import FlatVectorIndex
+    from valkey_search_tpu.ops import ivf as ivf_ops
+    from valkey_search_tpu.ops import topk as topk_ops
+    from valkey_search_tpu.runtime import config as cfg
+
+    n, d, k, nb_q = 262_144, 128, 10, 256
+    rng = np.random.default_rng(97)
+    centers = rng.standard_normal((256, d)).astype(np.float32) * 60 + 128
+
+    def draw(m, noise=20.0):
+        a = rng.integers(0, 256, m)
+        z = rng.standard_normal((m, d)).astype(np.float32) * noise
+        return np.clip(centers[a] + z, 0, 255).astype(np.float32)
+
+    corpus = draw(n)
+    queries = draw(nb_q)
+    # exact fp64 oracle (host BLAS, same form as bench.py ground truth)
+    c64 = corpus.astype(np.float64)
+    c64_sq = np.einsum("ij,ij->i", c64, c64)
+    gt_ids, gt_d = [], []
+    for q in queries.astype(np.float64):
+        dd = c64_sq - 2.0 * (c64 @ q) + np.dot(q, q)
+        part = np.argpartition(dd, k)[:k]
+        order = part[np.argsort(dd[part])]
+        gt_ids.append(order)
+        gt_d.append(dd[order])
+    gt_sets = [set(g.tolist()) for g in gt_ids]
+
+    def exact_d(b, row_ids):
+        """fp64 exact distances of specific rows for query b."""
+        q64 = queries[b].astype(np.float64)
+        return c64_sq[row_ids] - 2.0 * (c64[row_ids] @ q64) + q64 @ q64
+
+    def run_check(name, dists, ids, floor):
+        rec = float(np.mean([
+            len(set(ids[b, :k].tolist()) & gt_sets[b]) / k
+            for b in range(nb_q)
+        ]))
+        # returned distances must be the EXACT fp32 distance of the
+        # returned id (the rescore contract), not the coarse score.
+        # Tolerance: distances here are ~4e6 in magnitude (byte-valued
+        # 128-d rows), so a few f32 ulps is ~1-2 absolute (measured 1.52);
+        # an int8-coarse-score leak is off by tens-to-hundreds.
+        derr = float(np.max([
+            np.abs(dists[b] - exact_d(b, ids[b])).max()
+            for b in range(nb_q)
+        ]))
+        check(name, rec >= floor and derr < 4.0,
+              f"recall={rec:.4f} maxdisterr={derr:.2e}")
+
+    keys = [f"kq:{i}" for i in range(n)]
+    cfg.set_config("search.ivf-threshold", str(n * 10))  # pin: scan paths
+    try:
+        for dtype in ("int8", "bfloat16"):
+            cfg.set_config("search.corpus-dtype", dtype)
+            idx = FlatVectorIndex(dim=d, metric="l2")
+            idx.bulk_load(keys, corpus)
+            snap = idx.store.device_snapshot()
+            assert topk_ops.use_fused_scan(snap["vectors"].shape[0], None)
+            dists, ids = idx.search_batch(queries, k)
+            # 0.99 = the engine's own recall gate at every scale; a Mosaic
+            # layout regression craters this to <0.9 (measured operating
+            # points here: int8 0.9977, bf16 0.9961)
+            run_check(f"kernel_{dtype}_vs_exact", dists, ids, 0.99)
+        # IVF coarse + exact rescore vs the oracle on the same corpus
+        cfg.set_config("search.corpus-dtype", "int8")
+        fx = FlatVectorIndex(dim=d, metric="l2")
+        fx.bulk_load(keys, corpus)
+        snap = fx.store.device_snapshot()
+        iv = ivf_ops.build_ivf_device(snap["vectors"],
+                                      present=fx.store.present)
+        dd2, ii2 = ivf_ops.ivf_search_rescored(
+            iv, jnp.asarray(queries), snap["vectors"], k=k, probe=16)
+        run_check("kernel_ivf_rescored_vs_exact",
+                  np.asarray(dd2), np.asarray(ii2), 0.97)
+    finally:
+        cfg.REGISTRY.reset_all()
+
+
 def main():
     allow_cpu = "--allow-cpu" in sys.argv
     backend = jax.default_backend()
@@ -212,6 +296,17 @@ def main():
         f.close(); s.close()
     finally:
         srv.close()
+
+    # --- on-chip kernel correctness gate ----------------------------------
+    # VERDICT r4 next#7: CI pins tests to the CPU mesh, so the Pallas
+    # kernels' Mosaic lowering is otherwise evidenced only by bench recall
+    # aggregates — a layout regression would surface as a silent recall
+    # dip. Here every kernel family (fused int8 packed scan, bf16
+    # two-stage, IVF coarse+rescore) is checked against the exact XLA
+    # fp32 scan ON THE REAL CHIP: ids must match up to the documented
+    # over-retrieval tolerance and returned distances must be exact.
+    if backend == "tpu":
+        kernel_equality_checks()
 
     # --- error probes ----------------------------------------------------
     def expect_err(name, *argv):

@@ -172,8 +172,11 @@ def test_allocator_level_memory_fields():
     heap = _parse(info["search_heap_allocated_bytes"])
     assert rss > 32 * 2**20
     assert heap > 1 * 2**20
-    # allocate through the engine; heap gauge must move
+    # allocate through the engine; heap gauge must move. The gauge is
+    # si_bytes-formatted (3 sig figs — ~10 MB resolution once the suite's
+    # process heap reaches GBs), so the retained allocation must be large
+    # enough to move the formatted value, not a 0.5 MB nudge.
     for i in range(2000):
-        e.execute("HSET", f"m:{i}", "f", "x" * 256)
+        e.execute("HSET", f"m:{i}", "f", "x" * 32768)
     heap2 = _parse(e.info()["search_heap_allocated_bytes"])
-    assert heap2 > heap
+    assert heap2 >= heap + 16 * 2**20, (heap, heap2)

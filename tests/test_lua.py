@@ -343,3 +343,23 @@ def test_long_strings_and_comments():
     assert resp("--[[ block\ncomment ]] return [[raw\nstring]]") \
         == b"raw\nstring"
     assert resp("return [==[a]b]==]") == b"a]b"
+
+
+def test_nonfinite_return_saturates():
+    # (long long) cast semantics: inf/NaN/overflow must not raise
+    # (ADVICE r4 — `return 1/0` produced '-ERR internal error')
+    assert resp("return 1/0") == 2**63 - 1
+    assert resp("return -1/0") == -(2**63)
+    assert resp("return 0/0") == 0
+    assert resp("return 2^1024") == 2**63 - 1
+    assert resp("return -(2^1024)") == -(2**63)
+
+
+def test_parser_depth_limit():
+    # deep nesting raises a LuaError, not Python RecursionError
+    deep = "return " + "(" * 400 + "1" + ")" * 400
+    with pytest.raises(L.LuaError, match="too many syntax levels"):
+        L.compile_script(deep)
+    # at a legal depth it still parses and runs
+    ok = "return " + "(" * 50 + "1" + ")" * 50
+    assert resp(ok) == 1

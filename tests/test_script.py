@@ -179,7 +179,7 @@ def test_eval_sandbox(client):
         client.cmd("EVAL", "redis.call('EVAL', 'return 1', '0')", "0")
 
 
-def test_script_load_evalsha(client):
+def test_script_load_evalsha(server, client):
     sha = client.cmd("SCRIPT", "LOAD", "return redis.call('DBSIZE')")
     sha = sha.decode() if isinstance(sha, bytes) else sha
     assert len(sha) == 40
@@ -194,6 +194,9 @@ def test_script_load_evalsha(client):
         client.cmd("SCRIPT", "LOAD", "return 1 +")
     client.cmd("SCRIPT", "FLUSH")
     assert client.cmd("SCRIPT", "EXISTS", sha) == [0]
+    # compiled ASTs are dropped too (ADVICE r4: the AST cache accumulated
+    # unboundedly across flush cycles)
+    assert getattr(server, "_script_ast_cache", {}) == {}
 
 
 def test_eval_writes_reach_replication_stream(server, client):

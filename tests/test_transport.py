@@ -86,6 +86,10 @@ def test_create_converges_and_routes(trio):
     got = client.execute("HGETALL", "doc:3")
     d = {got[i]: got[i + 1] for i in range(0, len(got), 2)}
     assert d[b"emb"] == vecs[3].tobytes()
+    # multi-key EXISTS fans out per key (ADVICE r4: keys hash to different
+    # nodes; routing the whole argv by argv[1] undercounted)
+    assert client.execute("EXISTS", *[f"doc:{i}" for i in range(30)]) == 30
+    assert client.execute("EXISTS", "doc:1", "nope", "doc:2") == 2
 
 
 def test_fanout_knn_recall(trio):

@@ -1189,9 +1189,12 @@ class ClusterClient:
                    "EXISTS", "TYPE", "JSON.SET", "JSON.GET",
                    "EXPIRE", "PEXPIRE", "TTL", "PERSIST",
                    "HEXPIRE", "HPEXPIRE", "HTTL", "HPTTL", "HPERSIST"):
-            if cmd == "DEL" and len(argv) > 2:
+            if cmd in ("DEL", "EXISTS") and len(argv) > 2:
+                # multi-key forms fan out per key: keys may hash to
+                # different nodes (ADVICE r4: EXISTS routed by argv[1] only
+                # silently counted on the first key's node)
                 return sum(
-                    self._keyspace_cmd(_s(k), "DEL", k) for k in argv[1:]
+                    self._keyspace_cmd(_s(k), cmd, k) for k in argv[1:]
                 )
             return self._keyspace_cmd(_s(argv[1]), *argv)
         if cmd == "FT.CREATE":

@@ -269,6 +269,90 @@ def assign_clusters(
 # build
 # --------------------------------------------------------------------------
 
+# test hook: called with a stage tag at every build sync point so tests can
+# sample live-array residency (tests/test_ivf.py residency budget)
+_RESIDENCY_PROBE: Optional[Callable[[str], None]] = None
+
+
+def _probe(tag: str) -> None:
+    if _RESIDENCY_PROBE is not None:
+        _RESIDENCY_PROBE(tag)
+
+
+def ivf_build_plan(
+    n: int,
+    d: int,
+    *,
+    block_rows: int = 1024,
+    n_clusters: int = 0,
+    train_sample: int = 0,
+    block_align: int = 0,
+    resident_bytes: int = 0,
+) -> dict:
+    """HBM residency model of ``build_ivf_device`` — an upper bound on the
+    build's peak *array* bytes (eager jax arrays; in-jit temps are bounded
+    separately by the documented 512/768 MB chunking caps and are far
+    smaller than the array terms here). ``resident_bytes`` is whatever
+    else lives in HBM during the build (the serving mirrors + the fp32
+    corpus the build reads). Validated against measured live-array peaks
+    in tests/test_ivf.py; used to assert the engine's threshold-scale
+    build fits a 16 GiB chip (VERDICT r4 next#1).
+
+    Every formula below mirrors the corresponding build_ivf_device code;
+    if the code changes, this model and its validating test must move
+    with it."""
+    s = int(block_rows)
+    if n_clusters <= 0:
+        n_clusters = int(np.clip(n // (s * 8), 8, 4096))
+    n_clusters = min(n_clusters, max(1, n))
+    if train_sample <= 0:
+        train_sample = int(np.clip(256 * n_clusters, 131072, 4_000_000))
+    train_sample = min(train_sample, max(1, n))
+    # kmeans_fit working set: sample f32 + bf16 + weighted f32 + weights
+    # (reshaped copies), plus the chunked [chunk, k] f32 dots (<=512 MB)
+    fit1 = train_sample * d * (4 + 2 + 4) + (1 << 29)
+    # level-2 fit table (capped) + bf16 copy + one-hot/sums temps
+    r_max = _pow2_at_least(min(4096, max(train_sample // max(n_clusters, 1), 1)))
+    while n_clusters * r_max * d * 4 > (768 << 20) and r_max > 256:
+        r_max //= 2
+    c2max = _pow2_at_least(max(1, -(-(n // max(n_clusters, 1)) // s)))
+    table = n_clusters * r_max * d * 4
+    fit2 = table * 2 + n_clusters * r_max * c2max * 4 + n_clusters * c2max * d * 8
+    # assignment pass: [chunk, c2max, d] gather in f32 + bf16 + f32 dots
+    # (~6 B/elem, the documented ~1.5 GB budget) x2 launches in flight,
+    # plus the [n_chunks, 2, chunk] int32 output stack
+    chunk_rows = int(np.clip((3 << 28) // max(1, c2max * d), 16384, 262144))
+    chunk_rows = 1 << (chunk_rows.bit_length() - 1)
+    chunk_rows = min(chunk_rows, n)
+    n_chunks = -(-n // chunk_rows)
+    assign = 2 * chunk_rows * c2max * d * 6 + n_chunks * 2 * chunk_rows * 4
+    # layout padding (same auto policy as build_ivf_device). Upper bound:
+    # cells number <= ceil(n/s) + n_clusters (c2 = ceil(est/s) per
+    # cluster), and each cell's tail pads < 1 block
+    nb = 2 * (-(-n // s)) + 2 * n_clusters
+    if block_align <= 0:
+        block_align = 1024 if (-(-n // s)) > 4096 else 0
+    if block_align > 0:
+        nb_pad = -(-nb // block_align) * block_align
+    else:
+        nb_pad = _pow2_at_least(max(nb, 1))
+    # quantize: per-chunk [chunk_blocks, S, d] f32 gather + masked copy
+    # (x2 chunks in flight thanks to the per-chunk sync), accumulated
+    # int8/row_sq/ids parts, then the concatenate's transient double
+    chunk_blocks = _pow2_at_least(max(1, (1 << 26) // max(1, s * d * 4)))
+    index_bytes = nb_pad * (s * d + s * 4 + s * 4 + d * 4 + 12)
+    quant = 2 * chunk_blocks * s * d * 8 + 2 * index_bytes
+    peak = resident_bytes + max(fit1 + fit2, assign, quant)
+    return {
+        "n": n, "d": d, "block_rows": s, "n_clusters": n_clusters,
+        "train_sample": train_sample, "c2max": c2max, "r_max": r_max,
+        "nb_pad": nb_pad, "chunk_rows": chunk_rows,
+        "chunk_blocks": chunk_blocks,
+        "fit_bytes": fit1 + fit2, "assign_bytes": assign,
+        "quantize_bytes": quant, "index_bytes": index_bytes,
+        "resident_bytes": resident_bytes, "peak_bytes": peak,
+    }
+
 
 def _pow2_at_least(v: int) -> int:
     p = 1
@@ -651,18 +735,21 @@ def _assign_proj_at(vec, start, cent1, cents2, c2_valid, pc1, rows, c2max):
     """Level-1 + level-2 assignment and principal-axis projection of one
     ``rows``-sized window of a device-resident corpus (start clamps).
 
-    Returns ONE [2, rows] f32 array (combined assignment a1*c2max+a2, and
-    the projection) so the caller can drain every chunk with a single
-    device pull: per-chunk np.asarray costs a ~60ms tunnel round trip, and
-    3 pulls x ~300 chunks was ~55s of pure RTT at 10M rows. The combined
-    index is < n_clusters*c2max <= 4096*128 < 2^24, exact in f32."""
+    Returns ONE [2, rows] int32 array (combined assignment a1*c2max+a2,
+    and the projection BITCAST to int32) so the caller can drain every
+    chunk with a single device pull: per-chunk np.asarray costs a ~60ms
+    tunnel round trip, and 3 pulls x ~300 chunks was ~55s of pure RTT at
+    10M rows. The bitcast keeps the combined index exact for ANY
+    n_clusters*c2max (the old f32 packing silently rounded past 2^24 —
+    ADVICE r4); hosts recover proj via .view(np.float32)."""
     xc = jax.lax.dynamic_slice_in_dim(vec, start, rows, axis=0).astype(
         jnp.float32
     )
     a1 = _assign_chunk(xc, cent1)
     a2 = _assign_chunk2(xc, a1, cents2, c2_valid)
-    comb = (a1 * c2max + a2).astype(jnp.float32)
-    return jnp.stack([comb, xc @ pc1])
+    comb = a1 * c2max + a2
+    proj_bits = jax.lax.bitcast_convert_type(xc @ pc1, jnp.int32)
+    return jnp.stack([comb, proj_bits])
 
 
 def build_ivf_device(
@@ -677,6 +764,7 @@ def build_ivf_device(
     seed: int = 0x1BF,
     chunk_rows: int = 262144,
     chunk_blocks: int = 0,
+    block_align: int = 0,
 ) -> IvfDeviceIndex:
     """Build an IvfDeviceIndex from an ALREADY-UPLOADED [cap, d] mirror.
 
@@ -721,6 +809,7 @@ def build_ivf_device(
         jnp.take(dev_vectors, jnp.asarray(samp_pos), axis=0),
         np.float32,
     )
+    _probe("sample")
 
     # level 1 + sample-fit level 2 (mirrors sample_refined_assign, with
     # device-resident chunk reads instead of host chunk uploads)
@@ -756,6 +845,7 @@ def build_ivf_device(
     c2_valid = np.arange(c2max)[None, :] < c2[:, None]
     cents2_d, c2v_d = jnp.asarray(cents2), jnp.asarray(c2_valid)
     pc1_d = jnp.asarray(principal_axis(sample_h))
+    _probe("fit")
 
     # bound the [chunk, c2max, d] level-2 centroid gather: the gather
     # materialises in f32 (+ a bf16 copy and the f32 dots), so budget
@@ -780,20 +870,29 @@ def build_ivf_device(
         for start in starts
     ]
     outs = np.asarray(jnp.stack(outs))  # one device->host transfer
+    _probe("assign")
     assign64 = np.empty(cap, np.int64)
     proj = np.empty(cap, np.float32)
     for st, start, o in zip(range(0, cap, chunk_rows), starts, outs):
         off = st - start
         en = min(st + chunk_rows, cap)
         assign64[st:en] = o[0, off:off + en - st].astype(np.int64)
-        proj[st:en] = o[1, off:off + en - st]
+        proj[st:en] = o[1, off:off + en - st].view(np.float32)
     del outs
     _, dense = np.unique(assign64[pos_live], return_inverse=True)
     assign = dense.astype(np.int32)
 
-    # host layout planning (cheap O(n) int work), device gather+quantize
+    # host layout planning (cheap O(n) int work), device gather+quantize.
+    # Padding: pow2 block counts keep serve-program shapes stable across
+    # throttled rebuilds, but above ~4k blocks the waste is GBs of dead
+    # codes (VERDICT r4 weak#1: 16,384 padded vs ~9,856 real blocks at 10M
+    # was ~0.8 GiB) — large one-shot builds auto-switch to 1024-alignment,
+    # same policy as build_ivf_streaming.
     order = np.lexsort((proj[pos_live], assign))
-    pos, _nb, nb_pad = plan_blocks(assign, order, s)
+    if block_align <= 0:
+        n_blk_est = -(-n // s)
+        block_align = 1024 if n_blk_est > 4096 else 0
+    pos, _nb, nb_pad = plan_blocks(assign, order, s, block_align=block_align)
     src_flat = np.full(nb_pad * s, -1, np.int64)   # slot -> device row
     src_flat[pos] = pos_live[order]
     ids_flat = np.full(nb_pad * s, -1, np.int64)   # slot -> external id
@@ -816,9 +915,18 @@ def build_ivf_device(
         out = quantize_blocks(bv, ids_c)
         for lst, arr in zip(parts, out):
             lst.append(arr)
+        # per-chunk sync: async dispatch with no sync holds EVERY pending
+        # chunk's [chunk_blocks, S, d] f32 gather buffer at once — 128
+        # launches x ~145 MB ≈ 18 GiB at 10M rows, the r4 bench
+        # RESOURCE_EXHAUSTED at ivf-build. The 1-element fetch bounds
+        # in-flight chunks (in-order execution) for ~60ms RTT each —
+        # seconds total, against an OOM'd chip.
+        np.asarray(out[3][0])
+        _probe("quantize")
     codes, cent, cent_sq, scale, row_sq, bvalid = (
         jnp.concatenate(p) if len(p) > 1 else p[0] for p in parts
     )
+    _probe("concat")
     return IvfDeviceIndex(
         centroids=cent,
         cent_sq=cent_sq,
@@ -967,7 +1075,8 @@ def build_ivf_streaming(
             en = min(st + chunk_sub, ch)
             assign64[base + st:base + en] = oo[0, off:off + en - st].astype(
                 np.int64)
-            proj[base + st:base + en] = oo[1, off:off + en - st]
+            proj[base + st:base + en] = oo[1, off:off + en - st].view(
+                np.float32)
         xc = outs = o = None
     probe = None
     _, cell = np.unique(assign64, return_inverse=True)
@@ -1321,6 +1430,92 @@ def delta_overlay_merge(
     mi = jnp.concatenate([base_i, di], axis=1)
     neg, pos = jax.lax.top_k(-md, k)
     return -neg, jnp.take_along_axis(mi, pos, axis=-1)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("rows", "metric")
+)
+def _rescore_from_chunk(best, q, xc, cand, base, rows, metric):
+    """Exact-score the candidates that live inside chunk [base, base+rows)
+    and write them into the running ``best`` [B, kc] array (donated).
+    q [B, d] f32, xc [rows, d] f32, cand [B, kc] int32 global row ids,
+    base a traced int32 scalar (one compiled program serves all chunks)."""
+    local = cand - base
+    inchunk = (cand >= 0) & (local >= 0) & (local < rows)
+    rowsv = jnp.take(xc, jnp.clip(local, 0, rows - 1), axis=0)  # [B, kc, d]
+    dots = jnp.sum(
+        rowsv * q[:, None, :], axis=-1, dtype=jnp.float32
+    )
+    if metric == "l2":
+        dd = (
+            jnp.sum(q * q, axis=1)[:, None]
+            + jnp.sum(rowsv * rowsv, axis=-1, dtype=jnp.float32)
+            - 2.0 * dots
+        )
+    else:
+        dd = 1.0 - dots
+    return jnp.where(inchunk, dd, best)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rescored_merge(best, cand, k):
+    """Final top-k over exactly-rescored candidates, with an O(kc^2) dup
+    mask (padded probes can repeat a row id; with exact scores the copies
+    tie and would double-fill the top-k)."""
+    first = jnp.argmax(
+        (cand[:, None, :] == cand[:, :, None])
+        & (cand[:, None, :] >= 0), axis=-1
+    )
+    kc = cand.shape[1]
+    dup = first != jnp.arange(kc)[None, :]
+    best = jnp.where(dup, INF, best)
+    neg, pos = jax.lax.top_k(-best, min(k, kc))
+    out_d = -neg
+    out_i = jnp.take_along_axis(cand, pos, axis=-1)
+    return out_d, jnp.where(jnp.isfinite(out_d), out_i, -1)
+
+
+def ivf_search_rescored_streaming(
+    index: IvfDeviceIndex,
+    queries: jnp.ndarray,
+    chunk_source: Callable[[int], jnp.ndarray],
+    n_chunks: int,
+    chunk_rows: int,
+    k: int,
+    probe: int = 32,
+    metric: str = "l2",
+    coarse_factor: int = 4,
+    probe_chunk: int = 8,
+    sync_every: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The ≥0.99-recall tier for >HBM corpora (VERDICT r4 next#3): coarse
+    IVF retrieval over the residual-int8 blocks, then an EXACT fp32
+    rescore of the tiny candidate set (coarse_factor*k rows per query) by
+    re-deriving each chunk from the deterministic ``chunk_source`` — the
+    same contract build_ivf_streaming already imposes — and gathering
+    only candidate rows. No fp32 corpus is ever resident; the cost is one
+    full chunk-source pass per query batch, so this tier's throughput is
+    the generator/reader's rate (amortize with large batches). Row id i
+    lives in chunk i // chunk_rows at offset i % chunk_rows (identity ids,
+    as build_ivf_streaming assigns).
+    """
+    kc = min(coarse_factor * k, index.block_rows * min(probe, index.n_blocks))
+    cd, ci = ivf_search_batch(
+        index, queries, k=kc, probe=probe, metric=metric,
+        probe_chunk=probe_chunk,
+    )
+    q = queries.astype(jnp.float32)
+    cd = None  # coarse scores are replaced wholesale by exact ones
+    best = jnp.full((q.shape[0], kc), INF, jnp.float32)
+    for c in range(n_chunks):
+        best = _rescore_from_chunk(
+            best, q, chunk_source(c), ci, jnp.int32(c * chunk_rows),
+            chunk_rows, metric,
+        )
+        if c % sync_every == sync_every - 1:
+            # bound queued chunk buffers (same axon rule as the builds)
+            np.asarray(best[0, 0])
+    return _rescored_merge(best, ci, k)
 
 
 def ivf_search_rescored(

@@ -258,9 +258,21 @@ _UNARY_PRI = 12
 
 
 class _Parser:
+    # nesting ceiling (LUAI_MAXCCALLS analog): without it ~400 nested
+    # parens escape as a Python RecursionError instead of a parse error.
+    # 120, not lua's 200: each level costs ~6 Python frames and the guard
+    # must trip inside CPython's default 1000-frame recursion limit.
+    MAX_DEPTH = 120
+
     def __init__(self, toks: List[_Tok]):
         self.toks = toks
         self.i = 0
+        self.depth = 0
+
+    def _enter(self):
+        self.depth += 1
+        if self.depth > self.MAX_DEPTH:
+            raise LuaError(b"lua parse error: chunk has too many syntax levels")
 
     # -- helpers ------------------------------------------------------------
     def peek(self) -> _Tok:
@@ -458,6 +470,13 @@ class _Parser:
         return ("function", params, body)
 
     def parse_expr(self, limit=0):
+        self._enter()
+        try:
+            return self._parse_expr_inner(limit)
+        finally:
+            self.depth -= 1
+
+    def _parse_expr_inner(self, limit=0):
         t = self.peek()
         if t.kind == "kw" and t.val == "not":
             self.next()
@@ -2300,6 +2319,13 @@ def lua_to_resp(v, status_factory=None, error_factory=None):
     if v is True:
         return 1
     if isinstance(v, (int, float)):
+        # redis applies a C (long long) cast; non-finite / out-of-range
+        # doubles must not leak OverflowError (ADVICE r4: `return 1/0`)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return 0
+            if math.isinf(v) or not (-(2.0**63) <= v < 2.0**63):
+                return (2**63 - 1) if v > 0 else -(2**63)
         return int(v)
     if isinstance(v, bytes):
         return v

@@ -610,6 +610,7 @@ class _Handler(socketserver.StreamRequestHandler):
             return [1 if _s(h).lower() in scripts else 0 for h in rest[1:]]
         if sub == "FLUSH":
             scripts.clear()
+            self._script_asts(srv).clear()  # compiled ASTs too (ADVICE r4)
             return SimpleString("OK")
         raise RespError(f"Unknown SCRIPT subcommand {sub!r}")
 
