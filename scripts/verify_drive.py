@@ -293,6 +293,39 @@ def main():
         v2 = wire("HGET", "mk", "f")
         check("multidb_select_swapdb",
               v1 == b"one" and v0 == b"0" and v2 == b"one")
+
+        # pub/sub + keyspace notifications over a second connection
+        wire("CONFIG", "SET", "search.notify-keyspace-events", "KEA")
+        s2 = _socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        f2 = s2.makefile("rwb")
+
+        def read_frame():
+            import re as _re
+
+            line = f2.readline()
+            assert line[:1] in (b"*", b">"), line
+            n = int(line[1:])
+            out = []
+            for _ in range(n):
+                h = f2.readline()
+                if h[:1] == b"$":
+                    ln = int(h[1:])
+                    out.append(f2.read(ln + 2)[:-2])
+                else:
+                    out.append(int(_re.sub(rb"[^0-9-]", b"", h) or 0))
+            return out
+
+        f2.write(b"*2\r\n$9\r\nSUBSCRIBE\r\n$22\r\n__keyevent@0__:hset\r\n"
+                 .replace(b"$22", b"$19"))
+        f2.flush()
+        ack = read_frame()
+        wire("HSET", "pub:1", "f", "v")
+        msg = read_frame()
+        check("pubsub_keyspace_event",
+              ack[0] == b"subscribe" and
+              msg == [b"message", b"__keyevent@0__:hset", b"pub:1"],
+              f"msg={msg}")
+        f2.close(); s2.close()
         f.close(); s.close()
     finally:
         srv.close()

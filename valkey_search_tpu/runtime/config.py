@@ -348,6 +348,12 @@ _enum("search.log-level", "notice", ["debug", "verbose", "notice", "warning"])
 # standalone stack has no server in front, so it carries its own gate)
 REGISTRY.register(Entry("search.requirepass", "", "", "string"))
 _bool("search.log-user-data", False)  # reference RedactIfNeeded gate
+# keyspace-notification flags, valkey notify-keyspace-events semantics:
+# "" = off; K/E pick the __keyspace@N__/__keyevent@N__ channel families;
+# class letters (g h d x ...) or A gate which events publish. (The
+# reference CONSUMES these events from valkey-server to drive indexing;
+# this standalone stack also EMITS them to SUBSCRIBE/PSUBSCRIBE clients.)
+REGISTRY.register(Entry("search.notify-keyspace-events", "", "", "string"))
 
 
 def get(name: str) -> Any:

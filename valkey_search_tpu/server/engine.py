@@ -57,6 +57,20 @@ class Engine:
         self._access: Dict[str, int] = {}
         self._freq: Dict[str, int] = {}
         self._access_clock = 0
+        # keyspace-notification hook: fn(event, key, klass) — wired by the
+        # RESP server to the __keyspace@N__/__keyevent@N__ pub/sub
+        # channels (valkey notify.c; the reference CONSUMES these events
+        # to index, utils/patricia.py here — this hook re-EMITS them to
+        # clients). klass is the valkey event-class letter (g/h/d/x/...).
+        self.event_observer = None
+
+    def _event(self, event: str, key: str, klass: str) -> None:
+        obs = self.event_observer
+        if obs is not None:
+            try:
+                obs(event, key, klass)
+            except Exception:  # noqa: BLE001 — notification must not
+                pass           # break the write that triggered it
 
     # ------------------------------------------------------------------ data
     def memory_pools(self) -> Dict[str, int]:
@@ -201,6 +215,7 @@ class Engine:
             self._touch(key)
             snapshot = dict(doc)
         self._notify(key, snapshot)
+        self._event("hset", key, "h")
         return added
 
     def hdel(self, key: str, *fields: str) -> int:
@@ -222,9 +237,15 @@ class Engine:
             self._notify_delete(key)
         else:
             self._notify(key, snapshot)
+        if removed:
+            self._event("hdel", key, "h")
+        if snapshot is None:
+            self._event("del", key, "g")  # empty hash never survives
         return removed
 
-    def delete(self, key: str) -> int:
+    def delete(self, key: str, _event_name: Optional[str] = "del") -> int:
+        """DEL; ``_event_name`` lets expiry paths emit "expired" instead
+        of "del" (valkey notify.c: expiration never fires a del event)."""
         with self._lock:
             existed = self.keyspace.pop(key, None) is not None
             self._expiry.pop(key, None)
@@ -235,6 +256,9 @@ class Engine:
                     del self._field_expiry[kf]
         if existed:
             self._notify_delete(key)
+            if _event_name:
+                self._event(_event_name, key,
+                            "x" if _event_name == "expired" else "g")
         return int(existed)
 
     def hgetall(self, key: str) -> Dict[str, Value]:
@@ -255,11 +279,15 @@ class Engine:
             if key not in self.keyspace:
                 return 0
             self._expiry[key] = time.time() + float(seconds)
-            return 1
+        self._event("expire", key, "g")
+        return 1
 
     def persist(self, key: str) -> int:
         with self._lock:
-            return 1 if self._expiry.pop(key, None) is not None else 0
+            hit = self._expiry.pop(key, None) is not None
+        if hit:
+            self._event("persist", key, "g")
+        return int(hit)
 
     def ttl(self, key: str) -> float:
         """Seconds to live; -1 no expiry, -2 missing (redis TTL contract)."""
@@ -282,7 +310,7 @@ class Engine:
             if dl is None or time.time() < dl:
                 return False
             self._expiry.pop(key, None)
-        self.delete(key)
+        self.delete(key, _event_name="expired")
         STATS.incr("keys_expired")
         return True
 
@@ -308,9 +336,12 @@ class Engine:
                     self._field_expiry[(key, f)] = time.time() + seconds
                     out.append(1)
             snapshot = dict(doc) if doc is not None else None
+        if any(r == 1 for r in out):
+            self._event("hexpire", key, "g")
         if notify:
             if snapshot:
                 self._notify(key, snapshot)
+                self._event("hdel", key, "h")
             elif snapshot is not None:
                 # last field deleted → the key goes too (valkey never
                 # keeps an empty hash)
@@ -349,7 +380,9 @@ class Engine:
                     out.append(1)
                 else:
                     out.append(-1)
-            return out
+        if any(r == 1 for r in out):
+            self._event("hpersist", key, "g")
+        return out
 
     def _expire_fields_if_due(self, key: Optional[str] = None) -> int:
         """Drop due fields (one key, or all when key is None); re-index
@@ -386,12 +419,15 @@ class Engine:
                     self._freq.pop(k, None)
                 if existed:
                     self._notify_delete(k)
+                    self._event("hexpired", k, "g")
+                    self._event("del", k, "g")
             else:
                 with self._lock:
                     doc = self.keyspace.get(k)
                     snapshot = dict(doc) if doc else None
                 if snapshot:
                     self._notify(k, snapshot)
+                    self._event("hexpired", k, "g")
         return len(due)
 
     def sweep_expired(self) -> int:
@@ -415,6 +451,7 @@ class Engine:
         with self._lock:
             snapshot = _apply_json(self, key, path, value)
         self._notify(key, snapshot, kind="JSON")
+        self._event("json.set", key, "d")
         return "OK"
 
     def json_get(self, key: str, path: str = "$") -> Optional[str]:

@@ -57,6 +57,11 @@ class RespError(Exception):
         self.code = code
 
 
+class Push(list):
+    """Marker: a pub/sub push frame — RESP3 encodes as >N, RESP2 as a
+    plain array (subscribe confirmations and message deliveries)."""
+
+
 # --------------------------------------------------------------------------
 # Encoding
 # --------------------------------------------------------------------------
@@ -115,6 +120,11 @@ def _encode_into(out: io.BytesIO, v: Any, proto: int) -> None:
             for k, val in v.items():
                 _encode_into(out, k, proto)
                 _encode_into(out, val, proto)
+    elif isinstance(v, Push):
+        out.write((b">" if proto >= 3 else b"*")
+                  + str(len(v)).encode() + CRLF)
+        for item in v:
+            _encode_into(out, item, proto)
     elif isinstance(v, (list, tuple)):
         out.write(b"*" + str(len(v)).encode() + CRLF)
         for item in v:
@@ -243,13 +253,26 @@ class _Handler(socketserver.StreamRequestHandler):
         self.multi_queue: Optional[List[List[bytes]]] = None
         self.multi_error = False
         self._in_exec = False
+        # pub/sub: publisher threads write push frames into this
+        # connection concurrently with its own replies — serialize on a
+        # per-connection write lock
+        self.sub_channels: set = set()
+        self.sub_patterns: set = set()
+        self._wlock = threading.Lock()
         srv = self.server.resp_server  # type: ignore[attr-defined]
         self.client_id = srv.register_client(self)
 
     def finish(self):
         srv = self.server.resp_server  # type: ignore[attr-defined]
+        srv.drop_subscriber(self.client_id)
         srv.unregister_client(self.client_id)
         super().finish()
+
+    def push(self, frame) -> None:
+        """Deliver a pub/sub frame from a publisher thread."""
+        with self._wlock:
+            self.wfile.write(encode(frame, self.proto))
+            self.wfile.flush()
 
     def handle(self):
         srv: RespServer = self.server.resp_server  # type: ignore[attr-defined]
@@ -281,8 +304,9 @@ class _Handler(socketserver.StreamRequestHandler):
 
     # -- reply helpers ------------------------------------------------------
     def _reply(self, value: Any) -> None:
-        self.wfile.write(encode(value, self.proto))
-        self.wfile.flush()
+        with self._wlock:
+            self.wfile.write(encode(value, self.proto))
+            self.wfile.flush()
 
     # -- dispatch -----------------------------------------------------------
     def _dispatch(self, srv: "RespServer", argv: List[bytes]) -> bool:
@@ -300,6 +324,30 @@ class _Handler(socketserver.StreamRequestHandler):
                     "Authentication required.", code="NOAUTH"
                 ))
                 return False
+
+        # pub/sub commands run OUTSIDE the generic reply path: they write
+        # one push frame per channel (redis wire shape), and a RESP2
+        # connection in subscriber mode accepts only the pub/sub family
+        # (valkey pubsub.c; RESP3 multiplexes pushes with normal replies)
+        if cmd in ("SUBSCRIBE", "UNSUBSCRIBE", "PSUBSCRIBE",
+                   "PUNSUBSCRIBE"):
+            if self.multi_queue is not None:
+                self.multi_error = True
+                self._reply(RespError(
+                    f"{cmd} is not allowed in transactions"))
+                return False
+            self._pubsub_cmd(srv, cmd, argv[1:])
+            return False
+        if (
+            self.proto == 2
+            and (self.sub_channels or self.sub_patterns)
+            and cmd not in ("PING", "QUIT", "RESET")
+        ):
+            self._reply(RespError(
+                f"Can't execute '{cmd.lower()}': only (P|S)SUBSCRIBE / "
+                "(P|S)UNSUBSCRIBE / PING / QUIT / RESET are allowed in "
+                "this context"))
+            return False
 
         # MULTI/EXEC state machine (reference: valkey-server's MULTI wraps
         # module commands; ingestion keeps ordered groups per EXEC —
@@ -340,6 +388,37 @@ class _Handler(socketserver.StreamRequestHandler):
             log("warning", f"internal error serving {cmd}: {exc!r}")
             self._reply(RespError(f"internal error: {exc}", code="ERR"))
         return False
+
+    def _pubsub_cmd(self, srv: "RespServer", cmd: str,
+                    chans: List[bytes]) -> None:
+        """(P)SUBSCRIBE/(P)UNSUBSCRIBE: one push frame per channel, each
+        carrying the post-op subscription count (redis wire shape)."""
+        pattern = cmd.startswith("P")
+        mine = self.sub_patterns if pattern else self.sub_channels
+        verb = cmd.lower()
+        if cmd in ("SUBSCRIBE", "PSUBSCRIBE"):
+            if not chans:
+                self._reply(RespError(
+                    f"wrong number of arguments for '{verb}' command"))
+                return
+            for ch in chans:
+                name = _s(ch)
+                mine.add(name)
+                srv.subscribe(self.client_id, name, pattern)
+                self.push(Push([verb, name,
+                                len(self.sub_channels)
+                                + len(self.sub_patterns)]))
+            return
+        targets = [_s(c) for c in chans] or sorted(mine)
+        if not targets:  # unsubscribe with nothing subscribed
+            self.push(Push([verb, None, 0]))
+            return
+        for name in targets:
+            mine.discard(name)
+            srv.unsubscribe(self.client_id, name, pattern)
+            self.push(Push([verb, name,
+                            len(self.sub_channels)
+                            + len(self.sub_patterns)]))
 
     def _run(self, srv: "RespServer", cmd: str, argv: List[bytes]) -> Any:
         engine = srv.engine if self.db == 0 else srv.engine_for(self.db)
@@ -430,7 +509,34 @@ class _Handler(socketserver.StreamRequestHandler):
             self.user = "default"
             self.authenticated = False
             self.db = 0
+            for name in list(self.sub_channels):
+                srv.unsubscribe(self.client_id, name, False)
+            for name in list(self.sub_patterns):
+                srv.unsubscribe(self.client_id, name, True)
+            self.sub_channels.clear()
+            self.sub_patterns.clear()
             return SimpleString("RESET")
+        if cmd == "PUBLISH":
+            if len(rest) != 2:
+                raise RespError(
+                    "wrong number of arguments for 'publish' command")
+            return srv.publish(_s(rest[0]), rest[1])
+        if cmd == "PUBSUB":
+            sub = _s(rest[0]).upper() if rest else ""
+            with srv._sub_lock:
+                if sub == "CHANNELS":
+                    pat = _s(rest[1]) if len(rest) > 1 else None
+                    return [c for c in srv._subs
+                            if pat is None or fnmatchcase(c, pat)]
+                if sub == "NUMSUB":
+                    out: List[Any] = []
+                    for c in rest[1:]:
+                        name = _s(c)
+                        out += [name, len(srv._subs.get(name, ()))]
+                    return out
+                if sub == "NUMPAT":
+                    return len(srv._psubs)
+            raise RespError(f"Unknown PUBSUB subcommand {sub!r}")
         if cmd == "CLIENT":
             sub = _s(rest[0]).upper() if rest else ""
             if sub == "SETNAME":
@@ -1001,6 +1107,8 @@ _COMMANDS = [
     "JSON.SET", "JSON.GET", "COPY", "FT.CREATE", "FT.DROPINDEX", "FT.SEARCH",
     "FT.AGGREGATE", "FT.INFO", "FT._LIST", "FT._DEBUG",
     "EVAL", "EVALSHA", "SCRIPT",
+    "SUBSCRIBE", "UNSUBSCRIBE", "PSUBSCRIBE", "PUNSUBSCRIBE", "PUBLISH",
+    "PUBSUB",
 ]
 
 
@@ -1098,6 +1206,93 @@ class RespServer:
         self._server: Optional[_ThreadingTCPServer] = None
         self._thread: Optional[threading.Thread] = None
         self._closing = False
+        # pub/sub registries: channel/pattern → {client_id}. Guarded by
+        # _sub_lock; deliveries walk a snapshot so a slow client can't
+        # hold the registry. Keyspace notifications (__keyspace@N__ /
+        # __keyevent@N__, valkey notify.c) ride the same machinery: each
+        # logical db's Engine gets an event_observer at creation.
+        self._sub_lock = threading.Lock()
+        self._subs: Dict[str, set] = {}
+        self._psubs: Dict[str, set] = {}
+        self._attach_event_observer(self.engine, 0)
+
+    # -- pub/sub --------------------------------------------------------------
+    def _attach_event_observer(self, eng: Engine, db: int) -> None:
+        eng.event_observer = (
+            lambda event, key, klass, _db=db:
+            self.notify_keyspace_event(_db, event, key, klass)
+        )
+
+    def notify_keyspace_event(self, db: int, event: str, key: str,
+                              klass: str) -> None:
+        """__keyspace@<db>__:<key> → event and __keyevent@<db>__:<event>
+        → key, gated by search.notify-keyspace-events exactly like
+        valkey's notify-keyspace-events (K/E select the channel family,
+        class letters or A select event classes)."""
+        if not self._subs and not self._psubs:
+            return  # fast path: nobody is listening
+        flags = str(config.get("search.notify-keyspace-events"))
+        if not flags or ("K" not in flags and "E" not in flags):
+            return
+        if "A" not in flags and klass not in flags:
+            return
+        if "K" in flags:
+            self.publish(f"__keyspace@{db}__:{key}", event)
+        if "E" in flags:
+            self.publish(f"__keyevent@{db}__:{event}", key)
+
+    def publish(self, channel: str, message) -> int:
+        """Deliver to direct + pattern subscribers; returns receiver
+        count (the PUBLISH reply)."""
+        with self._sub_lock:
+            targets = [
+                (None, cid) for cid in self._subs.get(channel, ())
+            ] + [
+                (pat, cid)
+                for pat, cids in self._psubs.items()
+                if fnmatchcase(channel, pat)
+                for cid in cids
+            ]
+        if not targets:
+            return 0
+        clients = self.clients()
+        n = 0
+        for pat, cid in targets:
+            h = clients.get(cid)
+            if h is None:
+                continue
+            frame = (
+                Push(["message", channel, message]) if pat is None
+                else Push(["pmessage", pat, channel, message])
+            )
+            try:
+                h.push(frame)
+                n += 1
+            except OSError:
+                pass  # client went away; finish() will unregister it
+        return n
+
+    def subscribe(self, cid: int, channel: str, pattern: bool) -> None:
+        with self._sub_lock:
+            reg = self._psubs if pattern else self._subs
+            reg.setdefault(channel, set()).add(cid)
+
+    def unsubscribe(self, cid: int, channel: str, pattern: bool) -> None:
+        with self._sub_lock:
+            reg = self._psubs if pattern else self._subs
+            s = reg.get(channel)
+            if s is not None:
+                s.discard(cid)
+                if not s:
+                    del reg[channel]
+
+    def drop_subscriber(self, cid: int) -> None:
+        with self._sub_lock:
+            for reg in (self._subs, self._psubs):
+                for ch in [c for c, s in reg.items() if cid in s]:
+                    reg[ch].discard(cid)
+                    if not reg[ch]:
+                        del reg[ch]
 
     @property
     def port(self) -> int:
@@ -1129,6 +1324,7 @@ class RespServer:
             if eng is None:
                 factory = getattr(self, "engine_factory", None) or Engine
                 eng = self.engines[db] = factory()
+                self._attach_event_observer(eng, db)
             return eng
 
     def all_engines(self) -> List[Engine]:
@@ -1147,6 +1343,10 @@ class RespServer:
             self.engines[a], self.engines[b] = eb, ea
             if 0 in (a, b):
                 self.engine = self.engines[0]
+            # keyspace-notification channels are named by DB NUMBER: the
+            # swapped engines must emit under their new numbers
+            self._attach_event_observer(self.engines[a], a)
+            self._attach_event_observer(self.engines[b], b)
 
     def save_all(self, path: str, truncate_journal: bool = True) -> None:
         """Checkpoint every non-empty db: db 0 at ``path``, db N at
