@@ -1046,6 +1046,20 @@ def child_main(name):
 
 _EMIT_LOCK = threading.Lock()
 _EMITTED = [False]
+_LIVE_CHILD = [None]  # the running section subprocess, if any
+
+
+def _kill_live_child():
+    p = _LIVE_CHILD[0]
+    if p is not None and p.poll() is None:
+        try:
+            p.terminate()
+            try:
+                p.wait(5)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        except OSError:
+            pass
 
 
 def emit_once(obj):
@@ -1224,6 +1238,10 @@ def run_section_child(name, details, timeout_s):
         [sys.executable, os.path.abspath(__file__), "--section", name],
         stdout=subprocess.PIPE, stderr=None, text=True, bufsize=1,
     )
+    # the child exclusively holds the TPU: if the PARENT dies (driver
+    # SIGTERM/watchdog) the orphan would keep the chip wedged for the
+    # driver's next step — every parent exit path kills the live child
+    _LIVE_CHILD[0] = p
     done = False
     skipped = None
 
@@ -1271,6 +1289,7 @@ def run_section_child(name, details, timeout_s):
             break
         time.sleep(0.2)
     rc = p.poll()
+    _LIVE_CHILD[0] = None
     took = time.perf_counter() - t0
     if skipped is not None:
         details[f"skip_{name}"] = skipped
@@ -1303,6 +1322,7 @@ def parent_main():
             if state["done"]:
                 return
         log("WATCHDOG: budget exceeded — emitting partial result")
+        _kill_live_child()
         emit_once(state["result"])
         os._exit(2)
 
@@ -1436,7 +1456,9 @@ def parent_main():
 def _term_handler(signum, frame):
     """External kills (the driver's `timeout`, SIGINT) must still land the
     JSON line — raise so the BaseException funnel below emits the
-    partial."""
+    partial. The live section child dies first: an orphan would keep the
+    exclusively-held TPU wedged for whatever the driver runs next."""
+    _kill_live_child()
     raise SystemExit(f"signal {signum}")
 
 

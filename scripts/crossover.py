@@ -46,11 +46,21 @@ from valkey_search_tpu.runtime import config as cfg  # noqa: E402
 # crossover attempt measured that: 29k qps scan at recall 1.0000)
 cfg.set_config("search.corpus-dtype", "int8")
 
-D, K, B = 128, 10, 16384
-N_MAX = int(os.environ.get("VSTPU_XOVER_NMAX", str(4_000_000)))
-SIZES = [n for n in (1_000_000, 2_000_000, 4_000_000) if n <= N_MAX]
+D, K = 128, 10
+B = int(os.environ.get("VSTPU_XOVER_B", "16384"))
+# Default: bracket the configured search.ivf-threshold (6M) with measured
+# points on BOTH sides through 10M (VERDICT r4 next#5: the 6M default was
+# a curve fit from 1/2/4M; the measured range must reach the threshold).
+SIZES = [int(s) for s in os.environ.get(
+    "VSTPU_XOVER_SIZES",
+    "1000000,2000000,4000000,6000000,8000000,10000000").split(",")]
 N_GT = 64
 PROBES = (8, 16, 32, 64)
+# >= DEVGEN_MIN rows: generate the corpus ON DEVICE (bench big10m recipe)
+# — a 6-10M host corpus is a 3-5 GiB upload that costs 400-600s on a
+# slow-tunnel day and measures the tunnel, not the engine
+DEVGEN_MIN = int(os.environ.get("VSTPU_XOVER_DEVGEN_MIN", "6000000"))
+N_MAX = max(s for s in SIZES)
 
 t0_all = time.perf_counter()
 
@@ -60,33 +70,85 @@ def log(msg):
           file=sys.stderr, flush=True)
 
 
+INTERP = jax.default_backend() != "tpu"  # CPU smoke: Pallas interpret
 log(f"platform={jax.default_backend()}")
 
 rng = np.random.default_rng(42)
 n_centers = 1024
 centers = rng.standard_normal((n_centers, D)).astype(np.float32) * 60 + 128
-log(f"generating corpus N={N_MAX}")
-corpus = np.empty((N_MAX, D), np.float32)
-for i0 in range(0, N_MAX, 1_000_000):
-    m = min(1_000_000, N_MAX - i0)
-    a = rng.integers(0, n_centers, m)
-    corpus[i0:i0 + m] = np.clip(
-        centers[a] + rng.standard_normal((m, D), dtype=np.float32) * 20,
-        0, 255)
+host_max = max([s for s in SIZES if s < DEVGEN_MIN], default=0)
+corpus = None
+if host_max:
+    log(f"generating host corpus N={host_max}")
+    corpus = np.empty((host_max, D), np.float32)
+    for i0 in range(0, host_max, 1_000_000):
+        m = min(1_000_000, host_max - i0)
+        a = rng.integers(0, n_centers, m)
+        corpus[i0:i0 + m] = np.clip(
+            centers[a] + rng.standard_normal((m, D), dtype=np.float32) * 20,
+            0, 255)
 qa = rng.integers(0, n_centers, B)
 queries = np.clip(
     centers[qa] + rng.standard_normal((B, D), dtype=np.float32) * 20,
     0, 255).astype(np.float32)
 
+
+def device_snapshot_for(n):
+    """Device-generated corpus + int8/norms mirrors at row count n (the
+    bench big10m recipe: only the 512 KB centers cross the tunnel).
+    Returns (snap_dict, rows, build_s)."""
+    bn = -(-n // 131072) * 131072  # fused-scan quantum
+    t0 = time.perf_counter()
+    cent_d = jnp.asarray(centers)
+
+    def _gen(k1, k2, m):
+        a = jax.random.randint(k1, (m,), 0, n_centers)
+        z = jax.random.normal(k2, (m, D), dtype=jnp.float32)
+        return jnp.clip(jnp.take(cent_d, a, axis=0) + z * 20, 0, 255)
+
+    _gen = jax.jit(_gen, static_argnames=("m",))
+    keys = jax.random.split(jax.random.PRNGKey(29), 16)
+    gch = 40 * 65536
+    chunks = [
+        _gen(keys[2 * ci], keys[2 * ci + 1], min(gch, bn - st))
+        for ci, st in enumerate(range(0, bn, gch))
+    ]
+    vecs = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    chunks = None
+    scale = jnp.max(jnp.abs(vecs)) / 127.0
+    i8 = jnp.concatenate([
+        jnp.clip(jnp.round(jax.lax.dynamic_slice_in_dim(
+            vecs, st, min(gch, bn - st)) / scale), -127, 127
+        ).astype(jnp.int8)
+        for st in range(0, bn, gch)
+    ])
+    norms = jnp.concatenate([
+        jnp.sum(jnp.square(jax.lax.dynamic_slice_in_dim(
+            vecs, st, min(gch, bn - st))), axis=1)
+        for st in range(0, bn, gch)
+    ])
+    inv = jnp.zeros((bn,), bool)
+    _ = np.asarray(norms[0])
+    return ({"vectors": vecs, "vectors_i8": i8, "i8_scale": scale,
+             "norms_sq": norms, "invalid": inv}, bn,
+            time.perf_counter() - t0)
+
+
 points = {}
 for n in SIZES:
-    log(f"=== N={n}: bulk_load + upload")
-    idx = FlatVectorIndex(dim=D, metric="l2")
-    t0 = time.perf_counter()
-    idx.bulk_load([f"x:{i}" for i in range(n)], corpus[:n])
-    snap = idx.store.device_snapshot()
-    load_s = time.perf_counter() - t0
-    cap = int(snap["invalid"].shape[0])
+    if n >= DEVGEN_MIN:
+        log(f"=== N={n}: device-generated corpus + mirrors")
+        idx = None
+        snap, cap, load_s = device_snapshot_for(n)
+        n = cap  # rounded to the scan quantum; every row is real
+    else:
+        log(f"=== N={n}: bulk_load + upload")
+        idx = FlatVectorIndex(dim=D, metric="l2")
+        t0 = time.perf_counter()
+        idx.bulk_load([f"x:{i}" for i in range(n)], corpus[:n])
+        snap = idx.store.device_snapshot()
+        load_s = time.perf_counter() - t0
+        cap = int(snap["invalid"].shape[0])
     br = next(c for c in range(min(262144, cap), 0, -1) if cap % c == 0)
     # ground truth on-device: exact f32 blocked scan over N_GT queries
     gq = jnp.asarray(queries[:N_GT])
@@ -105,7 +167,7 @@ for n in SIZES:
             qd, snap["vectors"], snap.get("vectors_lp"), k=K, metric="l2",
             corpus_sq=snap["norms_sq"], invalid=snap["invalid"],
             block_rows=cap, corpus_i8=snap.get("vectors_i8"),
-            i8_scale=snap.get("i8_scale"),
+            i8_scale=snap.get("i8_scale"), interpret=INTERP,
         )
 
     d, ids_d = _scan()  # compile + warm

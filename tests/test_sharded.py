@@ -316,3 +316,53 @@ def test_sharded_ivf_partial_probe_recall(rng):
         len(set(r[r >= 0]) & set(t)) for r, t in zip(js, truth)
     )
     assert hits / truth.size >= 0.9
+
+
+def test_sharded_ivf_rescored_exact_tier(rng):
+    """The mesh >=0.99 tier (VERDICT r4 next#3): int8 blocks AND fp32 rows
+    sharded over 8 devices, per-shard exact rescore, ICI merge. Recall
+    must beat the no-rescore path on a quantization-hostile corpus and
+    the returned distances must be fp32-exact."""
+    from valkey_search_tpu.ops import ivf
+
+    mesh = pm.make_mesh(8)
+    n, d, k = 16384, 16, 10
+    cent = rng.standard_normal((8, d)).astype(np.float32)
+    a = rng.integers(0, 8, n)
+    # tight clusters: residual-int8 rounding rivals intra-cluster spread,
+    # so coarse-only ordering is visibly noisy (same setup as the
+    # single-chip rescore tests)
+    x = (cent[a] + 0.02 * rng.standard_normal((n, d))).astype(np.float32)
+    idx = ivf.build_ivf(x, block_rows=128, n_clusters=8, train_sample=4096)
+    assert idx.n_blocks % 8 == 0
+    slots = jnp.asarray(pm.rows_in_slot_order(x, idx.block_ids))
+    q = x[:64] + 0.002 * rng.standard_normal((64, d)).astype(np.float32)
+    dd = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    truth = np.argsort(dd, axis=1, kind="stable")[:, :k]
+    probe = idx.n_blocks  # full probe isolates the rescore's contribution
+    _, i_raw = pm.sharded_ivf_topk(mesh, idx, jnp.asarray(q), k=k,
+                                   probe=probe)
+    d_r, i_r = pm.sharded_ivf_topk_rescored(
+        mesh, idx, slots, jnp.asarray(q), k=k, probe=probe,
+        coarse_factor=8,
+    )
+    d_r, i_r = np.asarray(d_r), np.asarray(i_r)
+
+    def recall(ids):
+        return np.mean([
+            len(set(ids[b].tolist()) & set(truth[b].tolist())) / k
+            for b in range(len(q))
+        ])
+
+    assert recall(i_r) >= 0.99
+    assert recall(i_r) >= recall(np.asarray(i_raw))
+    # distances are the exact fp32 distances of the returned rows
+    for b in range(0, 64, 9):
+        for j in range(k):
+            rid = i_r[b, j]
+            assert rid >= 0
+            assert abs(d_r[b, j] - dd[b, rid]) < 1e-3 + 1e-4 * abs(dd[b, rid])
+    # no duplicate ids (rows live in exactly one shard)
+    for b in range(64):
+        live = i_r[b][i_r[b] >= 0]
+        assert len(live) == len(set(live.tolist()))

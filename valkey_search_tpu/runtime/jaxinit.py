@@ -19,6 +19,12 @@ def init(cache_dir: str | None = None) -> None:
         return
     import jax
 
+    if os.environ.get("VSTPU_FORCE_CPU") == "1":
+        # the axon sitecustomize sets the jax_platforms CONFIG, which
+        # beats the JAX_PLATFORMS env var — smoke runs on a wedged-tunnel
+        # day need an explicit config override to stay off the device
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = cache_dir or os.environ.get(
         "VSTPU_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
