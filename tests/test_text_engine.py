@@ -523,3 +523,39 @@ class TestNativeExpansion:
             assert len(eng.expand_words(pred)) == 7
         finally:
             config.set_config("search.max-term-expansions", 200)
+
+
+def test_phrase_native_merge_matches_python_oracle():
+    """Differential fuzz of the native merge-driven phrase intersection
+    (phrase_docs_merge, native/text_index.cpp) against the Python
+    positional oracle across random corpora, slop, order, field scoping,
+    and 2-3 slot phrases (guards the round-5 leapfrog rewrite)."""
+    rng = np.random.default_rng(77)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab: dense collisions
+    s = IndexSchema("pf", prefixes=("p:",))
+    s.add_text_attribute("a")
+    s.add_text_attribute("b")
+    for i in range(300):
+        wa = " ".join(vocab[w] for w in rng.integers(0, 12, size=8))
+        wb = " ".join(vocab[w] for w in rng.integers(0, 12, size=6))
+        s.upsert(f"p:{i}", {"a": wa, "b": wb})
+    te = s.text_engine
+    assert te._nt is not None  # the native path must be what we test
+    checked = 0
+    for _ in range(120):
+        n_slots = int(rng.integers(2, 4))
+        words = tuple(vocab[w] for w in rng.integers(0, 12, size=n_slots))
+        pred = TextPredicate(
+            "" if rng.random() < 0.5 else ("a" if rng.random() < 0.5
+                                           else "b"),
+            match="phrase", phrase=words,
+            slop=int(rng.integers(0, 3)),
+            inorder=bool(rng.random() < 0.5),
+        )
+        mask = te.field_mask(pred.field)
+        native = set(te._phrase_doc_ids(pred, mask).tolist())
+        oracle = te._phrase_docs(pred, mask)
+        assert native == oracle, (words, pred.slop, pred.inorder,
+                                  pred.field, len(native), len(oracle))
+        checked += 1
+    assert checked == 120
