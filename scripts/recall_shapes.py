@@ -38,6 +38,8 @@ from valkey_search_tpu.ops import topk as topk_ops  # noqa: E402
 
 N = int(os.environ.get("VSTPU_SHAPES_N", "1048576"))
 B = int(os.environ.get("VSTPU_SHAPES_B", "16384"))
+# Pallas kernels need interpret mode off-TPU (same rule as tests/conftest).
+INTERP = jax.default_backend() != "tpu"
 K = 10
 N_GT = 64
 t0_all = time.perf_counter()

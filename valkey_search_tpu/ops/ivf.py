@@ -1079,6 +1079,10 @@ def build_ivf_streaming(
                 np.float32)
         xc = outs = o = None
     probe = None
+    # the fit tables are pass-1-only; at 100M-scale cents2_d alone is
+    # hundreds of MB and the endgame (block store + final reshapes) runs
+    # within ~3 GiB of headroom — release them before passes 2/3
+    cent1 = cents2_d = c2v_d = pc1_d = None
     _, cell = np.unique(assign64, return_inverse=True)
     cell = cell.astype(np.int32)
     _, l1 = np.unique(assign64 // c2max, return_inverse=True)
@@ -1162,13 +1166,20 @@ def build_ivf_streaming(
 
     _log("pass 3 done; uploading block ids")
     ids2 = ids_flat.reshape(nb_pad, s).astype(np.int32)
+    # Final reshapes run DONATED so XLA aliases the buffers in place: the
+    # eager .reshape materialized a second copy next to the ~12.9 GiB
+    # block store and RESOURCE_EXHAUSTED the chip (r5 run 1, 100M build).
+    codes = jax.jit(
+        lambda c: c.reshape(nb_pad, s, d), donate_argnums=0)(codes)
+    rowsq = jax.jit(
+        lambda r: r.reshape(nb_pad, s), donate_argnums=0)(rowsq)
     return IvfDeviceIndex(
         centroids=cents,
         cent_sq=jnp.sum(cents * cents, axis=1),
         block_valid=jnp.asarray((ids2 >= 0).any(axis=1)),
-        blocks_i8=codes.reshape(nb_pad, s, d),
+        blocks_i8=codes,
         block_scale=scale,
-        row_sq=rowsq.reshape(nb_pad, s),
+        row_sq=rowsq,
         block_ids=jnp.asarray(ids2),
     )
 
