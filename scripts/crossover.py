@@ -55,7 +55,7 @@ SIZES = [int(s) for s in os.environ.get(
     "VSTPU_XOVER_SIZES",
     "1000000,2000000,4000000,6000000,8000000,10000000").split(",")]
 N_GT = 64
-PROBES = (8, 16, 32, 64)
+PROBES = (8, 12, 16, 32)
 # >= DEVGEN_MIN rows: generate the corpus ON DEVICE (bench big10m recipe)
 # — a 6-10M host corpus is a 3-5 GiB upload that costs 400-600s on a
 # slow-tunnel day and measures the tunnel, not the engine
@@ -173,7 +173,7 @@ for n in SIZES:
     d, ids_d = _scan()  # compile + warm
     ids = np.asarray(ids_d)
     t0 = time.perf_counter()
-    reps = 3
+    reps = 6
     outs = [_scan() for _ in range(reps)]
     _ = np.asarray(outs[-1][0][0, 0])
     scan_qps = reps * B / (time.perf_counter() - t0)
@@ -199,11 +199,11 @@ for n in SIZES:
                                              probe=probe, probe_chunk=4)
         np.asarray(dd)  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(6):
             dd, ii = ivf_ops.ivf_search_rescored(iv, qd, vecs, k=K,
                                                  probe=probe, probe_chunk=4)
         _ = np.asarray(dd[0, 0])  # in-order completion barrier
-        q_ivf = 3 * B / (time.perf_counter() - t0)
+        q_ivf = 6 * B / (time.perf_counter() - t0)
         ii = np.asarray(ii)
         rec = float(np.mean([
             len(set(ii[b, :K].tolist()) & gt[b]) / K for b in range(N_GT)]))

@@ -213,9 +213,7 @@ class TestEngineRouting:
     def _reset(self):
         from valkey_search_tpu.runtime import config
 
-        config.set_config("search.ivf-threshold", 6_000_000)
-        config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 8)
+        config.REGISTRY.reset_all()  # back to shipped defaults
 
     def test_flat_routes_and_recalls(self, rng):
         from valkey_search_tpu.indexes.flat import FlatVectorIndex
@@ -387,9 +385,7 @@ def test_hnsw_ef_runtime_raises_probe(rng, monkeypatch):
         idx.search_batch(x[:2], 3, ef=100)
         assert seen["probe"] == 2  # covered by the floor already
     finally:
-        config.set_config("search.ivf-threshold", 6_000_000)
-        config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 8)
+        config.REGISTRY.reset_all()  # back to shipped defaults
 
 
 def test_filtered_searches_bypass_ivf(rng):
@@ -419,9 +415,7 @@ def test_filtered_searches_bypass_ivf(rng):
         live = ids[ids >= 0]
         assert len(live) and np.isin(live, allowed).all()
     finally:
-        config.set_config("search.ivf-threshold", 6_000_000)
-        config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 8)
+        config.REGISTRY.reset_all()  # back to shipped defaults
 
 
 def test_ivf_delta_overlay_read_your_writes(rng):
@@ -453,9 +447,7 @@ def test_ivf_delta_overlay_read_your_writes(rng):
         assert idx.interner.key_of(int(ids[0, 0])) != "fresh"
         assert STATS.get("ivf_mirror_builds") == builds
     finally:
-        config.set_config("search.ivf-threshold", 6_000_000)
-        config.set_config("search.ivf-block-rows", 1024)
-        config.set_config("search.ivf-probe", 8)
+        config.REGISTRY.reset_all()  # back to shipped defaults
 
 
 class TestDeviceBuild:
@@ -704,3 +696,52 @@ class TestStreamingRescore:
         r_res = recall_at_k(np.asarray(i_r), truth)
         assert r_res >= r_raw
         assert r_res >= 0.95
+
+
+class TestGroupedDispatch:
+    """ivf_search_batch's inverted (MoE-style) stage 2 must agree with the
+    per-query gather scan: identical block selection, identical scoring
+    formula — differences only from bf16 contraction order."""
+
+    def _both(self, idx, q, probe, metric="l2", fmask=None):
+        d_g, i_g = ivf._ivf_search_batch_grouped(
+            idx, q, k=10, probe=probe, metric=metric, filter_mask=fmask)
+        d_s, i_s = ivf._ivf_search_batch_steps(
+            idx, q, k=10, probe=probe, metric=metric, probe_chunk=4,
+            filter_mask=fmask)
+        return (np.asarray(d_g), np.asarray(i_g),
+                np.asarray(d_s), np.asarray(i_s))
+
+    def test_grouped_matches_steps(self, rng):
+        x = clustered(rng, 20000, 48, centers=32)
+        idx = ivf.build_ivf(x, block_rows=256, n_clusters=16,
+                            train_sample=8192)
+        q = jnp.asarray(x[:256])
+        d_g, i_g, d_s, i_s = self._both(idx, q, probe=8)
+        np.testing.assert_allclose(d_g, d_s, rtol=2e-3, atol=2e-2)
+        # ids agree except where near-tie scores reorder
+        assert (i_g == i_s).mean() > 0.98
+
+    def test_grouped_matches_steps_ip_filtered(self, rng):
+        x = clustered(rng, 8192, 32, centers=16)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        idx = ivf.build_ivf(x, block_rows=128, n_clusters=8,
+                            train_sample=4096)
+        q = jnp.asarray(x[:128])
+        fmask = jnp.asarray(np.arange(8192) % 3 != 0)
+        d_g, i_g, d_s, i_s = self._both(idx, q, probe=6, metric="ip",
+                                        fmask=fmask)
+        np.testing.assert_allclose(d_g, d_s, rtol=2e-3, atol=2e-2)
+        assert (i_g == i_s).mean() > 0.98
+        assert not set(np.asarray(i_g)[i_g >= 0].ravel()) & set(
+            range(0, 8192, 3))
+
+    def test_dispatch_picks_grouped_at_high_multiplicity(self, rng):
+        # B*probe >> n_blocks -> grouped; recall must hold either way
+        x = clustered(rng, 16384, 32, centers=16)
+        q = x[:512]
+        truth = brute(q, x, 10)
+        idx = ivf.build_ivf(x, block_rows=128, n_clusters=8,
+                            train_sample=4096)
+        _, ids = ivf.ivf_search_batch(idx, jnp.asarray(q), k=10, probe=16)
+        assert recall_at_k(np.asarray(ids), truth) >= 0.9

@@ -79,7 +79,8 @@ class FlatVectorIndex(VectorIndexBase):
                     qd,
                     snap["vectors"],
                     k=k,
-                    probe=int(config.get("search.ivf-probe")),
+                    probe=(int(config.get("search.ivf-probe"))
+                           or ivf_ops.default_probe(mirror)),
                     metric=metric,
                     filter_mask=mask,
                 )

@@ -605,7 +605,8 @@ class HnswVectorIndex(VectorIndexBase):
                 # probe * block_rows, so the floor only rises when the
                 # requested candidate pool exceeds what the configured
                 # probe already covers
-                probe = int(config.get("search.ivf-probe"))
+                probe = (int(config.get("search.ivf-probe"))
+                         or ivf_ops.default_probe(mirror))
                 if ef:
                     probe = max(probe, -(-int(ef) // mirror.block_rows))
                 metric = "ip" if self.metric == "cosine" else self.metric

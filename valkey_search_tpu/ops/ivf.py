@@ -326,15 +326,17 @@ def ivf_build_plan(
     chunk_rows = min(chunk_rows, n)
     n_chunks = -(-n // chunk_rows)
     assign = 2 * chunk_rows * c2max * d * 6 + n_chunks * 2 * chunk_rows * 4
-    # layout padding (same auto policy as build_ivf_device). Upper bound:
-    # cells number <= ceil(n/s) + n_clusters (c2 = ceil(est/s) per
-    # cluster), and each cell's tail pads < 1 block
-    nb = 2 * (-(-n // s)) + 2 * n_clusters
+    # layout padding (same auto policy as build_ivf_device): large builds
+    # whole-allocate blocks per L1 CLUSTER (ceil(n/s) full blocks + < 1
+    # pad block per cluster tail); small builds allocate per CELL (cells
+    # <= ceil(n/s) + n_clusters, each tail pads < 1 block)
     if block_align <= 0:
         block_align = 1024 if (-(-n // s)) > 4096 else 0
     if block_align > 0:
+        nb = (-(-n // s)) + n_clusters
         nb_pad = -(-nb // block_align) * block_align
     else:
+        nb = 2 * (-(-n // s)) + 2 * n_clusters
         nb_pad = _pow2_at_least(max(nb, 1))
     # quantize: per-chunk [chunk_blocks, S, d] f32 gather + masked copy
     # (x2 chunks in flight thanks to the per-chunk sync), accumulated
@@ -559,6 +561,130 @@ def _cluster_row_tables(
     tables[a_sorted[keep], rank[keep]] = rows_src[order[keep]]
     valid[a_sorted[keep], rank[keep]] = True
     return tables, valid, sizes
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _assign_at(vec, start, cent, rows):
+    """Level-1 assignment of one ``rows``-window of a device-resident
+    sample (dynamic_slice clamps; callers handle tail overlap)."""
+    xc = jax.lax.dynamic_slice_in_dim(vec, start, rows, axis=0).astype(
+        jnp.float32
+    )
+    return _assign_chunk(xc, cent)
+
+
+def _assign_sample_device(
+    sample_d: jnp.ndarray, cent1: jnp.ndarray, n_clusters: int
+) -> np.ndarray:
+    """Chunked level-1 assignment of a DEVICE-resident sample; only int32
+    assignments cross the link. The [chunk, C] f32 dots temp is bounded
+    to ~512 MB (same budget as assign_clusters' host path)."""
+    n = int(sample_d.shape[0])
+    chunk = int(np.clip((1 << 27) // max(n_clusters, 1), 4096, 262144))
+    chunk = min(1 << (chunk.bit_length() - 1), n)
+    starts = [min(st, n - chunk) for st in range(0, n, chunk)]
+    outs = [_assign_at(sample_d, st, cent1, chunk) for st in starts]
+    o = np.asarray(jnp.stack(outs))  # one pull
+    a1s = np.empty(n, np.int32)
+    for st, start, oo in zip(range(0, n, chunk), starts, o):
+        off = st - start
+        en = min(st + chunk, n)
+        a1s[st:en] = oo[off:off + en - st]
+    return a1s
+
+
+@jax.jit
+def _cov_device(sample: jnp.ndarray) -> jnp.ndarray:
+    x = sample.astype(jnp.float32)
+    x = x - jnp.mean(x, axis=0, keepdims=True)
+    return jnp.dot(x.T, x, precision=jax.lax.Precision.HIGHEST)
+
+
+def principal_axis_device(sample_d: jnp.ndarray) -> jnp.ndarray:
+    """principal_axis for a device-resident sample: only the [d, d]
+    covariance crosses the link (65 KB at d=128 vs the full sample)."""
+    cov = np.asarray(_cov_device(sample_d), np.float64)
+    _, v = np.linalg.eigh(cov)
+    return jnp.asarray(np.ascontiguousarray(v[:, -1], np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "r_max"))
+def _scatter_rows_device(sample, slot_row, n_clusters, r_max):
+    d = sample.shape[1]
+    tab = jnp.zeros((n_clusters * r_max + 1, d), jnp.float32)
+    tab = tab.at[slot_row].set(sample.astype(jnp.float32))
+    return tab[:-1].reshape(n_clusters, r_max, d)
+
+
+@jax.jit
+def _thin_fix_device(cents2, cent1, thin):
+    first = jnp.where(thin[:, None], cent1, cents2[:, 0, :])
+    return cents2.at[:, 0, :].set(first)
+
+
+def _fit_two_level_device(
+    sample_d: jnp.ndarray,
+    n_clusters: int,
+    block_rows: int,
+    est_total: int,
+    *,
+    kmeans_iters: int,
+    seed: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """Two-level coarse-quantizer fit with the sample DEVICE-RESIDENT.
+
+    Only O(sample) int32 assignments, the d×d covariance, and O(C)
+    planning scalars cross the host↔device link. The r5-run-1 100M build
+    spent ~800 of its 1302 s shipping the 335 MB fp32 sample through the
+    axon tunnel three times (pull for host cluster tables, re-upload for
+    the level-1 k-means, re-upload for sample assignment) — on a
+    production PCIe host that is milliseconds, but the fit path has no
+    reason to move the sample at all. Same algorithm and quality tier as
+    the host fit it replaces (level-2 centroids from per-cluster sample
+    tables, thin-cluster fallback to level-1, principal axis for
+    within-cell ordering).
+
+    Returns (cent1, cents2, c2_valid, pc1, c2max) — all device arrays
+    except the static c2max.
+    """
+    n_s, d = int(sample_d.shape[0]), int(sample_d.shape[1])
+    s = int(block_rows)
+    cent1 = kmeans_fit(sample_d, n_clusters, iters=kmeans_iters, seed=seed)
+    a1s = _assign_sample_device(sample_d, cent1, n_clusters)
+    sizes_s = np.bincount(a1s, minlength=n_clusters)
+    r_max = _pow2_at_least(min(4096, max(int(sizes_s.max()), 1)))
+    while n_clusters * r_max * d * 4 > (768 << 20) and r_max > 256:
+        r_max //= 2  # same fit-table HBM cap as the host fit
+    # host plans slots (cheap int work on the 2.6 MB assignment pull),
+    # ONE device scatter builds the [C, r_max, d] tables in place
+    order = np.argsort(a1s, kind="stable")
+    a_sorted = a1s[order]
+    starts = np.zeros(n_clusters + 1, np.int64)
+    np.cumsum(sizes_s, out=starts[1:])
+    rank = np.arange(n_s, dtype=np.int64) - starts[a_sorted]
+    keep = rank < r_max
+    slot = np.where(
+        keep, a_sorted.astype(np.int64) * r_max + rank, n_clusters * r_max
+    )
+    slot_row = np.full(n_s, n_clusters * r_max, np.int64)
+    slot_row[order] = slot
+    tables = _scatter_rows_device(
+        sample_d, jnp.asarray(slot_row.astype(np.int32)), n_clusters, r_max
+    )
+    valid = np.zeros((n_clusters, r_max), bool)
+    valid[a_sorted[keep], rank[keep]] = True
+    est = sizes_s * (est_total / max(1, n_s))
+    c2 = np.maximum(1, -(-est.astype(np.int64) // s))
+    c2 = np.minimum(c2, np.maximum(sizes_s, 1))
+    c2max = int(_pow2_at_least(int(c2.max())))
+    cents2 = kmeans_fit_batched(
+        tables, jnp.asarray(valid), c2max,
+        iters=max(4, kmeans_iters // 2), seed=seed,
+    )
+    cents2 = _thin_fix_device(cents2, cent1, jnp.asarray(sizes_s < 2))
+    c2_valid = jnp.asarray(np.arange(c2max)[None, :] < c2[:, None])
+    pc1 = principal_axis_device(sample_d)
+    return cent1, cents2, c2_valid, pc1, c2max
 
 
 def _two_level_pass(
@@ -802,49 +928,19 @@ def build_ivf_device(
         train_sample = int(np.clip(256 * n_clusters, 131072, 4_000_000))
     train_sample = min(train_sample, max(1, n))
     stride = max(1, n // train_sample)
-    # one small pull: the k-means sample (needed host-side for the
-    # cluster tables + principal axis)
+    # the k-means sample never leaves the device (level 1 + sample-fit
+    # level 2, same quality tier as sample_refined_assign); the [C,r_max,d]
+    # fit-table HBM cap lives inside _fit_two_level_device (uncapped it
+    # OOM'd next to the serving mirrors, r4 bench run 3)
     samp_pos = pos_live[::stride][:train_sample]
-    sample_h = np.asarray(
-        jnp.take(dev_vectors, jnp.asarray(samp_pos), axis=0),
-        np.float32,
+    sample_d = jnp.take(dev_vectors, jnp.asarray(samp_pos), axis=0).astype(
+        jnp.float32
     )
     _probe("sample")
-
-    # level 1 + sample-fit level 2 (mirrors sample_refined_assign, with
-    # device-resident chunk reads instead of host chunk uploads)
-    cent1 = kmeans_fit(
-        jnp.asarray(sample_h), n_clusters, iters=kmeans_iters, seed=seed
+    cent1, cents2_d, c2v_d, pc1_d, c2max = _fit_two_level_device(
+        sample_d, n_clusters, s, n, kmeans_iters=kmeans_iters, seed=seed
     )
-    a1s = assign_clusters(sample_h, cent1,
-                          chunk_rows=min(max(len(sample_h), 1), 262144))
-    sizes_s = np.bincount(a1s, minlength=n_clusters)
-    r_max = _pow2_at_least(min(4096, max(int(sizes_s.max()), 1)))
-    # bound the padded [C, r_max, d] fit table to ~768 MB of f32: the
-    # batched-kmeans device program holds the table, its bf16 copy and two
-    # [C, r_max, k] per-iter temps at once — uncapped (C=1220, r_max=4096)
-    # the fit alone needed ~6.5 GiB next to the 6.4 GiB flat mirrors and
-    # OOM'd the 16 GiB chip (r4 bench run 3). Level-2 centroids fit from a
-    # per-cluster row sample just as well (they only steer block layout;
-    # recall comes from probe+rescore).
-    while n_clusters * r_max * d * 4 > (768 << 20) and r_max > 256:
-        r_max //= 2
-    tables, valid, _ = _cluster_row_tables(sample_h, a1s, n_clusters, r_max)
-    est = sizes_s * (n / max(1, len(sample_h)))
-    c2 = np.maximum(1, -(-est.astype(np.int64) // s))
-    c2 = np.minimum(c2, np.maximum(sizes_s, 1))
-    c2max = int(_pow2_at_least(int(c2.max())))
-    cents2 = np.array(
-        kmeans_fit_batched(
-            jnp.asarray(tables), jnp.asarray(valid), c2max,
-            iters=max(4, kmeans_iters // 2), seed=seed,
-        )
-    )
-    thin = sizes_s < 2
-    cents2[thin, 0] = np.asarray(cent1)[thin]
-    c2_valid = np.arange(c2max)[None, :] < c2[:, None]
-    cents2_d, c2v_d = jnp.asarray(cents2), jnp.asarray(c2_valid)
-    pc1_d = jnp.asarray(principal_axis(sample_h))
+    sample_d = None
     _probe("fit")
 
     # bound the [chunk, c2max, d] level-2 centroid gather: the gather
@@ -879,20 +975,38 @@ def build_ivf_device(
         assign64[st:en] = o[0, off:off + en - st].astype(np.int64)
         proj[st:en] = o[1, off:off + en - st].view(np.float32)
     del outs
-    _, dense = np.unique(assign64[pos_live], return_inverse=True)
+    a64_live = assign64[pos_live]
+    _, dense = np.unique(a64_live, return_inverse=True)
     assign = dense.astype(np.int32)
+    _, l1 = np.unique(a64_live // c2max, return_inverse=True)
+    l1 = l1.astype(np.int32)
 
     # host layout planning (cheap O(n) int work), device gather+quantize.
-    # Padding: pow2 block counts keep serve-program shapes stable across
-    # throttled rebuilds, but above ~4k blocks the waste is GBs of dead
-    # codes (VERDICT r4 weak#1: 16,384 padded vs ~9,856 real blocks at 10M
-    # was ~0.8 GiB) — large one-shot builds auto-switch to 1024-alignment,
+    # Rows are ordered cell-major (L2 within L1, principal-axis within a
+    # cell). Two layout regimes, switched together with the block_align
+    # policy below:
+    #  * small builds (<=4k blocks): whole-block allocation per CELL —
+    #    every block is one round k-means sub-cluster, the most
+    #    discriminative mini-centroids; tail padding is a few MB.
+    #  * large builds: whole-block allocation at L1-CLUSTER boundaries,
+    #    exactly as build_ivf_streaming lays out. Per-cell padding at the
+    #    ~1-block cell sizes large builds target left blocks ~55% full at
+    #    10M rows (18,432 blocks for ~9,856 needed), which both wasted
+    #    scan compute and halved the real rows covered per probe — the r5
+    #    run-1 probe=8 recall collapse to 0.64. A straddle block's
+    #    mini-centroid/scale come from its actual members
+    #    (quantize_blocks); the slightly larger residual range is
+    #    repaired by the rescore tier.
+    # Padding policy: pow2 block counts keep serve-program shapes stable
+    # across throttled rebuilds; above ~4k blocks the pow2 waste is GBs of
+    # dead codes, so large one-shot builds auto-switch to 1024-alignment,
     # same policy as build_ivf_streaming.
     order = np.lexsort((proj[pos_live], assign))
     if block_align <= 0:
         n_blk_est = -(-n // s)
         block_align = 1024 if n_blk_est > 4096 else 0
-    pos, _nb, nb_pad = plan_blocks(assign, order, s, block_align=block_align)
+    group = l1 if block_align > 0 else assign
+    pos, _nb, nb_pad = plan_blocks(group, order, s, block_align=block_align)
     src_flat = np.full(nb_pad * s, -1, np.int64)   # slot -> device row
     src_flat[pos] = pos_live[order]
     ids_flat = np.full(nb_pad * s, -1, np.int64)   # slot -> external id
@@ -1016,37 +1130,14 @@ def build_ivf_streaming(
     if train_sample <= 0:
         train_sample = int(np.clip(256 * n_clusters, 131072, 1_048_576))
     train_sample = min(train_sample, ch)
-    # one bounded pull: the fit sample (needed host-side for the cluster
-    # tables + principal axis; <=512 MB at the 1M cap)
-    sample_h = np.asarray(probe[:train_sample], np.float32)
+    # the fit sample never leaves the device (see _fit_two_level_device:
+    # the host round trips were ~60% of the r5-run-1 100M build)
+    sample_d = probe[:train_sample].astype(jnp.float32)
     _log(f"fit: {train_sample} sample rows, {n_clusters} clusters")
-
-    cent1 = kmeans_fit(
-        jnp.asarray(sample_h), n_clusters, iters=kmeans_iters, seed=seed
+    cent1, cents2_d, c2v_d, pc1_d, c2max = _fit_two_level_device(
+        sample_d, n_clusters, s, n, kmeans_iters=kmeans_iters, seed=seed
     )
-    a1s = assign_clusters(sample_h, cent1,
-                          chunk_rows=min(max(len(sample_h), 1), 262144))
-    sizes_s = np.bincount(a1s, minlength=n_clusters)
-    r_max = _pow2_at_least(min(4096, max(int(sizes_s.max()), 1)))
-    while n_clusters * r_max * d * 4 > (768 << 20) and r_max > 256:
-        r_max //= 2  # same fit-table HBM cap as build_ivf_device
-    tables, valid, _ = _cluster_row_tables(sample_h, a1s, n_clusters, r_max)
-    est = sizes_s * (n / max(1, len(sample_h)))
-    c2 = np.maximum(1, -(-est.astype(np.int64) // s))
-    c2 = np.minimum(c2, np.maximum(sizes_s, 1))
-    c2max = int(_pow2_at_least(int(c2.max())))
-    cents2 = np.array(
-        kmeans_fit_batched(
-            jnp.asarray(tables), jnp.asarray(valid), c2max,
-            iters=max(4, kmeans_iters // 2), seed=seed,
-        )
-    )
-    thin = sizes_s < 2
-    cents2[thin, 0] = np.asarray(cent1)[thin]
-    c2_valid = np.arange(c2max)[None, :] < c2[:, None]
-    cents2_d, c2v_d = jnp.asarray(cents2), jnp.asarray(c2_valid)
-    pc1_d = jnp.asarray(principal_axis(sample_h))
-    tables = valid = None
+    sample_d = None
 
     _log("fit done; pass 1 (assign)")
     # ---- pass 1: assignment + projection, chunk by chunk -------------------
@@ -1274,9 +1365,17 @@ def build_ivf(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "probe", "metric", "probe_chunk")
-)
+def default_probe(index: IvfDeviceIndex) -> int:
+    """Measured auto probe (search.ivf-probe=0): the r5 crossover table
+    (scripts/crossover.py, BASELINE.md) shows probe=8 holding recall@10
+    ≥ 0.995 with the best qps through ~6M rows, then collapsing (0.88 at
+    10M) as the layout's block count outgrows 8-block coverage; 16 holds
+    ≥ 0.992 through 10M and outruns 12 on-chip (pow2-aligned reduce
+    shapes). The step lives on nb, not n: coverage is a property of the
+    block layout."""
+    return 8 if index.n_blocks <= 7168 else 16
+
+
 def ivf_search_batch(
     index: IvfDeviceIndex,
     queries: jnp.ndarray,
@@ -1290,8 +1389,22 @@ def ivf_search_batch(
 
     probe: blocks scanned per query — the recall/throughput dial (the IVF
     analog of HNSW ef_runtime; FT.SEARCH EF_RUNTIME maps here when the
-    planner routes to IVF). probe_chunk bounds stage-2 working memory to
-    [B, probe_chunk, S, d] per scan step.
+    planner routes to IVF).
+
+    Two stage-2 implementations, picked by the STATIC average block
+    multiplicity m = B*probe / n_blocks:
+      * m >= 2 → _ivf_search_batch_grouped: MoE-style inverted dispatch.
+        Entries (query, block) are sorted by block and packed into
+        capacity-G segments, so each selected block is read from HBM ONCE
+        and scored against its G queries with one batched MXU matmul.
+        The per-query gather path materialized [B, probe, S, d] int8
+        (plus a bf16 copy) — ~40 GB of HBM traffic per 8k-query launch at
+        10M rows, 8x off the bandwidth roof; grouping reads each block
+        once (~3 GB) because engine batches average ~9 queries/block.
+      * m < 2 → _ivf_search_batch_steps: the per-query gather scan
+        (probe_chunk bounds working memory) — grouping cannot help when
+        almost every selected block serves one query (small batches,
+        very large corpora), and the scan keeps temps bounded.
 
     Distance decomposition (module docstring): q·centroid exact in f32
     from a [probe, d] gather, |row|^2 exact, only the residual dot rides
@@ -1305,6 +1418,163 @@ def ivf_search_batch(
     (block selection can't see the mask), so highly-selective filters
     should take the planner's pre-filter path instead.
     """
+    b = int(queries.shape[0])
+    nb = index.n_blocks
+    eff_probe = min(probe, nb)
+    mult = (b * eff_probe) // max(nb, 1)
+    if mult >= 2:
+        return _ivf_search_batch_grouped(
+            index, queries, k=k, probe=probe, metric=metric,
+            filter_mask=filter_mask,
+        )
+    return _ivf_search_batch_steps(
+        index, queries, k=k, probe=probe, metric=metric,
+        probe_chunk=probe_chunk, filter_mask=filter_mask,
+    )
+
+
+def _ivf_search_batch_grouped(
+    index: IvfDeviceIndex,
+    queries: jnp.ndarray,
+    k: int,
+    probe: int,
+    metric: str,
+    filter_mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverted (block-major) stage 2 — see ivf_search_batch docstring.
+
+    TPU shape of the idea: the same dispatch used for MoE expert routing
+    (sort tokens by expert, pad each expert's run to a capacity multiple,
+    run one dense batched matmul) applied to (query, block) pairs. All
+    shapes are static: capacity G and the padded entry count derive from
+    (B, probe, n_blocks) alone, and per-block overflow never drops an
+    entry because runs pad to ceil(count/G)*G segments.
+    """
+    S = index.block_rows
+    d = index.blocks_i8.shape[2]
+    nb = index.n_blocks
+    b = int(queries.shape[0])
+    probe = min(probe, nb)
+    e = b * probe
+    # static capacity: largest pow2 <= avg multiplicity, in [2, 16]
+    g = 1
+    while g * 2 <= min(16, max(1, e // nb)):
+        g *= 2
+    g = max(g, 2)
+    e_pad = -(-(e + nb * (g - 1)) // g) * g
+    n_seg = e_pad // g
+
+    q = queries.astype(jnp.float32)
+    qbf = q.astype(jnp.bfloat16)
+    q_sq = jnp.sum(q * q, axis=1)                    # [B]
+
+    # stage 1: block mini-centroid scores — one MXU matmul over all cells
+    dots_c = (
+        qbf @ index.centroids.T.astype(jnp.bfloat16)
+    ).astype(jnp.float32)                            # [B, nb]
+    if metric == "l2":
+        cd = index.cent_sq[None, :] - 2.0 * dots_c
+    else:
+        cd = -dots_c
+    cd = jnp.where(index.block_valid[None, :], cd, INF)
+    if nb >= 4096:
+        _, sel = jax.lax.approx_min_k(cd, probe, recall_target=0.98)
+    else:
+        _, sel = jax.lax.top_k(-cd, probe)           # [B, probe]
+
+    # ---- inverted dispatch: sort entries by block, pack into segments ----
+    blk_e = sel.reshape(-1)                          # [e] int32
+    q_e = jnp.repeat(jnp.arange(b, dtype=jnp.int32), probe)
+    order = jnp.argsort(blk_e, stable=True)          # [e]
+    blk_s = jnp.take(blk_e, order)
+    q_s = jnp.take(q_e, order)
+    idx = jnp.arange(e, dtype=jnp.int32)
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), blk_s[1:] != blk_s[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_run, idx, 0))
+    rank = idx - run_start                           # position within run
+    counts = jnp.bincount(blk_e, length=nb)          # [nb]
+    padded = -(-counts // g) * g
+    base = jnp.concatenate(
+        [jnp.zeros((1,), padded.dtype), jnp.cumsum(padded)])[:-1]  # [nb]
+    pos = (jnp.take(base, blk_s) + rank).astype(jnp.int32)  # [e] -> [e_pad)
+    pq = jnp.full((e_pad,), -1, jnp.int32).at[pos].set(q_s)
+    pb = jnp.full((e_pad,), -1, jnp.int32).at[pos].set(blk_s)
+    seg_blk = jnp.max(pb.reshape(n_seg, g), axis=1)  # [n_seg] (-1 = all pad)
+    seg_blk_c = jnp.maximum(seg_blk, 0)
+    pq_seg = pq.reshape(n_seg, g)
+    pq_c = jnp.maximum(pq_seg, 0)
+
+    # ---- one DMA per segment block, one batched MXU matmul --------------
+    blkv = jnp.take(index.blocks_i8, seg_blk_c, axis=0)   # [n_seg, S, d] i8
+    qv = jnp.take(qbf, pq_c, axis=0)                      # [n_seg, g, d]
+    dots = jnp.einsum(
+        "nsd,ngd->nsg", blkv.astype(jnp.bfloat16), qv,
+        preferred_element_type=jnp.float32,
+    )                                                     # [n_seg, S, g]
+    cvec = jnp.take(index.centroids, seg_blk_c, axis=0)   # [n_seg, d] f32
+    qf = jnp.take(q, pq_c, axis=0)                        # [n_seg, g, d] f32
+    qdotc = jnp.einsum("nd,ngd->ng", cvec, qf)            # exact f32
+    scale_seg = jnp.take(index.block_scale, seg_blk_c)    # [n_seg]
+    rsq_seg = jnp.take(index.row_sq, seg_blk_c, axis=0)   # [n_seg, S]
+    bid_seg = jnp.take(index.block_ids, seg_blk_c, axis=0)  # [n_seg, S]
+    qr = scale_seg[:, None, None] * dots                  # q·residual
+    if metric == "l2":
+        qsq_seg = jnp.take(q_sq, pq_c, axis=0)            # [n_seg, g]
+        dd = (
+            qsq_seg[:, None, :]
+            - 2.0 * qdotc[:, None, :]
+            - 2.0 * qr
+            + rsq_seg[:, :, None]
+        )
+    else:
+        dd = 1.0 - (qdotc[:, None, :] + qr)
+    allowed = (bid_seg >= 0)[:, :, None] & (pq_seg >= 0)[:, None, :]
+    if filter_mask is not None:
+        allowed &= jnp.take(
+            filter_mask, jnp.maximum(bid_seg, 0))[:, :, None]
+    dd = jnp.where(allowed, dd, INF)
+
+    # ---- back to query-major, one top-k over each query's probe*S -------
+    ent_scores = dd.transpose(0, 2, 1).reshape(e_pad, S)
+    pos_orig = jnp.zeros((e,), jnp.int32).at[order].set(pos)
+    dd_q = jnp.take(ent_scores, pos_orig, axis=0).reshape(b, probe * S)
+    ids_q = jnp.take(index.block_ids, sel, axis=0).reshape(b, probe * S)
+    kk = min(k, probe * S)
+    if probe * S >= 2048:
+        sd, ppos = jax.lax.approx_min_k(dd_q, kk, recall_target=0.99)
+    else:
+        neg, ppos = jax.lax.top_k(-dd_q, kk)
+        sd = -neg
+    si = jnp.take_along_axis(ids_q, ppos, axis=-1)
+    si = jnp.where(jnp.isfinite(sd), si, -1)
+    if kk < k:
+        sd = jnp.pad(sd, ((0, 0), (0, k - kk)), constant_values=INF)
+        si = jnp.pad(si, ((0, 0), (0, k - kk)), constant_values=-1)
+    return sd, si
+
+
+_ivf_search_batch_grouped = functools.partial(
+    jax.jit, static_argnames=("k", "probe", "metric")
+)(_ivf_search_batch_grouped)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "probe", "metric", "probe_chunk")
+)
+def _ivf_search_batch_steps(
+    index: IvfDeviceIndex,
+    queries: jnp.ndarray,
+    k: int,
+    probe: int = 32,
+    metric: str = "l2",
+    probe_chunk: int = 8,
+    filter_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query gather scan (see ivf_search_batch: the m < 2 regime).
+    probe_chunk bounds stage-2 working memory to [B, probe_chunk, S, d]
+    per scan step."""
     q = queries.astype(jnp.float32)
     b = q.shape[0]
     nb = index.n_blocks
@@ -1325,16 +1595,34 @@ def ivf_search_batch(
     else:
         cd = -dots_c
     cd = jnp.where(index.block_valid[None, :], cd, INF)
-    _, sel = jax.lax.top_k(-cd, probe)               # [B, probe]
+    if nb >= 4096:
+        # TPU-native approximate min-k: exact lax.top_k over a [B, nb]
+        # score matrix is a full per-row sort and was the probe-
+        # independent cost FLOOR at 10M (nb=11,264: probe=4 ran no
+        # faster than probe=8). Threshold/recall_target raised after the
+        # r5 crossover: at nb=2048 every block matters and the approx
+        # selection capped 1M IVF recall at ~0.97 regardless of probe.
+        _, sel = jax.lax.approx_min_k(cd, probe, recall_target=0.98)
+    else:
+        _, sel = jax.lax.top_k(-cd, probe)           # [B, probe]
     if probe_pad != probe:
-        # repeat the best block into the pad slots; duplicated rows are
-        # stripped by the O(k^2) dedup mask after the scan
+        # pad slots repeat the best block for shape only — their scores
+        # are hard-masked to INF below. (The old scheme scored the
+        # duplicates and relied on a post-scan dedup; the copies rank
+        # high — they ARE the best block — so they could evict genuine
+        # candidates from the running top-k before the dedup voided
+        # them, leaving INF holes: probe=6/probe_chunk=4 lost 6 of 10
+        # results in the grouped-equivalence test.)
         sel = jnp.concatenate(
             [sel, jnp.broadcast_to(sel[:, :1], (b, probe_pad - probe))], 1
         )
     sel_steps = sel.reshape(b, n_steps, pc).transpose(1, 0, 2)  # [T, B, pc]
+    pad_steps = (
+        (jnp.arange(probe_pad) >= probe).reshape(n_steps, 1, pc)
+    )  # [T, 1, pc]
 
-    def step(carry, sel_c):                          # sel_c [B, pc]
+    def step(carry, xs):                             # sel_c [B, pc]
+        sel_c, pad_c = xs
         run_d, run_i = carry
         blk = jnp.take(index.blocks_i8, sel_c, axis=0)    # [B, pc, S, d]
         rsq = jnp.take(index.row_sq, sel_c, axis=0)       # [B, pc, S]
@@ -1359,7 +1647,7 @@ def ivf_search_batch(
             )
         else:
             dd = 1.0 - (qdotc[:, :, None] + qr)
-        allowed = bid >= 0
+        allowed = (bid >= 0) & ~pad_c[:, :, None]
         if filter_mask is not None:
             allowed &= jnp.take(filter_mask, jnp.maximum(bid, 0))
         dd = jnp.where(allowed, dd, INF)
@@ -1367,7 +1655,7 @@ def ivf_search_batch(
         bid = bid.reshape(b, -1)
         kk = min(k, dd.shape[-1])
         if dd.shape[-1] >= 2048:
-            sd, pos = jax.lax.approx_min_k(dd, kk, recall_target=0.98)
+            sd, pos = jax.lax.approx_min_k(dd, kk, recall_target=0.99)
         else:
             neg, pos = jax.lax.top_k(-dd, kk)
             sd = -neg
@@ -1382,20 +1670,7 @@ def ivf_search_batch(
         jnp.full((b, k), INF, jnp.float32),
         jnp.full((b, k), -1, jnp.int32),
     )
-    (out_d, out_i), _ = jax.lax.scan(step, init, sel_steps)
-    # padded duplicate blocks can put the same row id in the top-k twice;
-    # k is small, so an O(k^2) mask is cheap
-    if probe_pad != probe:
-        same = (out_i[:, :, None] == out_i[:, None, :]) & (
-            out_i[:, :, None] >= 0
-        )
-        earlier = jnp.tril(jnp.ones((k, k), bool), k=-1)[None]
-        dup = jnp.any(same & earlier, axis=2)
-        out_d = jnp.where(dup, INF, out_d)
-        out_i = jnp.where(dup, -1, out_i)
-        neg, pos = jax.lax.top_k(-out_d, k)
-        out_d = -neg
-        out_i = jnp.take_along_axis(out_i, pos, axis=-1)
+    (out_d, out_i), _ = jax.lax.scan(step, init, (sel_steps, pad_steps))
     return out_d, out_i
 
 

@@ -4,19 +4,31 @@ Reference P1 (SURVEY.md §2.5): every FT.SEARCH runs on a reader-pool
 thread (valkey_search.cc:1161-1164, vmsdk/src/thread_pool.h) and scales
 with cores. The TPU-native equivalent is *batching*: one chip runs one
 program at a time, so concurrent queries against the same index are
-stacked on the host within a short window and executed as a single
-`search_batch` device call — per-launch overhead and the corpus stream
-amortize across the whole batch (the same reason bench.py batches 1024
-queries). Leader-based: the first arrival waits `search.query-batch-
-window-us`, grabs everything queued behind it (up to
-`search.query-max-batch`), launches once, and distributes results.
+stacked on the host and executed as a single `search_batch` device call —
+per-launch overhead and the corpus stream amortize across the whole batch
+(the same reason bench.py batches 1024 queries).
+
+Dispatcher-pool design (r5): submitters only ENQUEUE — a small pool of
+per-signature dispatcher threads drains the backlog into max-batch
+launches. The original leader-on-submitter-thread scheme collapsed under
+open-loop load: every submitter thread became the leader of a near-empty
+batch and paid a full device round trip for it (measured 140 qps achieved
+at 50k offered, r5 run 1). With dispatchers, batch size grows with the
+backlog instead of shrinking with submitter concurrency, and up to
+`search.query-dispatch-threads` workers keep multiple launches in flight
+so host↔device round trips overlap (the reader-pool analog: reference
+reader threads overlap their hnswlib walks the same way).
+`search.query-batch-window-us` still bounds how long a lone query waits
+for followers before launching.
 """
 
 from __future__ import annotations
 
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Deque, Dict, Optional
 
 import numpy as np
 
@@ -33,12 +45,16 @@ class _PendingQuery:
 
 
 class VectorQueryBatcher:
-    """Batches (index, k, ef, metric) compatible single-vector searches."""
+    """Batches (index, k, ef) compatible single-vector searches."""
+
+    # a dispatcher with an empty queue lingers this long before exiting,
+    # so steady traffic reuses warm threads instead of respawning
+    IDLE_S = 2.0
 
     def __init__(self):
-        self._lock = threading.Lock()
-        self._queues: Dict[tuple, List[_PendingQuery]] = {}
-        self._leaders: Dict[tuple, bool] = {}
+        self._cond = threading.Condition()
+        self._queues: Dict[tuple, Deque[_PendingQuery]] = {}
+        self._workers: Dict[tuple, int] = {}
 
     def submit(
         self,
@@ -50,28 +66,52 @@ class VectorQueryBatcher:
         """Queue one query; returns a Future of (dists [k], ids [k])."""
         sig = (id(index), k, ef)
         q = _PendingQuery(np.asarray(vector, np.float32).reshape(-1))
-        with self._lock:
-            self._queues.setdefault(sig, []).append(q)
-            leader = not self._leaders.get(sig, False)
-            if leader:
-                self._leaders[sig] = True
-        if leader:
-            self._run_as_leader(sig, index, k, ef)
+        max_batch = int(config.get("search.query-max-batch"))
+        cap = int(config.get("search.query-dispatch-threads"))
+        with self._cond:
+            queue = self._queues.setdefault(sig, deque())
+            queue.append(q)
+            n = self._workers.get(sig, 0)
+            # first worker on demand; extra workers only while the backlog
+            # already exceeds n full launches (they overlap round trips)
+            if n == 0 or (n < cap and len(queue) > max_batch * n):
+                self._workers[sig] = n + 1
+                threading.Thread(
+                    target=self._worker,
+                    args=(sig, index, k, ef),
+                    name=f"vstpu-query-dispatch-{n}",
+                    daemon=True,
+                ).start()
+            else:
+                self._cond.notify()
         return q.future
 
-    def _run_as_leader(self, sig: tuple, index, k: int, ef: Optional[int]) -> None:
-        window_s = float(config.get("search.query-batch-window-us")) / 1e6
-        max_batch = int(config.get("search.query-max-batch"))
-        if window_s > 0:
-            # let followers pile up behind the leader
-            threading.Event().wait(window_s)
-        with self._lock:
-            batch = self._queues.pop(sig, [])
-            self._leaders[sig] = False
-        if not batch:
-            return
-        while batch:
-            chunk, batch = batch[:max_batch], batch[max_batch:]
+    def _worker(self, sig: tuple, index, k: int, ef: Optional[int]) -> None:
+        while True:
+            with self._cond:
+                deadline = time.monotonic() + self.IDLE_S
+                while not self._queues.get(sig):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        n = self._workers[sig] - 1
+                        if n:
+                            self._workers[sig] = n
+                        else:
+                            del self._workers[sig]
+                            self._queues.pop(sig, None)
+                        return
+                    self._cond.wait(remaining)
+            window_s = float(config.get("search.query-batch-window-us")) / 1e6
+            if window_s > 0:
+                time.sleep(window_s)  # let followers pile up behind us
+            max_batch = int(config.get("search.query-max-batch"))
+            with self._cond:
+                queue = self._queues.get(sig)
+                chunk = []
+                while queue and len(chunk) < max_batch:
+                    chunk.append(queue.popleft())
+            if not chunk:
+                continue
             try:
                 queries = np.stack([p.vector for p in chunk])
                 if ef is not None:

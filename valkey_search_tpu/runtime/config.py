@@ -181,7 +181,12 @@ _bool("search.prefer-partial-results", False)      # fanout partial policy
 # queue behind the next leader (continuous batching). >0 adds a fixed
 # collection window for latency/throughput tuning.
 _num("search.query-batch-window-us", 0, 0, 100_000)
-_num("search.query-max-batch", 256, 1, 4096)
+_num("search.query-max-batch", 1024, 1, 4096)
+# dispatcher threads per (index, k, ef) signature (query/batcher.py): the
+# reader-pool analog (reference search.reader-threads). Extra dispatchers
+# spawn only while the backlog exceeds a full launch per live worker —
+# they overlap host<->device round trips, not device compute.
+_num("search.query-dispatch-threads", 4, 1, 16)
 # HIGH (bf16x3 MXU passes) keeps recall@10 >= 0.99 on tightly-clustered
 # corpora where DEFAULT (single bf16 pass) drops it to ~0.89; HIGHEST
 # (fp32) is bit-faithful to a CPU float implementation but slower.
@@ -257,22 +262,25 @@ _bool("search.bgsave-fork", True)
 # residual-quantized block index instead of the O(N) exact scan — the
 # sub-linear regime the reference gets from hnswlib graph walks, built
 # from MXU matmuls + contiguous block gathers instead. 0 disables.
-# Threshold MEASURED on-chip (scripts/crossover.py r4, B=16384, 128d
-# clustered bytes, recall@10 >= 0.99 both paths): the fused scan is
-# O(N) at ~517k/N[M] qps (399k/253k/129k at 1M/2M/4M) while rescored
-# IVF holds ~83-85k qps at probe=8 independent of N — they cross at
-# ~6.2M rows. Below it the scan strictly dominates.
-_num("search.ivf-threshold", 6_000_000, 0, 1 << 40)
+# Threshold MEASURED on-chip (scripts/crossover.py r5, B=16384, 128d
+# clustered bytes, recall@10 >= 0.99 both paths, BASELINE.md table):
+# the fused scan is O(N) — 452k/273k/136k/96k/61k/62k qps at
+# 1/2/4/6/8/10M — while grouped-dispatch rescored IVF holds
+# 211-244k qps at probe=8 and 147-181k at probe=12-16, nearly
+# N-independent. The recall>=0.99 frontiers cross between the measured
+# 2M (scan 273k > ivf 244k) and 4M (ivf 233k > scan 136k) points.
+_num("search.ivf-threshold", 3_000_000, 0, 1 << 40)
 # rows per IVF block: the gather/scoring tile. 1024 x 128d int8 = 128KB
 # per tile — the contiguous-read shape HBM likes.
 _num("search.ivf-block-rows", 1024, 128, 65536)
 # blocks probed per query — the recall/throughput dial (IVF analog of
-# ef_runtime, EF_RUNTIME maps here). Measured with the exact-rescore
-# path (crossover r4): probe=8 already holds recall@10 0.991-0.998 at
-# 1-4M and ~85k qps; each doubling halves qps (gather-bound) for ~+0.3%
-# recall. Raise for the no-rescore >HBM tier (recall there is the
-# residual quantizer's, ~0.95 at probe 64+).
-_num("search.ivf-probe", 8, 1, 65536)
+# ef_runtime, EF_RUNTIME maps here). 0 = auto from the layout's block
+# count (ops/ivf.py default_probe: 8 through nb<=7168, else 16 —
+# measured r5, probe=8 recall collapses to 0.88 at 10M while 16 holds
+# >=0.992 and outruns 12 on pow2-aligned reduce shapes). Explicit
+# values pin the dial; raise it for the no-rescore >HBM tier (recall
+# there is the residual quantizer's).
+_num("search.ivf-probe", 0, 0, 65536)
 # coarse k-means cell count; 0 = auto (~N / (8 * block-rows), refined by
 # a second in-cluster k-means level for oversized cells)
 _num("search.ivf-clusters", 0, 0, 65536)
