@@ -984,7 +984,9 @@ def section_ivf100m():
     HB = 512
     hq = jnp.asarray(queries[:HB])
     sweep100 = {}
-    for probe in (32, 64, 128):
+    probes_100m = tuple(int(p) for p in os.environ.get(
+        "VSTPU_100M_PROBES", "64,128,256").split(","))
+    for probe in probes_100m:
         dd, ii = ivf_ops.ivf_search_batch(
             iv, hq, k=K, probe=probe, probe_chunk=2
         )
@@ -1019,7 +1021,9 @@ def section_ivf100m():
     # per query batch: throughput is the generator's rate, recall is
     # fp32-exact ordering over the coarse candidates.
     sweep100r = {}
-    for probe in (32, 64):
+    probes_100m_r = tuple(int(p) for p in os.environ.get(
+        "VSTPU_100M_PROBES_RESCORED", "128,256").split(","))
+    for probe in probes_100m_r:
         dd, ii = ivf_ops.ivf_search_rescored_streaming(
             iv, hq, _chunk100, n_ch100, HCH, k=K, probe=probe,
             coarse_factor=4, probe_chunk=2,
@@ -1463,6 +1467,22 @@ def parent_main():
                 f"insufficient budget: {rem:.0f}s left, need {need}s")
             log(f"section {name}: skipped ({details[f'skip_{name}']})")
             continue
+        # Wedge gate: the axon tunnel intermittently hangs NEW sessions at
+        # their first device op for 10-25 min (observed r5: every other
+        # launch on a bad day). A child that starts wedged burns its whole
+        # cap and the round's evidence with it; a 60s probe subprocess is
+        # cheap. Probe, and on failure cool down and retry while budget
+        # allows (the wedge clears on its own).
+        if tpu_ok:
+            for attempt in range(4):
+                ok_p, why = probe_tpu(timeout_s=60)
+                if ok_p:
+                    break
+                if remaining() < need + 120:
+                    break
+                log(f"section {name}: tunnel probe failed ({why}); "
+                    f"cooling down 90s (attempt {attempt + 1})")
+                time.sleep(90)
         run_section_child(name, details, min(cap, rem + 120))
         refresh_headline()
 

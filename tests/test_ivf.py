@@ -745,3 +745,55 @@ class TestGroupedDispatch:
                             train_sample=4096)
         _, ids = ivf.ivf_search_batch(idx, jnp.asarray(q), k=10, probe=16)
         assert recall_at_k(np.asarray(ids), truth) >= 0.9
+
+    def test_grouped_gather_cap_routes_to_steps(self, rng, monkeypatch):
+        # Grouped materializes a [n_seg, S, d] int8 gather; past the HBM
+        # cap the steps path must serve instead (measured: B=512
+        # probe=512 at the 100M layout planned a 23.7 GiB gather ->
+        # RESOURCE_EXHAUSTED at compile, while steps bounds temps by
+        # probe_chunk).
+        x = clustered(rng, 8192, 32, centers=16)
+        q = x[:256]
+        truth = brute(q, x, 10)
+        idx = ivf.build_ivf(x, block_rows=128, n_clusters=8,
+                            train_sample=4096)
+        called = {}
+        orig_grouped = ivf._ivf_search_batch_grouped
+        orig_steps = ivf._ivf_search_batch_steps
+
+        def spy_grouped(*a, **kw):
+            called["grouped"] = True
+            return orig_grouped(*a, **kw)
+
+        def spy_steps(*a, **kw):
+            called["steps"] = True
+            return orig_steps(*a, **kw)
+
+        monkeypatch.setattr(ivf, "_ivf_search_batch_grouped", spy_grouped)
+        monkeypatch.setattr(ivf, "_ivf_search_batch_steps", spy_steps)
+        # multiplicity >= 2 and gather under the cap -> grouped
+        ivf.ivf_search_batch(idx, jnp.asarray(q), k=10, probe=16)
+        assert called == {"grouped": True}
+        called.clear()
+        # same launch with a tiny cap -> steps, same answer
+        monkeypatch.setattr(ivf, "_GROUPED_GATHER_CAP_BYTES", 1)
+        _, ids = ivf.ivf_search_batch(idx, jnp.asarray(q), k=10, probe=16)
+        assert called == {"steps": True}
+        assert recall_at_k(np.asarray(ids), truth) >= 0.9
+
+    def test_default_probe_scales_with_block_count(self):
+        # anchors: 6M layout (nb<=7168) -> 8; 10M (nb~12288) -> 16; 100M
+        # (nb=100352) -> 256+; clamped at 512
+        def fake(nb):
+            z = jnp.zeros((nb, 1, 1), jnp.int8)
+            return ivf.IvfDeviceIndex(
+                centroids=None, cent_sq=None, block_valid=None,
+                blocks_i8=z, block_scale=None, row_sq=None, block_ids=None)
+
+        assert ivf.default_probe(fake(2048)) == 8
+        assert ivf.default_probe(fake(7168)) == 8
+        assert ivf.default_probe(fake(9216)) == 16
+        assert ivf.default_probe(fake(12288)) == 16
+        assert ivf.default_probe(fake(16384)) == 43
+        assert ivf.default_probe(fake(100352)) == 262
+        assert ivf.default_probe(fake(1 << 20)) == 512

@@ -50,6 +50,7 @@ the owner rebuilds/republishes, exactly like the AoS traversal mirror.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -1368,12 +1369,29 @@ def build_ivf(
 def default_probe(index: IvfDeviceIndex) -> int:
     """Measured auto probe (search.ivf-probe=0): the r5 crossover table
     (scripts/crossover.py, BASELINE.md) shows probe=8 holding recall@10
-    ≥ 0.995 with the best qps through ~6M rows, then collapsing (0.88 at
-    10M) as the layout's block count outgrows 8-block coverage; 16 holds
-    ≥ 0.992 through 10M and outruns 12 on-chip (pow2-aligned reduce
-    shapes). The step lives on nb, not n: coverage is a property of the
-    block layout."""
-    return 8 if index.n_blocks <= 7168 else 16
+    ≥ 0.995 with the best qps through ~6M rows, then collapsing (0.9766
+    at 8M, 0.8828 at 10M) as the layout's block count outgrows 8-block
+    coverage; 16 holds ≥ 0.995 through 10M (nb ≈ 12288) and outruns 12
+    on-chip (pow2-aligned reduce shapes). Past the measured range probe
+    scales with the block count (the 100M layout, nb=100352, needs
+    probe=256 ≈ nb/392 to hold candidate coverage — BENCH_r05
+    ivf_100m_rescored_sweep), linearly interpolated as ceil(nb/384) and
+    clamped to [32, 512]. The step lives on nb, not n: coverage is a
+    property of the block layout."""
+    nb = index.n_blocks
+    if nb <= 7168:
+        return 8
+    if nb <= 12288:
+        return 16
+    return int(min(512, max(32, -(-nb // 384))))
+
+
+# Grouped stage-2's block gather must fit next to a ~13 GiB serving
+# index on a 16 GiB chip: 2 GiB of int8 codes (the bf16 scoring copy
+# fuses; the measured 10M engine shape gathers 1.8 GiB and serves 123k
+# qps). Above the cap the steps path serves instead.
+_GROUPED_GATHER_CAP_BYTES = int(
+    os.environ.get("VSTPU_IVF_GROUPED_CAP", str(2 << 30)))
 
 
 def ivf_search_batch(
@@ -1422,11 +1440,26 @@ def ivf_search_batch(
     nb = index.n_blocks
     eff_probe = min(probe, nb)
     mult = (b * eff_probe) // max(nb, 1)
+    # Grouped materializes a [n_seg, S, d] int8 gather of the selected
+    # blocks (each segment one block copy). Bound it: at 100M rows /
+    # nb=100352 / B=512 / probe=512 the gather is 23.7 GiB — past any
+    # HBM budget (measured RESOURCE_EXHAUSTED at compile) — while the
+    # steps path bounds temps by probe_chunk. Mirror grouped's static
+    # capacity math here so the routing sees the same n_seg it would
+    # allocate.
     if mult >= 2:
-        return _ivf_search_batch_grouped(
-            index, queries, k=k, probe=probe, metric=metric,
-            filter_mask=filter_mask,
-        )
+        e = b * eff_probe
+        g = 1
+        while g * 2 <= min(16, max(1, e // nb)):
+            g *= 2
+        g = max(g, 2)
+        n_seg = (-(-(e + nb * (g - 1)) // g))
+        gather_bytes = n_seg * index.block_rows * index.blocks_i8.shape[2]
+        if gather_bytes <= _GROUPED_GATHER_CAP_BYTES:
+            return _ivf_search_batch_grouped(
+                index, queries, k=k, probe=probe, metric=metric,
+                filter_mask=filter_mask,
+            )
     return _ivf_search_batch_steps(
         index, queries, k=k, probe=probe, metric=metric,
         probe_chunk=probe_chunk, filter_mask=filter_mask,

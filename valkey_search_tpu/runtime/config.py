@@ -275,11 +275,11 @@ _num("search.ivf-threshold", 3_000_000, 0, 1 << 40)
 _num("search.ivf-block-rows", 1024, 128, 65536)
 # blocks probed per query — the recall/throughput dial (IVF analog of
 # ef_runtime, EF_RUNTIME maps here). 0 = auto from the layout's block
-# count (ops/ivf.py default_probe: 8 through nb<=7168, else 16 —
-# measured r5, probe=8 recall collapses to 0.88 at 10M while 16 holds
-# >=0.992 and outruns 12 on pow2-aligned reduce shapes). Explicit
-# values pin the dial; raise it for the no-rescore >HBM tier (recall
-# there is the residual quantizer's).
+# count (ops/ivf.py default_probe: 8 through nb<=7168, 16 through
+# nb<=12288, then ~nb/384 clamped [32, 512] — measured r5: probe=8
+# collapses to 0.88 at 10M while 16 holds >=0.995; the 100M layout
+# needs ~256). Explicit values pin the dial; the no-rescore >HBM
+# tier's recall is the residual quantizer's ceiling regardless.
 _num("search.ivf-probe", 0, 0, 65536)
 # coarse k-means cell count; 0 = auto (~N / (8 * block-rows), refined by
 # a second in-cluster k-means level for oversized cells)
