@@ -1452,7 +1452,7 @@ def parent_main():
         ("flat1m", 180, 650),
         ("big10m", 240, 700),
         ("hnsw1m", 260, 700),
-        ("cosine", 80, 300),
+        ("cosine", 80, 420),
         ("ivf100m", 400, 1200),
     ]
     if QUICK:
