@@ -160,3 +160,43 @@ def test_int8_corpus_mirror_snapshot(rng):
         assert (ids[:, 0] == np.arange(4)).all()
     finally:
         config.set_config("search.corpus-dtype", "bfloat16")
+
+
+def test_scan_span_config_plumbed(rng, monkeypatch):
+    """search.scan-span / search.scan-coarse-factor reach the fused scan
+    (the operator recall-margin lever documented in BASELINE.md's
+    corpus-shapes table); 0 = auto (None at the kernel boundary)."""
+    from valkey_search_tpu.indexes import flat as flat_mod
+    from valkey_search_tpu.runtime import config
+
+    seen = {}
+
+    def spy(queries, *a, k, **kw):
+        # the Mosaic kernel needs a real chip; return shaped fakes — the
+        # assertion is about the config plumbing only
+        seen["span"] = kw.get("span")
+        seen["coarse_factor"] = kw.get("coarse_factor")
+        b = queries.shape[0]
+        return (np.full((b, k), np.inf, np.float32),
+                np.full((b, k), -1, np.int32))
+
+    monkeypatch.setattr(flat_mod.topk_ops, "flat_topk_fused", spy)
+    monkeypatch.setattr(flat_mod.topk_ops, "use_fused_scan",
+                        lambda cap, m: m is None)
+    config.set_config("search.corpus-dtype", "int8")
+    try:
+        idx = FlatVectorIndex(dim=8)
+        for i, v in enumerate(
+                rng.standard_normal((40, 8)).astype(np.float32)):
+            idx.add_record(f"k{i}", v)
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        idx.search_batch(q, k=3)
+        assert seen == {"span": None, "coarse_factor": None}
+        config.set_config("search.scan-span", "4")
+        config.set_config("search.scan-coarse-factor", "5")
+        idx.search_batch(q, k=3)
+        assert seen == {"span": 4, "coarse_factor": 5}
+    finally:
+        config.set_config("search.scan-span", "0")
+        config.set_config("search.scan-coarse-factor", "0")
+        config.set_config("search.corpus-dtype", "bfloat16")

@@ -261,3 +261,17 @@ def test_i8_fused_filter(rng):
     )
     ids = np.asarray(ids)
     assert (keep[ids[ids >= 0]]).all()
+
+
+def test_auto_block_b_vmem_guard():
+    """High-d corpora must shrink the query tile: block_b=1024 at d=768
+    measured 712K over the 16 MB scoped-VMEM limit on a v5e
+    (scripts/recall_shapes.py r5)."""
+    from valkey_search_tpu.ops import topk as tk
+
+    assert tk._auto_block_b(65536, 128) == 1024   # headline shape
+    assert tk._auto_block_b(65536, 256) == 1024
+    assert tk._auto_block_b(16384, 768) == 512    # embedding shape
+    assert tk._auto_block_b(16384, 2048) == 256
+    assert tk._auto_block_b(512, 768) == 512      # small batches unchanged
+    assert tk._auto_block_b(100, 128) == 104      # rounds up to 8

@@ -119,6 +119,10 @@ class FlatVectorIndex(VectorIndexBase):
                 # int8): 2x MXU rate, exact fp32 rescore unchanged
                 corpus_i8=snap.get("vectors_i8"),
                 i8_scale=snap.get("i8_scale"),
+                # operator recall-margin levers (0 = measured auto)
+                span=int(config.get("search.scan-span")) or None,
+                coarse_factor=(
+                    int(config.get("search.scan-coarse-factor")) or None),
             )
         elif mode == "approx" and "vectors_lp" in snap:
             # bf16 coarse scan + exact fp32 rescore (ops/topk.py)

@@ -151,6 +151,21 @@ def use_fused_scan(cap: int, filter_mask) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _auto_block_b(b: int, d: int) -> int:
+    """Query-tile rows for the fused kernels. 1024 is the MXU sweet spot
+    at d=128, but the kernel's scoped-VMEM stack (query tile [block_b, d]
+    + [block_b, block_n] score tile) is budgeted against the 16 MB limit
+    at that shape — d=768 at block_b=1024 measured 712K over
+    (scripts/recall_shapes.py r5). Halve the tile as d grows; recall is
+    unaffected and the MXU still sees >=256-row LHS tiles."""
+    block_b = 1024 if b >= 1024 else -(-b // 8) * 8
+    if d > 1024:
+        return min(block_b, 256)
+    if d > 256:
+        return min(block_b, 512)
+    return block_b
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -228,7 +243,7 @@ def flat_topk_fused(
     d_pad = d + pad_d
 
     if block_b is None:
-        block_b = 1024 if b >= 1024 else -(-b // 8) * 8
+        block_b = _auto_block_b(b, d)
     pad_b = -b % block_b
     # packed int8 survivors cover span*128 rows each; pick span so the
     # survivor array stays >= ~2k columns for the top-k's bucketing

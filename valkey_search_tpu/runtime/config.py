@@ -201,6 +201,16 @@ _enum("search.topk-mode", "approx", ["approx", "exact"])
 # picks pallas on TPU for large corpora (per-query filter masks and small
 # corpora always take the xla path).
 _enum("search.scan-kernel", "auto", ["auto", "pallas", "xla"])
+# fused-scan tuning (ops/topk.py flat_topk_fused): survivor granularity
+# (rows per packed int8 survivor = span*128) and exact-rescore
+# over-retrieval (coarse_factor*k candidates). 0 = auto (measured
+# defaults: span 8 / cf 4 at >=1M rows — 392-490k qps at recall@10
+# 0.9906-0.9984 across clustered/uniform/low-rank-768 1M shapes,
+# scripts/recall_shapes.py r5). Operators wanting more recall margin on
+# adversarial corpora: span=4 cf=4 holds >=0.9984 on every measured
+# shape at ~13% lower qps.
+_num("search.scan-span", 0, 0, 16)
+_num("search.scan-coarse-factor", 0, 0, 64)
 _bool("search.skip-corrupted-internal-update-entries", False)
 REGISTRY.register(Entry("search.checkpoint-path", "", "", "string"))
 # op journal (AOF analog — the reference rides valkey AOF for
