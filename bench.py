@@ -444,7 +444,17 @@ def section_flat1m():
                     100.0 * shed[0] / (shed[0] + submitted[0]), 1)
             return pt
 
-        # warm the batcher's shapes (dispatchers pad to pow2 batches)
+        # warm the batcher's shape set: coalesced batches pad to pow2
+        # (query/batcher.py), so the servable programs are exactly the
+        # pow2 sizes up to search.query-max-batch — compile them up front
+        # the way a production server warms at startup (without this, the
+        # first ramp pays each compile inside the measured window: 16s
+        # p99 spikes, r5 run 2)
+        maxb = 1024
+        bsz = 1
+        while bsz <= maxb:
+            flat.search_batch(queries[:bsz], K)
+            bsz *= 2
         for _ in range(3):
             batcher_mod.submit(flat, queries[0], K).result()
         under_load = {}
@@ -676,7 +686,13 @@ def section_big10m():
         # are not read by ivf_search_rescored; the fp32 corpus is — it is
         # the exact-rescore source)
         i8_10 = norms10 = inv10 = scale10 = ids = None
-        IB = 8192  # serving batch for the gather-bound stage
+        # serving batch 16384 = the scan datum's batch and the crossover
+        # sweep's (scripts/crossover.py): the grouped dispatch's fixed
+        # per-launch cost dominates at 8192 (measured 40k qps probe=16 vs
+        # 123k at 16384 — r5 runs 2 vs xover_r5b); the fp32 mirror +
+        # 16384-query temps fit together (the crossover runs exactly this
+        # residency)
+        IB = 16384
         ivq = jnp.asarray(queries[:IB])
         ivf_sweep = {}
         for probe in (8, 12, 16):

@@ -797,3 +797,18 @@ class TestGroupedDispatch:
         assert ivf.default_probe(fake(16384)) == 43
         assert ivf.default_probe(fake(100352)) == 262
         assert ivf.default_probe(fake(1 << 20)) == 512
+
+
+def test_grouped_gather_cap_routing():
+    """The measured-good 10M engine shape must stay on the grouped fast
+    path (123k qps, scripts/crossover.py r5) while the 100M shape that
+    RESOURCE_EXHAUSTED at compile stays on bounded-temps steps."""
+    from valkey_search_tpu.ops.ivf import (
+        _GROUPED_GATHER_CAP_BYTES, _grouped_gather_bytes)
+
+    # 10M bench shape: B=16384, probe=16, nb=11264, S=1024, d=128 int8
+    g10 = _grouped_gather_bytes(16384, 16, 11264, 1024, 128)
+    assert g10 <= _GROUPED_GATHER_CAP_BYTES, g10
+    # 100M shape: B=512, probe=512, nb=100352 — 23.7 GiB, must not group
+    g100 = _grouped_gather_bytes(512, 512, 100352, 1024, 128)
+    assert g100 > _GROUPED_GATHER_CAP_BYTES, g100

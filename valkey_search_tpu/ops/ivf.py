@@ -1386,12 +1386,32 @@ def default_probe(index: IvfDeviceIndex) -> int:
     return int(min(512, max(32, -(-nb // 384))))
 
 
-# Grouped stage-2's block gather must fit next to a ~13 GiB serving
-# index on a 16 GiB chip: 2 GiB of int8 codes (the bf16 scoring copy
-# fuses; the measured 10M engine shape gathers 1.8 GiB and serves 123k
-# qps). Above the cap the steps path serves instead.
+# Grouped stage-2's temps must fit next to the serving index: the int8
+# block gather [n_seg, S, d] plus ~2 f32 [n_seg, S, g] score buffers
+# (einsum output + masked distances; ~gather * g/16 at d=128). The
+# measured ceiling: the 10M engine shape (B=16384, probe=16, nb=11264 →
+# 3.53 GiB gather, ~7 GiB temps) serves 123k qps next to the 1.5 GiB
+# codes + 4.8 GiB fp32 rescore mirror (scripts/crossover.py r5); the
+# 100M shape (23.7 GiB gather) RESOURCE_EXHAUSTED at compile. 4 GiB
+# admits the measured-good regime and routes anything larger to the
+# bounded-temps steps path.
 _GROUPED_GATHER_CAP_BYTES = int(
-    os.environ.get("VSTPU_IVF_GROUPED_CAP", str(2 << 30)))
+    os.environ.get("VSTPU_IVF_GROUPED_CAP", str(4 << 30)))
+
+
+def _grouped_gather_bytes(
+    b: int, eff_probe: int, nb: int, block_rows: int, d_bytes: int
+) -> int:
+    """Static [n_seg, S, d] int8 gather size the grouped dispatch would
+    allocate — mirrors _ivf_search_batch_grouped's capacity math exactly
+    so routing sees the same n_seg."""
+    e = b * eff_probe
+    g = 1
+    while g * 2 <= min(16, max(1, e // nb)):
+        g *= 2
+    g = max(g, 2)
+    n_seg = -(-(e + nb * (g - 1)) // g)
+    return n_seg * block_rows * d_bytes
 
 
 def ivf_search_batch(
@@ -1448,13 +1468,8 @@ def ivf_search_batch(
     # capacity math here so the routing sees the same n_seg it would
     # allocate.
     if mult >= 2:
-        e = b * eff_probe
-        g = 1
-        while g * 2 <= min(16, max(1, e // nb)):
-            g *= 2
-        g = max(g, 2)
-        n_seg = (-(-(e + nb * (g - 1)) // g))
-        gather_bytes = n_seg * index.block_rows * index.blocks_i8.shape[2]
+        gather_bytes = _grouped_gather_bytes(
+            b, eff_probe, nb, index.block_rows, index.blocks_i8.shape[2])
         if gather_bytes <= _GROUPED_GATHER_CAP_BYTES:
             return _ivf_search_batch_grouped(
                 index, queries, k=k, probe=probe, metric=metric,

@@ -114,6 +114,21 @@ class VectorQueryBatcher:
                 continue
             try:
                 queries = np.stack([p.vector for p in chunk])
+                # pow2 shape bucketing: XLA compiles one program per input
+                # shape, so arbitrary coalesce sizes each pay a fresh
+                # trace+compile mid-serving (measured: 16s p99 spikes under
+                # open-loop load, bench r5). Padding to the next power of
+                # two caps the shape set at log2(max-batch) programs; the
+                # duplicated tail rows are dropped on reply.
+                n_real = queries.shape[0]
+                if n_real & (n_real - 1):
+                    padded = 1 << (n_real - 1).bit_length()
+                    queries = np.concatenate([
+                        queries,
+                        np.broadcast_to(
+                            queries[-1], (padded - n_real, queries.shape[1])
+                        ),
+                    ])
                 if ef is not None:
                     d, ids = index.search_batch(queries, k, ef=ef)
                 else:
